@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed once for timing (collect() forces the full plan);
+a small warmup query first absorbs JVM/codegen startup so per-query times
+reflect the plans, not session spin-up.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from egal_yet_another_earthquake_project_spark import workloads
+from egal_yet_another_earthquake_project_spark.session import get_spark
+
+#: Queries whose timings define the headline metric — chosen to cover scan+agg,
+#: shuffle joins, window functions, dedup, and the temporal joins.
+HEADLINE = [
+    "pricing_summary",
+    "flagship_region_counts",
+    "distinct_rows",
+    "latest_per_user",
+    "numeric_stats",
+    "minute_equijoin",
+    "asof_join",
+    "range_join",
+    "region_dim_join",
+    "top10_orders",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("egal-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warmup: touch the biggest table so JVM/codegen/FS caches are hot.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = workloads.QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite-runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,66 @@
+"""File sources — batch and streaming Parquet (SURVEY S3, S4).
+
+The reference's "incremental file source" is a hand-rolled ``glob`` poll
+loop diffing a seen-set (/root/reference/sparktoELKstream.py:130-144) with
+no exactly-once bookkeeping. Spark's file stream source does the same job
+with checkpointed, exactly-once file tracking — so the batch and streaming
+readers here are thin, schema-explicit wrappers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_parquet(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
+    """Batch Parquet scan (S3). Pass ``columns`` to prune at the scan."""
+    df = spark.read.parquet(path)
+    return df.select(*columns) if columns else df
+
+
+def stream_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Incremental directory tail (S4): Spark file source replaces the
+    reference's glob-diff loop; processed files are tracked in the
+    checkpoint, so restarts never re-read or skip."""
+    reader = spark.readStream.format("parquet").schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
+
+
+_TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver test table, normalizing physical quirks.
+
+    ``events.parquet`` stores ``ts`` as INT64 TIMESTAMP(NANOS) which Spark's
+    parquet reader rejects; read it as nanos-long and convert (lossless —
+    the data carries no sub-microsecond component). The conf is
+    runtime-settable, so this works in any caller-provided session.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load the driver-generated tables (TESTDATA.md) and register each as a
+    temp view so both the DataFrame API and ``spark.sql`` can reach them."""
+    out: dict[str, DataFrame] = {}
+    for name in _TABLES:
+        df = read_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

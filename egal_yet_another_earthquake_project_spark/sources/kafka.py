@@ -1,0 +1,68 @@
+"""Kafka sources/sinks (SURVEY S1, S8) — gated: no broker or connector jar
+ships in the test container, so these build the reader/writer but only a
+real deployment starts them. Unit tests exercise the downstream transforms
+through the file/memory sources instead (same DataFrame contract).
+
+Reference: four copy-pasted scripts each subscribing one topic with
+``failOnDataLoss=false`` (/root/reference/eQRawToParquet.py:15-21 ×4);
+here one parameterized reader.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TOPICS = ("earthquakeRaw", "earthquakeRawWeek", "electricRaw", "electricRawWeek")
+
+
+def read_kafka_stream(
+    spark: SparkSession,
+    topic: str,
+    bootstrap_servers: str = "localhost:9092",
+    starting_offsets: str = "earliest",
+    fail_on_data_loss: bool = False,
+) -> DataFrame:
+    """Streaming Kafka source (S1). Yields the standard envelope schema
+    (schemas.KAFKA_ENVELOPE)."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", str(fail_on_data_loss).lower())
+        .load()
+    )
+
+
+def read_kafka_batch(
+    spark: SparkSession, topic: str, bootstrap_servers: str = "localhost:9092"
+) -> DataFrame:
+    """Batch (bounded) Kafka read — backfill path (ST4)."""
+    return (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .option("endingOffsets", "latest")
+        .load()
+    )
+
+
+def write_kafka(
+    df: DataFrame,
+    topic: str,
+    bootstrap_servers: str = "localhost:9092",
+    max_request_size: int = 900_000,
+) -> None:
+    """Batch Kafka producer sink (S8). The reference hand-batches JSON
+    arrays to ≤900 KB messages (/root/reference/electricraw.py:102-129,179);
+    Kafka's own ``max.request.size`` bounds message size here, and Spark
+    parallelizes the produce across executors."""
+    (
+        df.selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("kafka.max.request.size", str(max_request_size))
+        .option("topic", topic)
+        .save()
+    )

@@ -1,0 +1,86 @@
+"""Silver streaming: typed parse + watermarked dedup + trailing views
+(SURVEY ST2, ST3, ST5).
+
+The reference's overlapping 20-minute polls produce duplicates by design
+and its only defense is a stateless full-row ``distinct()`` per micro-batch
+(/root/reference/sparktoELKstream.py:99) — duplicates across batches
+survive, and AFAD's re-sent updates (isEventUpdate=true) become extra docs.
+Engine semantics:
+
+* :func:`parsed_stream` — the bronze→silver transform, shared verbatim
+  between batch and streaming (same DataFrame functions).
+* :func:`dedup_stream` — cross-batch exactly-once per eventID via
+  ``dropDuplicatesWithinWatermark``: state is bounded by the watermark
+  (sized to the reference's 7-day re-poll horizon, ST3) instead of growing
+  forever.
+* :func:`windowed_counts` — watermarked sliding-window aggregation (the
+  streaming form of the flagship analytic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from egal_yet_another_earthquake_project_spark.operators.enrich import (
+    with_fault_line_expr,
+)
+from egal_yet_another_earthquake_project_spark.operators.parse import (
+    decode_envelope,
+    parse_events_raw,
+    typed_events,
+)
+
+#: Watermark horizon for event dedup state — the weekly re-poll window
+#: (egal-project-nifi.xml:4214-4216) bounds how late a duplicate can arrive.
+DEDUP_WATERMARK = "7 days"
+
+
+def parsed_stream(envelope: DataFrame) -> DataFrame:
+    """Kafka envelope stream → typed, enriched silver stream. Pure column
+    transforms — identical code path for batch backfill and streaming."""
+    return with_fault_line_expr(typed_events(parse_events_raw(decode_envelope(envelope))))
+
+
+def dedup_stream(
+    silver: DataFrame,
+    key: str = "eventID",
+    event_time: str = "date",
+    watermark: str = DEDUP_WATERMARK,
+) -> DataFrame:
+    """Exactly-one-row-per-event across micro-batches (ST2/ST5).
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    watermark passes — bounded memory at any scale, unlike an unbounded
+    ``dropDuplicates`` state store.
+    """
+    return silver.withWatermark(event_time, watermark).dropDuplicatesWithinWatermark(
+        [key]
+    )
+
+
+def windowed_counts(
+    stream: DataFrame,
+    event_time: str,
+    group_col: str,
+    window_length: str = "20 minutes",
+    slide: str = "1 minute",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming flagship: per-(window, group) event counts with late-data
+    tolerance — the principled version of the reference's re-poll-every-30s
+    trailing-20-minute view (ST2)."""
+    return (
+        stream.withWatermark(event_time, watermark)
+        .groupBy(F.window(event_time, window_length, slide), F.col(group_col))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def trailing_view(df: DataFrame, event_time: str, horizon: str) -> DataFrame:
+    """ST3 as a view, not a second topic: the trailing-``horizon`` slice.
+    On an ingest-date-partitioned archive this prunes to the recent
+    partitions only."""
+    return df.filter(
+        F.col(event_time) >= F.current_timestamp() - F.expr(f"INTERVAL {horizon}")
+    )
