@@ -34,6 +34,9 @@ HEADLINE = [
     "range_join",
     "region_dim_join",
     "top10_orders",
+    "text_profile",
+    "minhash_lsh_pairs",
+    "embedding_topk",
 ]
 
 

@@ -45,9 +45,11 @@ def minute_string(ts: Column | str) -> Column:
 
 def null_safe_timestamp(col: Column | str, default: str = DEFAULT_DATE) -> Column:
     """Parse a timestamp string, defaulting like the reference's
-    date_formatter (F11, /root/reference/sparktoELKstream.py:22-27)."""
+    date_formatter (F11, /root/reference/sparktoELKstream.py:22-27).
+    ``try_to_timestamp`` so malformed input degrades to the default instead
+    of failing the job under ANSI mode (dirty upstream data is a given)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.coalesce(F.to_timestamp(c), F.lit(default).cast("timestamp"))
+    return F.coalesce(F.try_to_timestamp(c), F.lit(default).cast("timestamp"))
 
 
 def point_location(lat: Column | str, lon: Column | str) -> Column:

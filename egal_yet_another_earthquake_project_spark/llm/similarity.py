@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (array<float>).
+
+* :func:`cosine` — double-accumulated dot/norm via zip_with + aggregate:
+  JVM-side, deterministic element order, no UDF.
+* :func:`brute_force_topk` — exact top-k neighbors; the candidate join is
+  a cross join, so this is the *baseline* (correctness reference and
+  small-query-set path), not the scale path.
+* :func:`ivf_topk` — IVF-style ANN: restrict the candidate join to the
+  query's coarse cell (here the provided ``label`` plays the trained
+  k-means cell id; production swaps in learned centroids). Candidate mass
+  drops by the number of cells — that's the 100 TB path.
+* :func:`neardup_pairs` — embedding near-duplicate pairs above a cosine
+  threshold, IVF-bucketed to avoid all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dots(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column | str) -> Column:
+    c = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(_dots(c, c))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity of two float vectors, double accumulation in
+    element order (bit-reproducible on any partitioning)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return _dots(ca, cb) / (norm(ca) * norm(cb))
+
+
+def _topk_from_candidates(cands: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors (self-match excluded).
+
+    queries × corpus cross join — broadcast the query side; per-partition
+    work is a tight codegen'd loop over corpus rows. Ranks are total-ordered
+    (cos desc, neighbor asc) so results are unique and reproducible.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    cands = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine("qv", "cv"), 4))
+        .select("query_id", "neighbor_id", "cos")
+    )
+    return _topk_from_candidates(cands, k)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """IVF ANN: candidates limited to the query's coarse cell (equi-join on
+    the cell id instead of a cross join). With nprobe=1 semantics, recall
+    depends on the quantizer; the candidate mass — and thus cost — drops by
+    ~#cells. Swap ``cell_col`` for an assigned nearest-centroid column to
+    use trained centroids."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col(cell_col).alias("cell"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.col(cell_col).alias("cell"),
+    )
+    cands = (
+        c.join(F.broadcast(q), on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine("qv", "cv"), 4))
+        .select("query_id", "neighbor_id", "cos")
+    )
+    return _topk_from_candidates(cands, k)
+
+
+def neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str | None = "label",
+) -> DataFrame:
+    """Embedding near-duplicate pairs (cos ≥ threshold, id_a < id_b).
+
+    With ``cell_col`` the pair join is per-cell (near-dups share a cell at
+    any reasonable quantizer); ``None`` falls back to all-pairs — baseline
+    only."""
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        *( [F.col(cell_col).alias("cell")] if cell_col else [] ),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        *( [F.col(cell_col).alias("cell")] if cell_col else [] ),
+    )
+    joined = a.join(b, on="cell") if cell_col else a.crossJoin(b)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine("va", "vb"), 4))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,235 @@
+"""Text analysis operators: tokenization, quality scoring, language ID,
+fingerprinting (all JVM-side Catalyst expressions — no Python in the path).
+
+Determinism contract: every operator here is reproducible bit-for-bit on
+any cluster size (no RNG, no partition-order dependence), which is what
+makes the DuckDB oracles in workloads possible and what a 100 TB dedup run
+needs to be re-runnable.
+
+Performance note: expressions that *reference tokens many times* (shingles,
+per-feature profiles) must read a MATERIALIZED tokens column — an inline
+``split()`` sub-expression gets re-evaluated per reference (O(tokens²) for
+shingling; measured 10× slower at sf0.1). The projection boundary in
+:func:`tokenized` / :func:`text_profile` is load-bearing: Catalyst's
+CollapseProject keeps multi-referenced non-cheap aliases materialized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: ASCII-safe "BPE-ish" token pattern: word pieces, digit runs, single
+#: punctuation — identical semantics in Java regex and RE2/DuckDB.
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+#: Tiny language-marker stopword sets for the stopword language-ID
+#: heuristic. Public common-word lists; ASCII-only so regex and collation
+#: behave identically across engines.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "und", "das", "nicht", "ist"),
+    "tr": ("ve", "bir", "bu", "icin", "ile", "da"),
+}
+
+#: English stopwords used by the quality score's stopword-ratio feature.
+EN_STOPWORDS = LANG_MARKERS["en"] + ("for", "on", "with", "that", "this")
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def normalize(text: Column | str) -> Column:
+    """Lowercase + whitespace-collapse + trim — canonical form for
+    fingerprints and shingles."""
+    return F.trim(F.regexp_replace(F.lower(_c(text)), r"\s+", " "))
+
+
+def tokens_of_norm(norm: Column) -> Column:
+    """Whitespace tokens of already-normalized text; blank → empty array."""
+    return F.when(F.length(norm) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
+
+
+def tokens(text: Column | str) -> Column:
+    return tokens_of_norm(normalize(text))
+
+
+def tokenized(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach materialized ``_norm`` and ``_toks`` columns — the required
+    input shape for shingling/profiling at scale (see module note)."""
+    out = df.withColumn("_norm", normalize(text_col))
+    return out.withColumn("_toks", tokens_of_norm(F.col("_norm")))
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Sub-word-ish token count via regexp_extract_all on the BPE-ish
+    pattern — the cheap stand-in for a real BPE tokenizer's length signal."""
+    return F.size(F.regexp_extract_all(normalize(text), F.lit(BPE_ISH_PATTERN), 0))
+
+
+def _count_in(arr: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(arr, lambda t: t.isin(*words)))
+
+
+def _stopword_ratio_of(toks: Column, stopwords: tuple[str, ...]) -> Column:
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        _count_in(toks, stopwords).cast("double") / F.size(toks)
+    )
+
+
+def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    return _stopword_ratio_of(tokens(text), stopwords)
+
+
+def _mean_token_length_of(toks: Column) -> Column:
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t).cast("long")
+    )
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        total.cast("double") / F.size(toks)
+    )
+
+
+def mean_token_length(text: Column | str) -> Column:
+    return _mean_token_length_of(tokens(text))
+
+
+def _punct_ratio_of(norm: Column) -> Column:
+    stripped = F.regexp_replace(norm, r"[a-z0-9\s]", "")
+    return F.when(F.length(norm) == 0, F.lit(0.0)).otherwise(
+        F.length(stripped).cast("double") / F.length(norm)
+    )
+
+
+def punct_ratio(text: Column | str) -> Column:
+    return _punct_ratio_of(normalize(text))
+
+
+def _quality_of(norm: Column, toks: Column) -> Column:
+    n = F.size(toks).cast("double")
+    len_score = F.least(n / F.lit(100.0), F.lit(1.0))
+    mtl = _mean_token_length_of(toks)
+    mtl_score = F.when((mtl >= 3.0) & (mtl <= 10.0), 1.0).otherwise(0.5)
+    sw = _stopword_ratio_of(toks, EN_STOPWORDS)
+    sw_score = F.when((sw >= 0.01) & (sw <= 0.6), 1.0).otherwise(0.3)
+    punct_score = F.when(_punct_ratio_of(norm) <= 0.2, 1.0).otherwise(0.4)
+    return F.round(
+        0.4 * len_score + 0.2 * mtl_score + 0.2 * sw_score + 0.2 * punct_score, 4
+    )
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: enough tokens, sane mean token
+    length, some-but-not-too-many stopwords, low punctuation. Fixed-weight,
+    deterministic — the analog of C4/Gopher-style rule filters."""
+    return _quality_of(normalize(text), tokens(text))
+
+
+def _lang_id_of(toks: Column) -> Column:
+    scores = {lang: _count_in(toks, markers) for lang, markers in LANG_MARKERS.items()}
+    langs = list(scores)
+    best = scores[langs[0]]
+    for lang in langs[1:]:
+        best = F.greatest(best, scores[lang])
+    expr: Column = F.lit("und")
+    for lang in reversed(langs):
+        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
+    return F.when(best == 0, F.lit("und")).otherwise(expr)
+
+
+def lang_id(text: Column | str) -> Column:
+    """Stopword-marker language ID: argmax marker-hit count, 'und' when no
+    marker hits. Ties resolve in fixed key order (en, de, tr)."""
+    return _lang_id_of(tokens(text))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Content fingerprint: md5 of the normalized text. Identical
+    normalization ⇒ identical fingerprint ⇒ exact-dedup key."""
+    return F.md5(normalize(text))
+
+
+def shingles_of_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from a MATERIALIZED tokens column (see module
+    note); texts shorter than n words yield one joined shingle."""
+    return F.when(F.size(toks) < n, F.array(F.array_join(toks, " "))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Inline shingles — convenience for small frames ONLY. At scale go
+    through :func:`tokenized` + :func:`shingles_of_tokens` (O(tokens²)
+    re-evaluation otherwise)."""
+    return shingles_of_tokens(tokens(text), n)
+
+
+def exploded_shingles(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc, sh) rows via the materialized-tokens path — the scale-correct
+    shingle producer used by dedup."""
+    return tokenized(df, text_col).select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles_of_tokens(F.col("_toks"), n)).alias("sh"),
+    )
+
+
+def simhash64(text: Column | str, num_shingle_words: int = 3) -> Column:
+    """64-bit SimHash over word shingles — the scale-path near-dup
+    signature. xxhash64 per shingle, per-bit majority vote, all inside one
+    Catalyst expression tree (engine-native; the oracle-paired variant is
+    the md5-digit simhash32 in workloads_llm). At scale, pass a
+    materialized shingle-array column via ``shingles_col`` (see module
+    note)."""
+    sh = shingles(text, num_shingle_words)
+    return simhash64_of_shingles(sh)
+
+
+def simhash64_of_shingles(sh: Column) -> Column:
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+
+    def voter(bit: int):
+        mask = F.lit(1 << bit) if bit < 63 else F.lit(-(1 << 63))
+        return lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1)
+
+    out: Column = F.lit(0).cast("long")
+    for b in range(64):
+        votes = F.aggregate(hashes, F.lit(0).cast("long"), voter(b))
+        out = out + F.when(
+            votes >= 0, F.lit(1 << b) if b < 63 else F.lit(-(1 << 63))
+        ).otherwise(0)
+    return out
+
+
+def hamming64(a: Column | str, b: Column | str) -> Column:
+    """Hamming distance between two 64-bit signatures (bit_count of xor)."""
+    return F.bit_count(_c(a).bitwiseXOR(_c(b)))
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """All text-analysis signals in one pass over materialized norm/tokens:
+    token counts, quality features, language guess, fingerprint."""
+    base = tokenized(df, text_col)
+    norm, toks = F.col("_norm"), F.col("_toks")
+    return base.select(
+        *df.columns,
+        F.size(toks).alias("n_tokens"),
+        F.size(F.regexp_extract_all(norm, F.lit(BPE_ISH_PATTERN), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.round(_mean_token_length_of(toks), 4).alias("mean_token_len"),
+        F.round(_stopword_ratio_of(toks, EN_STOPWORDS), 4).alias("stopword_ratio"),
+        F.round(_punct_ratio_of(norm), 4).alias("punct_ratio"),
+        _quality_of(norm, toks).alias("quality"),
+        _lang_id_of(toks).alias("lang_guess"),
+        F.md5(norm).alias("fingerprint"),
+    )

@@ -36,7 +36,8 @@ def parse_events_raw(df: DataFrame, json_col: str = "ascii_value") -> DataFrame:
 
 
 def _dbl(name: str) -> Column:
-    return F.col(name).cast("double").alias(name)
+    # try_cast: malformed numerics → null, not a failed job (ANSI-safe).
+    return F.expr(f"try_cast({name} AS double)").alias(name)
 
 
 def typed_events(df: DataFrame) -> DataFrame:
@@ -60,11 +61,11 @@ def typed_events(df: DataFrame) -> DataFrame:
         _dbl("magnitude"),
         _dbl("longitude"),
         _dbl("latitude"),
-        F.col("eventID").cast("long").alias("eventID"),
+        F.expr("try_cast(eventID AS long)").alias("eventID"),
         EF.point_location("latitude", "longitude").alias("pointLocation"),
         _dbl("rms"),
-        F.col("isEventUpdate").cast("boolean").alias("isEventUpdate"),
-        F.to_timestamp("lastUpdateDate").alias("lastUpdateDate"),
+        F.expr("try_cast(isEventUpdate AS boolean)").alias("isEventUpdate"),
+        F.try_to_timestamp("lastUpdateDate").alias("lastUpdateDate"),
     )
 
 

@@ -244,7 +244,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registry
 # --------------------------------------------------------------------------
 
-QUERIES: dict[str, QueryFn] = {
+_BASE_QUERIES: dict[str, QueryFn] = {
     "flagship_region_counts": q_flagship_region_counts,
     "union_region_counts": q_union_region_counts,
     "group_counts": q_group_counts,
@@ -274,7 +274,7 @@ _SERIES_PURCHASE = (
     "FROM events WHERE event_type = 'purchase' GROUP BY date_trunc('minute', ts)"
 )
 
-ORACLES: dict[str, str] = {
+_BASE_ORACLES: dict[str, str] = {
     "flagship_region_counts": f"""
         SELECT event_type, count(*) AS n FROM events
         WHERE value >= 4.0 AND event_type IN {_REGION_IN}
@@ -384,6 +384,14 @@ ORACLES: dict[str, str] = {
         ORDER BY l_returnflag, l_linestatus
     """,
 }
+
+
+# Merge in the training-data-pipeline workload (dedup / similarity / text /
+# multimodal). Imported late to keep module init cheap and cycle-free.
+from egal_yet_another_earthquake_project_spark import workloads_llm  # noqa: E402
+
+QUERIES: dict[str, QueryFn] = {**_BASE_QUERIES, **workloads_llm.QUERIES}
+ORACLES: dict[str, str] = {**_BASE_ORACLES, **workloads_llm.ORACLES}
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

@@ -1,0 +1,418 @@
+"""Declared queries for the training-data-pipeline operators (dedup,
+similarity, text analysis, multimodal), each paired with a DuckDB oracle.
+
+The driver's documents table has no duplicates and its embeddings no
+near-neighbors (max off-diagonal cosine ≈ 0.51), so dedup queries operate
+on a deterministic *augmented corpus*: the table unioned with exact copies
+(ids +10000) and near-copies with a 3-token tail appended (ids +20000) —
+synthesized identically in the Spark query and the SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from egal_yet_another_earthquake_project_spark.llm import (
+    dedup as ldd,
+)
+from egal_yet_another_earthquake_project_spark.llm import (
+    multimodal as lmm,
+)
+from egal_yet_another_earthquake_project_spark.llm import (
+    similarity as lsim,
+)
+from egal_yet_another_earthquake_project_spark.llm import (
+    text as ltx,
+)
+from egal_yet_another_earthquake_project_spark.sources.files import read_table
+
+_NEAR_TAIL = " zz qq ww"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "embeddings")
+
+
+def _aug_corpus(docs: DataFrame) -> DataFrame:
+    """documents ∪ exact copies (doc_id<50 → +10000) ∪ near copies
+    (doc_id<30 → +20000, 3-token tail)."""
+    exact = docs.filter(F.col("doc_id") < 50).withColumn(
+        "doc_id", F.col("doc_id") + 10000
+    )
+    near = (
+        docs.filter(F.col("doc_id") < 30)
+        .withColumn("doc_id", F.col("doc_id") + 20000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(_NEAR_TAIL)))
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+_AUG_SQL = f"""
+    SELECT * FROM documents
+    UNION ALL
+    SELECT doc_id + 10000 AS doc_id, text, lang, source, n_chars
+    FROM documents WHERE doc_id < 50
+    UNION ALL
+    SELECT doc_id + 20000 AS doc_id, text || '{_NEAR_TAIL}' AS text,
+           lang, source, n_chars
+    FROM documents WHERE doc_id < 30
+"""
+
+# Normalized text + shingles, shared across oracles. Documents are pure
+# lowercase ASCII + single spaces, but the oracle still applies the full
+# normalization so it stays equivalent to llm.text.normalize on any input.
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS = f"CASE WHEN length({_NORM}) = 0 THEN [] ELSE string_split({_NORM}, ' ') END"
+_SHINGLES = f"""
+    CASE WHEN len({_TOKS}) < 3 THEN [array_to_string({_TOKS}, ' ')]
+         ELSE list_transform(range(0, len({_TOKS}) - 2),
+                             i -> array_to_string(({_TOKS})[i+1:i+3], ' '))
+    END
+"""
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ltx.text_profile(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "n_tokens",
+        "n_bpe_tokens",
+        "mean_token_len",
+        "stopword_ratio",
+        "punct_ratio",
+        "quality",
+        "lang_guess",
+        "fingerprint",
+    )
+
+
+def _sql_in(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+_TEXT_PROFILE_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, {_NORM} AS norm, {_TOKS} AS toks FROM documents
+), feat AS (
+  SELECT doc_id,
+    len(toks) AS n_tokens,
+    len(regexp_extract_all(norm, '{ltx.BPE_ISH_PATTERN}')) AS n_bpe_tokens,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+    END AS mtl,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE CAST(len(list_filter(toks, t -> t IN ({_sql_in(ltx.EN_STOPWORDS)}))) AS DOUBLE) / len(toks)
+    END AS swr,
+    CASE WHEN length(norm) = 0 THEN 0.0
+         ELSE CAST(length(regexp_replace(norm, '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / length(norm)
+    END AS pr,
+    len(list_filter(toks, t -> t IN ({_sql_in(ltx.LANG_MARKERS["en"])}))) AS s_en,
+    len(list_filter(toks, t -> t IN ({_sql_in(ltx.LANG_MARKERS["de"])}))) AS s_de,
+    len(list_filter(toks, t -> t IN ({_sql_in(ltx.LANG_MARKERS["tr"])}))) AS s_tr,
+    md5(norm) AS fingerprint
+  FROM base
+)
+SELECT doc_id, n_tokens, n_bpe_tokens,
+  round(mtl, 4) AS mean_token_len,
+  round(swr, 4) AS stopword_ratio,
+  round(pr, 4) AS punct_ratio,
+  round(0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+      + 0.2 * (CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 1.0 ELSE 0.5 END)
+      + 0.2 * (CASE WHEN swr >= 0.01 AND swr <= 0.6 THEN 1.0 ELSE 0.3 END)
+      + 0.2 * (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.4 END), 4) AS quality,
+  CASE WHEN greatest(s_en, s_de, s_tr) = 0 THEN 'und'
+       WHEN s_en = greatest(s_en, s_de, s_tr) THEN 'en'
+       WHEN s_de = greatest(s_en, s_de, s_tr) THEN 'de'
+       ELSE 'tr' END AS lang_guess,
+  fingerprint
+FROM feat
+"""
+
+
+# --------------------------------------------------------------------------
+# Dedup
+# --------------------------------------------------------------------------
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _aug_corpus(_docs(spark, sf_dir))
+    return ldd.exact_dedup(corpus, "doc_id").select("doc_id", "source")
+
+
+_EXACT_DEDUP_ORACLE = f"""
+WITH corpus AS ({_AUG_SQL}),
+keyed AS (SELECT doc_id, source, md5({_NORM}) AS fp FROM corpus)
+SELECT doc_id, source FROM keyed
+QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fp)
+"""
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _aug_corpus(_docs(spark, sf_dir))
+    return ldd.jaccard_pairs(corpus, "doc_id", threshold=0.7)
+
+
+_JACCARD_CORE = f"""
+shing AS (
+  SELECT doc_id AS doc, unnest({_SHINGLES}) AS sh FROM corpus
+),
+dshing AS (SELECT DISTINCT doc, sh FROM shing),
+sizes AS (SELECT doc, count(*) AS sz FROM dshing GROUP BY doc),
+common AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS common
+  FROM dshing a JOIN dshing b ON a.sh = b.sh AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+),
+jac AS (
+  SELECT doc_a, doc_b,
+         round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 4) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc = doc_a
+  JOIN sizes sb ON sb.doc = doc_b
+)
+"""
+
+_JACCARD_ORACLE = f"""
+WITH corpus AS ({_AUG_SQL}),
+{_JACCARD_CORE}
+SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.7
+"""
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _aug_corpus(_docs(spark, sf_dir))
+    return ldd.minhash_lsh_dedup_pairs(corpus, "doc_id", verify_threshold=0.7)
+
+
+def _minhash_sql() -> str:
+    k, bands = ldd.DEFAULT_NUM_HASHES, ldd.DEFAULT_BANDS
+    rpb = k // bands
+    mh_cols = ", ".join(
+        f"list_min(list_transform({_SHINGLES}, s -> md5('mh{i}|' || s))) AS mh{i}"
+        for i in range(k)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc, {b} AS band, {sig} AS sig FROM sigs".format(
+            b=b,
+            sig="concat_ws('|', "
+            + ", ".join(f"mh{i}" for i in range(b * rpb, (b + 1) * rpb))
+            + ")",
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH corpus AS ({_AUG_SQL}),
+sigs AS (SELECT doc_id AS doc, {mh_cols} FROM corpus),
+bandkeys AS ({band_rows}),
+cands AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM bandkeys a JOIN bandkeys b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc < b.doc
+),
+{_JACCARD_CORE}
+SELECT c.doc_a, c.doc_b, j.jaccard
+FROM cands c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+WHERE j.jaccard >= 0.7
+"""
+
+
+def q_simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-portable 32-bit SimHash: bit i of a shingle = parity of hex
+    digit i of md5(shingle); per-bit majority vote over the shingle
+    multiset. (The engine's fast path is llm.text.simhash64 / xxhash64.)"""
+    docs = _docs(spark, sf_dir)
+    # Materialize shingle hashes once — the 32 per-bit aggregates each
+    # reference this column; an inline expression would recompute
+    # tokenize+shingle+md5 32× per row.
+    base = ltx.tokenized(docs).select(
+        "doc_id", ltx.shingles_of_tokens(F.col("_toks"), 3).alias("_sh")
+    )
+    base = base.select(
+        "doc_id", F.transform(F.col("_sh"), lambda s: F.md5(s)).alias("_hs")
+    )
+    digits = F.col("_hs")
+    odd = ("1", "3", "5", "7", "9", "b", "d", "f")
+
+    def voter(bit: int):
+        return lambda acc, h: acc + F.when(
+            F.substring(h, bit + 1, 1).isin(*odd), 1
+        ).otherwise(-1)
+
+    out: F.Column = F.lit(0).cast("long")
+    for b in range(32):
+        votes = F.aggregate(digits, F.lit(0).cast("long"), voter(b))
+        out = out + F.when(votes >= 0, F.lit(1 << b)).otherwise(0)
+    return base.select("doc_id", out.alias("simhash"))
+
+
+def _simhash32_sql() -> str:
+    odd = "('1','3','5','7','9','b','d','f')"
+    terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, "
+        f"h -> CASE WHEN substring(h, {b + 1}, 1) IN {odd} THEN 1 ELSE -1 END)) >= 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(32)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, list_transform({_SHINGLES}, s -> md5(s)) AS hs FROM documents
+)
+SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM base
+"""
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return lsim.brute_force_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+_TOPK_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+cands AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.v, c.v), 4) AS cos
+  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cos,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+FROM cands
+QUALIFY rank <= 5
+"""
+
+
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return lsim.ivf_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+_IVF_TOPK_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+cands AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.v, c.v), 4) AS cos
+  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+   AND q.label = c.label
+)
+SELECT query_id, neighbor_id, cos,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+FROM cands
+QUALIFY rank <= 5
+"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs over embeddings ∪ exact copies (vec_id+10000 for
+    vec_id<20). Max organic off-diagonal cosine ≈0.51, so the 0.95
+    threshold isolates the synthesized duplicates deterministically."""
+    emb = _emb(spark, sf_dir)
+    copies = emb.filter(F.col("vec_id") < 20).withColumn(
+        "vec_id", F.col("vec_id") + 10000
+    )
+    return lsim.neardup_pairs(emb.unionByName(copies), threshold=0.95)
+
+
+_NEARDUP_ORACLE = """
+WITH base AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000, embedding, label FROM embeddings WHERE vec_id < 20
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM base)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 4) AS cos
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.95
+"""
+
+
+# --------------------------------------------------------------------------
+# Multimodal
+# --------------------------------------------------------------------------
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = lmm.attach_binary_payload(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.sha256").alias("sha256"),
+    )
+
+
+_MULTIMODAL_META_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction (deterministic byte-histogram fake),
+    unnested to (doc_id, bucket, ratio) for oracle comparison."""
+    feats = lmm.extract_features(lmm.attach_binary_payload(_docs(spark, sf_dir)))
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("bucket", "ratio")
+    )
+
+
+_MULTIMODAL_FEATURES_ORACLE = """
+WITH buckets AS (SELECT unnest(range(0, 8)) AS bucket),
+chars AS (
+  SELECT doc_id, ord(substring(text, CAST(i AS INTEGER), 1)) % 8 AS m
+  FROM documents, unnest(range(1, length(text) + 1)) AS t(i)
+),
+counts AS (SELECT doc_id, m, count(*) AS c FROM chars GROUP BY doc_id, m)
+SELECT d.doc_id, CAST(b.bucket AS INTEGER) AS bucket,
+       CAST(coalesce(c.c, 0) AS DOUBLE) / length(d.text) AS ratio
+FROM documents d
+CROSS JOIN buckets b
+LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.m = b.bucket
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "text_profile": q_text_profile,
+    "exact_dedup": q_exact_dedup,
+    "jaccard_pairs": q_jaccard_pairs,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash32": q_simhash32,
+    "embedding_topk": q_embedding_topk,
+    "embedding_ivf_topk": q_embedding_ivf_topk,
+    "embedding_neardup": q_embedding_neardup,
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_features": q_multimodal_features,
+}
+
+ORACLES = {
+    "text_profile": _TEXT_PROFILE_ORACLE,
+    "exact_dedup": _EXACT_DEDUP_ORACLE,
+    "jaccard_pairs": _JACCARD_ORACLE,
+    "minhash_lsh_pairs": _minhash_sql(),
+    "simhash32": _simhash32_sql(),
+    "embedding_topk": _TOPK_ORACLE,
+    "embedding_ivf_topk": _IVF_TOPK_ORACLE,
+    "embedding_neardup": _NEARDUP_ORACLE,
+    "multimodal_meta": _MULTIMODAL_META_ORACLE,
+    "multimodal_features": _MULTIMODAL_FEATURES_ORACLE,
+}
