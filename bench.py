@@ -37,6 +37,9 @@ HEADLINE = [
     "text_profile",
     "minhash_lsh_pairs",
     "embedding_topk",
+    "revenue_by_region",
+    "running_sum",
+    "sessionize",
 ]
 
 

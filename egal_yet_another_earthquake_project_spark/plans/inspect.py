@@ -1,0 +1,79 @@
+"""Assertable facts about physical plans.
+
+"Would this survive a 100× scale-up?" is a property of the *plan*, not the
+result: filters must reach the parquet scan, small dimensions must
+broadcast, top-k must not globally sort, scans must prune columns. This
+module turns those properties into strings/predicates the test suite (and
+bench tuning) can assert on, so a regression that silently de-optimizes a
+plan fails CI instead of an SLO.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """All non-empty PushedFilters entries across the plan's scans."""
+    plan = formatted_plan(df)
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[(.*?)\]", plan):
+        if m.group(1).strip():
+            out.append(m.group(1))
+    return out
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    """ReadSchema struct strings per scan — for column-pruning assertions."""
+    plan = formatted_plan(df)
+    return [m.group(1) for m in re.finditer(r"ReadSchema: (struct<[^\n]*)", plan)]
+
+
+def uses_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in formatted_plan(df)
+
+
+def uses_sort_merge_join(df: DataFrame) -> bool:
+    return "SortMergeJoin" in formatted_plan(df)
+
+
+def uses_take_ordered(df: DataFrame) -> bool:
+    """TakeOrderedAndProject = per-partition top-k heaps, no global sort."""
+    return "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the plan (lower is better; broadcast
+    exchanges are excluded)."""
+    plan = formatted_plan(df)
+    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning", plan))
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    """How many whole-stage-codegen subtrees the plan compiles to (the
+    formatted AQE plan hides codegen ids pre-execution, so ask the codegen
+    explain mode directly)."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    buf = io.StringIO()
+    try:
+        # An unexecuted AdaptiveSparkPlan reports 0 subtrees; plan without
+        # AQE to see the codegen structure.
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        with redirect_stdout(buf):
+            df.explain("codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", buf.getvalue())
+    return int(m.group(1)) if m else 0

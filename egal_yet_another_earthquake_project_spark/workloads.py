@@ -387,11 +387,23 @@ _BASE_ORACLES: dict[str, str] = {
 
 
 # Merge in the training-data-pipeline workload (dedup / similarity / text /
-# multimodal). Imported late to keep module init cheap and cycle-free.
-from egal_yet_another_earthquake_project_spark import workloads_llm  # noqa: E402
+# multimodal) and the extended OLAP/window workload. Imported late to keep
+# module init cheap and cycle-free.
+from egal_yet_another_earthquake_project_spark import (  # noqa: E402
+    workloads_ext,
+    workloads_llm,
+)
 
-QUERIES: dict[str, QueryFn] = {**_BASE_QUERIES, **workloads_llm.QUERIES}
-ORACLES: dict[str, str] = {**_BASE_ORACLES, **workloads_llm.ORACLES}
+QUERIES: dict[str, QueryFn] = {
+    **_BASE_QUERIES,
+    **workloads_llm.QUERIES,
+    **workloads_ext.QUERIES,
+}
+ORACLES: dict[str, str] = {
+    **_BASE_ORACLES,
+    **workloads_llm.ORACLES,
+    **workloads_ext.ORACLES,
+}
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

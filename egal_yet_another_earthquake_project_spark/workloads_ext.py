@@ -1,0 +1,262 @@
+"""Extended workload: window analytics, grouping sets, pivot, trailing
+views, and the electric-series gap/timezone semantics — each oracle-paired.
+
+These cover the capability rows the reference *implies* but never built
+(SURVEY §2.5 "none", ST3 trailing views, ST7 gap sentinel, F7-F9) plus
+standard OLAP surface (rollup, pivot, sessionization, multi-way joins) an
+engine with this data model must offer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from egal_yet_another_earthquake_project_spark import functions as EF
+from egal_yet_another_earthquake_project_spark.sources.files import read_table
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window: per-user running sum of value in event order."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("run_sum", F.round(F.sum("value").over(w), 4))
+        .select("event_id", "user_id", "run_sum")
+    )
+
+
+_RUNNING_SUM_ORACLE = """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS run_sum
+FROM events
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: new session when the per-user gap exceeds 30 min
+    (lag + cumulative sum of gap indicators — the batch twin of
+    session_window in streaming)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.when(
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800, 1
+    ).otherwise(0)
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("_gap", gap)
+        .withColumn("session_id", F.sum("_gap").over(wrun))
+        .select("event_id", "user_id", "session_id")
+    )
+
+
+_SESSIONIZE_ORACLE = """
+WITH g AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                 - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS gap
+  FROM events
+)
+SELECT event_id, user_id,
+       sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+FROM g
+"""
+
+
+def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: order counts + decimal-exact revenue by status,
+    priority, and their rollup margins."""
+    orders = _t(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(price).cast("double").alias("sum_price"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+def q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: daily event counts, one column per event type (explicit value
+    list keeps the plan single-pass, no distinct-scan)."""
+    events = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    )
+    out = events.groupBy("day").pivot("event_type", list(_EVENT_TYPES)).count()
+    return out.na.fill(0, list(_EVENT_TYPES)).orderBy("day")
+
+
+_PIVOT_ORACLE = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+FROM events
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_trailing_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3 as a filter view: last-7-days slice anchored at max(ts) (the
+    deterministic stand-in for now()), counted per type. On an event-date
+    partitioned table this predicate prunes partitions."""
+    events = _t(spark, sf_dir, "events")
+    anchor = events.agg(F.max("ts").alias("_anchor"))
+    return (
+        events.crossJoin(F.broadcast(anchor))
+        .filter(F.col("ts") >= F.col("_anchor") - F.expr("INTERVAL 7 DAYS"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+_TRAILING_WEEK_ORACLE = """
+SELECT event_type, count(*) AS n FROM events
+WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 7 DAY
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_gap_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Electric-series semantics (F7/ST7): per-minute series with the
+    producer's 0.0 gap sentinel (injected deterministically at minutes
+    where epoch-minute % 97 == 0), then gap filtering — the engine-side
+    twin of the reference's stop-at-first-gap tail logic."""
+    events = _t(spark, sf_dir, "events")
+    # Per-minute decimal SUM, not mean: a mean of 2-dp values lands exactly
+    # on .xx5 round-at-2dp boundaries, where Spark (decimal-string HALF_UP)
+    # and DuckDB (binary-double) round in opposite directions. The decimal
+    # sum is an exact 2-dp value — bit-identical on any cluster size.
+    series = events.groupBy(EF.minute_bucket("ts").alias("time")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("raw")
+    )
+    epoch_min = (F.col("time").cast("long") / 60).cast("long")
+    with_gaps = series.withColumn(
+        "data", F.when(epoch_min % 97 == 0, F.lit(0.0)).otherwise(F.col("raw"))
+    )
+    return (
+        with_gaps.filter(~EF.is_gap("data"))
+        .select(F.date_format("time", "yyyy-MM-dd HH:mm").alias("minute"), "data")
+    )
+
+
+_GAP_SERIES_ORACLE = """
+WITH s AS (
+  SELECT date_trunc('minute', ts) AS time,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS raw
+  FROM events GROUP BY 1
+), g AS (
+  SELECT time,
+         CASE WHEN (CAST(floor(epoch(time)) AS BIGINT) // 60) % 97 = 0
+              THEN 0.0 ELSE raw END AS data
+  FROM s
+)
+SELECT strftime(time, '%Y-%m-%d %H:%M') AS minute, data FROM g
+WHERE data <> 0.0
+"""
+
+
+def q_tz_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: producer-local (Europe/Istanbul, UTC+3 since 2016) ↔ UTC
+    conversion via the tz database rather than hand-added offsets."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.date_format(
+            F.from_utc_timestamp("ts", "Europe/Istanbul"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("trt_time"),
+    )
+
+
+_TZ_SHIFT_ORACLE = """
+SELECT event_id,
+       strftime(ts + INTERVAL 3 HOUR, '%Y-%m-%d %H:%M:%S') AS trt_time
+FROM events
+"""
+
+
+def q_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way join (TPC-H Q5 shape): fact ⋈ fact ⋈ three broadcast dims,
+    decimal-exact revenue per region."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(3,0)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"), F.count("*").alias("n"))
+        .orderBy("r_name")
+    )
+
+
+_REVENUE_ORACLE = """
+SELECT r_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       count(*) AS n
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+QUERIES = {
+    "running_sum": q_running_sum,
+    "sessionize": q_sessionize,
+    "rollup_counts": q_rollup_counts,
+    "pivot_counts": q_pivot_counts,
+    "trailing_week": q_trailing_week,
+    "gap_series": q_gap_series,
+    "tz_shift": q_tz_shift,
+    "revenue_by_region": q_revenue_by_region,
+}
+
+ORACLES = {
+    "running_sum": _RUNNING_SUM_ORACLE,
+    "sessionize": _SESSIONIZE_ORACLE,
+    "rollup_counts": _ROLLUP_ORACLE,
+    "pivot_counts": _PIVOT_ORACLE,
+    "trailing_week": _TRAILING_WEEK_ORACLE,
+    "gap_series": _GAP_SERIES_ORACLE,
+    "tz_shift": _TZ_SHIFT_ORACLE,
+    "revenue_by_region": _REVENUE_ORACLE,
+}

@@ -1,0 +1,71 @@
+"""Physical-plan property tests: the 100 TB questions as assertions.
+
+If one of these fails, the query still returns correct rows — but the plan
+has silently lost a property that matters at scale (pushdown, broadcast,
+top-k heaps, column pruning). Keeping them in CI makes de-optimization a
+test failure.
+"""
+
+from __future__ import annotations
+
+from egal_yet_another_earthquake_project_spark import workloads
+from egal_yet_another_earthquake_project_spark.plans import inspect
+
+from tests.conftest import TESTDATA_SMOKE
+
+
+def _q(spark, name):
+    return workloads.QUERIES[name](spark, TESTDATA_SMOKE)
+
+
+def test_pricing_summary_filter_pushed_to_scan(spark):
+    filters = inspect.pushed_filters(_q(spark, "pricing_summary"))
+    assert any("l_shipdate" in f for f in filters), filters
+
+
+def test_pricing_summary_prunes_columns(spark):
+    schemas = inspect.read_schemas(_q(spark, "pricing_summary"))
+    # 6 of 11 lineitem columns needed; the scan must not read the rest.
+    assert schemas and all("l_orderkey" not in s for s in schemas), schemas
+
+
+def test_region_dim_join_broadcasts(spark):
+    assert inspect.uses_broadcast_join(_q(spark, "region_dim_join"))
+
+
+def test_revenue_join_broadcasts_dims(spark):
+    df = _q(spark, "revenue_by_region")
+    assert inspect.uses_broadcast_join(df)
+
+
+def test_top10_uses_partial_topk(spark):
+    assert inspect.uses_take_ordered(_q(spark, "top10_orders"))
+
+
+def test_flagship_single_shuffle(spark):
+    # filter + groupBy + orderBy: one hash exchange (+1 range for the sort).
+    df = _q(spark, "flagship_region_counts")
+    assert inspect.exchange_count(df) <= 2, inspect.formatted_plan(df)
+
+
+def test_flagship_pushes_threshold(spark):
+    filters = inspect.pushed_filters(_q(spark, "flagship_region_counts"))
+    assert any("value" in f for f in filters), filters
+
+
+def test_json_props_prunes_to_two_columns(spark):
+    schemas = inspect.read_schemas(_q(spark, "json_props"))
+    assert schemas and all(
+        "event_type" not in s and "user_id" not in s for s in schemas
+    ), schemas
+
+
+def test_union_counts_collapse_to_single_scan(spark):
+    # Catalyst folds union-of-filters over the same source; no more
+    # exchanges than the straight flagship plan.
+    u = inspect.exchange_count(_q(spark, "union_region_counts"))
+    assert u <= 2, u
+
+
+def test_whole_stage_codegen_active(spark):
+    assert inspect.codegen_stage_count(_q(spark, "pricing_summary")) >= 1
