@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 
@@ -105,6 +106,90 @@ def ivf_topk(
     )
     cands = (
         c.join(F.broadcast(q), on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine("qv", "cv"), 4))
+        .select("query_id", "neighbor_id", "cos")
+    )
+    return _topk_from_candidates(cands, k)
+
+
+def _hyperplanes(dim: int, bits: int, seed: str = "lsh") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: components derived from md5
+    digests of (seed, plane, chunk) — reproducible on any machine with no
+    RNG state to ship."""
+    import hashlib
+    import struct as _struct
+
+    planes: list[list[float]] = []
+    for j in range(bits):
+        weights: list[float] = []
+        chunk = 0
+        while len(weights) < dim:
+            digest = hashlib.md5(f"{seed}|{j}|{chunk}".encode()).digest()
+            for k in range(0, 16, 4):
+                (u,) = _struct.unpack("<I", digest[k : k + 4])
+                weights.append((u / 2**31) - 1.0)  # uniform [-1, 1)
+            chunk += 1
+        planes.append(weights[:dim])
+    return planes
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    dim: int,
+    bits: int = 8,
+    vec_col: str = "embedding",
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Attach a random-hyperplane LSH bucket id: bit j = sign(v·w_j).
+
+    Signatures are computed with a numpy matmul inside ``mapInPandas`` —
+    one Arrow batch per partition, (batch × dim) @ (dim × bits) — which is
+    the right shape for wide embeddings (a per-plane Catalyst expression
+    tree re-walks the array per bit)."""
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(_hyperplanes(dim, bits)).T  # dim × bits
+    powers = 1 << np.arange(bits)
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.IntegerType(), False)]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            mat = np.vstack(pdf[vec_col].to_numpy())  # n × dim
+            bucket = ((mat @ planes) >= 0) @ powers
+            yield pd.DataFrame({**{c: pdf[c] for c in pdf.columns}, out_col: bucket.astype("int32")})
+
+    return df.mapInPandas(run, out_schema)
+
+
+def lsh_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed ANN: candidates share the query's bucket (equi-join on
+    the signature), then exact cosine + top-k within candidates.
+
+    Candidate mass drops ~2^bits; recall depends on neighbor closeness
+    (near-duplicates share all bits with probability → 1). nprobe>1 /
+    multi-probe extends this by also joining neighbor buckets."""
+    qb = with_lsh_bucket(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        dim, bits, vec_col="qv",
+    )
+    cb = with_lsh_bucket(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        dim, bits, vec_col="cv",
+    )
+    cands = (
+        cb.join(F.broadcast(qb), on="bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos", F.round(cosine("qv", "cv"), 4))
         .select("query_id", "neighbor_id", "cos")

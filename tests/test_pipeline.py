@@ -1,0 +1,68 @@
+"""End-to-end batch pipeline over the domain fixtures: raw envelopes in,
+reference analytics + ES documents out (SURVEY §3 lifecycle, done right)."""
+
+from __future__ import annotations
+
+from egal_yet_another_earthquake_project_spark import pipeline
+from egal_yet_another_earthquake_project_spark.schemas import KAFKA_ENVELOPE
+from egal_yet_another_earthquake_project_spark.testing import fixtures
+
+
+def _envelopes(spark, events):
+    return spark.createDataFrame(fixtures.kafka_envelopes(events), KAFKA_ENVELOPE)
+
+
+def test_batch_pipeline_end_to_end(spark):
+    events = fixtures.earthquake_events(n=150)
+    env = _envelopes(spark, events)
+
+    shipped = []
+    gold = pipeline.run_batch(env, es_writer=lambda df: shipped.append(df.count()))
+
+    silver_rows = gold.es_documents.collect()
+    unique_ids = {e["eventID"] for e in events}
+    # exactly one row per eventID survives (duplicates + updates collapse)
+    assert len(silver_rows) == len(unique_ids)
+    assert len({r.eventID for r in silver_rows}) == len(silver_rows)
+    assert shipped == [len(silver_rows)]
+
+    # last-update-wins: every update re-send's revised magnitude is the one
+    # that survived
+    updates = {
+        int(e["eventID"]): float(e["magnitude"])
+        for e in events
+        if e["isEventUpdate"] == "true"
+    }
+    got = {r.eventID: r.magnitude for r in silver_rows}
+    for eid, mag in updates.items():
+        assert got[eid] == mag, f"event {eid}: kept {got[eid]}, update was {mag}"
+
+    # unparseable dates took the 2010-01-01 default (F11)
+    bad = [r for r in silver_rows if r.date.year == 2010]
+    n_bad = sum(1 for e in events if e["date"] == "not a timestamp")
+    assert len({r.eventID for r in bad}) == len(
+        {e["eventID"] for e in events if e["date"] == "not a timestamp"}
+    )
+    assert n_bad >= 1
+
+    # gold analytics are consistent with the silver frame
+    stats = {
+        (r.column, r.statistic): r.value for r in gold.column_stats.collect()
+    }
+    assert stats[("magnitude", "count")] == float(len(silver_rows))
+    extrema = gold.magnitude_extrema.collect()[0]
+    assert extrema.max_magnitude == max(r.magnitude for r in silver_rows)
+
+    counts = {r.fault_line: r.n for r in gold.region_counts.collect()}
+    expected = {}
+    for r in silver_rows:
+        if r.magnitude >= 4.0:
+            expected[r.fault_line] = expected.get(r.fault_line, 0) + 1
+    assert counts == expected
+
+
+def test_electric_fixture_gap_runs(spark):
+    ticks = fixtures.electric_ticks(minutes=1000)
+    zeros = [i for i, t in enumerate(ticks) if t["data"] == 0.0]
+    assert zeros == list(range(100, 105)) + list(range(700, 712))
+    assert all(t["data"] == round(t["data"], 2) for t in ticks)

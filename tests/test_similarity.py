@@ -1,0 +1,70 @@
+"""Similarity-search operator tests: LSH-ANN recall on planted duplicates,
+sketch aggregates, and brute-force/IVF consistency."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from egal_yet_another_earthquake_project_spark.llm import similarity as lsim
+from egal_yet_another_earthquake_project_spark.sources.files import read_table
+
+SF = "/root/testdata/sf0.001"
+DIM = 64
+
+
+def test_lsh_ann_finds_planted_duplicates(spark):
+    """An exact duplicate shares every signature bit, so LSH-ANN must
+    return it as the top-1 neighbor with cosine 1.0 for every query."""
+    emb = read_table(spark, SF, "embeddings")
+    copies = emb.filter(F.col("vec_id") < 15).withColumn(
+        "vec_id", F.col("vec_id") + 10000
+    )
+    corpus = emb.unionByName(copies)
+    queries = copies
+    out = lsim.lsh_ann_topk(queries, corpus, dim=DIM, k=3)
+    top1 = {r.query_id: (r.neighbor_id, r.cos) for r in out.collect() if r.rank == 1}
+    assert len(top1) == 15
+    for qid, (nid, cos) in top1.items():
+        assert nid == qid - 10000, f"{qid} matched {nid}"
+        assert cos == 1.0
+
+
+def test_lsh_buckets_partition_corpus(spark):
+    emb = read_table(spark, SF, "embeddings")
+    bucketed = lsim.with_lsh_bucket(emb, dim=DIM, bits=8)
+    dist = bucketed.groupBy("bucket").count().collect()
+    assert sum(r["count"] for r in dist) == emb.count()
+    # 8-bit signatures over 500 random vectors: many buckets, none dominant
+    assert len(dist) > 20
+    assert max(r["count"] for r in dist) < emb.count() / 2
+
+
+def test_ivf_topk_subset_of_brute_force(spark):
+    """IVF candidates are a subset of the corpus, so every IVF hit must
+    appear in the brute-force ranking with the same cosine."""
+    emb = read_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    brute = {
+        (r.query_id, r.neighbor_id): r.cos
+        for r in lsim.brute_force_topk(q, emb, k=100).collect()
+    }
+    ivf = lsim.ivf_topk(q, emb, k=5).collect()
+    for r in ivf:
+        assert brute.get((r.query_id, r.neighbor_id)) == r.cos
+
+
+def test_approx_sketches(spark):
+    """approx_count_distinct / percentile_approx: the sketch path for
+    cardinality and quantiles at scale (no oracle — approximate by
+    design; asserted within tolerance of exact)."""
+    events = read_table(spark, SF, "events")
+    row = events.agg(
+        F.approx_count_distinct("user_id").alias("acd"),
+        F.percentile_approx("value", 0.5).alias("p50"),
+        F.expr("approx_count_distinct(event_id)").alias("acd_ids"),
+    ).collect()[0]
+    exact_users = events.select("user_id").distinct().count()
+    assert abs(row.acd - exact_users) / exact_users < 0.1
+    exact_median = events.approxQuantile("value", [0.5], 0.0)[0]
+    assert abs(row.p50 - exact_median) / exact_median < 0.25
+    assert row.acd_ids > 0
