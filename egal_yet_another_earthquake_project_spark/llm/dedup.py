@@ -170,13 +170,35 @@ def minhash_lsh_dedup_pairs(
     cands = lsh_candidate_pairs(sigs, num_hashes, bands)
     if verify_threshold is None:
         return cands
-    shingle_sets = doc_shingle_sets(df, id_col, text_col, n)
+    # The candidate set feeds three consumers (doc pruning, the pair join,
+    # the final projection); cache AND materialize it so the LSH pipeline
+    # runs exactly once — concurrent downstream stages would otherwise race
+    # on the unpopulated cache and each recompute it. It is tiny by
+    # construction (that is the point of LSH).
+    cands = cands.cache()
+    cands.count()
+    # Verification touches only candidate docs: semi-join-prune the shingle
+    # index down to them first (candidates are a tiny fraction of the
+    # corpus — that is the whole point of LSH), and join on a 64-bit hash
+    # of the shingle instead of the raw string to shrink the shuffle.
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    # Pruned index is consumed by sizes + both sides of the pair join.
+    shingle_sets = (
+        doc_shingle_sets(df, id_col, text_col, n)
+        .join(F.broadcast(cand_docs), "doc")
+        .select("doc", F.xxhash64("sh").alias("shh"))
+        .cache()
+    )
     sizes = shingle_sets.groupBy("doc").agg(F.count("*").alias("sz"))
-    a = shingle_sets.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh"))
-    b = shingle_sets.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh"))
+    a = shingle_sets.select(F.col("doc").alias("doc_a"), "shh")
+    b = shingle_sets.select(F.col("doc").alias("doc_b"), "shh")
     common = (
         cands.join(a, "doc_a")
-        .join(b, ["doc_b", "sh"])
+        .join(b, ["doc_b", "shh"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common"))
     )
