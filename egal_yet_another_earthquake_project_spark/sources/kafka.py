@@ -48,6 +48,20 @@ def read_kafka_batch(
     )
 
 
+def to_publish_frame(df: DataFrame, key_col: str | None = None) -> DataFrame:
+    """Record rows → Kafka publish frame (S12 writer side): the full row as
+    a JSON ``value`` (NiFi's JsonRecordSetWriter equivalent is
+    ``F.to_json(struct(*))``), optional business key as ``key`` for
+    partition affinity."""
+    from pyspark.sql import functions as F
+
+    value = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    cols = [value.alias("value")]
+    if key_col is not None:
+        cols.insert(0, F.col(key_col).cast("string").alias("key"))
+    return df.select(*cols)
+
+
 def write_kafka(
     df: DataFrame,
     topic: str,
