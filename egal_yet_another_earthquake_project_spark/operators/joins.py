@@ -87,19 +87,28 @@ def asof_join(
     right_cols: list[str],
     keys: list[str] | None = None,
     tolerance_minutes: int | None = None,
+    bucket_minutes: int = 1440,
 ) -> DataFrame:
     """For each left row, the most recent right row at-or-before it (ASOF).
 
-    Union both sides with a side marker, sort once within each key by
-    (ts, side), and carry the latest right values forward with
-    ``last(..., ignorenulls=True)``. One shuffle, one sort — the same cost
-    profile as a sort-merge join. With ``keys=None`` the sort is global:
-    fine for a single dense series (the electric table is ~0.5M rows/year),
-    use keys to scale out.
+    Union both sides with a side marker and carry the latest right values
+    forward with ``last(..., ignorenulls=True)``:
+
+    * with ``keys`` — one window per key: a single shuffle + sort, the
+      cost profile of a sort-merge join, parallel across keys;
+    * without keys — a naive global window would be ONE partition (dies at
+      scale), so the carry runs bucketed: parallel within-bucket windows
+      on ``bucket_minutes`` time buckets, then a prefix carry over the
+      tiny per-bucket summary (≈ time-range / bucket_minutes rows), joined
+      back broadcast. Work per partition is bounded by bucket width, not
+      data size.
+
+    Right rows order before left rows at equal ts, so an exactly-coincident
+    sample is visible to its event. With ``tolerance_minutes``, matches
+    staler than the horizon are nulled (row kept, LEFT semantics).
     """
     keys = keys or []
-    marker = F.lit(1)
-    l_tagged = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", marker)
+    l_tagged = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
     r_tagged = (
         right.select(
             *keys, F.col(right_ts).alias("_ts"), *[F.col(c) for c in right_cols]
@@ -114,19 +123,71 @@ def asof_join(
         r_tagged = r_tagged.withColumn(c, F.lit(None).cast(l_tagged.schema[c].dataType))
     unioned = l_tagged.unionByName(r_tagged)
 
-    # right rows (side=0) sort before left rows (side=1) at equal ts, so an
-    # exactly-coincident sample is visible to the event.
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy("_ts", "_side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = unioned
-    for c in right_cols:
-        carried = carried.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    carried = carried.withColumn(
-        "_asof_ts", F.last(F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True).over(w)
-    )
+    asof_marker = F.when(F.col("_side") == 0, F.col("_ts"))
+    if keys:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy("_ts", "_side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = unioned
+        for c in right_cols:
+            carried = carried.withColumn(c, F.last(c, ignorenulls=True).over(w))
+        carried = carried.withColumn(
+            "_asof_ts", F.last(asof_marker, ignorenulls=True).over(w)
+        )
+    else:
+        bucket = (F.col("_ts").cast("long") / (bucket_minutes * 60)).cast("long")
+        unioned = unioned.withColumn("_bkt", bucket)
+        w_in = (
+            Window.partitionBy("_bkt")
+            .orderBy("_ts", "_side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = unioned
+        for c in right_cols:
+            carried = carried.withColumn(c, F.last(c, ignorenulls=True).over(w_in))
+        carried = carried.withColumn(
+            "_asof_ts", F.last(asof_marker, ignorenulls=True).over(w_in)
+        )
+        # Per-bucket summary of the latest right row, then a prefix carry
+        # over buckets. The summary has one row per non-empty bucket — a
+        # driver-free single-partition window over a frame that stays tiny
+        # by construction, then broadcast back.
+        summary = (
+            unioned.filter(F.col("_side") == 0)
+            .groupBy("_bkt")
+            .agg(
+                F.max("_ts").alias("_bkt_last_ts"),
+                *[F.max_by(c, "_ts").alias(f"_bkt_{c}") for c in right_cols],
+            )
+        )
+        w_carry = Window.orderBy("_bkt").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        w_lag = Window.orderBy("_bkt")
+        all_buckets = unioned.select("_bkt").distinct()
+        carry = all_buckets.join(summary, "_bkt", "left")
+        # two steps per column: running last-known value over buckets, then
+        # lag(1) so a bucket sees only STRICTLY earlier buckets (its own
+        # right rows are already covered by the within-bucket window)
+        carry = carry.withColumn(
+            "_run_ts", F.last("_bkt_last_ts", ignorenulls=True).over(w_carry)
+        ).withColumn("_carry_ts", F.lag("_run_ts").over(w_lag))
+        for c in right_cols:
+            carry = carry.withColumn(
+                f"_run_{c}", F.last(f"_bkt_{c}", ignorenulls=True).over(w_carry)
+            ).withColumn(f"_carry_{c}", F.lag(f"_run_{c}").over(w_lag))
+        carry = carry.select(
+            "_bkt", "_carry_ts", *[F.col(f"_carry_{c}") for c in right_cols]
+        )
+        carried = carried.join(F.broadcast(carry), "_bkt", "left")
+        for c in right_cols:
+            carried = carried.withColumn(c, F.coalesce(c, f"_carry_{c}"))
+        carried = carried.withColumn(
+            "_asof_ts", F.coalesce("_asof_ts", "_carry_ts")
+        ).drop("_bkt", "_carry_ts", *[f"_carry_{c}" for c in right_cols])
+
     out = carried.filter(F.col("_side") == 1)
     if tolerance_minutes is not None:
         horizon = F.col("_ts").cast("long") - F.lit(tolerance_minutes * 60)
