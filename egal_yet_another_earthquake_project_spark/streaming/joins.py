@@ -1,0 +1,60 @@
+"""Stream-stream correlation joins (SURVEY J1 live path, §7.2 step 7).
+
+The reference's README promises live earthquake × electric-field
+correlation and never builds it. Here: a watermarked stream-stream
+interval join — each event joins the electric samples within a tolerance
+window around it. Both sides carry watermarks so Spark can bound the join
+state: a side's buffered rows are dropped once the other side's watermark
+passes the interval bound (state ∝ watermark × rate, not stream length).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def correlate_streams(
+    events: DataFrame,
+    ticks: DataFrame,
+    event_ts: str = "date",
+    tick_ts: str = "time",
+    tolerance_minutes: int = 5,
+    event_watermark: str = "30 minutes",
+    tick_watermark: str = "30 minutes",
+) -> DataFrame:
+    """Event stream ⋈ tick stream on ``|tick − event| ≤ tolerance``.
+
+    Implemented as a watermarked interval join: Spark turns the range
+    condition plus the two watermarks into bounded join state on both
+    sides. Output: event columns + ``time``/``data`` of every in-window
+    sample (inner semantics — events with no sample in window emit
+    nothing; aggregate downstream for per-event summaries).
+    """
+    # Spark requires an equality predicate on stream-stream joins: bucket
+    # both sides at tolerance granularity (events exploded into bucket
+    # ±1, exactly like operators/joins.range_join) so the range condition
+    # rides on an equi-key; the interval predicate stays as the residual.
+    tol_sec = tolerance_minutes * 60
+    e = (
+        events.withWatermark(event_ts, event_watermark)
+        .withColumn(
+            "_bkt",
+            F.explode(
+                F.array(
+                    (F.unix_timestamp(event_ts) / tol_sec).cast("long") - 1,
+                    (F.unix_timestamp(event_ts) / tol_sec).cast("long"),
+                    (F.unix_timestamp(event_ts) / tol_sec).cast("long") + 1,
+                )
+            ),
+        )
+    )
+    t = ticks.withWatermark(tick_ts, tick_watermark).withColumn(
+        "_bkt", (F.unix_timestamp(tick_ts) / tol_sec).cast("long")
+    )
+    tol = f"INTERVAL {tolerance_minutes} MINUTES"
+    cond = (
+        (e["_bkt"] == t["_bkt"])
+        & F.expr(f"{tick_ts} BETWEEN {event_ts} - {tol} AND {event_ts} + {tol}")
+    )
+    return e.join(t, on=cond, how="inner").drop("_bkt")

@@ -239,6 +239,68 @@ GROUP BY r_name ORDER BY r_name
 """
 
 
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (beyond §2.7's union-only surface): users who both
+    clicked and purchased, minus users who errored — INTERSECT then
+    EXCEPT. Restricted to the first day: over the full month every user
+    hits every type and the result degenerates to empty."""
+    events = _t(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp")
+    )
+    clickers = events.filter(F.col("event_type") == "click").select("user_id")
+    purchasers = events.filter(F.col("event_type") == "purchase").select("user_id")
+    erroring = events.filter(F.col("event_type") == "error").select("user_id")
+    return clickers.intersect(purchasers).exceptAll(erroring.distinct()).orderBy(
+        "user_id"
+    )
+
+
+_SET_OPS_ORACLE = """
+WITH d AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00')
+SELECT user_id FROM d WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM d WHERE event_type = 'purchase'
+EXCEPT
+SELECT user_id FROM d WHERE event_type = 'error'
+ORDER BY user_id
+"""
+
+
+def q_upsert_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert emulation (anti-join + union): replay the newest 1000
+    events over the older ones keyed by user_id — last-writer-wins
+    per key, verified against a window-function oracle."""
+    from egal_yet_another_earthquake_project_spark.operators.upsert import upsert
+
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    target = events.filter(F.col("event_id") < 9000)
+    updates = events.filter(F.col("event_id") >= 9000)
+    merged = upsert(
+        target.select("user_id", "event_id", "value"),
+        updates.select("user_id", "event_id", "value"),
+        keys=["user_id"],
+        order_col="event_id",
+    )
+    return merged.orderBy("user_id", "event_id")
+
+
+_UPSERT_ORACLE = """
+WITH updates AS (
+  SELECT user_id, event_id, value FROM events WHERE event_id >= 9000
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+),
+kept AS (
+  SELECT user_id, event_id, value FROM events
+  WHERE event_id < 9000
+    AND user_id NOT IN (SELECT user_id FROM updates)
+)
+SELECT * FROM kept UNION ALL SELECT * FROM updates
+ORDER BY user_id, event_id
+"""
+
+
 QUERIES = {
     "running_sum": q_running_sum,
     "sessionize": q_sessionize,
@@ -248,6 +310,8 @@ QUERIES = {
     "gap_series": q_gap_series,
     "tz_shift": q_tz_shift,
     "revenue_by_region": q_revenue_by_region,
+    "set_ops": q_set_ops,
+    "upsert_batch": q_upsert_batch,
 }
 
 ORACLES = {
@@ -259,4 +323,6 @@ ORACLES = {
     "gap_series": _GAP_SERIES_ORACLE,
     "tz_shift": _TZ_SHIFT_ORACLE,
     "revenue_by_region": _REVENUE_ORACLE,
+    "set_ops": _SET_OPS_ORACLE,
+    "upsert_batch": _UPSERT_ORACLE,
 }
