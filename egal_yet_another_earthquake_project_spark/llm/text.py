@@ -215,6 +215,49 @@ def hamming64(a: Column | str, b: Column | str) -> Column:
     return F.bit_count(_c(a).bitwiseXOR(_c(b)))
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (the MOSS scheme, Schleimer et
+    al. '03): hash every character ``k``-gram of the normalized text, keep
+    the minimum hash of each ``window`` of consecutive k-grams, distinct.
+
+    Shared fingerprints ⇒ shared substrings ≥ k chars — a
+    position-robust containment/plagiarism signal that exact/minhash
+    dedup misses. Hash = md5 hex (portable to the SQL oracle); the k-gram
+    hash array is materialized before the window pass (module note).
+    Output: ``(id, fp)`` rows.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc"), normalize(text_col).alias("_norm")
+    )
+    grams = base.select(
+        "doc",
+        F.when(
+            F.length("_norm") < k, F.array(F.md5("_norm"))
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.length("_norm") - k),
+                lambda i: F.md5(F.col("_norm").substr(i + 1, F.lit(k))),
+            )
+        ).alias("_h"),
+    )
+    wins = grams.select(
+        "doc",
+        F.when(F.size("_h") <= window, F.array(F.array_min("_h"))).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_h") - window),
+                lambda j: F.array_min(F.slice(F.col("_h"), j + 1, window)),
+            )
+        ).alias("_w"),
+    )
+    return wins.select("doc", F.explode(F.array_distinct("_w")).alias("fp"))
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """All text-analysis signals in one pass over materialized norm/tokens:
     token counts, quality features, language guess, fingerprint."""

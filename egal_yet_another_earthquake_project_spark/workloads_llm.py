@@ -391,8 +391,37 @@ LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.m = b.bucket
 # Registry
 # --------------------------------------------------------------------------
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (k=8 char-grams, window=4) over
+    the documents table — output (doc, fp) pairs."""
+    return ltx.winnow_fingerprints(_docs(spark, sf_dir), "doc_id")
+
+
+_WINNOW_ORACLE = f"""
+WITH base AS (SELECT doc_id AS doc, {_NORM} AS norm FROM documents),
+grams AS (
+  SELECT doc,
+    CASE WHEN length(norm) < 8 THEN [md5(norm)]
+         ELSE list_transform(range(0, length(norm) - 8 + 1),
+                             i -> md5(substring(norm, CAST(i + 1 AS INTEGER), 8)))
+    END AS h
+  FROM base
+),
+wins AS (
+  SELECT doc,
+    CASE WHEN len(h) <= 4 THEN [list_min(h)]
+         ELSE list_transform(range(0, len(h) - 4 + 1),
+                             j -> list_min(h[j+1:j+4]))
+    END AS w
+  FROM grams
+)
+SELECT doc, unnest(list_distinct(w)) AS fp FROM wins
+"""
+
+
 QUERIES = {
     "text_profile": q_text_profile,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "exact_dedup": q_exact_dedup,
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -406,6 +435,7 @@ QUERIES = {
 
 ORACLES = {
     "text_profile": _TEXT_PROFILE_ORACLE,
+    "winnow_fingerprints": _WINNOW_ORACLE,
     "exact_dedup": _EXACT_DEDUP_ORACLE,
     "jaccard_pairs": _JACCARD_ORACLE,
     "minhash_lsh_pairs": _minhash_sql(),
