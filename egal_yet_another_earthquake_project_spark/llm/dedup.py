@@ -113,8 +113,17 @@ def minhash_signatures(
     shuffle carry only k hashes per doc.
     """
     exploded = exploded_shingles(df, id_col, text_col, n)
+    # k hashes from ceil(k/4) md5 digests: disjoint 8-hex-char (32-bit)
+    # chunks of md5(seed‖shingle) are independent enough for min-hashing
+    # and cost 4× fewer digest computations than one md5 per hash.
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"mh{i}|"), F.col("sh")))).alias(f"mh{i}")
+        F.min(
+            F.substring(
+                F.md5(F.concat(F.lit(f"mh{i // 4}|"), F.col("sh"))),
+                (i % 4) * 8 + 1,
+                8,
+            )
+        ).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
     return exploded.groupBy("doc").agg(*aggs)
@@ -186,10 +195,15 @@ def minhash_lsh_dedup_pairs(
         .unionByName(cands.select(F.col("doc_b").alias("doc")))
         .distinct()
     )
-    # Pruned index is consumed by sizes + both sides of the pair join.
+    # Prune BEFORE tokenizing: only candidate docs get re-shingled (the
+    # corpus-wide explode would redo tokenization for every doc just to
+    # throw most of it away). Pruned index is consumed by sizes + both
+    # sides of the pair join.
+    pruned_docs = df.join(
+        F.broadcast(cand_docs.withColumnRenamed("doc", id_col)), id_col
+    )
     shingle_sets = (
-        doc_shingle_sets(df, id_col, text_col, n)
-        .join(F.broadcast(cand_docs), "doc")
+        doc_shingle_sets(pruned_docs, id_col, text_col, n)
         .select("doc", F.xxhash64("sh").alias("shh"))
         .cache()
     )

@@ -196,8 +196,11 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_sql() -> str:
     k, bands = ldd.DEFAULT_NUM_HASHES, ldd.DEFAULT_BANDS
     rpb = k // bands
+    # chunked-digest hashes, mirroring llm.dedup.minhash_signatures:
+    # hash i = 8-hex chunk (i%4) of md5('mh{i//4}|' || shingle)
     mh_cols = ", ".join(
-        f"list_min(list_transform({_SHINGLES}, s -> md5('mh{i}|' || s))) AS mh{i}"
+        f"list_min(list_transform({_SHINGLES}, "
+        f"s -> substring(md5('mh{i // 4}|' || s), {(i % 4) * 8 + 1}, 8))) AS mh{i}"
         for i in range(k)
     )
     band_rows = " UNION ALL ".join(
