@@ -22,6 +22,7 @@ def archive_stream(
     checkpoint: str,
     partition_by_ingest_date: bool = True,
     trigger_interval: str | None = None,
+    available_now: bool = False,
 ) -> StreamingQuery:
     """Append-archive any streaming DataFrame to Parquet, checkpointed.
 
@@ -39,6 +40,11 @@ def archive_stream(
     )
     if partition_by_ingest_date:
         writer = writer.partitionBy("ingest_date")
-    if trigger_interval:
+    if available_now:
+        # drain-everything-then-stop mode: checkpointed exactly-once batch
+        # catch-up over the same query (the principled version of the
+        # reference's relaunch-every-minute cron treatment, SURVEY E1.5)
+        writer = writer.trigger(availableNow=True)
+    elif trigger_interval:
         writer = writer.trigger(processingTime=trigger_interval)
     return writer.start()

@@ -422,9 +422,74 @@ SELECT doc, unnest(list_distinct(w)) AS fp FROM wins
 """
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data curation flow: quality gate → language
+    gate → exact dedup → per-source survivor counts. Each stage is a
+    Catalyst filter/aggregate, so the whole pipeline is one plan with the
+    gates pushed ahead of the dedup shuffle."""
+    corpus = _aug_corpus(_docs(spark, sf_dir))
+    profiled = ltx.text_profile(corpus)
+    gated = profiled.filter(
+        (F.col("quality") >= 0.5) & (F.col("lang_guess") == "en")
+    )
+    deduped = ldd.exact_dedup(gated, "doc_id")
+    return (
+        deduped.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+_CURATION_ORACLE = f"""
+WITH corpus AS ({_AUG_SQL}),
+base AS (
+  SELECT doc_id, source, {_NORM} AS norm, {_TOKS} AS toks FROM corpus
+), feat AS (
+  SELECT doc_id, source, norm,
+    len(toks) AS n_tokens,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+    END AS mtl,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE CAST(len(list_filter(toks, t -> t IN ({_sql_in(ltx.EN_STOPWORDS)}))) AS DOUBLE) / len(toks)
+    END AS swr,
+    CASE WHEN length(norm) = 0 THEN 0.0
+         ELSE CAST(length(regexp_replace(norm, '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / length(norm)
+    END AS pr,
+    len(list_filter(toks, t -> t IN ({_sql_in(ltx.LANG_MARKERS["en"])}))) AS s_en,
+    len(list_filter(toks, t -> t IN ({_sql_in(ltx.LANG_MARKERS["de"])}))) AS s_de,
+    len(list_filter(toks, t -> t IN ({_sql_in(ltx.LANG_MARKERS["tr"])}))) AS s_tr
+  FROM base
+), scored AS (
+  SELECT doc_id, source, norm, n_tokens,
+    round(0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+        + 0.2 * (CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 1.0 ELSE 0.5 END)
+        + 0.2 * (CASE WHEN swr >= 0.01 AND swr <= 0.6 THEN 1.0 ELSE 0.3 END)
+        + 0.2 * (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.4 END), 4) AS quality,
+    CASE WHEN greatest(s_en, s_de, s_tr) = 0 THEN 'und'
+         WHEN s_en = greatest(s_en, s_de, s_tr) THEN 'en'
+         WHEN s_de = greatest(s_en, s_de, s_tr) THEN 'de'
+         ELSE 'tr' END AS lang_guess
+  FROM feat
+), gated AS (
+  SELECT * FROM scored WHERE quality >= 0.5 AND lang_guess = 'en'
+), deduped AS (
+  SELECT doc_id, source, n_tokens FROM gated
+  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(norm))
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM deduped GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "text_profile": q_text_profile,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "curation_pipeline": q_curation_pipeline,
     "exact_dedup": q_exact_dedup,
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -439,6 +504,7 @@ QUERIES = {
 ORACLES = {
     "text_profile": _TEXT_PROFILE_ORACLE,
     "winnow_fingerprints": _WINNOW_ORACLE,
+    "curation_pipeline": _CURATION_ORACLE,
     "exact_dedup": _EXACT_DEDUP_ORACLE,
     "jaccard_pairs": _JACCARD_ORACLE,
     "minhash_lsh_pairs": _minhash_sql(),

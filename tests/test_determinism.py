@@ -1,0 +1,31 @@
+"""Partition-count invariance: declared queries must produce identical
+values at any parallelism (the decimal-routing / rounding rules exist for
+exactly this — a 100 TB run uses thousands of partitions, the oracle one).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from egal_yet_another_earthquake_project_spark import workloads
+
+from tests.conftest import TESTDATA_SMOKE
+
+CHECKED = ["pricing_summary", "gap_series", "numeric_stats", "revenue_by_region"]
+
+
+@pytest.mark.parametrize("name", CHECKED)
+def test_partition_count_invariance(spark, name):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        rows_low = sorted(
+            tuple(r) for r in workloads.QUERIES[name](spark, TESTDATA_SMOKE).collect()
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", "29")
+        rows_high = sorted(
+            tuple(r) for r in workloads.QUERIES[name](spark, TESTDATA_SMOKE).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert rows_low == rows_high
