@@ -69,3 +69,21 @@ def test_union_counts_collapse_to_single_scan(spark):
 
 def test_whole_stage_codegen_active(spark):
     assert inspect.codegen_stage_count(_q(spark, "pricing_summary")) >= 1
+
+
+#: Queries whose cross/nested-loop join is intentional: the brute-force
+#: similarity baselines broadcast one tiny side by design.
+_ALLOWED_NESTED_LOOP = {"embedding_topk", "trailing_week"}
+
+
+def test_no_accidental_cartesian_products(spark):
+    """No declared query may plan an unbounded cartesian/nested-loop join
+    (the O(n·m) cliff at scale) unless it is an explicit baseline."""
+    offenders = {}
+    for name in sorted(workloads.QUERIES):
+        if name in _ALLOWED_NESTED_LOOP:
+            continue
+        plan = inspect.formatted_plan(workloads.QUERIES[name](spark, TESTDATA_SMOKE))
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            offenders[name] = True
+    assert not offenders, f"nested-loop plans in: {sorted(offenders)}"
