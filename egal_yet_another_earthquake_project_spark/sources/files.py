@@ -45,9 +45,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     ``events.parquet`` stores ``ts`` as INT64 TIMESTAMP(NANOS) which Spark's
     parquet reader rejects; read it as nanos-long and convert (lossless —
-    the data carries no sub-microsecond component). The conf is
-    runtime-settable, so this works in any caller-provided session.
+    the data carries no sub-microsecond component). Both confs are
+    runtime-settable, so this works in any caller-provided session — in
+    particular the session TZ is pinned UTC here because declared queries
+    format timestamps to strings and their DuckDB oracles are UTC-naive.
     """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
