@@ -40,6 +40,9 @@ HEADLINE = [
     "revenue_by_region",
     "running_sum",
     "sessionize",
+    "shipping_priority",
+    "returned_revenue",
+    "curation_pipeline",
 ]
 
 
