@@ -1,0 +1,101 @@
+"""Operational entry points — the reference's job scripts as one CLI.
+
+The reference runs four copy-pasted archival scripts plus a batch loader,
+each relaunched every minute by NiFi (SURVEY E1 step 5). Here:
+
+    python -m egal_yet_another_earthquake_project_spark archive \
+        --source-dir bronze_in --path bronze --checkpoint ck [--follow]
+    python -m egal_yet_another_earthquake_project_spark batch-load \
+        --source-dir bronze --es-url http://es:9200 [--dry-run]
+    python -m egal_yet_another_earthquake_project_spark analytics \
+        --source-dir bronze
+
+``archive`` drains (or follows) an envelope directory into a partitioned
+parquet archive; ``batch-load`` runs bronze→silver→gold and ships ES
+documents (``--dry-run`` prints counts instead); ``analytics`` prints the
+gold tables. Kafka variants use the same code paths with the gated reader
+(sources/kafka.py) once a broker and the connector jar are present.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from egal_yet_another_earthquake_project_spark import pipeline
+from egal_yet_another_earthquake_project_spark.schemas import KAFKA_ENVELOPE
+from egal_yet_another_earthquake_project_spark.session import get_spark
+from egal_yet_another_earthquake_project_spark.sinks.elasticsearch import write_to_es
+from egal_yet_another_earthquake_project_spark.sources.files import (
+    stream_parquet_dir,
+)
+from egal_yet_another_earthquake_project_spark.streaming.bronze import archive_stream
+
+
+def _parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="egal-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    a = sub.add_parser("archive", help="envelope dir → partitioned parquet archive")
+    a.add_argument("--source-dir", required=True)
+    a.add_argument("--path", required=True)
+    a.add_argument("--checkpoint", required=True)
+    a.add_argument("--follow", action="store_true", help="keep running (default: drain and stop)")
+
+    b = sub.add_parser("batch-load", help="bronze → silver → gold → Elasticsearch")
+    b.add_argument("--source-dir", required=True)
+    b.add_argument("--es-url", default="http://localhost:9200")
+    b.add_argument("--es-index", default="earthquake-all")
+    b.add_argument("--min-magnitude", type=float, default=4.0)
+    b.add_argument("--dry-run", action="store_true")
+
+    c = sub.add_parser("analytics", help="print the gold analytic tables")
+    c.add_argument("--source-dir", required=True)
+    c.add_argument("--min-magnitude", type=float, default=4.0)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _parser().parse_args(argv)
+    spark = get_spark(f"egal-spark-{args.cmd}")
+    spark.sparkContext.setLogLevel("WARN")
+    try:
+        if args.cmd == "archive":
+            q = archive_stream(
+                stream_parquet_dir(spark, args.source_dir, KAFKA_ENVELOPE),
+                args.path,
+                args.checkpoint,
+                available_now=not args.follow,
+            )
+            if args.follow:
+                q.awaitTermination()
+            else:
+                q.awaitTermination()
+                print(f"archived to {args.path}")
+        elif args.cmd == "batch-load":
+            envelopes = spark.read.schema(KAFKA_ENVELOPE).parquet(args.source_dir)
+            if args.dry_run:
+                gold = pipeline.run_batch(envelopes, min_magnitude=args.min_magnitude)
+                print(f"would index {gold.es_documents.count()} documents")
+            else:
+                gold = pipeline.run_batch(
+                    envelopes,
+                    es_writer=lambda df: write_to_es(df, args.es_index, args.es_url),
+                    min_magnitude=args.min_magnitude,
+                )
+                print(f"indexed {gold.es_documents.count()} documents to {args.es_index}")
+        elif args.cmd == "analytics":
+            envelopes = spark.read.schema(KAFKA_ENVELOPE).parquet(args.source_dir)
+            gold = pipeline.silver_to_gold(
+                pipeline.bronze_to_silver(envelopes), args.min_magnitude
+            )
+            gold.column_stats.show(50, truncate=False)
+            gold.region_counts.show(truncate=False)
+            gold.magnitude_extrema.show(truncate=False)
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -35,14 +35,19 @@ DEFAULT_BANDS = 4  # → rows-per-band = 2
 def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """Keep exactly one doc (min id) per identical normalized text.
 
-    groupBy(md5) + min_by — a single shuffle whose key is uniformly
-    distributed; at 100 TB this is the cheapest possible full-corpus dedup.
+    min-over-window on the md5 fingerprint: ONE shuffle on a uniformly
+    distributed key and one pass over the input — a groupBy+self-join
+    formulation evaluates the (possibly expensive) upstream plan twice.
+    At 100 TB this is the cheapest possible full-corpus dedup.
     """
+    from pyspark.sql.window import Window
+
     keyed = df.withColumn("_fp", fingerprint(text_col))
-    winners = keyed.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    w = Window.partitionBy("_fp")
     return (
-        keyed.join(winners, on=["_fp", id_col], how="inner")
-        .drop("_fp")
+        keyed.withColumn("_min_id", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("_min_id"))
+        .drop("_fp", "_min_id")
     )
 
 
