@@ -43,6 +43,7 @@ HEADLINE = [
     "shipping_priority",
     "returned_revenue",
     "curation_pipeline",
+    "event_electric_correlation",
 ]
 
 

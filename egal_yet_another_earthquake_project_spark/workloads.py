@@ -212,6 +212,54 @@ def q_region_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_event_electric_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE reference's promised-but-unbuilt analysis (README.md:17,27):
+    correlation between event magnitudes and the electric-field series.
+    Minute-grain equi-join (J1) then Pearson correlation + sample
+    covariance per event type — one aggregate pass after the join."""
+    events = _t(spark, sf_dir, "events")
+    joined = joins.minute_equijoin(
+        events.select("event_id", "event_type", "value", "ts"),
+        _minute_series(events),
+        how="inner",
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.round(F.corr("value", "el_value"), 4).alias("pearson_r"),
+            F.round(F.covar_samp("value", "el_value"), 4).alias("covar"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (the sketch-free path;
+    percentile_approx is the scale path, tested separately)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram: floor-bucket + count (the groupable
+    form of a histogram at any scale)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("bucket", F.floor(F.col("value") / 50).cast("long"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q1-shaped wide aggregate (the A3 pattern at scale): decimal-
     routed sums so partition-parallel summation matches the oracle exactly."""
@@ -261,6 +309,9 @@ _BASE_QUERIES: dict[str, QueryFn] = {
     "range_join": q_range_join,
     "region_dim_join": q_region_dim_join,
     "pricing_summary": q_pricing_summary,
+    "event_electric_correlation": q_event_electric_correlation,
+    "median_by_group": q_median_by_group,
+    "value_histogram": q_value_histogram,
 }
 
 _REGION_IN = "('click', 'error', 'view')"
@@ -365,6 +416,25 @@ _BASE_ORACLES: dict[str, str] = {
         JOIN nation n ON n.n_nationkey = e.user_id % 25
         JOIN region r ON r.r_regionkey = n.n_regionkey
         GROUP BY r_name ORDER BY r_name
+    """,
+    "event_electric_correlation": f"""
+        WITH s AS ({_SERIES_ALL})
+        SELECT e.event_type,
+               round(corr(e.value, s.el_value), 4) AS pearson_r,
+               round(covar_samp(e.value, s.el_value), 4) AS covar,
+               count(*) AS n
+        FROM events e JOIN s ON date_trunc('minute', e.ts) = s.time
+        GROUP BY e.event_type ORDER BY e.event_type
+    """,
+    "median_by_group": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               round(quantile_cont(value, 0.9), 4) AS p90
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "value_histogram": """
+        SELECT CAST(floor(value / 50) AS BIGINT) AS bucket, count(*) AS n
+        FROM events GROUP BY 1 ORDER BY 1
     """,
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
