@@ -62,7 +62,11 @@ def main() -> None:
         if fn is None:
             continue
         t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
+        try:
+            fn(spark, sf_dir).count()
+        except Exception as exc:  # one bad query must not cost the whole run
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
     total = round(sum(timings.values()), 3)
     print(
