@@ -422,6 +422,41 @@ SELECT doc, unnest(list_distinct(w)) AS fp FROM wins
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clusters: near-dup pairs (Jaccard ≥ 0.7 over the
+    augmented corpus — exact copies are Jaccard-1 edges) assembled into
+    connected components via iterative min-label propagation. Output one
+    row per clustered doc with its component representative. Oracle: the
+    same closure via a recursive CTE."""
+    from egal_yet_another_earthquake_project_spark.llm.clusters import (
+        connected_components,
+    )
+
+    corpus = _aug_corpus(_docs(spark, sf_dir))
+    edges = ldd.jaccard_pairs(corpus, "doc_id", threshold=0.7).cache()
+    edges.count()
+    return connected_components(edges).orderBy("node")
+
+
+_DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE corpus AS ({_AUG_SQL}),
+{_JACCARD_CORE},
+pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.7),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+)
+SELECT node, CAST(min(r) AS BIGINT) AS component
+FROM reach GROUP BY node ORDER BY node
+"""
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data curation flow: quality gate → language
     gate → exact dedup → per-source survivor counts. Each stage is a
@@ -490,6 +525,7 @@ QUERIES = {
     "text_profile": q_text_profile,
     "winnow_fingerprints": q_winnow_fingerprints,
     "curation_pipeline": q_curation_pipeline,
+    "dedup_clusters": q_dedup_clusters,
     "exact_dedup": q_exact_dedup,
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -505,6 +541,7 @@ ORACLES = {
     "text_profile": _TEXT_PROFILE_ORACLE,
     "winnow_fingerprints": _WINNOW_ORACLE,
     "curation_pipeline": _CURATION_ORACLE,
+    "dedup_clusters": _DEDUP_CLUSTERS_ORACLE,
     "exact_dedup": _EXACT_DEDUP_ORACLE,
     "jaccard_pairs": _JACCARD_ORACLE,
     "minhash_lsh_pairs": _minhash_sql(),

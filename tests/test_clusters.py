@@ -1,0 +1,34 @@
+"""Connected-components unit tests: chains, disjoint groups, convergence."""
+
+from __future__ import annotations
+
+from egal_yet_another_earthquake_project_spark.llm.clusters import connected_components
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    return {
+        r.node: r.component for r in connected_components(df).collect()
+    }
+
+
+def test_chain_collapses_to_one_component(spark):
+    # A-B, B-C, C-D: transitive closure even though A-D never emitted
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_disjoint_components_stay_apart(spark):
+    got = _cc(spark, [(1, 2), (10, 11), (11, 12), (20, 21)])
+    assert got == {1: 1, 2: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_edge_direction_irrelevant(spark):
+    assert _cc(spark, [(5, 1)]) == {1: 1, 5: 1}
+
+
+def test_long_chain_within_iteration_budget(spark):
+    # diameter 12 chain — min-label propagation halves distance per round
+    edges = [(i, i + 1) for i in range(1, 13)]
+    got = _cc(spark, edges)
+    assert set(got.values()) == {1}
