@@ -457,6 +457,79 @@ FROM reach GROUP BY node ORDER BY node
 """
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by md5 bucket of
+    the stable key — identical membership on any engine, partitioning, or
+    rerun (df.sample cannot promise that). Output: per-split doc counts
+    and token mass."""
+    from egal_yet_another_earthquake_project_spark.llm.sampling import with_split
+
+    docs = with_split(_docs(spark, sf_dir), "doc_id")
+    return (
+        docs.groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("split")
+    )
+
+
+_HASH_SPLIT_ORACLE = """
+WITH b AS (
+  SELECT *, CAST('0x' || substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup OUTPUT a pipeline actually ships: the corpus minus
+    non-representative members of every near-dup cluster (components from
+    q_dedup_clusters), counted per source."""
+    from egal_yet_another_earthquake_project_spark.llm.clusters import (
+        connected_components,
+    )
+
+    corpus = _aug_corpus(_docs(spark, sf_dir))
+    edges = ldd.jaccard_pairs(corpus, "doc_id", threshold=0.7).cache()
+    edges.count()
+    cc = connected_components(edges)
+    losers = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept = corpus.join(losers, "doc_id", "left_anti")
+    return (
+        kept.groupBy("source").agg(F.count("*").alias("n_docs")).orderBy("source")
+    )
+
+
+_CANONICAL_ORACLE = f"""
+WITH RECURSIVE corpus AS ({_AUG_SQL}),
+{_JACCARD_CORE},
+pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.7),
+cedges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+cnodes AS (SELECT DISTINCT a AS node FROM cedges),
+reach AS (
+  SELECT node, node AS r FROM cnodes
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN cedges e ON e.a = reach.r
+),
+cc AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+losers AS (SELECT node AS doc_id FROM cc WHERE node <> component)
+SELECT source, count(*) AS n_docs
+FROM corpus
+WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+GROUP BY source ORDER BY source
+"""
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data curation flow: quality gate → language
     gate → exact dedup → per-source survivor counts. Each stage is a
@@ -526,6 +599,8 @@ QUERIES = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "curation_pipeline": q_curation_pipeline,
     "dedup_clusters": q_dedup_clusters,
+    "hash_split": q_hash_split,
+    "canonical_corpus": q_canonical_corpus,
     "exact_dedup": q_exact_dedup,
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -542,6 +617,8 @@ ORACLES = {
     "winnow_fingerprints": _WINNOW_ORACLE,
     "curation_pipeline": _CURATION_ORACLE,
     "dedup_clusters": _DEDUP_CLUSTERS_ORACLE,
+    "hash_split": _HASH_SPLIT_ORACLE,
+    "canonical_corpus": _CANONICAL_ORACLE,
     "exact_dedup": _EXACT_DEDUP_ORACLE,
     "jaccard_pairs": _JACCARD_ORACLE,
     "minhash_lsh_pairs": _minhash_sql(),
