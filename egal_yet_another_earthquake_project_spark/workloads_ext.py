@@ -384,6 +384,113 @@ ORDER BY user_id, event_id
 """
 
 
+def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full grouping-set lattice: counts by (status × priority) including
+    all margins — the CUBE companion to rollup_counts."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+_CUBE_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+def q_unpivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): one wide per-type aggregate row → long
+    (metric, value) form via stack — the inverse of q_pivot_counts."""
+    wide = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )
+    return wide.selectExpr(
+        "event_type",
+        "stack(2, 'n', n, 'total', total) AS (metric, metric_value)",
+    ).orderBy("event_type", "metric")
+
+
+_UNPIVOT_ORACLE = """
+WITH wide AS (
+  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+  FROM events GROUP BY event_type
+)
+SELECT event_type, 'n' AS metric, n AS metric_value FROM wide
+UNION ALL
+SELECT event_type, 'total', total FROM wide
+ORDER BY event_type, metric
+"""
+
+
+def q_ntile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile banding: ntile(4) over a total order (value, event_id) —
+    per-band row counts and value ranges."""
+    w = Window.orderBy("value", "event_id")
+    banded = _t(spark, sf_dir, "events").withColumn("band", F.ntile(4).over(w))
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .orderBy("band")
+    )
+
+
+_NTILE_ORACLE = """
+WITH banded AS (
+  SELECT value, ntile(4) OVER (ORDER BY value, event_id) AS band FROM events
+)
+SELECT band, count(*) AS n, min(value) AS lo, max(value) AS hi
+FROM banded GROUP BY band ORDER BY band
+"""
+
+
+def q_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source budget capping: keep ≤ 10 docs per source, chosen by the
+    deterministic hash order (stable under partitioning) — the per-domain
+    quota pass of a corpus mixer."""
+    from egal_yet_another_earthquake_project_spark.llm.sampling import hash_bucket
+
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "_h", hash_bucket("doc_id", 1_000_000, "cap")
+    )
+    w = Window.partitionBy("source").orderBy("_h", "doc_id")
+    kept = (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 10)
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n"), F.sum("doc_id").alias("id_sum")
+    ).orderBy("source")
+
+
+_STRATIFIED_ORACLE = """
+WITH h AS (
+  SELECT *, CAST('0x' || substring(md5('cap' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 AS hb
+  FROM documents
+),
+ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY hb, doc_id) AS rn
+  FROM h
+)
+SELECT source, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM ranked WHERE rn <= 10 GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "running_sum": q_running_sum,
     "sessionize": q_sessionize,
@@ -397,6 +504,10 @@ QUERIES = {
     "upsert_batch": q_upsert_batch,
     "shipping_priority": q_shipping_priority,
     "returned_revenue": q_returned_revenue,
+    "cube_counts": q_cube_counts,
+    "unpivot_stats": q_unpivot_stats,
+    "ntile_bands": q_ntile_bands,
+    "stratified_cap": q_stratified_cap,
 }
 
 ORACLES = {
@@ -412,4 +523,8 @@ ORACLES = {
     "upsert_batch": _UPSERT_ORACLE,
     "shipping_priority": _SHIPPING_PRIORITY_ORACLE,
     "returned_revenue": _RETURNED_REVENUE_ORACLE,
+    "cube_counts": _CUBE_ORACLE,
+    "unpivot_stats": _UNPIVOT_ORACLE,
+    "ntile_bands": _NTILE_ORACLE,
+    "stratified_cap": _STRATIFIED_ORACLE,
 }
