@@ -133,6 +133,26 @@ def test_windowed_counts_with_watermark(spark, tmp_path: Path):
     assert got[("00:30", "view")] == 1
 
 
+def test_trailing_view_keeps_recent_only(spark):
+    """ST3 as a filter view: only rows within the trailing horizon of
+    now() survive (partition-pruning predicate shape)."""
+    from datetime import datetime, timedelta
+
+    from egal_yet_another_earthquake_project_spark.streaming.silver import (
+        trailing_view,
+    )
+
+    now = datetime.utcnow()
+    rows = [
+        (1, now - timedelta(minutes=5)),
+        (2, now - timedelta(days=2)),
+        (3, now - timedelta(days=10)),
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    got = {r.id for r in trailing_view(df, "ts", "7 DAYS").collect()}
+    assert got == {1, 2}
+
+
 def test_es_sink_executor_side_bulk(spark, tmp_path: Path):
     """S5: bulk actions are produced per partition with _id=eventID and no
     driver collect; transport is injected and captured to files (works in
