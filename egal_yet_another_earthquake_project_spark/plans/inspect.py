@@ -53,6 +53,24 @@ def uses_take_ordered(df: DataFrame) -> bool:
     return "TakeOrderedAndProject" in formatted_plan(df)
 
 
+def join_key_nodes(df: DataFrame) -> list[tuple[str, set[str]]]:
+    """``[(join_node_name, {join key column names})]`` for every equi-join
+    in the formatted plan — lets tests assert WHICH join got WHICH physical
+    strategy (e.g. "the c_custkey join must not be broadcast")."""
+    plan = formatted_plan(df)
+    out: list[tuple[str, set[str]]] = []
+    for block in re.split(r"\n\(\d+\) ", plan):
+        name = block.split("\n", 1)[0].split(" ")[0]
+        if "Join" not in name:
+            continue
+        keys: set[str] = set()
+        for m in re.finditer(r"(?:Left|Right) keys \[\d+\]: \[(.*?)\]", block):
+            for k in m.group(1).split(","):
+                keys.add(k.strip().split("#")[0])
+        out.append((name, keys))
+    return out
+
+
 def exchange_count(df: DataFrame) -> int:
     """Number of shuffle exchanges in the plan (lower is better; broadcast
     exchanges are excluded)."""

@@ -204,8 +204,17 @@ FROM events
 
 
 def q_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-way join (TPC-H Q5 shape): fact ⋈ fact ⋈ three broadcast dims,
-    decimal-exact revenue per region."""
+    """Multi-way join (TPC-H Q5 shape): fact ⋈ fact ⋈ customer ⋈ two
+    broadcast dims, decimal-exact revenue per region.
+
+    Only nation/region carry broadcast hints — they are fixed-size true
+    dimensions (25 / 5 rows at every SF). customer is SF-proportional
+    (TPC-H: 150k×SF rows): a forced broadcast would OOM the driver at
+    100× scale, so that join is left to AQE, which shuffles it (and may
+    still broadcast at tiny SF where it genuinely fits — the right call
+    either way). tests/test_plans.py asserts the customer join is NOT
+    hint-forced: with autoBroadcastJoinThreshold=-1 (the 100 TB stand-in)
+    it plans sort-merge while nation/region still broadcast."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
@@ -216,7 +225,7 @@ def q_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
@@ -240,9 +249,11 @@ GROUP BY r_name ORDER BY r_name
 
 
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q3 shape: unshipped-order revenue — fact ⋈ fact ⋈ broadcast
-    dim with date predicates pushed to both scans, top-10 by revenue with
-    a total order."""
+    """TPC-H-Q3 shape: unshipped-order revenue — fact ⋈ fact ⋈ customer
+    with date predicates pushed to both scans, top-10 by revenue with a
+    total order. customer is SF-proportional even after the segment
+    filter (~1/5 of 150k×SF rows), so no broadcast hint — AQE picks the
+    join strategy (see q_revenue_by_region)."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1996-03-15"))
     orders = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1996-03-15")
@@ -255,7 +266,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
         .withColumn("o_orderdate", F.date_format("o_orderdate", "yyyy-MM-dd"))
@@ -283,7 +294,9 @@ LIMIT 10
 
 def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q10 shape: per-customer revenue lost to returns in a quarter,
-    top-20 — return-flag filter pushed to the lineitem scan."""
+    top-20 — return-flag filter pushed to the lineitem scan. Broadcast
+    hint only on nation (25 rows); customer is SF-proportional and joins
+    via AQE's choice (see q_revenue_by_region)."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01"))
@@ -296,7 +309,7 @@ def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.sum(revenue).cast("double").alias("revenue"))

@@ -38,6 +38,32 @@ def test_revenue_join_broadcasts_dims(spark):
     assert inspect.uses_broadcast_join(df)
 
 
+def test_customer_join_never_hint_broadcast(spark):
+    """customer is SF-proportional (TPC-H: 150k×SF rows): at 100× scale a
+    forced broadcast OOMs. Disabling size-based autobroadcast simulates
+    that scale — hinted joins (nation/region) must STILL broadcast, the
+    un-hinted customer join must fall back to a shuffle join."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for qname in ("revenue_by_region", "shipping_priority", "returned_revenue"):
+            nodes = inspect.join_key_nodes(_q(spark, qname))
+            cust = [n for n, keys in nodes if "c_custkey" in keys]
+            assert cust, f"{qname}: no c_custkey join found in plan"
+            assert all(
+                n in ("SortMergeJoin", "ShuffledHashJoin") for n in cust
+            ), f"{qname}: customer join planned as {cust}"
+        nodes = inspect.join_key_nodes(_q(spark, "revenue_by_region"))
+        assert any(
+            n == "BroadcastHashJoin" and "n_nationkey" in k for n, k in nodes
+        ), nodes
+        assert any(
+            n == "BroadcastHashJoin" and "r_regionkey" in k for n, k in nodes
+        ), nodes
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_top10_uses_partial_topk(spark):
     assert inspect.uses_take_ordered(_q(spark, "top10_orders"))
 
