@@ -41,7 +41,10 @@ HEADLINE = [
     "top10_orders",
     "text_profile",
     "minhash_lsh_pairs",
-    "embedding_topk",
+    # the ANN path you'd run at scale (trained-quantizer IVF); the
+    # brute-force embedding_topk stays declared as the recall reference
+    # but is not the headline plan.
+    "embedding_ivf_topk",
     "revenue_by_region",
     "running_sum",
     "sessionize",

@@ -9,6 +9,13 @@
   query's coarse cell (here the provided ``label`` plays the trained
   k-means cell id; production swaps in learned centroids). Candidate mass
   drops by the number of cells — that's the 100 TB path.
+* :func:`sample_centroids` / :func:`assign_cells` /
+  :func:`ivf_trained_topk` — the full IVF pipeline with a REAL coarse
+  quantizer: deterministically sampled centroids (k-means|| init without
+  the Lloyd iterations — still a valid quantizer, and engine-portable so
+  the whole path stays oracle-checkable), argmax-cosine cell assignment,
+  and multi-probe queries (``nprobe`` cells per query) to trade candidate
+  mass for recall.
 * :func:`neardup_pairs` — embedding near-duplicate pairs above a cosine
   threshold, IVF-bucketed to avoid all-pairs.
 """
@@ -108,6 +115,92 @@ def ivf_topk(
         c.join(F.broadcast(q), on="cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos", F.round(cosine("qv", "cv"), 4))
+        .select("query_id", "neighbor_id", "cos")
+    )
+    return _topk_from_candidates(cands, k)
+
+
+def sample_centroids(
+    corpus: DataFrame,
+    num_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic coarse-quantizer "training": the ``num_cells`` corpus
+    vectors with the smallest md5(id) — a uniform, engine-portable sample
+    (k-means init; Lloyd refinement is an optional extra iteration, the
+    sampled init is already a valid quantizer). Output: (cell, cv).
+
+    ``orderBy().limit()`` plans TakeOrderedAndProject (per-partition
+    heaps) — no global sort; the row_number window then runs over only
+    ``num_cells`` rows. Sizing rule at scale: num_cells ≈ √n so both the
+    assignment cross-product (n·√n) and the per-cell candidate mass
+    (n/√n per probe) stay balanced.
+    """
+    cent = (
+        corpus.select(
+            F.col(id_col).alias("_cid"),
+            F.col(vec_col).alias("cv"),
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "_cid")
+        .limit(num_cells)
+    )
+    w = Window.orderBy("_h", "_cid")  # num_cells rows — single partition OK
+    return cent.withColumn("cell", F.row_number().over(w)).select("cell", "cv")
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid cell assignment: score every row against the
+    (broadcast, ≤num_cells-row) centroid table, keep the top-``nprobe``
+    cells per row. Cosines are rounded to 4 before ranking with a cell-id
+    tiebreak, so the argmax is stable across engines (oracle parity) and
+    partitionings. Corpus rows use nprobe=1; query rows probe several
+    cells to recover neighbors that fell just across a cell boundary."""
+    scored = df.crossJoin(F.broadcast(centroids)).withColumn(
+        "_acos", F.round(cosine(vec_col, "cv"), 4)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_acos").desc(), F.col("cell").asc())
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= nprobe)
+        .drop("cv", "_acos", "_rk")
+    )
+
+
+def ivf_trained_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    num_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """End-to-end IVF ANN: sampled centroids → corpus assigned to its
+    argmax cell (one shuffle, reusable across query batches) → queries
+    multi-probe their top-``nprobe`` cells → candidates from an equi-join
+    on the cell id → exact cosine verify → top-k. Per (query, neighbor)
+    at most one candidate row exists (a neighbor lives in exactly one
+    cell), so no dedup is needed. Candidate mass ≈ nprobe/num_cells of
+    the corpus per query — the knob that buys recall with bounded cost."""
+    cent = sample_centroids(corpus, num_cells, id_col, vec_col)
+    c = assign_cells(corpus, cent, 1, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv2"), "cell"
+    )
+    q = assign_cells(queries, cent, nprobe, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "cell"
+    )
+    cands = (
+        c.join(F.broadcast(q), on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine("qv", "cv2"), 4))
         .select("query_id", "neighbor_id", "cos")
     )
     return _topk_from_candidates(cands, k)

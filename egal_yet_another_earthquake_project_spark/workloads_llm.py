@@ -298,18 +298,51 @@ QUALIFY rank <= 5
 """
 
 
+#: IVF parameters of the declared query — mirrored verbatim in the oracle.
+_IVF_CELLS, _IVF_NPROBE = 16, 4
+
+
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale ANN path: trained-quantizer IVF (sampled centroids →
+    argmax-cell assignment → nprobe multi-probe → candidate equi-join on
+    the cell). Candidate mass ≈ nprobe/num_cells of the corpus per query
+    vs the brute-force cross join. Recall is data-dependent (asserted
+    ≥0.95 on clustered data in tests/test_similarity.py); the oracle here
+    checks pipeline exactness — both engines run the identical quantizer."""
     emb = _emb(spark, sf_dir)
-    return lsim.ivf_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+    return lsim.ivf_trained_topk(
+        emb.filter(F.col("vec_id") < 10),
+        emb,
+        k=5,
+        num_cells=_IVF_CELLS,
+        nprobe=_IVF_NPROBE,
+    )
 
 
-_IVF_TOPK_ORACLE = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+_IVF_TOPK_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell,
+         v AS cv
+  FROM e
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {_IVF_CELLS}
+),
+ca AS (
+  SELECT e.vec_id, e.v, cent.cell,
+         row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY round(list_cosine_similarity(e.v, cent.cv), 4) DESC,
+                     cent.cell ASC) AS rk
+  FROM e CROSS JOIN cent
+),
+corp AS (SELECT vec_id AS neighbor_id, v AS cv2, cell FROM ca WHERE rk = 1),
+qa AS (SELECT vec_id AS query_id, v AS qv, cell
+       FROM ca WHERE rk <= {_IVF_NPROBE} AND vec_id < 10),
 cands AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         round(list_cosine_similarity(q.v, c.v), 4) AS cos
-  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
-   AND q.label = c.label
+  SELECT query_id, neighbor_id,
+         round(list_cosine_similarity(qv, cv2), 4) AS cos
+  FROM corp JOIN qa USING (cell)
+  WHERE query_id <> neighbor_id
 )
 SELECT query_id, neighbor_id, cos,
        CAST(row_number() OVER (PARTITION BY query_id

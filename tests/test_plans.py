@@ -98,8 +98,10 @@ def test_whole_stage_codegen_active(spark):
 
 
 #: Queries whose cross/nested-loop join is intentional: the brute-force
-#: similarity baselines broadcast one tiny side by design.
-_ALLOWED_NESTED_LOOP = {"embedding_topk", "trailing_week"}
+#: similarity baselines broadcast one tiny side by design, and IVF's
+#: centroid assignment scores rows against a broadcast ≤num_cells-row
+#: centroid table (bounded by a parameter, not by data size).
+_ALLOWED_NESTED_LOOP = {"embedding_topk", "trailing_week", "embedding_ivf_topk"}
 
 
 def test_no_accidental_cartesian_products(spark):
