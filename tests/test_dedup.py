@@ -1,0 +1,106 @@
+"""Dedup-operator tests: LSH banding sizing (s-curve math) and the
+stop-shingle ``max_doc_freq`` cap on the inverted-index joins."""
+
+from __future__ import annotations
+
+import pytest
+
+from egal_yet_another_earthquake_project_spark.llm import dedup as ldd
+
+
+# --------------------------------------------------------------------------
+# plan_banding — pure s-curve math, no Spark
+# --------------------------------------------------------------------------
+
+
+def _recall(b: int, r: int, s: float) -> float:
+    return 1.0 - (1.0 - s**r) ** b
+
+
+def test_plan_banding_picks_steepest_banding_meeting_recall():
+    assert ldd.plan_banding(120, 0.7) == (20, 6)
+    assert ldd.plan_banding(120, 0.8) == (15, 8)
+    # every returned banding actually meets the recall floor…
+    for k, t in ((120, 0.7), (120, 0.8), (64, 0.7), (128, 0.8)):
+        b, r = ldd.plan_banding(k, t)
+        assert b * r == k
+        assert _recall(b, r, t) >= 0.9
+        # …and the next-steeper divisor banding would miss it.
+        steeper = [rr for rr in range(r + 1, k + 1) if k % rr == 0]
+        if steeper:
+            rr = steeper[0]
+            assert _recall(k // rr, rr, t) < 0.9
+
+
+def test_plan_banding_rejects_impossible_targets():
+    with pytest.raises(ValueError):
+        ldd.plan_banding(2, 0.01, min_recall=0.999999)
+
+
+def test_default_banding_consistent():
+    assert ldd.DEFAULT_BANDS * ldd.DEFAULT_ROWS_PER_BAND == ldd.DEFAULT_NUM_HASHES
+    # the defaults are sized for the declared queries' 0.7 verify threshold
+    assert _recall(ldd.DEFAULT_BANDS, ldd.DEFAULT_ROWS_PER_BAND, 0.7) >= 0.9
+    # …while staying selective: a jaccard-0.4 pair rarely becomes a candidate
+    assert _recall(ldd.DEFAULT_BANDS, ldd.DEFAULT_ROWS_PER_BAND, 0.4) < 0.15
+
+
+# --------------------------------------------------------------------------
+# max_doc_freq — stop-shingle cap
+# --------------------------------------------------------------------------
+
+
+def _boilerplate_corpus(spark):
+    """10 docs that are ~all shared boilerplate plus a tiny unique tail:
+    pairwise jaccard ≈ 0.9, but ALL of the overlap rides on shingles with
+    document frequency 10 — the hot-key shape the cap exists for."""
+    boiler = " ".join(f"common boilerplate token{i} legal header" for i in range(6))
+    rows = [(i, f"{boiler} unique tail {i} ending{i}") for i in range(10)]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_jaccard_cap_noop_when_no_hot_shingles(spark):
+    """On a corpus whose max shingle df is below the cap the output is
+    IDENTICAL — the cap only ever removes ubiquitous shingles."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = sorted(
+        map(tuple, ldd.jaccard_pairs(docs, "doc_id", threshold=0.5).collect())
+    )
+    max_df = (
+        ldd.doc_shingle_sets(docs, "doc_id", "text")
+        .groupBy("sh")
+        .count()
+        .agg({"count": "max"})
+        .collect()[0][0]
+    )
+    capped = sorted(
+        map(
+            tuple,
+            ldd.jaccard_pairs(
+                docs, "doc_id", threshold=0.5, max_doc_freq=max_df
+            ).collect(),
+        )
+    )
+    assert capped == base
+
+
+def test_jaccard_cap_prunes_hot_shingle_pairs(spark):
+    corpus = _boilerplate_corpus(spark)
+    uncapped = ldd.jaccard_pairs(corpus, "doc_id", threshold=0.5).collect()
+    assert len(uncapped) == 45  # all 10·9/2 pairs — boilerplate dominates
+    capped = ldd.jaccard_pairs(
+        corpus, "doc_id", threshold=0.5, max_doc_freq=5
+    ).collect()
+    assert capped == []  # overlap was pure df-10 boilerplate
+
+
+def test_minhash_cap_prunes_verify_stage(spark):
+    corpus = _boilerplate_corpus(spark)
+    uncapped = ldd.minhash_lsh_dedup_pairs(
+        corpus, "doc_id", verify_threshold=0.5
+    ).collect()
+    assert len(uncapped) == 45
+    capped = ldd.minhash_lsh_dedup_pairs(
+        corpus, "doc_id", verify_threshold=0.5, max_doc_freq=5
+    ).collect()
+    assert capped == []
