@@ -234,6 +234,31 @@ def q_event_electric_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_correlate_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-stream correlation operator (streaming/joins.py — the
+    reference README's promised live earthquake×electric correlation,
+    /root/reference/README.md:17,27) run on BATCH inputs: Catalyst's
+    EliminateEventTimeWatermark strips the watermarks on bounded frames,
+    so the exact code path the streams run — bucketized equi-key plus
+    interval residual — is hash-checked here against a DuckDB interval
+    join, not just covered by streaming tests. Window semantics are the
+    raw-timestamp BETWEEN (range_join's variant floors to epoch
+    seconds)."""
+    from egal_yet_another_earthquake_project_spark.streaming.joins import (
+        correlate_streams,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    out = correlate_streams(
+        events.select("event_id", "ts"),
+        _minute_series(events, only_type="purchase"),
+        event_ts="ts",
+        tick_ts="time",
+        tolerance_minutes=5,
+    )
+    return out.groupBy("event_id").agg(F.count("*").alias("n_samples"))
+
+
 def q_median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (the sketch-free path;
     percentile_approx is the scale path, tested separately)."""
@@ -307,6 +332,7 @@ _BASE_QUERIES: dict[str, QueryFn] = {
     "minute_equijoin": q_minute_equijoin,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
+    "stream_correlate_batch": q_stream_correlate_batch,
     "region_dim_join": q_region_dim_join,
     "pricing_summary": q_pricing_summary,
     "event_electric_correlation": q_event_electric_correlation,
@@ -408,6 +434,14 @@ _BASE_ORACLES: dict[str, str] = {
         FROM events e JOIN s
           ON abs(CAST(floor(epoch(s.time)) AS BIGINT)
                - CAST(floor(epoch(e.ts)) AS BIGINT)) <= 300
+        GROUP BY e.event_id
+    """,
+    "stream_correlate_batch": f"""
+        WITH s AS ({_SERIES_PURCHASE})
+        SELECT e.event_id, count(*) AS n_samples
+        FROM events e JOIN s
+          ON s.time BETWEEN e.ts - INTERVAL 5 MINUTE
+                        AND e.ts + INTERVAL 5 MINUTE
         GROUP BY e.event_id
     """,
     "region_dim_join": """

@@ -504,6 +504,46 @@ FROM ranked WHERE rn <= 10 GROUP BY source ORDER BY source
 """
 
 
+def q_salted_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB skew-insurance path (operators/skew.salted_group_count)
+    hash-checked against the plain GROUP BY oracle: spreading a hot key
+    over salt buckets, partially aggregating, and re-merging is EXACT for
+    mergeable aggregates — this query proves it, turning the skew tooling
+    from pytest-only into an oracle-paired declared operator."""
+    from egal_yet_another_earthquake_project_spark.operators import skew
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "event_id")
+    return skew.salted_group_count(ev, ["event_type"]).orderBy("event_type")
+
+
+_SALTED_COUNTS_ORACLE = """
+SELECT event_type, count(*) AS n FROM events
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_salted_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted sum+count (operators/skew.salted_agg) over a
+    decimal-routed measure — decimal partial sums merge exactly across
+    salt buckets, so the salted plan hash-matches the straight oracle."""
+    from egal_yet_another_earthquake_project_spark.operators import skew
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("decimal(18,2)").alias("qty")
+    )
+    out = skew.salted_agg(li, ["l_returnflag"], ["qty"])
+    return out.select(
+        "l_returnflag", "n", F.col("sum_qty").cast("double").alias("sum_qty")
+    ).orderBy("l_returnflag")
+
+
+_SALTED_SUMS_ORACLE = """
+SELECT l_returnflag, count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "running_sum": q_running_sum,
     "sessionize": q_sessionize,
@@ -521,6 +561,8 @@ QUERIES = {
     "unpivot_stats": q_unpivot_stats,
     "ntile_bands": q_ntile_bands,
     "stratified_cap": q_stratified_cap,
+    "salted_group_counts": q_salted_group_counts,
+    "salted_sums": q_salted_sums,
 }
 
 ORACLES = {
@@ -540,4 +582,6 @@ ORACLES = {
     "unpivot_stats": _UNPIVOT_ORACLE,
     "ntile_bands": _NTILE_ORACLE,
     "stratified_cap": _STRATIFIED_ORACLE,
+    "salted_group_counts": _SALTED_COUNTS_ORACLE,
+    "salted_sums": _SALTED_SUMS_ORACLE,
 }
