@@ -15,6 +15,30 @@ from pyspark.sql import DataFrame, SparkSession
 TOPICS = ("earthquakeRaw", "earthquakeRawWeek", "electricRaw", "electricRawWeek")
 
 
+def kafka_source_options(
+    topic: str,
+    bootstrap_servers: str = "localhost:9092",
+    starting_offsets: str = "earliest",
+    fail_on_data_loss: bool = False,
+    ending_offsets: str | None = None,
+) -> dict[str, str]:
+    """The exact option set both Kafka readers hand the connector — a pure
+    function so the reader contract is testable without a broker (the
+    broker itself is absent in this container; the downstream envelope →
+    parse → publish cycle is covered by tests/test_kafka_contract.py).
+    The reference hardcodes four copies of these options
+    (/root/reference/eQRawToParquet.py:15-21)."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": str(fail_on_data_loss).lower(),
+    }
+    if ending_offsets is not None:
+        opts["endingOffsets"] = ending_offsets
+    return opts
+
+
 def read_kafka_stream(
     spark: SparkSession,
     topic: str,
@@ -26,10 +50,11 @@ def read_kafka_stream(
     (schemas.KAFKA_ENVELOPE)."""
     return (
         spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .option("failOnDataLoss", str(fail_on_data_loss).lower())
+        .options(
+            **kafka_source_options(
+                topic, bootstrap_servers, starting_offsets, fail_on_data_loss
+            )
+        )
         .load()
     )
 
@@ -40,10 +65,9 @@ def read_kafka_batch(
     """Batch (bounded) Kafka read — backfill path (ST4)."""
     return (
         spark.read.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", "earliest")
-        .option("endingOffsets", "latest")
+        .options(
+            **kafka_source_options(topic, bootstrap_servers, ending_offsets="latest")
+        )
         .load()
     )
 
