@@ -166,6 +166,75 @@ def jaccard_pairs(
     return out
 
 
+def simhash_neardup_pairs(
+    sigs: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    bits: int = 32,
+) -> DataFrame:
+    """Near-dup pairs from banded SimHash signatures (doc, simhash).
+
+    Pigeonhole banding (the classic simhash dedup trick, Manku et al.
+    WWW'07): split the ``bits``-bit signature into ``bands`` contiguous
+    slices. Two signatures within hamming distance ≤ bands−1 MUST agree
+    exactly on at least one slice, so candidates come from ``bands``
+    equi-joins on (band, slice) — never an all-pairs comparison — and
+    the exact ``bit_count(xor)`` verify runs on candidates only. Output:
+    (doc_a, doc_b, hamming) with doc_a < doc_b.
+
+    Exact (full recall) only while ``max_hamming ≤ bands − 1``; a larger
+    radius needs more bands or multi-slice probing, so it is rejected
+    rather than silently lossy.
+    """
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole guarantee "
+            f"of {bands} bands (≤ {bands - 1}); raise bands"
+        )
+    width = bits // bands
+    mask = (1 << width) - 1
+    slices = sigs.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("simhash", b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("slice"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "doc", "simhash", F.col("bk.band").alias("band"), F.col("bk.slice").alias("slice")
+    )
+    a = slices.alias("a")
+    b = slices.alias("b")
+    cands = (
+        a.join(b, on=["band", "slice"])
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,

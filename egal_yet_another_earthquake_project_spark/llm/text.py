@@ -215,6 +215,36 @@ def hamming64(a: Column | str, b: Column | str) -> Column:
     return F.bit_count(_c(a).bitwiseXOR(_c(b)))
 
 
+def simhash32_frame(
+    df: DataFrame, id_col: str, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(doc, simhash) frame of oracle-portable 32-bit SimHashes: bit i of
+    a shingle = parity of hex digit i of md5(shingle); per-bit majority
+    vote over the shingle multiset. Exists verbatim in any SQL engine
+    (the engine-native fast path is :func:`simhash64`). The shingle md5s
+    are materialized once behind a projection — the 32 per-bit aggregates
+    each reference that column (module CSE rule)."""
+    base = tokenized(df, text_col).select(
+        F.col(id_col).alias("doc"), shingles_of_tokens(F.col("_toks"), n).alias("_sh")
+    )
+    base = base.select(
+        "doc", F.transform(F.col("_sh"), lambda s: F.md5(s)).alias("_hs")
+    )
+    digits = F.col("_hs")
+    odd = ("1", "3", "5", "7", "9", "b", "d", "f")
+
+    def voter(bit: int):
+        return lambda acc, h: acc + F.when(
+            F.substring(h, bit + 1, 1).isin(*odd), 1
+        ).otherwise(-1)
+
+    out: Column = F.lit(0).cast("long")
+    for b in range(32):
+        votes = F.aggregate(digits, F.lit(0).cast("long"), voter(b))
+        out = out + F.when(votes >= 0, F.lit(1 << b)).otherwise(0)
+    return base.select("doc", out.alias("simhash"))
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str,

@@ -544,6 +544,116 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def q_orders_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS semi-join surface: orders having at least one returned line
+    item, counted per priority. leftsemi never multiplies rows and lets
+    Spark stop probing a key at first match — the right plan for EXISTS
+    at any scale (vs join+distinct, which pays the duplication)."""
+    orders = _t(spark, sf_dir, "orders")
+    returned = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "leftsemi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_SEMI_JOIN_ORACLE = """
+SELECT o_orderpriority, count(*) AS n FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS anti-join surface (TPC-H Q22's core shape): customers
+    with no urgent order, per market segment. The anti-join's probe-side
+    filter is pushed to the orders scan before the join builds."""
+    customer = _t(spark, sf_dir, "customer")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        customer.join(urgent, customer.c_custkey == urgent.o_custkey, "leftanti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .orderBy("c_mktsegment")
+    )
+
+
+_ANTI_JOIN_ORACLE = """
+SELECT c_mktsegment, count(*) AS n FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def q_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag/percent_rank window surface in one pass: per-user gap to
+    the previous event, the next event id, and the in-user value
+    percentile — two window specs sharing ONE shuffle (same partition
+    key), which is how a 100 TB engine stacks window functions."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wv = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).alias(
+            "gap_sec"
+        ),
+        F.lead("event_id").over(w).alias("next_event_id"),
+        F.round(F.percent_rank().over(wv), 4).alias("pr"),
+    )
+
+
+_EVENT_DELTAS_ORACLE = """
+SELECT event_id, user_id,
+       CAST(floor(epoch(ts)) AS BIGINT)
+         - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS gap_sec,
+       lead(event_id) OVER w AS next_event_id,
+       round(percent_rank() OVER
+             (PARTITION BY user_id ORDER BY value, event_id), 4) AS pr
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_replicated_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted replicate-broadcast join (operators/skew.replicate_broadcast_join)
+    hash-checked against the plain join oracle: for a skewed fact against
+    a dim too big to broadcast but cheap to replicate salt_buckets×, the
+    (key, salt) equi-join spreads each hot key over salt_buckets
+    partitions with identical results."""
+    from egal_yet_another_earthquake_project_spark.operators import skew
+
+    events = (
+        _t(spark, sf_dir, "events")
+        .withColumn("n_nationkey", (F.col("user_id") % 25).cast("int"))
+        .select("n_nationkey", "event_id")
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    out = skew.replicate_broadcast_join(events, nation, "n_nationkey", salt_buckets=8)
+    return out.groupBy("n_name").agg(F.count("*").alias("n")).orderBy("n_name")
+
+
+_REPLICATED_JOIN_ORACLE = """
+SELECT n_name, count(*) AS n
+FROM events e JOIN nation nt ON nt.n_nationkey = e.user_id % 25
+GROUP BY n_name ORDER BY n_name
+"""
+
+
 QUERIES = {
     "running_sum": q_running_sum,
     "sessionize": q_sessionize,
@@ -563,6 +673,10 @@ QUERIES = {
     "stratified_cap": q_stratified_cap,
     "salted_group_counts": q_salted_group_counts,
     "salted_sums": q_salted_sums,
+    "orders_with_returns": q_orders_with_returns,
+    "customers_without_orders": q_customers_without_orders,
+    "event_deltas": q_event_deltas,
+    "replicated_dim_join": q_replicated_dim_join,
 }
 
 ORACLES = {
@@ -584,4 +698,8 @@ ORACLES = {
     "stratified_cap": _STRATIFIED_ORACLE,
     "salted_group_counts": _SALTED_COUNTS_ORACLE,
     "salted_sums": _SALTED_SUMS_ORACLE,
+    "orders_with_returns": _SEMI_JOIN_ORACLE,
+    "customers_without_orders": _ANTI_JOIN_ORACLE,
+    "event_deltas": _EVENT_DELTAS_ORACLE,
+    "replicated_dim_join": _REPLICATED_JOIN_ORACLE,
 }

@@ -229,47 +229,61 @@ WHERE j.jaccard >= 0.7
 
 
 def q_simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracle-portable 32-bit SimHash: bit i of a shingle = parity of hex
-    digit i of md5(shingle); per-bit majority vote over the shingle
-    multiset. (The engine's fast path is llm.text.simhash64 / xxhash64.)"""
-    docs = _docs(spark, sf_dir)
-    # Materialize shingle hashes once — the 32 per-bit aggregates each
-    # reference this column; an inline expression would recompute
-    # tokenize+shingle+md5 32× per row.
-    base = ltx.tokenized(docs).select(
-        "doc_id", ltx.shingles_of_tokens(F.col("_toks"), 3).alias("_sh")
+    """Oracle-portable 32-bit SimHash (llm.text.simhash32_frame): bit i of
+    a shingle = parity of hex digit i of md5(shingle); per-bit majority
+    vote. (The engine's fast path is llm.text.simhash64 / xxhash64.)"""
+    return ltx.simhash32_frame(_docs(spark, sf_dir), "doc_id").select(
+        F.col("doc").alias("doc_id"), "simhash"
     )
-    base = base.select(
-        "doc_id", F.transform(F.col("_sh"), lambda s: F.md5(s)).alias("_hs")
-    )
-    digits = F.col("_hs")
-    odd = ("1", "3", "5", "7", "9", "b", "d", "f")
-
-    def voter(bit: int):
-        return lambda acc, h: acc + F.when(
-            F.substring(h, bit + 1, 1).isin(*odd), 1
-        ).otherwise(-1)
-
-    out: F.Column = F.lit(0).cast("long")
-    for b in range(32):
-        votes = F.aggregate(digits, F.lit(0).cast("long"), voter(b))
-        out = out + F.when(votes >= 0, F.lit(1 << b)).otherwise(0)
-    return base.select("doc_id", out.alias("simhash"))
 
 
-def _simhash32_sql() -> str:
+def _simhash32_terms() -> str:
     odd = "('1','3','5','7','9','b','d','f')"
-    terms = " + ".join(
+    return " + ".join(
         f"(CASE WHEN list_sum(list_transform(hs, "
         f"h -> CASE WHEN substring(h, {b + 1}, 1) IN {odd} THEN 1 ELSE -1 END)) >= 0 "
         f"THEN {1 << b} ELSE 0 END)"
         for b in range(32)
     )
+
+
+def _simhash32_sql() -> str:
     return f"""
 WITH base AS (
   SELECT doc_id, list_transform({_SHINGLES}, s -> md5(s)) AS hs FROM documents
 )
-SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM base
+SELECT doc_id, CAST({_simhash32_terms()} AS BIGINT) AS simhash FROM base
+"""
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-SimHash near-dup pairs (llm.dedup.simhash_neardup_pairs) on
+    the augmented corpus: pigeonhole banding makes candidates an equi-join
+    on (band, bit-slice), exact hamming verifies candidates only — the
+    Manku-style web-dedup shape at any corpus size."""
+    sigs = ltx.simhash32_frame(_aug_corpus(_docs(spark, sf_dir)), "doc_id")
+    return ldd.simhash_neardup_pairs(sigs, max_hamming=3, bands=4)
+
+
+def _simhash_neardup_sql() -> str:
+    return f"""
+WITH corpus AS ({_AUG_SQL}),
+base AS (
+  SELECT doc_id, list_transform({_SHINGLES}, s -> md5(s)) AS hs FROM corpus
+),
+sims AS (SELECT doc_id, CAST({_simhash32_terms()} AS BIGINT) AS simhash FROM base),
+sl AS (
+  SELECT doc_id, simhash, band, (simhash >> (8 * band)) & 255 AS slice
+  FROM sims CROSS JOIN (VALUES (0), (1), (2), (3)) AS bb(band)
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
+                  b.doc_id AS doc_b, b.simhash AS sim_b
+  FROM sl a JOIN sl b
+    ON a.band = b.band AND a.slice = b.slice AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+FROM cands WHERE bit_count(xor(sim_a, sim_b)) <= 3
 """
 
 
@@ -638,6 +652,7 @@ QUERIES = {
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash32": q_simhash32,
+    "simhash_neardup": q_simhash_neardup,
     "embedding_topk": q_embedding_topk,
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_neardup": q_embedding_neardup,
@@ -656,6 +671,7 @@ ORACLES = {
     "jaccard_pairs": _JACCARD_ORACLE,
     "minhash_lsh_pairs": _minhash_sql(),
     "simhash32": _simhash32_sql(),
+    "simhash_neardup": _simhash_neardup_sql(),
     "embedding_topk": _TOPK_ORACLE,
     "embedding_ivf_topk": _IVF_TOPK_ORACLE,
     "embedding_neardup": _NEARDUP_ORACLE,
