@@ -166,6 +166,37 @@ def jaccard_pairs(
     return out
 
 
+def contaminated_docs(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing ≥ ``min_overlap``
+    distinct n-gram shingles with ANY eval-set doc (the n-gram-overlap
+    contamination check every LLM training pipeline runs before using a
+    benchmark). Output: (doc, n_hits).
+
+    The eval side is tiny relative to the corpus by definition, so its
+    distinct shingle set is BROADCAST, and the corpus side stays the RAW
+    shingle explode (no corpus-wide distinct — that would shuffle the
+    whole shingle mass first): rows stream partition-parallel through the
+    broadcast hash join, and the only shuffle carries hit rows into a
+    per-doc count(DISTINCT shingle). At 100 TB the corpus is read once
+    and nothing corpus-sized moves.
+    """
+    ev = doc_shingle_sets(eval_docs, id_col, text_col, n).select("sh").distinct()
+    corp = exploded_shingles(corpus, id_col, text_col, n)
+    hits = corp.join(F.broadcast(ev), "sh")
+    return (
+        hits.groupBy("doc")
+        .agg(F.count_distinct("sh").alias("n_hits"))
+        .filter(F.col("n_hits") >= min_overlap)
+    )
+
+
 def simhash_neardup_pairs(
     sigs: DataFrame,
     max_hamming: int = 3,

@@ -287,6 +287,56 @@ FROM cands WHERE bit_count(xor(sim_a, sim_b)) <= 3
 """
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (llm.dedup.contaminated_docs): docs
+    sharing any 3-gram shingle with the held-out "eval set" (doc_id < 3
+    plays the benchmark), with the eval shingle set broadcast so the
+    corpus never shuffles before the per-doc count."""
+    docs = _docs(spark, sf_dir)
+    return ldd.contaminated_docs(
+        docs.filter(F.col("doc_id") >= 3),
+        docs.filter(F.col("doc_id") < 3),
+        "doc_id",
+    )
+
+
+_CONTAMINATION_ORACLE = f"""
+WITH ev AS (
+  SELECT DISTINCT unnest({_SHINGLES}) AS sh FROM documents WHERE doc_id < 3
+),
+corp AS (
+  SELECT DISTINCT doc_id AS doc, unnest({_SHINGLES}) AS sh
+  FROM documents WHERE doc_id >= 3
+)
+SELECT doc, count(*) AS n_hits
+FROM corp JOIN ev USING (sh)
+GROUP BY doc HAVING count(*) >= 1
+"""
+
+
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: token frequencies, top-20 with a total
+    order — the vocab-building pass of a tokenizer pipeline. Map-side
+    partial counts shrink the shuffle to the distinct vocabulary;
+    TakeOrderedAndProject keeps top-k heap-local (no global sort)."""
+    toks = ltx.tokenized(_docs(spark, sf_dir)).select(
+        F.explode("_toks").alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+_TOP_TOKENS_ORACLE = f"""
+SELECT token, count(*) AS n
+FROM (SELECT unnest({_TOKS}) AS token FROM documents) t
+GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------
@@ -653,6 +703,8 @@ QUERIES = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash32": q_simhash32,
     "simhash_neardup": q_simhash_neardup,
+    "contamination": q_contamination,
+    "top_tokens": q_top_tokens,
     "embedding_topk": q_embedding_topk,
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_neardup": q_embedding_neardup,
@@ -672,6 +724,8 @@ ORACLES = {
     "minhash_lsh_pairs": _minhash_sql(),
     "simhash32": _simhash32_sql(),
     "simhash_neardup": _simhash_neardup_sql(),
+    "contamination": _CONTAMINATION_ORACLE,
+    "top_tokens": _TOP_TOKENS_ORACLE,
     "embedding_topk": _TOPK_ORACLE,
     "embedding_ivf_topk": _IVF_TOPK_ORACLE,
     "embedding_neardup": _NEARDUP_ORACLE,

@@ -68,6 +68,23 @@ def test_top10_uses_partial_topk(spark):
     assert inspect.uses_take_ordered(_q(spark, "top10_orders"))
 
 
+def test_top_tokens_uses_partial_topk(spark):
+    assert inspect.uses_take_ordered(_q(spark, "top_tokens"))
+
+
+def test_contamination_broadcasts_eval_set(spark):
+    """The corpus side must stream through a broadcast join — a shuffled
+    join here would move the whole corpus shingle mass."""
+    assert inspect.uses_broadcast_join(_q(spark, "contamination"))
+
+
+def test_event_deltas_single_shuffle(spark):
+    """Two window specs share the user_id partitioning: one hash exchange
+    (plus sorts), not one per window."""
+    df = _q(spark, "event_deltas")
+    assert inspect.exchange_count(df) <= 1, inspect.formatted_plan(df)
+
+
 def test_flagship_single_shuffle(spark):
     # filter + groupBy + orderBy: one hash exchange (+1 range for the sort).
     df = _q(spark, "flagship_region_counts")
