@@ -45,6 +45,8 @@ HEADLINE = [
     # brute-force embedding_topk stays declared as the recall reference
     # but is not the headline plan.
     "embedding_ivf_topk",
+    "simhash_neardup",
+    "contamination",
     "revenue_by_region",
     "running_sum",
     "sessionize",

@@ -224,25 +224,35 @@ def simhash_neardup_pairs(
         )
     width = bits // bands
     mask = (1 << width) - 1
-    slices = sigs.select(
-        "doc",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftrightunsigned("simhash", b * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("slice"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(
-        "doc", "simhash", F.col("bk.band").alias("band"), F.col("bk.slice").alias("slice")
+    slices = (
+        sigs.select(
+            "doc",
+            "simhash",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftrightunsigned("simhash", b * width)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("slice"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        .select(
+            "doc",
+            "simhash",
+            F.col("bk.band").alias("band"),
+            F.col("bk.slice").alias("slice"),
+        )
+        .cache()
     )
+    # Materialize before the self-join (same rule as lsh_candidate_pairs):
+    # otherwise both join sides recompute the signature pipeline.
+    slices.count()
     a = slices.alias("a")
     b = slices.alias("b")
     cands = (
