@@ -77,6 +77,30 @@ def windowed_counts(
     )
 
 
+def session_windows(
+    stream: DataFrame,
+    event_time: str,
+    key_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming sessionization: per-key sessions that close after ``gap``
+    of inactivity (``F.session_window`` — dynamic-length windows the state
+    store merges as events arrive; the watermark bounds open-session
+    state). The batch twin is the lag-gap cumulative-sum formulation in
+    ``workloads_ext.q_sessionize`` — same session boundaries, oracle-
+    checked there; this is the live path."""
+    return (
+        stream.withWatermark(event_time, watermark)
+        .groupBy(F.session_window(event_time, gap), F.col(key_col))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(event_time).alias("first_event"),
+            F.max(event_time).alias("last_event"),
+        )
+    )
+
+
 def trailing_view(df: DataFrame, event_time: str, horizon: str) -> DataFrame:
     """ST3 as a view, not a second topic: the trailing-``horizon`` slice.
     On an ingest-date-partitioned archive this prunes to the recent

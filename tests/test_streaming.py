@@ -20,6 +20,7 @@ from egal_yet_another_earthquake_project_spark.streaming.bronze import archive_s
 from egal_yet_another_earthquake_project_spark.streaming.silver import (
     dedup_stream,
     parsed_stream,
+    session_windows,
     windowed_counts,
 )
 
@@ -206,3 +207,39 @@ def test_es_sink_idempotent_replay(spark, tmp_path: Path):
                 ids.append(rec["index"]["_id"])
     assert ids == ["7", "7"]  # same _id both replays → server-side upsert
     del seen
+
+
+def test_session_windows_close_on_watermark(spark, tmp_path: Path):
+    """Streaming sessionization (session_window state merge): sessions
+    split at >gap inactivity, close once the watermark passes their end,
+    and still-open sessions are NOT emitted in append mode."""
+    from datetime import datetime
+
+    from egal_yet_another_earthquake_project_spark.schemas import EVENTS
+
+    def ev(eid, hh, mm, uid):
+        return (eid, datetime(2023, 2, 6, hh, mm), uid, "click", 1.0, None)
+
+    rows = [
+        ev(1, 10, 0, 1), ev(2, 10, 10, 1),   # u1 session A (2 events)
+        ev(3, 11, 30, 1),                     # u1 session B (gap 80 min)
+        ev(4, 10, 5, 2), ev(5, 10, 20, 2), ev(6, 10, 45, 2),  # u2, one session
+        ev(7, 14, 0, 3),                      # watermark pusher; own session open
+    ]
+    src = tmp_path / "events"
+    spark.createDataFrame(rows, EVENTS).write.parquet(str(src))
+
+    stream = stream_parquet_dir(spark, str(src), EVENTS)
+    sessions = session_windows(stream, "ts", "user_id", gap="30 minutes",
+                               watermark="1 hour")
+    _run_stream_to_memory(sessions, "sessions_out", str(tmp_path / "ckpt"))
+
+    got = {
+        (r.user_id, r.n_events, r.first_event.minute, r.last_event.minute)
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    assert got == {
+        (1, 2, 0, 10),   # u1 session A: 10:00-10:10
+        (1, 1, 30, 30),  # u1 session B: 11:30
+        (2, 3, 5, 45),   # u2: 10:05-10:45 (gaps < 30 min merge)
+    }
