@@ -654,6 +654,79 @@ GROUP BY n_name ORDER BY n_name
 """
 
 
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14 shape: conditional aggregation (CASE inside SUM) over
+    lineitem ⋈ part — promo revenue share per ship month. part is
+    SF-proportional (200k×SF), so no broadcast hint; decimal routing
+    keeps the ratio exact across partitionings."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(3,0)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,2)"))).cast("double")
+                / F.sum(rev).cast("double"),
+                4,
+            ).alias("promo_pct"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+_PROMO_REVENUE_ORACLE = """
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE),
+             4) AS promo_pct,
+       count(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY ship_month ORDER BY ship_month
+"""
+
+
+def q_supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-side revenue rollup: lineitem ⋈ supplier ⋈ broadcast
+    nation. Covers the last unused tables so every table a reference
+    user has is queryable; supplier is SF-proportional (10k×SF) — AQE
+    picks that join."""
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(3,0)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n"))
+        .orderBy("n_name")
+    )
+
+
+_SUPPLIER_NATION_ORACLE = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       count(*) AS n
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
 QUERIES = {
     "running_sum": q_running_sum,
     "sessionize": q_sessionize,
@@ -677,6 +750,8 @@ QUERIES = {
     "customers_without_orders": q_customers_without_orders,
     "event_deltas": q_event_deltas,
     "replicated_dim_join": q_replicated_dim_join,
+    "promo_revenue": q_promo_revenue,
+    "supplier_nation_revenue": q_supplier_nation_revenue,
 }
 
 ORACLES = {
@@ -702,4 +777,6 @@ ORACLES = {
     "customers_without_orders": _ANTI_JOIN_ORACLE,
     "event_deltas": _EVENT_DELTAS_ORACLE,
     "replicated_dim_join": _REPLICATED_JOIN_ORACLE,
+    "promo_revenue": _PROMO_REVENUE_ORACLE,
+    "supplier_nation_revenue": _SUPPLIER_NATION_ORACLE,
 }
