@@ -174,6 +174,40 @@ def assign_cells(
     )
 
 
+def refine_centroids(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd refinement over a centroid init: assign every corpus vector
+    to its argmax-cosine cell, recompute each cell's element-wise mean —
+    the standard distributed k-means step (posexplode → (cell, pos)
+    average → re-assemble; two shuffles per iteration, all Catalyst).
+    Cells that lose every member drop out, as in any k-means.
+
+    The means use floating accumulation, so refined centroids are
+    partition-order dependent in the last ulp — use them for recall
+    (query-side), NOT inside oracle-hashed queries; the declared
+    ``embedding_ivf_topk`` stays on the deterministic sampled init.
+    """
+    for _ in range(iters):
+        assigned = assign_cells(corpus, centroids, 1, id_col, vec_col)
+        exploded = assigned.select(
+            "cell", F.posexplode(vec_col).alias("pos", "val")
+        )
+        means = exploded.groupBy("cell", "pos").agg(F.avg("val").alias("m"))
+        centroids = (
+            means.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "cell", F.transform("pm", lambda s: s["m"]).alias("cv")
+            )
+        )
+    return centroids
+
+
 def ivf_trained_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -182,6 +216,7 @@ def ivf_trained_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iters: int = 0,
 ) -> DataFrame:
     """End-to-end IVF ANN: sampled centroids → corpus assigned to its
     argmax cell (one shuffle, reusable across query batches) → queries
@@ -189,8 +224,12 @@ def ivf_trained_topk(
     on the cell id → exact cosine verify → top-k. Per (query, neighbor)
     at most one candidate row exists (a neighbor lives in exactly one
     cell), so no dedup is needed. Candidate mass ≈ nprobe/num_cells of
-    the corpus per query — the knob that buys recall with bounded cost."""
+    the corpus per query — the knob that buys recall with bounded cost.
+    ``refine_iters`` Lloyd steps sharpen the quantizer (see
+    :func:`refine_centroids` for the determinism caveat)."""
     cent = sample_centroids(corpus, num_cells, id_col, vec_col)
+    if refine_iters:
+        cent = refine_centroids(corpus, cent, refine_iters, id_col, vec_col)
     c = assign_cells(corpus, cent, 1, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv2"), "cell"
     )

@@ -53,18 +53,15 @@ def test_ivf_topk_subset_of_brute_force(spark):
         assert brute.get((r.query_id, r.neighbor_id)) == r.cos
 
 
-def test_ivf_trained_recall_on_clustered_data(spark):
-    """Trained-quantizer IVF recall@5 ≥ 0.95 vs brute force on clustered
-    vectors (what real embedding corpora look like — ANN recall is a
-    property of data structure; on isotropic noise no sublinear method
-    can beat nprobe/num_cells). 512 points in 16 deterministic clusters,
-    multi-probe nprobe=4 of 16 cells → 4× cheaper candidate mass than
-    brute force with near-exact recall."""
+def _clustered_corpus(spark, dim=32, n_clusters=16, per_cluster=32):
+    """512 unit vectors in 16 deterministic gaussian clusters — the shape
+    real embedding corpora have (ANN recall is a property of data
+    structure; on isotropic noise no sublinear method can beat
+    nprobe/num_cells)."""
     import math
     import random
 
     rng = random.Random(42)
-    dim, n_clusters, per_cluster = 32, 16, 32
     centers = [
         [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_clusters)
     ]
@@ -76,9 +73,19 @@ def test_ivf_trained_recall_on_clustered_data(spark):
             nrm = math.sqrt(sum(x * x for x in vec))
             rows.append((vid, [float(x / nrm) for x in vec], ci))
             vid += 1
-    corpus = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
-    queries = corpus.filter(F.col("vec_id") % 10 == 0)
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
 
+
+def _recall(brute, ivf):
+    return len(brute & ivf) / len(brute)
+
+
+def test_ivf_trained_recall_on_clustered_data(spark):
+    """Trained-quantizer IVF recall@5 ≥ 0.95 vs brute force on clustered
+    vectors: multi-probe nprobe=4 of 16 cells → 4× cheaper candidate mass
+    than brute force with near-exact recall."""
+    corpus = _clustered_corpus(spark)
+    queries = corpus.filter(F.col("vec_id") % 10 == 0)
     brute = {
         (r.query_id, r.neighbor_id)
         for r in lsim.brute_force_topk(queries, corpus, k=5).collect()
@@ -89,8 +96,32 @@ def test_ivf_trained_recall_on_clustered_data(spark):
             queries, corpus, k=5, num_cells=16, nprobe=4
         ).collect()
     }
-    recall = len(brute & ivf) / len(brute)
+    recall = _recall(brute, ivf)
     assert recall >= 0.95, f"recall@5 = {recall:.3f}"
+
+
+def test_lloyd_refinement_improves_recall(spark):
+    """One Lloyd step over the sampled init sharpens the quantizer enough
+    that SINGLE-probe recall crosses 0.95 (measured: 0.83 sampled → 0.96
+    refined) — the cheapest-possible query path becomes viable."""
+    corpus = _clustered_corpus(spark)
+    queries = corpus.filter(F.col("vec_id") % 10 == 0)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in lsim.brute_force_topk(queries, corpus, k=5).collect()
+    }
+
+    def ivf(refine):
+        return {
+            (r.query_id, r.neighbor_id)
+            for r in lsim.ivf_trained_topk(
+                queries, corpus, k=5, num_cells=16, nprobe=1, refine_iters=refine
+            ).collect()
+        }
+
+    sampled, refined = _recall(brute, ivf(0)), _recall(brute, ivf(1))
+    assert refined >= 0.95, f"refined recall@5 = {refined:.3f}"
+    assert refined > sampled, (refined, sampled)
 
 
 def test_ivf_trained_probe_all_matches_brute_force(spark):
