@@ -11,7 +11,18 @@ from egal_yet_another_earthquake_project_spark import workloads
 
 from tests.conftest import TESTDATA_SMOKE
 
-CHECKED = ["pricing_summary", "gap_series", "numeric_stats", "revenue_by_region"]
+CHECKED = [
+    "pricing_summary",
+    "gap_series",
+    "numeric_stats",
+    "revenue_by_region",
+    # round-2 partition-sensitive additions: salted decimal merges, the
+    # promo ratio, banded simhash, and the rounded-rank IVF path.
+    "salted_sums",
+    "promo_revenue",
+    "simhash_neardup",
+    "embedding_ivf_topk",
+]
 
 
 @pytest.mark.parametrize("name", CHECKED)
