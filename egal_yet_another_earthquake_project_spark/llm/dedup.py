@@ -7,13 +7,15 @@ All three scale paths avoid the O(n²) all-pairs trap:
 * **n-gram Jaccard** — inverted-index join: explode shingles, self-join on
   the shingle, count common shingles per pair, Jaccard from set sizes.
   Work is proportional to shared-shingle mass, not n².
-* **MinHash-LSH** — per-doc signature of k independent min-hashes, banded;
-  docs joining on a full band signature are candidates; verify candidates
-  with exact Jaccard. Hash = md5(seed‖shingle) with *lexicographic string
-  min*: a valid uniform min-hash that exists verbatim in every SQL engine,
-  so the whole pipeline is oracle-checkable (no Spark-only hash). Banding
-  is sized by :func:`plan_banding` (s-curve analysis); hot "stop
-  shingles" can be dropped from the pair joins via ``max_doc_freq``.
+* **MinHash-LSH** — per-doc signature of k min-hashes, banded; docs
+  joining on a full band signature are candidates; verify candidates
+  with exact Jaccard. Hashes = one md5-derived 32-bit base hash per
+  shingle, expanded to k values by fixed affine permutations
+  (a_i·h + b_i mod P — the datasketch construction): every operation
+  exists verbatim in any SQL engine, so the whole pipeline is
+  oracle-checkable (no Spark-only hash). Banding is sized by
+  :func:`plan_banding` (s-curve analysis); hot "stop shingles" can be
+  dropped from the pair joins via ``max_doc_freq``.
 
 References on the technique (public): Broder '97 min-wise hashing;
 Leskovec-Rajaraman-Ullman MMDS ch.3 banding analysis.
@@ -64,7 +66,6 @@ def plan_banding(
     return best
 
 
-#: Fixed, public seeds — one per minhash. Deterministic across runs/engines.
 #: 120 hashes banded 20×6 = plan_banding(120, 0.7): s-curve midpoint
 #: (1/20)^(1/6) ≈ 0.61 with recall 0.92 at jaccard 0.7 (the declared
 #: queries' verify threshold) and only a 27% candidate rate at 0.5 — vs
@@ -72,6 +73,33 @@ def plan_banding(
 #: sub-threshold pairs at corpus scale.
 DEFAULT_NUM_HASHES = 120
 DEFAULT_BANDS, DEFAULT_ROWS_PER_BAND = plan_banding(DEFAULT_NUM_HASHES, 0.7)
+
+#: Mersenne-prime modulus for the affine min-hash family. P = 2³¹−1 with
+#: the base hash reduced mod P FIRST: then a·h ≤ (P−1)² < 2⁶² fits signed
+#: 64-bit in either engine, and a·h spans ~a multiples of P, so the map
+#: genuinely permutes. (A large modulus with small ``a`` wraps only a few
+#: times — a near-monotone map whose argmin tracks the base hash, which
+#: correlates all k signatures; measured as an 80% candidate-recall
+#: cliff on a near-dup fixture before this was fixed.)
+MINHASH_P = (1 << 31) - 1
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Fixed, public (a, b) pairs for the Carter-Wegman affine family
+    g_i(h) = (a_i·h + b_i) mod P over ONE base hash per shingle — the
+    datasketch-style construction: pairwise-independent permutations are
+    enough for min-hashing, and hashing each shingle once instead of
+    per-hash digest work is the difference between O(shingles) and
+    O(k·shingles) md5 calls (30× fewer at k=120). Seeded PRNG ⇒
+    identical constants in the Spark expressions and the generated
+    oracle SQL."""
+    import random
+
+    rng = random.Random(20240813)
+    return [
+        (rng.randrange(1, MINHASH_P), rng.randrange(0, MINHASH_P))
+        for _ in range(num_hashes)
+    ]
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
@@ -283,37 +311,31 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = DEFAULT_NUM_HASHES,
 ) -> DataFrame:
-    """Per-doc MinHash signature columns mh0..mh{k-1}.
+    """Per-doc MinHash signature columns mh0..mh{k-1} (64-bit longs).
 
-    Hash = lexicographic min of md5(seed‖shingle) — a valid uniform
-    min-hash that exists verbatim in every SQL engine. Computed via
-    explode → groupBy(doc) with k ``min`` aggregates: the shingle array is
-    materialized ONCE (a per-row signature expression would re-derive it k
-    times — measured 50× slower), and partial map-side mins make the
-    shuffle carry only k hashes per doc.
+    One engine-portable base hash per shingle — the first 8 hex chars of
+    md5(shingle) as a 32-bit integer — then k affine permutations
+    g_i(h) = (a_i·h + b_i) mod P with fixed public coefficients
+    (:func:`minhash_coeffs`): min over shingles per permutation. Digest
+    work is O(shingles), not O(k·shingles). Computed via explode →
+    groupBy(doc) with k ``min`` aggregates; the base hash is MATERIALIZED
+    in a projection before the aggregate (codegen subexpression
+    elimination does not span aggregate expressions), and partial
+    map-side mins make the shuffle carry only k longs per doc.
     """
     exploded = exploded_shingles(df, id_col, text_col, n)
-    # k hashes from ceil(k/4) md5 digests: disjoint 8-hex-char (32-bit)
-    # chunks of md5(seed‖shingle) are independent enough for min-hashing
-    # and cost 4× fewer digest computations than one md5 per hash. The
-    # digests are MATERIALIZED in a projection before the aggregate:
-    # codegen's subexpression elimination does not span the k aggregate
-    # expressions, so an inline form recomputes each md5 4× (measured
-    # 3.4× slower at k=120). Partial map-side mins still make the shuffle
-    # carry only k 8-char hashes per doc.
-    n_digests = (num_hashes + 3) // 4
-    digests = exploded.select(
+    based = exploded.select(
         "doc",
-        *[
-            F.md5(F.concat(F.lit(f"mh{j}|"), F.col("sh"))).alias(f"_d{j}")
-            for j in range(n_digests)
-        ],
+        (
+            F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long")
+            % F.lit(MINHASH_P)
+        ).alias("_h"),
     )
     aggs = [
-        F.min(F.substring(F.col(f"_d{i // 4}"), (i % 4) * 8 + 1, 8)).alias(f"mh{i}")
-        for i in range(num_hashes)
+        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
-    return digests.groupBy("doc").agg(*aggs)
+    return based.groupBy("doc").agg(*aggs)
 
 
 def lsh_candidate_pairs(

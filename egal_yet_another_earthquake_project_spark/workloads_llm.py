@@ -196,12 +196,11 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_sql() -> str:
     k, bands = ldd.DEFAULT_NUM_HASHES, ldd.DEFAULT_BANDS
     rpb = k // bands
-    # chunked-digest hashes, mirroring llm.dedup.minhash_signatures:
-    # hash i = 8-hex chunk (i%4) of md5('mh{i//4}|' || shingle)
+    # affine family over one md5-derived base hash per shingle, mirroring
+    # llm.dedup.minhash_signatures: mh_i = min((a_i*h + b_i) % P)
     mh_cols = ", ".join(
-        f"list_min(list_transform({_SHINGLES}, "
-        f"s -> substring(md5('mh{i // 4}|' || s), {(i % 4) * 8 + 1}, 8))) AS mh{i}"
-        for i in range(k)
+        f"list_min(list_transform(hv, h -> ({a} * h + {b}) % {ldd.MINHASH_P})) AS mh{i}"
+        for i, (a, b) in enumerate(ldd.minhash_coeffs(k))
     )
     band_rows = " UNION ALL ".join(
         "SELECT doc, {b} AS band, {sig} AS sig FROM sigs".format(
@@ -214,7 +213,14 @@ def _minhash_sql() -> str:
     )
     return f"""
 WITH corpus AS ({_AUG_SQL}),
-sigs AS (SELECT doc_id AS doc, {mh_cols} FROM corpus),
+based AS (
+  SELECT doc_id AS doc,
+         list_transform({_SHINGLES},
+                        s -> CAST('0x' || substring(md5(s), 1, 8) AS BIGINT)
+                             % {ldd.MINHASH_P}) AS hv
+  FROM corpus
+),
+sigs AS (SELECT doc, {mh_cols} FROM based),
 bandkeys AS ({band_rows}),
 cands AS (
   SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
