@@ -496,17 +496,20 @@ _BASE_ORACLES: dict[str, str] = {
 from egal_yet_another_earthquake_project_spark import (  # noqa: E402
     workloads_ext,
     workloads_llm,
+    workloads_tpch,
 )
 
 QUERIES: dict[str, QueryFn] = {
     **_BASE_QUERIES,
     **workloads_llm.QUERIES,
     **workloads_ext.QUERIES,
+    **workloads_tpch.QUERIES,
 }
 ORACLES: dict[str, str] = {
     **_BASE_ORACLES,
     **workloads_llm.ORACLES,
     **workloads_ext.ORACLES,
+    **workloads_tpch.ORACLES,
 }
 
 

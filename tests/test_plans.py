@@ -115,10 +115,19 @@ def test_whole_stage_codegen_active(spark):
 
 
 #: Queries whose cross/nested-loop join is intentional: the brute-force
-#: similarity baselines broadcast one tiny side by design, and IVF's
+#: similarity baselines broadcast one tiny side by design, IVF's
 #: centroid assignment scores rows against a broadcast ≤num_cells-row
-#: centroid table (bounded by a parameter, not by data size).
-_ALLOWED_NESTED_LOOP = {"embedding_topk", "trailing_week", "embedding_ivf_topk"}
+#: centroid table (bounded by a parameter, not by data size), and the
+#: Q11/Q22-shaped global-scalar thresholds broadcast a ONE-row aggregate
+#: (sum/count over the whole input collapses to a single row before the
+#: join, so the "cartesian" fans out 1×n — a scan, not a cliff).
+_ALLOWED_NESTED_LOOP = {
+    "embedding_topk",
+    "trailing_week",
+    "embedding_ivf_topk",
+    "top_parts_by_value",
+    "acctbal_opportunity",
+}
 
 
 def test_no_accidental_cartesian_products(spark):
@@ -132,3 +141,40 @@ def test_no_accidental_cartesian_products(spark):
         if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
             offenders[name] = True
     assert not offenders, f"nested-loop plans in: {sorted(offenders)}"
+
+
+def test_nation_trade_broadcasts_only_nations(spark):
+    """Q7 shape: the two nation lookups are broadcast; the SF-proportional
+    sides (orders, customer, supplier) must NOT be hint-broadcast in the
+    static plan (AQE may still promote them at runtime from observed
+    sizes, which is fine — a hint would force it at any scale)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = _q(spark, "nation_trade_volume")
+        nodes = inspect.join_key_nodes(df)
+        bcast = [k for n, k in nodes if n == "BroadcastHashJoin"]
+        shuffled = [k for n, k in nodes if n in ("SortMergeJoin", "ShuffledHashJoin")]
+        assert len(bcast) == 2 and all(
+            "_ck" in k or "_sk" in k for k in bcast
+        ), nodes
+        # orders/customer/supplier joins stay shuffle joins without a hint.
+        assert len(shuffled) == 3, nodes
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_large_orders_limit_is_partial_topk(spark):
+    """Q18 shape: the final ORDER BY ... LIMIT compiles to
+    TakeOrderedAndProject (per-partition top-k + driver merge), never a
+    global sort."""
+    assert inspect.uses_take_ordered(_q(spark, "large_orders"))
+
+
+def test_small_quantity_agg_reuses_partkey_exchange(spark):
+    """Q17 shape: the per-part aggregate and the join probe hash on the
+    same key (l_partkey); the plan needs at most 3 exchanges (two scan
+    sides + final single-row agg), proving the grouped side is not
+    re-shuffled after aggregation."""
+    n = inspect.exchange_count(_q(spark, "small_quantity_revenue"))
+    assert n <= 3, n
