@@ -54,6 +54,13 @@ HEADLINE = [
     "returned_revenue",
     "curation_pipeline",
     "event_electric_correlation",
+    # round-2 additions: decision-support join shapes + corpus passes.
+    "nation_trade_volume",
+    "order_count_distribution",
+    "large_orders",
+    "doc_chunks",
+    "repetition_profile",
+    "bm25_search",
 ]
 
 

@@ -320,3 +320,96 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         _lang_id_of(toks).alias("lang_guess"),
         F.md5(norm).alias("fingerprint"),
     )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    size: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap
+    (stride < size) — the chunking pass that turns long documents into
+    training-context-sized pieces. Pure Catalyst: chunk starts come from
+    ``sequence`` over the materialized token array and fan out via
+    ``posexplode``, so the operator is embarrassingly partition-parallel
+    (no shuffle at all; output co-partitioned with input docs).
+
+    A document with no tokens yields one empty chunk (chunk_id 0) so every
+    input id survives into the output — droppable downstream by
+    ``n_chunk_tokens > 0``.
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    base = tokenized(df, text_col)
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("_toks") - 1, F.lit(0)), F.lit(stride)
+    )
+    exploded = base.select(
+        F.col(id_col),
+        F.col("_toks"),
+        F.posexplode(starts).alias("chunk_id", "chunk_start"),
+    )
+    piece = F.slice(F.col("_toks"), F.col("chunk_start") + 1, size)
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        "chunk_start",
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).alias("n_chunk_tokens"),
+    )
+
+
+def repetition_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document: distinct-token and
+    distinct-bigram ratios plus the mass fraction of the single most
+    frequent token/bigram. High top-fractions or low distinct ratios mark
+    boilerplate and degenerate (looping) text.
+
+    One shuffle does all four signals: tokens and bigrams are tagged
+    ('t|' / 'b|') into ONE exploded gram stream, counted per (doc, gram),
+    then folded per doc with conditional aggregates — instead of two
+    separate explode+group pipelines over the same text.
+    """
+    base = tokenized(df, text_col)
+    toks = F.col("_toks")
+    bigrams = shingles_of_tokens(toks, 2)
+    grams = base.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.concat(
+                F.transform(toks, lambda t: F.concat(F.lit("t|"), t)),
+                F.transform(bigrams, lambda b: F.concat(F.lit("b|"), b)),
+            )
+        ).alias("gram"),
+    )
+    counts = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
+    is_tok = F.col("gram").startswith("t|")
+    tok_cnt = F.when(is_tok, F.col("cnt")).otherwise(0)
+    big_cnt = F.when(is_tok, 0).otherwise(F.col("cnt"))
+    folded = counts.groupBy("doc_id").agg(
+        F.sum(tok_cnt).alias("_tt"),
+        F.sum(F.when(is_tok, 1).otherwise(0)).alias("_td"),
+        F.max(tok_cnt).alias("_tm"),
+        F.sum(big_cnt).alias("_bt"),
+        F.sum(F.when(is_tok, 0).otherwise(1)).alias("_bd"),
+        F.max(big_cnt).alias("_bm"),
+    )
+
+    def ratio(num: Column, den: Column) -> Column:
+        return F.round(
+            F.when(den == 0, F.lit(0.0)).otherwise(num.cast("double") / den), 4
+        )
+
+    return folded.select(
+        "doc_id",
+        F.col("_tt").alias("n_tokens"),
+        ratio(F.col("_td"), F.col("_tt")).alias("distinct_token_ratio"),
+        ratio(F.col("_tm"), F.col("_tt")).alias("top_token_frac"),
+        F.col("_bt").alias("n_bigrams"),
+        ratio(F.col("_bd"), F.col("_bt")).alias("distinct_bigram_ratio"),
+        ratio(F.col("_bm"), F.col("_bt")).alias("top_bigram_frac"),
+    )

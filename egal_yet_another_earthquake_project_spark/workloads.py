@@ -494,6 +494,7 @@ _BASE_ORACLES: dict[str, str] = {
 # multimodal) and the extended OLAP/window workload. Imported late to keep
 # module init cheap and cycle-free.
 from egal_yet_another_earthquake_project_spark import (  # noqa: E402
+    workloads_corpus,
     workloads_ext,
     workloads_llm,
     workloads_tpch,
@@ -504,12 +505,14 @@ QUERIES: dict[str, QueryFn] = {
     **workloads_llm.QUERIES,
     **workloads_ext.QUERIES,
     **workloads_tpch.QUERIES,
+    **workloads_corpus.QUERIES,
 }
 ORACLES: dict[str, str] = {
     **_BASE_ORACLES,
     **workloads_llm.ORACLES,
     **workloads_ext.ORACLES,
     **workloads_tpch.ORACLES,
+    **workloads_corpus.ORACLES,
 }
 
 

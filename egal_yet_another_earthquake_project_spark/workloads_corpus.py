@@ -1,0 +1,155 @@
+"""Corpus-preparation workload: chunking, repetition profiling, and BM25
+keyword search over the documents table — the remaining passes a
+training-data pipeline runs between raw text and training shards, each
+oracle-paired.
+
+Oracles share the exact normalization/tokenization SQL with
+``workloads_llm`` (imported, not re-derived) so Spark and DuckDB split
+text identically on any input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from egal_yet_another_earthquake_project_spark.llm import search as lsrch
+from egal_yet_another_earthquake_project_spark.llm import text as ltx
+from egal_yet_another_earthquake_project_spark.sources.files import read_table
+from egal_yet_another_earthquake_project_spark.workloads_llm import _NORM, _TOKS
+
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24
+
+#: Fixed probe terms for the declared BM25 query — high-frequency corpus
+#: vocabulary so every scale factor produces a meaningful ranking.
+BM25_TERMS = ("join", "hash", "scan", "filter")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents")
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (size 32, stride 24): the
+    long-document → context-window pass. Shuffle-free — output rows stay
+    co-partitioned with their source documents."""
+    return ltx.chunk_tokens(
+        _docs(spark, sf_dir), size=CHUNK_SIZE, stride=CHUNK_STRIDE
+    )
+
+
+_DOC_CHUNKS_ORACLE = f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+starts AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CASE WHEN len(toks) = 0 THEN 1 ELSE len(toks) END,
+                      {CHUNK_STRIDE})) AS start
+  FROM base
+)
+SELECT doc_id,
+       CAST(start // {CHUNK_STRIDE} AS INTEGER) AS chunk_id,
+       CAST(start AS INTEGER) AS chunk_start,
+       array_to_string(toks[start + 1 : start + {CHUNK_SIZE}], ' ') AS chunk_text,
+       CAST(len(toks[start + 1 : start + {CHUNK_SIZE}]) AS INTEGER)
+         AS n_chunk_tokens
+FROM starts
+"""
+
+
+def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ltx.repetition_profile(_docs(spark, sf_dir))
+
+
+# Bigrams with the same <2-token degenerate case as shingles_of_tokens.
+_BIGRAMS = f"""
+    CASE WHEN len({_TOKS}) < 2 THEN [array_to_string({_TOKS}, ' ')]
+         ELSE list_transform(range(0, len({_TOKS}) - 1),
+                             i -> array_to_string(({_TOKS})[i+1:i+2], ' '))
+    END
+"""
+
+_REPETITION_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id,
+         unnest(list_concat(
+           list_transform({_TOKS}, t -> 't|' || t),
+           list_transform({_BIGRAMS}, b -> 'b|' || b))) AS gram
+  FROM documents
+), c AS (
+  SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram
+), f AS (
+  SELECT doc_id,
+         sum(CASE WHEN gram LIKE 't|%' THEN cnt ELSE 0 END) AS tt,
+         sum(CASE WHEN gram LIKE 't|%' THEN 1 ELSE 0 END) AS td,
+         max(CASE WHEN gram LIKE 't|%' THEN cnt ELSE 0 END) AS tm,
+         sum(CASE WHEN gram LIKE 't|%' THEN 0 ELSE cnt END) AS bt,
+         sum(CASE WHEN gram LIKE 't|%' THEN 0 ELSE 1 END) AS bd,
+         max(CASE WHEN gram LIKE 't|%' THEN 0 ELSE cnt END) AS bm
+  FROM c GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(tt AS BIGINT) AS n_tokens,
+       round(CASE WHEN tt = 0 THEN 0.0 ELSE CAST(td AS DOUBLE) / tt END, 4)
+         AS distinct_token_ratio,
+       round(CASE WHEN tt = 0 THEN 0.0 ELSE CAST(tm AS DOUBLE) / tt END, 4)
+         AS top_token_frac,
+       CAST(bt AS BIGINT) AS n_bigrams,
+       round(CASE WHEN bt = 0 THEN 0.0 ELSE CAST(bd AS DOUBLE) / bt END, 4)
+         AS distinct_bigram_ratio,
+       round(CASE WHEN bt = 0 THEN 0.0 ELSE CAST(bm AS DOUBLE) / bt END, 4)
+         AS top_bigram_frac
+FROM f
+"""
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 BM25 ranking for the fixed probe terms; ranked on the
+    ROUNDED score with doc_id as tiebreak so the cut is stable across
+    engines and partitionings."""
+    return (
+        lsrch.bm25_scores(_docs(spark, sf_dir), BM25_TERMS)
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(20)
+    )
+
+
+_BM25_ORACLE = f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+lens AS (SELECT doc_id, len(toks) AS dl FROM base),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM base)
+  WHERE term IN ('join', 'hash', 'scan', 'filter')
+  GROUP BY doc_id, term
+),
+stats AS (SELECT sum(dl) AS sdl, count(*) AS ndocs FROM lens),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT doc_id,
+       round(sum(
+         ln((ndocs - df + 0.5) / (df + 0.5) + 1.0)
+         * (tf * 2.2)
+         / (tf + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * ndocs / sdl)))
+       ), 4) AS score,
+       count(*) AS n_terms
+FROM tf
+JOIN lens USING (doc_id)
+JOIN dfreq USING (term)
+CROSS JOIN stats
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT 20
+"""
+
+
+QUERIES = {
+    "doc_chunks": q_doc_chunks,
+    "repetition_profile": q_repetition_profile,
+    "bm25_search": q_bm25_search,
+}
+
+ORACLES = {
+    "doc_chunks": _DOC_CHUNKS_ORACLE,
+    "repetition_profile": _REPETITION_ORACLE,
+    "bm25_search": _BM25_ORACLE,
+}

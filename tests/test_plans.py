@@ -127,6 +127,9 @@ _ALLOWED_NESTED_LOOP = {
     "embedding_ivf_topk",
     "top_parts_by_value",
     "acctbal_opportunity",
+    # BM25 joins the one-row global (N, Σdl) statistics frame into the
+    # query-term postings — 1×n broadcast, bounded by construction.
+    "bm25_search",
 }
 
 
@@ -178,3 +181,24 @@ def test_small_quantity_agg_reuses_partkey_exchange(spark):
     re-shuffled after aggregation."""
     n = inspect.exchange_count(_q(spark, "small_quantity_revenue"))
     assert n <= 3, n
+
+
+def test_doc_chunks_is_shuffle_free(spark):
+    """Chunking must stay co-partitioned with its input — an exchange here
+    would shuffle the full corpus text for a per-row transform."""
+    assert inspect.exchange_count(_q(spark, "doc_chunks")) == 0
+
+
+def test_bm25_filters_terms_before_shuffle(spark):
+    """The query-term filter must land under the postings shuffle: the
+    exchanged frame carries only matching (doc, term) rows, never the
+    whole token stream."""
+    import re
+
+    plan = inspect.formatted_plan(_q(spark, "bm25_search"))
+    # Node ids number bottom-up: the IN-filter must sit DIRECTLY on the
+    # explode Generate node (id + 1), i.e. below the postings shuffle.
+    filt = re.search(r"\((\d+)\) Filter\nInput.*\nCondition :.*IN \(join", plan)
+    assert filt, plan[:2000]
+    gens = {int(m.group(1)) for m in re.finditer(r"\((\d+)\) Generate", plan)}
+    assert int(filt.group(1)) - 1 in gens, (filt.group(1), gens)
