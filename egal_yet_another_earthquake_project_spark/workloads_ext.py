@@ -727,6 +727,36 @@ GROUP BY n_name ORDER BY n_name
 """
 
 
+def q_trailing_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window (not ROWS): per event, count and max over the
+    user's trailing hour. RANGE BETWEEN over the epoch-seconds order key
+    is the shape sliding-window feature pipelines use; only order-free
+    aggregates (count/max) appear so results are partition-invariant
+    without decimal routing."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_hour"),
+        F.max("value").over(w).alias("max_hour"),
+    )
+
+
+_TRAILING_HOUR_ORACLE = """
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_hour,
+       max(value) OVER w AS max_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "running_sum": q_running_sum,
     "sessionize": q_sessionize,
@@ -752,6 +782,7 @@ QUERIES = {
     "replicated_dim_join": q_replicated_dim_join,
     "promo_revenue": q_promo_revenue,
     "supplier_nation_revenue": q_supplier_nation_revenue,
+    "trailing_hour_stats": q_trailing_hour_stats,
 }
 
 ORACLES = {
@@ -779,4 +810,5 @@ ORACLES = {
     "replicated_dim_join": _REPLICATED_JOIN_ORACLE,
     "promo_revenue": _PROMO_REVENUE_ORACLE,
     "supplier_nation_revenue": _SUPPLIER_NATION_ORACLE,
+    "trailing_hour_stats": _TRAILING_HOUR_ORACLE,
 }

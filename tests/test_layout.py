@@ -1,0 +1,119 @@
+"""Z-order layout tests: Morton key correctness and the property the
+layout exists for — file-level min/max pruning on BOTH dimensions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from egal_yet_another_earthquake_project_spark.sinks import layout
+from egal_yet_another_earthquake_project_spark.sources.files import read_table
+
+from tests.conftest import TESTDATA_SMOKE
+
+
+def _py_spread(v: int) -> int:
+    out = 0
+    for i in range(16):
+        out |= ((v >> i) & 1) << (2 * i)
+    return out
+
+
+def test_zorder_key_matches_reference_interleave(spark):
+    rows = [(a, b) for a in (0, 1, 5, 170, 255) for b in (0, 3, 128, 255)]
+    df = spark.createDataFrame(rows, "a int, b int")
+    got = {
+        (r.a, r.b): r.k
+        for r in df.withColumn("k", layout.zorder_key(["a", "b"])).collect()
+    }
+    for a, b in rows:
+        assert got[(a, b)] == _py_spread(a) | (_py_spread(b) << 1), (a, b)
+
+
+def test_zorder_key_requires_two_dims(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        layout.zorder_key(["a"])
+
+
+def _file_ranges(spark, path, col):
+    df = spark.read.parquet(path).withColumn("_f", F.input_file_name())
+    return (
+        df.groupBy("_f")
+        .agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+        .collect()
+    )
+
+
+def _overlap_fraction(ranges, lo, hi):
+    n = len(ranges)
+    hit = sum(1 for r in ranges if r.hi >= lo and r.lo <= hi)
+    return hit / n
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    """After a Z-order rewrite on (user_id, value), a narrow band filter
+    on EITHER column must skip files via min/max ranges; a plain
+    single-column sort only prunes its own column."""
+    events = read_table(spark, TESTDATA_SMOKE, "events").select("user_id", "value")
+    zpath = str(tmp_path / "z")
+    spath = str(tmp_path / "s")
+    layout.write_zordered(events, zpath, ["user_id", "value"], num_files=8)
+
+    # Baseline: range-sorted by user_id only.
+    (
+        events.repartitionByRange(8, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+
+    stats = events.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).first()
+    u_band = (stats[0], stats[0] + (stats[1] - stats[0]) * 0.08)
+    v_band = (stats[2], stats[2] + (stats[3] - stats[2]) * 0.08)
+
+    z_user = _overlap_fraction(_file_ranges(spark, zpath, "user_id"), *u_band)
+    z_val = _overlap_fraction(_file_ranges(spark, zpath, "value"), *v_band)
+    s_val = _overlap_fraction(_file_ranges(spark, spath, "value"), *v_band)
+
+    # Both z-ordered dims prune: a narrow band never touches all files.
+    assert z_user <= 0.75, z_user
+    assert z_val <= 0.75, z_val
+    # The single-sorted layout cannot prune its unsorted dimension.
+    assert s_val > z_val, (s_val, z_val)
+    # Row counts survive the rewrite.
+    assert spark.read.parquet(zpath).count() == events.count()
+
+
+def test_zordered_files_have_disjoint_key_ranges(spark, tmp_path):
+    """repartitionByRange guarantees disjoint per-file Morton key ranges —
+    the precondition for file-level pruning. Recompute the key from the
+    written data and check the ranges don't interleave."""
+    events = read_table(spark, TESTDATA_SMOKE, "events").select("user_id", "value")
+    zpath = str(tmp_path / "z2")
+    # Same pipeline as write_zordered but KEEPING the key column, so the
+    # check uses the exact keys the range partitioner saw (re-bucketing
+    # after read-back could draw slightly different sketch boundaries).
+    keyed = layout.with_rank_buckets(events, ["user_id", "value"]).withColumn(
+        "_zkey", layout.zorder_key(["_rb_user_id", "_rb_value"])
+    )
+    (
+        keyed.repartitionByRange(4, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .write.mode("overwrite")
+        .parquet(zpath)
+    )
+    ranges = sorted(
+        spark.read.parquet(zpath)
+        .withColumn("_f", F.input_file_name())
+        .groupBy("_f")
+        .agg(F.min("_zkey").alias("lo"), F.max("_zkey").alias("hi"))
+        .collect(),
+        key=lambda r: r.lo,
+    )
+    for prev, nxt in zip(ranges, ranges[1:]):
+        # Boundary keys may repeat across adjacent files (ties in the
+        # range partitioner); strict interleaving may not.
+        assert nxt.lo >= prev.hi, (prev, nxt)

@@ -81,3 +81,26 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_approx_sketches_track_exact(spark):
+    """Sketch aggregates (HLL distinct, approx_percentile) are the
+    100 TB substitutes for exact distinct/percentile when the answer
+    feeds a dashboard, not an oracle — assert they stay inside their
+    documented error envelopes on real data."""
+    from pyspark.sql import functions as F
+
+    from egal_yet_another_earthquake_project_spark.sources.files import read_table
+    from tests.conftest import TESTDATA_SMOKE
+
+    ev = read_table(spark, TESTDATA_SMOKE, "events")
+    exact = ev.select(F.countDistinct("user_id")).first()[0]
+    approx = ev.select(F.approx_count_distinct("user_id", 0.02)).first()[0]
+    assert abs(approx - exact) <= max(1.0, 0.05 * exact), (approx, exact)
+
+    row = ev.select(
+        F.expr("percentile(value, 0.45)").alias("lo"),
+        F.expr("percentile(value, 0.55)").alias("hi"),
+        F.expr("approx_percentile(value, 0.5, 1000)").alias("ap"),
+    ).first()
+    assert row.lo <= row.ap <= row.hi, row
