@@ -58,3 +58,22 @@ def correlate_streams(
         & F.expr(f"{tick_ts} BETWEEN {event_ts} - {tol} AND {event_ts} + {tol}")
     )
     return e.join(t, on=cond, how="inner").drop("_bkt")
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension enrichment (SURVEY J2 in its streaming
+    form): every micro-batch joins against the static dim with an
+    explicit broadcast, so enrichment never shuffles the stream — the
+    dim ships to executors once per batch and the join is map-side.
+
+    The static side is re-read per micro-batch by Spark, which is what
+    makes slowly-changing dims pick up updates without restarting the
+    query; `how="left"` keeps events whose key has no dim row yet
+    (emitted with nulls, the streaming-safe default).
+    """
+    return stream.join(F.broadcast(dim), on=on, how=how)

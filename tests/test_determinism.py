@@ -22,6 +22,15 @@ CHECKED = [
     "promo_revenue",
     "simhash_neardup",
     "embedding_ivf_topk",
+    # this session's partition-sensitive additions: decimal thresholds
+    # against global scalars, the BM25 float pipeline, nation-pair
+    # decimal rollup.
+    "top_parts_by_value",
+    "acctbal_opportunity",
+    "small_quantity_revenue",
+    "nation_trade_volume",
+    "bm25_search",
+    "repetition_profile",
 ]
 
 

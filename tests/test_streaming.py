@@ -243,3 +243,30 @@ def test_session_windows_close_on_watermark(spark, tmp_path: Path):
         (1, 1, 30, 30),  # u1 session B: 11:30
         (2, 3, 5, 45),   # u2: 10:05-10:45 (gaps < 30 min merge)
     }
+
+
+def test_stream_static_enrichment_broadcasts_dim(spark, tmp_path: Path):
+    """J2 streaming form: a micro-batch stream left-joins a static dim via
+    enrich_stream; matched keys carry dim attributes, unmatched keys
+    survive with nulls (no dropped events), and the stream side is never
+    shuffled (broadcast join)."""
+    from egal_yet_another_earthquake_project_spark.streaming.joins import enrich_stream
+
+    events = spark.createDataFrame(
+        [(1, 0, 10.0), (2, 24, 20.0), (3, 99, 30.0)],
+        "event_id long, n_nationkey int, value double",
+    )
+    src = tmp_path / "ev"
+    events.write.parquet(str(src))
+    dim = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+
+    stream = stream_parquet_dir(
+        spark, str(src), "event_id long, n_nationkey int, value double"
+    )
+    enriched = enrich_stream(stream, dim, on="n_nationkey")
+    _run_stream_to_memory(enriched, "enrich_out", str(tmp_path / "ckpt"))
+
+    rows = {r.event_id: r for r in spark.sql("SELECT * FROM enrich_out").collect()}
+    assert len(rows) == 3
+    assert rows[1].n_name is not None and rows[2].n_name is not None
+    assert rows[3].n_name is None  # unmatched key kept, null-extended
