@@ -1,0 +1,87 @@
+"""Unigram language-model scoring — the cheap perplexity proxy a
+curation pipeline uses to rank documents by "surprisal" before the
+expensive model-based filters run.
+
+Model: add-one-smoothed corpus unigram frequencies; score: per-document
+mean negative log-likelihood (mean over token INSTANCES, i.e. weighted
+by term frequency). High NLL = rare-token-heavy document (gibberish,
+boilerplate with IDs, wrong-language fragments); low NLL =
+head-vocabulary prose.
+
+Scale shape (the part that matters at 100 TB):
+
+- The (doc, token) stream is collapsed to per-doc TERM FREQUENCIES
+  first (map-side partial aggregation on a near-unique composite key),
+  so the join against the vocabulary sees distinct (doc, token) pairs —
+  orders of magnitude smaller than the raw token stream, and the
+  Zipf-head tokens ("the") fan out to at most one row per document
+  rather than one per occurrence.
+- The vocabulary is corpus-derived (token, count) — Zipf-skewed on the
+  join key but tiny per entry; AQE's skew-join split handles the head.
+  The N/V totals are a one-row aggregate, broadcast.
+- Everything is built-in-function arithmetic over longs/doubles; no UDF.
+
+No counterpart in the reference (structured sensor data); part of the
+LLM-pipeline layer. Tokenization is shared with :mod:`llm.text` so the
+DuckDB oracle splits identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from egal_yet_another_earthquake_project_spark.llm import text as ltx
+
+
+def term_frequencies(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, tok, tf) — per-document term frequencies via the materialized
+    tokens column (empty/blank docs contribute no rows)."""
+    base = ltx.tokenized(df, text_col)
+    return (
+        base.select(F.col(id_col), F.explode("_toks").alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def unigram_vocab(tf: DataFrame) -> DataFrame:
+    """(tok, cnt) corpus counts from a term-frequency frame."""
+    return tf.groupBy("tok").agg(F.sum("tf").alias("cnt"))
+
+
+def doc_nll(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document add-one-smoothed unigram NLL.
+
+    nll(d) = Σ_t tf(d,t) · −ln((cnt(t)+1)/(N+V)) / Σ_t tf(d,t)
+
+    Output: (id, n_tokens, nll rounded to 4dp), ordered by id. The
+    ordering + rounding make the result hash-stable across engines and
+    partitionings.
+    """
+    tf = term_frequencies(df, id_col, text_col)
+    vocab = unigram_vocab(tf)
+    stats = vocab.agg(
+        F.sum("cnt").alias("_n"), F.count("*").alias("_v")
+    )
+    p = (F.col("cnt").cast("double") + 1.0) / (
+        F.col("_n").cast("double") + F.col("_v").cast("double")
+    )
+    return (
+        tf.join(vocab, "tok")
+        .join(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("tf").cast("double") * -F.log(p))
+                / F.sum(F.col("tf").cast("double")),
+                4,
+            ).alias("nll"),
+        )
+        .orderBy(id_col)
+    )

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from egal_yet_another_earthquake_project_spark.llm import lm as llm
+from egal_yet_another_earthquake_project_spark.llm import pii as lpii
 from egal_yet_another_earthquake_project_spark.llm import search as lsrch
 from egal_yet_another_earthquake_project_spark.llm import text as ltx
 from egal_yet_another_earthquake_project_spark.sources.files import read_table
@@ -142,14 +144,89 @@ LIMIT 20
 """
 
 
+def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document add-one-smoothed unigram NLL (cheap perplexity proxy
+    for surprisal-ranking documents). TF-collapse before the vocab join —
+    see :mod:`llm.lm` for the scale analysis."""
+    return llm.doc_nll(_docs(spark, sf_dir))
+
+
+_UNIGRAM_NLL_ORACLE = f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM base),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+vocab AS (SELECT tok, sum(tf) AS cnt FROM tf GROUP BY tok),
+stats AS (SELECT sum(cnt) AS n, count(*) AS v FROM vocab)
+SELECT doc_id,
+       CAST(sum(tf) AS BIGINT) AS n_tokens,
+       round(sum(CAST(tf AS DOUBLE)
+                 * -ln((CAST(cnt AS DOUBLE) + 1.0)
+                       / (CAST(n AS DOUBLE) + CAST(v AS DOUBLE))))
+             / sum(CAST(tf AS DOUBLE)), 4) AS nll
+FROM tf JOIN vocab USING (tok) CROSS JOIN stats
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def q_pii_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII counts + redacted-text fingerprint. This corpus
+    is synthetic and PII-free, so every count is zero and the md5 equals
+    the original text's — the oracle still verifies the full
+    regex/redaction plumbing end-to-end on 500+ documents; the positive-
+    match semantics are pinned by the fixture test
+    (tests/test_corpus_ops.py) on text that does contain PII."""
+    return lpii.pii_profile(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+# Same patterns as llm/pii.py PII_PATTERNS, applied in PII_ORDER; plain
+# string (not f-string) because of the regex braces.
+_PII_REDACTED = (
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, "
+    "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+    "'https?://[^\\s]+', '<URL>', 'g'), "
+    "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'), "
+    "'[0-9]{7,}', '<NUM>', 'g')"
+)
+
+_PII_ORACLE = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER)
+         AS n_email,
+       CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS INTEGER)
+         AS n_url,
+       CAST(len(regexp_extract_all(text,
+         '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+         AS INTEGER) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '[0-9]{7,}')) AS INTEGER)
+         AS n_digit_run,
+       CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+          + len(regexp_extract_all(text, 'https?://[^\\s]+'))
+          + len(regexp_extract_all(text,
+             '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+          + len(regexp_extract_all(text, '[0-9]{7,}')) AS INTEGER)
+         AS n_pii,
+       CAST(length(REDACTED) AS INTEGER) AS redacted_len,
+       md5(REDACTED) AS redacted_md5
+FROM documents
+ORDER BY doc_id
+""".replace("REDACTED", _PII_REDACTED)
+
+
 QUERIES = {
     "doc_chunks": q_doc_chunks,
     "repetition_profile": q_repetition_profile,
     "bm25_search": q_bm25_search,
+    "unigram_nll": q_unigram_nll,
+    "pii_profile": q_pii_profile,
 }
 
 ORACLES = {
     "doc_chunks": _DOC_CHUNKS_ORACLE,
     "repetition_profile": _REPETITION_ORACLE,
     "bm25_search": _BM25_ORACLE,
+    "unigram_nll": _UNIGRAM_NLL_ORACLE,
+    "pii_profile": _PII_ORACLE,
 }

@@ -119,3 +119,82 @@ def test_bm25_idf_downweights_ubiquitous_terms(spark):
 def test_bm25_rejects_empty_terms(spark):
     with pytest.raises(ValueError):
         lsrch.bm25_scores(_docs(spark, [(1, "x")]), ())
+
+
+# ---------------------------------------------------------------- PII
+
+
+_PII_TEXT = (
+    "Contact alice.smith+x@example.co.uk or see https://ex.com/a?b=1 "
+    "from 10.0.255.7 ref 12345678 and bob@ex.io."
+)
+
+
+def test_pii_profile_counts_and_redaction(spark):
+    from egal_yet_another_earthquake_project_spark.llm import pii as lpii
+
+    row = lpii.pii_profile(_docs(spark, [(1, _PII_TEXT)])).collect()[0]
+    assert (row.n_email, row.n_url, row.n_ipv4, row.n_digit_run) == (2, 1, 1, 1)
+    assert row.n_pii == 5
+    red = spark.createDataFrame([(_PII_TEXT,)], "text string").select(
+        lpii.redact("text").alias("r")
+    ).collect()[0].r
+    assert red == (
+        "Contact <EMAIL> or see <URL> from <IP> ref <NUM> and <EMAIL>."
+    )
+    assert row.redacted_len == len(red)
+
+
+def test_pii_redaction_matches_duckdb_on_positive_text(spark):
+    """Cross-engine pin on text that DOES contain PII (the driver corpus
+    is PII-free, so its oracle rows are all-zero; this is the positive
+    case)."""
+    import duckdb
+
+    from egal_yet_another_earthquake_project_spark.llm import pii as lpii
+    from egal_yet_another_earthquake_project_spark.workloads_corpus import (
+        _PII_REDACTED,
+    )
+
+    texts = [
+        (_PII_TEXT,),
+        ("no pii here at all",),
+        ("edge: x@y.zz http://a 1.2.3.4 9999999",),
+        ("almost: x@y 999999 1.2.3 http//nope",),
+    ]
+    spark_rows = (
+        spark.createDataFrame(texts, "text string")
+        .select(lpii.redact("text").alias("r"))
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", texts)
+    duck_rows = con.execute(
+        f"SELECT {_PII_REDACTED} FROM t"
+    ).fetchall()
+    assert [r.r for r in spark_rows] == [d[0] for d in duck_rows]
+
+
+def test_unigram_nll_orders_surprisal(spark):
+    """A doc made of corpus-frequent tokens must score lower NLL than a
+    doc of hapaxes; token-free docs drop out."""
+    from egal_yet_another_earthquake_project_spark.llm import lm as llm
+
+    docs = _docs(
+        spark,
+        [
+            (1, "the the the cat"),
+            (2, "the cat sat"),
+            (3, "zyzzyva qwerty"),
+            (4, "   "),
+        ],
+    )
+    out = {r.doc_id: r for r in llm.doc_nll(docs).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].n_tokens == 4
+    assert out[1].nll < out[2].nll < out[3].nll
+    # Hand-check doc 3: corpus N=9 tokens, V=5 distinct; both tokens are
+    # hapaxes.
+    expected = -math.log((1 + 1) / (9 + 5))
+    assert out[3].nll == pytest.approx(expected, abs=1e-4)
