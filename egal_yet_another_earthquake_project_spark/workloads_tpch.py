@@ -715,11 +715,14 @@ def q_lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers who alone held up a multi-supplier
     order (shipped >90 days after the order date while every co-supplier
     shipped on time; adapted to shipdate — no receipt/commit dates). Q21's
-    EXISTS / NOT EXISTS self-join pair is folded into ONE aggregate over
-    the order: per (orderkey, suppkey) a late flag, then per order the
-    supplier count and late-supplier count — two aggregates sharing the
-    orderkey shuffle instead of three scans of lineitem. The culprit rows
-    are those with ≥2 suppliers and exactly one late one."""
+    EXISTS / NOT EXISTS self-join pair is folded into ONE pass: per
+    (orderkey, suppkey) a late flag, then the per-order supplier/late
+    counts as WINDOW aggregates over the orderkey partition — lineitem is
+    scanned once and never self-joined, and the window key is the
+    high-cardinality orderkey so there is no hot partition. The culprit
+    rows are those with ≥2 suppliers and exactly one late one."""
+    from pyspark.sql import Window
+
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey",
                                               "l_shipdate")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
@@ -735,12 +738,11 @@ def q_lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_late")
         )
     )
-    per_order = flagged.groupBy(F.col("l_orderkey").alias("_ok")).agg(
-        F.count("*").alias("n_supp"), F.sum("is_late").alias("n_late")
-    )
+    w = Window.partitionBy("l_orderkey")
     supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        flagged.join(per_order, flagged.l_orderkey == F.col("_ok"))
+        flagged.withColumn("n_supp", F.count("*").over(w))
+        .withColumn("n_late", F.sum("is_late").over(w))
         .filter(
             (F.col("is_late") == 1)
             & (F.col("n_supp") >= 2)

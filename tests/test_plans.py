@@ -130,6 +130,9 @@ _ALLOWED_NESTED_LOOP = {
     # BM25 joins the one-row global (N, Σdl) statistics frame into the
     # query-term postings — 1×n broadcast, bounded by construction.
     "bm25_search",
+    # Unigram LM joins the one-row (N, V) corpus totals into the
+    # term-frequency frame — same bounded 1×n broadcast shape.
+    "unigram_nll",
 }
 
 
@@ -202,3 +205,80 @@ def test_bm25_filters_terms_before_shuffle(spark):
     assert filt, plan[:2000]
     gens = {int(m.group(1)) for m in re.finditer(r"\((\d+)\) Generate", plan)}
     assert int(filt.group(1)) - 1 in gens, (filt.group(1), gens)
+
+
+def test_forecast_revenue_is_scan_only(spark):
+    """Q6 shape: all three predicates reach the parquet scan, the scan
+    reads only the needed columns, and the one-row aggregate needs no
+    hash-partitioned exchange — the whole query runs at scan speed."""
+    df = _q(spark, "forecast_revenue")
+    filters = " ".join(inspect.pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in filters, filters
+    schemas = inspect.read_schemas(df)
+    assert schemas and all("l_orderkey" not in s for s in schemas), schemas
+    assert inspect.exchange_count(df) == 0
+
+
+def test_priority_exists_is_semi_join_with_pushed_window(spark):
+    """Q4 shape: the EXISTS compiles to ONE left-semi join (each order
+    emitted at most once — no post-join distinct), and the quarter
+    window prunes the orders scan."""
+    df = _q(spark, "priority_order_exists")
+    plan = inspect.formatted_plan(df)
+    assert "LeftSemi" in plan, plan
+    filters = " ".join(inspect.pushed_filters(df))
+    assert "o_orderdate" in filters, filters
+
+
+def test_disjunctive_revenue_prunes_both_scans(spark):
+    """Q19 shape: the brand IN-list reaches the part scan and the
+    quantity envelope reaches the lineitem scan, so both sides shrink
+    BEFORE the join even though the full predicate is an OR."""
+    filters = " ".join(inspect.pushed_filters(_q(spark, "disjunctive_revenue")))
+    assert "p_brand" in filters, filters
+    assert "l_quantity" in filters, filters
+
+
+def test_market_share_broadcasts_only_dims(spark):
+    """Q8 shape: with size-based autobroadcast off (the 100× simulation),
+    only the hinted nation/region lookups broadcast; lineitem, orders,
+    customer, supplier and the part filter all stay shuffle joins."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        nodes = inspect.join_key_nodes(_q(spark, "market_share"))
+        bcast = [k for n, k in nodes if n == "BroadcastHashJoin"]
+        assert len(bcast) == 3 and all(
+            k & {"_cnk", "_crk", "_snk"} for k in bcast
+        ), nodes
+        shuffled = [k for n, k in nodes if n in ("SortMergeJoin", "ShuffledHashJoin")]
+        assert len(shuffled) == 4, nodes
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_min_cost_supplier_reuses_partkey_shuffle(spark):
+    """Q2 shape: the per-(part,supplier) aggregate and the per-part min
+    share the l_partkey hash partitioning, and the final top-100 is
+    per-partition heaps, not a global sort."""
+    df = _q(spark, "min_cost_supplier")
+    assert inspect.uses_take_ordered(df)
+    # offers→cheapest→join-back could naively cost 5+ hash exchanges;
+    # exchange reuse on l_partkey keeps it at ≤4.
+    assert inspect.exchange_count(df) <= 4, inspect.exchange_count(df)
+
+
+def test_lone_late_supplier_folds_exists_pair_into_window(spark):
+    """Q21 shape: the EXISTS / NOT-EXISTS pair must come out as window
+    aggregates over ONE pass of lineitem⋈orders — no anti/semi join, no
+    self-join, and exactly three table scans (lineitem, orders,
+    supplier); a duplicated flagged-subtree would show five."""
+    plan = inspect.formatted_plan(_q(spark, "lone_late_supplier"))
+    assert "LeftAnti" not in plan and "LeftSemi" not in plan, plan
+    assert "Window" in plan, plan
+    n_scans = sum(
+        1 for line in plan.splitlines() if line.strip().startswith("(")
+        and "Scan parquet" in line
+    )
+    assert n_scans == 3, plan
