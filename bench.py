@@ -61,6 +61,13 @@ HEADLINE = [
     "doc_chunks",
     "repetition_profile",
     "bm25_search",
+    # round-2 wave 2: six-way join with share ratio, window-folded Q21,
+    # count-distinct over a derived link table, and the LM/PII text scans.
+    "market_share",
+    "lone_late_supplier",
+    "supplier_cnt_by_part",
+    "unigram_nll",
+    "pii_profile",
 ]
 
 
