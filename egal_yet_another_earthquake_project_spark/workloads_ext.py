@@ -757,6 +757,71 @@ WINDOW w AS (PARTITION BY user_id
 """
 
 
+def q_grouping_sets_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the per-status and per-priority margins
+    WITHOUT the cross product (neither rollup nor cube can express a
+    sparse set list). One Expand of 2× per input row feeding a single
+    hash aggregate — never two scans unioned. Both grouping columns are
+    non-null in the data, so the NULL in the output identifies the set."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"]],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+_GROUPING_SETS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+def q_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential reconciliation via FULL OUTER join: customers with no
+    orders and order rows whose customer is missing from the dim — the
+    data-quality audit every warehouse load runs. The fact side is
+    pre-aggregated to one row per custkey BEFORE the full join, so the
+    join input is bounded by distinct keys, not order rows; the mismatch
+    filter keeps the output to the (rare) exceptions."""
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    customer = _t(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        customer.join(per_cust, customer.c_custkey == per_cust.o_custkey,
+                      "full")
+        .filter(F.col("c_custkey").isNull() | F.col("o_custkey").isNull())
+        .select(
+            F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+            F.col("c_custkey").isNotNull().alias("in_dim"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        )
+        .orderBy("custkey")
+    )
+
+
+_ORDER_RECONCILIATION_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+)
+SELECT coalesce(c_custkey, o_custkey) AS custkey,
+       c_custkey IS NOT NULL AS in_dim,
+       coalesce(n_orders, 0) AS n_orders
+FROM customer FULL JOIN per_cust ON c_custkey = o_custkey
+WHERE c_custkey IS NULL OR o_custkey IS NULL
+ORDER BY custkey
+"""
+
+
 QUERIES = {
     "running_sum": q_running_sum,
     "sessionize": q_sessionize,
@@ -772,6 +837,8 @@ QUERIES = {
     "returned_revenue": q_returned_revenue,
     "cube_counts": q_cube_counts,
     "unpivot_stats": q_unpivot_stats,
+    "grouping_sets_counts": q_grouping_sets_counts,
+    "order_reconciliation": q_order_reconciliation,
     "ntile_bands": q_ntile_bands,
     "stratified_cap": q_stratified_cap,
     "salted_group_counts": q_salted_group_counts,
@@ -799,6 +866,8 @@ ORACLES = {
     "shipping_priority": _SHIPPING_PRIORITY_ORACLE,
     "returned_revenue": _RETURNED_REVENUE_ORACLE,
     "cube_counts": _CUBE_ORACLE,
+    "grouping_sets_counts": _GROUPING_SETS_ORACLE,
+    "order_reconciliation": _ORDER_RECONCILIATION_ORACLE,
     "unpivot_stats": _UNPIVOT_ORACLE,
     "ntile_bands": _NTILE_ORACLE,
     "stratified_cap": _STRATIFIED_ORACLE,
