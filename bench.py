@@ -68,6 +68,7 @@ HEADLINE = [
     "supplier_cnt_by_part",
     "unigram_nll",
     "pii_profile",
+    "semantic_neardup",
 ]
 
 

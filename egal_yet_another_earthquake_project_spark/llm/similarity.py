@@ -356,3 +356,62 @@ def neardup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def semantic_neardup_pairs(
+    docs: DataFrame,
+    embs: DataFrame,
+    cos_threshold: float = 0.95,
+    n: int = 3,
+    doc_id_col: str = "doc_id",
+    emb_id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style two-stage near-dedup: embedding-cosine CANDIDATES,
+    text-shingle-Jaccard VERIFY (Abbas et al. 2023's shape: the cheap
+    dense signal proposes, the lexical signal confirms — catching both
+    paraphrase-dups the text signal misses and false embedding neighbors).
+
+    Scale contract:
+    - candidates come from :func:`neardup_pairs` (per-cell equi-join,
+      never all-pairs);
+    - shingle sets are computed ONLY for documents that appear in a
+      candidate pair (semi-join pruning), so the corpus never pays the
+      shingle cost for non-candidates;
+    - the verify is per-pair `array_intersect` arithmetic — no shingle
+      explode, no second shuffle over the corpus.
+
+    Output: (id_a, id_b, cos, jaccard), id_a < id_b.
+    """
+    from egal_yet_another_earthquake_project_spark.llm import text as ltx
+
+    cands = neardup_pairs(embs, threshold=cos_threshold, id_col=emb_id_col)
+    ids = (
+        cands.select(F.col("id_a").alias("_vid"))
+        .unionByName(cands.select(F.col("id_b").alias("_vid")))
+        .distinct()
+    )
+    sh = (
+        ltx.tokenized(docs)
+        .join(ids, F.col(doc_id_col) == F.col("_vid"), "leftsemi")
+        .select(
+            F.col(doc_id_col).alias("_doc"),
+            F.array_distinct(
+                ltx.shingles_of_tokens(F.col("_toks"), n)
+            ).alias("_sh"),
+        )
+    )
+    a = sh.select(F.col("_doc").alias("id_a"), F.col("_sh").alias("_sha"))
+    b = sh.select(F.col("_doc").alias("id_b"), F.col("_sh").alias("_shb"))
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    union = F.size("_sha") + F.size("_shb") - inter
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.when(union == 0, F.lit(0.0)).otherwise(
+                F.round(inter.cast("double") / union.cast("double"), 4)
+            ),
+        )
+        .select("id_a", "id_b", "cos", "jaccard")
+    )

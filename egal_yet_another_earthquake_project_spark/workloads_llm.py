@@ -447,6 +447,69 @@ WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.95
 """
 
 
+def q_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style hybrid: embedding-cosine candidates verified by
+    shingle Jaccard on the candidate docs only. The augmented corpus
+    (same _aug_corpus as the text-dedup queries) gets matching embedding
+    copies: exact copies (+10000) keep jaccard 1.0; tail-modified near
+    copies (+20000) keep the SAME embedding (cos 1.0) but a sub-1.0
+    jaccard — exactly the disagreement the verify stage exists to
+    expose."""
+    docs = _aug_corpus(_docs(spark, sf_dir))
+    emb = _emb(spark, sf_dir)
+    aug_emb = emb.unionByName(
+        emb.filter(F.col("vec_id") < 50).withColumn(
+            "vec_id", F.col("vec_id") + 10000
+        )
+    ).unionByName(
+        emb.filter(F.col("vec_id") < 30).withColumn(
+            "vec_id", F.col("vec_id") + 20000
+        )
+    )
+    return lsim.semantic_neardup_pairs(docs, aug_emb, cos_threshold=0.95).orderBy(
+        "id_a", "id_b"
+    )
+
+
+_SEMANTIC_NEARDUP_ORACLE = f"""
+WITH corpus AS ({_AUG_SQL}),
+eaug AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000, embedding, label FROM embeddings WHERE vec_id < 50
+  UNION ALL
+  SELECT vec_id + 20000, embedding, label FROM embeddings WHERE vec_id < 30
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM eaug),
+cands AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(a.v, b.v), 4) AS cos
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.95
+),
+shing AS (SELECT doc_id AS doc, unnest({_SHINGLES}) AS sh FROM corpus),
+dshing AS (SELECT DISTINCT doc, sh FROM shing),
+sizes AS (SELECT doc, count(*) AS sz FROM dshing GROUP BY doc),
+pc AS (
+  SELECT c.id_a, c.id_b, count(*) AS common
+  FROM cands c
+  JOIN dshing a ON a.doc = c.id_a
+  JOIN dshing b ON b.doc = c.id_b AND b.sh = a.sh
+  GROUP BY c.id_a, c.id_b
+)
+SELECT c.id_a, c.id_b, c.cos,
+       CASE WHEN sa.sz + sb.sz - coalesce(common, 0) = 0 THEN 0.0
+            ELSE round(CAST(coalesce(common, 0) AS DOUBLE)
+                       / (sa.sz + sb.sz - coalesce(common, 0)), 4)
+       END AS jaccard
+FROM cands c
+LEFT JOIN pc ON pc.id_a = c.id_a AND pc.id_b = c.id_b
+JOIN sizes sa ON sa.doc = c.id_a
+JOIN sizes sb ON sb.doc = c.id_b
+ORDER BY c.id_a, c.id_b
+"""
+
+
 # --------------------------------------------------------------------------
 # Multimodal
 # --------------------------------------------------------------------------
@@ -714,6 +777,7 @@ QUERIES = {
     "embedding_topk": q_embedding_topk,
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_neardup": q_embedding_neardup,
+    "semantic_neardup": q_semantic_neardup,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
 }
@@ -735,6 +799,7 @@ ORACLES = {
     "embedding_topk": _TOPK_ORACLE,
     "embedding_ivf_topk": _IVF_TOPK_ORACLE,
     "embedding_neardup": _NEARDUP_ORACLE,
+    "semantic_neardup": _SEMANTIC_NEARDUP_ORACLE,
     "multimodal_meta": _MULTIMODAL_META_ORACLE,
     "multimodal_features": _MULTIMODAL_FEATURES_ORACLE,
 }

@@ -1,6 +1,7 @@
 """Decision-support query shapes (TPC-H Q2/Q4/Q6/Q7/Q8/Q11/Q12/Q13/Q15/
-Q16/Q17/Q18/Q19/Q21/Q22 families) the round-1 workload did not yet
-cover, each oracle-paired. Shapes needing columns the dataset lacks are
+Q16/Q17/Q18/Q19/Q21/Q22 families — with Q20, every one of the 22
+TPC-H query families is now represented across the workload modules)
+that the round-1 workload did not yet cover, each oracle-paired. Shapes needing columns the dataset lacks are
 adapted: partsupp is derived from distinct lineitem (part, supplier)
 pairs, and Q4/Q21 lateness uses shipdate-vs-orderdate (no
 commit/receipt dates).
@@ -778,6 +779,60 @@ LIMIT 100
 """
 
 
+def q_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one nation who shipped a large
+    volume (>100 units across a year) of some PROMO part — the chained
+    semi-join query (supplier ← IN ← per-(supp,part) HAVING ← IN ←
+    part filter). Each IN becomes a LEFT SEMI join; the part filter and
+    ship-year window prune their scans; the per-(supp,part) aggregate
+    shrinks lineitem before any supplier data moves. Only the nation
+    lookup is broadcast."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    heavy = (
+        li.join(part, li.l_partkey == part.p_partkey, "leftsemi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 100)
+        .select("l_suppkey")
+        .distinct()
+    )
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_3")
+        .select("n_nationkey")
+    )
+    return (
+        supplier.join(heavy, supplier.s_suppkey == heavy.l_suppkey, "leftsemi")
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select("s_name", F.col("s_acctbal").alias("acctbal"))
+        .orderBy("s_name")
+    )
+
+
+_EXCESS_SHIPPERS_ORACLE = """
+SELECT s_name, s_acctbal AS acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_suppkey, l_partkey
+    HAVING sum(l_quantity) > 100)
+ORDER BY s_name
+"""
+
+
 QUERIES = {
     "order_count_distribution": q_order_count_distribution,
     "large_orders": q_large_orders,
@@ -794,6 +849,7 @@ QUERIES = {
     "min_cost_supplier": q_min_cost_supplier,
     "disjunctive_revenue": q_disjunctive_revenue,
     "lone_late_supplier": q_lone_late_supplier,
+    "excess_shippers": q_excess_shippers,
 }
 
 ORACLES = {
@@ -812,4 +868,5 @@ ORACLES = {
     "min_cost_supplier": _MIN_COST_ORACLE,
     "disjunctive_revenue": _DISJUNCTIVE_ORACLE,
     "lone_late_supplier": _LONE_LATE_ORACLE,
+    "excess_shippers": _EXCESS_SHIPPERS_ORACLE,
 }
