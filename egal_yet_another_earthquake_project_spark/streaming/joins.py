@@ -77,3 +77,40 @@ def enrich_stream(
     (emitted with nulls, the streaming-safe default).
     """
     return stream.join(F.broadcast(dim), on=on, how=how)
+
+
+def attribute_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "left_ts",
+    right_ts: str = "right_ts",
+    within_minutes: int = 30,
+    left_watermark: str = "1 hour",
+    right_watermark: str = "1 hour",
+) -> DataFrame:
+    """Keyed LEFT OUTER stream-stream attribution join — the
+    click→conversion pattern: every left event, attributed to the right
+    events on the same key arriving within ``within_minutes`` AFTER it;
+    left events with no conversion are still emitted (right columns
+    null) once the right watermark passes their attribution window, so
+    the unmatched output is complete AND the join state stays bounded
+    (state ∝ watermark × rate, never stream length).
+
+    The time-interval predicate is mandatory for the outer side: without
+    it Spark cannot know when a left row is definitively unmatched.
+    """
+    lw = left.withWatermark(left_ts, left_watermark)
+    rw = right.select(
+        F.col(key).alias("_rkey"),
+        *[c for c in right.columns if c != key],
+    ).withWatermark(right_ts, right_watermark)
+    cond = (
+        (lw[key] == rw["_rkey"])
+        & (rw[right_ts] >= lw[left_ts])
+        & (
+            rw[right_ts]
+            <= lw[left_ts] + F.expr(f"INTERVAL {within_minutes} MINUTES")
+        )
+    )
+    return lw.join(rw, on=cond, how="leftOuter").drop("_rkey")
