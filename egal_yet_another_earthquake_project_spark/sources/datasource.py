@@ -25,7 +25,12 @@ from __future__ import annotations
 import json
 from datetime import datetime, timedelta
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 #: ISO minute format used by the feed and the reference's windowing.
 _FMT = "%Y-%m-%dT%H:%M"
@@ -62,6 +67,9 @@ class EarthquakeDataSource(DataSource):
 
     def reader(self, schema) -> "EarthquakeReader":
         return EarthquakeReader(self.options)
+
+    def streamReader(self, schema) -> "EarthquakeStreamReader":
+        return EarthquakeStreamReader(self.options)
 
 
 class EarthquakeReader(DataSourceReader):
@@ -114,6 +122,73 @@ class EarthquakeReader(DataSourceReader):
                 float(ev.get("depth", 0.0)),
                 str(ev.get("location", "")),
             )
+
+
+class EarthquakeStreamReader(DataSourceStreamReader):
+    """Incremental tail (S9) as an engine-native micro-batch source:
+    ``spark.readStream.format("earthquake_http")``.
+
+    Offsets are ISO minutes — exactly the reference's resume cursor
+    (stop-at-last-good-minute, /root/reference/electricraw.py:134-153),
+    but held by Spark's checkpointed offset log instead of a hand-rolled
+    state file: restart-safe, exactly-once per minute-slice, and each
+    micro-batch's window is again fetched as parallel slices."""
+
+    def __init__(self, options: dict):
+        self.start = options["start"]
+        self.slice_hours = int(options.get("slice_hours", "24"))
+        self.fixture_json = options.get("fixture_json")
+        #: In fixture mode the feed's "now" is the max event minute + 1
+        #: (everything present is available); a live reader would probe
+        #: the endpoint instead.
+        if self.fixture_json is not None:
+            events = json.loads(self.fixture_json)
+            dates = sorted(str(e.get("date", "")) for e in events)
+            last = datetime.strptime(dates[-1], _FMT) if dates else None
+            self._latest = (
+                (last + timedelta(minutes=1)).strftime(_FMT)
+                if last
+                else self.start
+            )
+        else:  # pragma: no cover - no network in this container
+            raise ValueError("streaming requires fixture_json offline")
+
+    def initialOffset(self) -> dict:
+        return {"minute": self.start}
+
+    def latestOffset(self) -> dict:
+        return {"minute": max(self._latest, self.start)}
+
+    def partitions(self, start: dict, end: dict):
+        cur = datetime.strptime(start["minute"], _FMT)
+        stop = datetime.strptime(end["minute"], _FMT)
+        step = timedelta(hours=self.slice_hours)
+        out: list[_Slice] = []
+        while cur < stop:
+            nxt = min(cur + step, stop)
+            out.append(_Slice(cur.strftime(_FMT), nxt.strftime(_FMT)))
+            cur = nxt
+        return out or [_Slice(start["minute"], end["minute"])]
+
+    def read(self, partition: _Slice):
+        events = json.loads(self.fixture_json)
+        for ev in events:
+            d = str(ev.get("date", ""))
+            if not (partition.start <= d < partition.end):
+                continue
+            yield (
+                str(ev.get("eventID", "")),
+                d,
+                float(ev.get("magnitude", 0.0)),
+                float(ev.get("latitude", 0.0)),
+                float(ev.get("longitude", 0.0)),
+                float(ev.get("depth", 0.0)),
+                str(ev.get("location", "")),
+            )
+
+    def commit(self, end: dict) -> None:
+        """Offsets below ``end`` are durably processed — nothing to
+        release (the feed is remote); the checkpoint owns the cursor."""
 
 
 def register(spark) -> None:

@@ -65,3 +65,28 @@ def test_slices_are_disjoint_no_duplicates(spark):
 def test_filter_pushdown_composes_with_catalyst(spark):
     df = _read(spark).filter("magnitude >= 7.0").select("eventID", "location")
     assert sorted(r.eventID for r in df.collect()) == ["e1", "e2"]
+
+
+def test_stream_reader_tails_with_checkpointed_offsets(spark, tmp_path):
+    register(spark)
+    stream = (
+        spark.readStream.format("earthquake_http")
+        .option("start", "2023-02-06T00:00")
+        .option("fixture_json", _FIXTURE)
+        .option("slice_hours", "24")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("eq_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        ids = sorted(r.eventID for r in spark.table("eq_stream").collect())
+    finally:
+        q.stop()
+    # everything from start up to the feed's high-water minute, once each
+    assert ids == ["e1", "e2", "e3", "out"]
