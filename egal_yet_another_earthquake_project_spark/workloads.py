@@ -134,6 +134,28 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payloads via the VARIANT type (Spark 4): the JSON
+    blob is parsed ONCE into the binary variant encoding, then every
+    field access is a cheap binary probe — at 100 TB this replaces one
+    full JSON re-parse per `get_json_object` call with parse-once /
+    extract-many (the same access pattern `json_props` pays per field)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.parse_json("props").alias("_v")
+    )
+    k = F.try_variant_get(F.col("_v"), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_point_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5/P3: concat-derived column (pointLocation,
     /root/reference/sparktoELKstream.py:104)."""
@@ -328,6 +350,7 @@ _BASE_QUERIES: dict[str, QueryFn] = {
     "distinct_keys": q_distinct_keys,
     "top10_orders": q_top10_orders,
     "json_props": q_json_props,
+    "variant_props": q_variant_props,
     "point_location": q_point_location,
     "minute_equijoin": q_minute_equijoin,
     "asof_join": q_asof_join,
@@ -412,6 +435,14 @@ _BASE_ORACLES: dict[str, str] = {
     "json_props": """
         SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         FROM events
+    """,
+    "variant_props": """
+        SELECT event_type, count(*) AS n,
+               sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+               CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                    AS INTEGER) AS max_k
+        FROM events
+        GROUP BY event_type ORDER BY event_type
     """,
     "point_location": """
         SELECT event_id, user_id || ',' || event_id AS point FROM events
