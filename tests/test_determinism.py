@@ -31,6 +31,14 @@ CHECKED = [
     "nation_trade_volume",
     "bm25_search",
     "repetition_profile",
+    # round-2 wave 3: the share-ratio division, double NLL sums, hybrid
+    # jaccard verify, scalar-max ties, and window-folded Q21 — all
+    # partition-order-sensitive if the decimal/rounding rules slip.
+    "market_share",
+    "unigram_nll",
+    "semantic_neardup",
+    "top_supplier",
+    "lone_late_supplier",
 ]
 
 
