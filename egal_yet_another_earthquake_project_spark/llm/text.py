@@ -413,3 +413,43 @@ def repetition_profile(
         ratio(F.col("_bd"), F.col("_bt")).alias("distinct_bigram_ratio"),
         ratio(F.col("_bm"), F.col("_bt")).alias("top_bigram_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# UDTF escape hatch (§2.10 surface demonstration)
+# ---------------------------------------------------------------------------
+
+try:  # pragma: no cover - decorator import only
+    from pyspark.sql.functions import udtf as _udtf
+except ImportError:  # pragma: no cover
+    _udtf = None
+
+
+if _udtf is not None:
+
+    @_udtf(returnType="sent_id int, sentence string")
+    class SplitSentences:
+        """Python UDTF (one row in → N rows out) splitting text into
+        trimmed sentences on ``.!?`` boundaries.
+
+        This exists to demonstrate the sanctioned table-function escape
+        hatch — per-row Python with a declared row-set schema, usable
+        from SQL via ``LATERAL``. For this particular job the Catalyst
+        path (``posexplode(split(text, '[.!?]'))``) is strictly faster
+        at scale (JVM-side, codegen'd); reach for a UDTF only when the
+        expansion logic genuinely needs Python (a tokenizer library, a
+        parser). Register: ``spark.udtf.register("split_sentences",
+        SplitSentences)``.
+        """
+
+        def eval(self, text: str):  # noqa: D102 - contract method
+            if not text:
+                return
+            import re
+
+            i = 0
+            for raw in re.split(r"[.!?]+", text):
+                s = raw.strip()
+                if s:
+                    yield i, s
+                    i += 1

@@ -822,6 +822,47 @@ ORDER BY custkey
 """
 
 
+def q_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear trend of value over time via the regr_* Catalyst
+    aggregates (one distributed pass, map-side partial moments — the
+    built-in path that makes a per-group Python `polyfit` UDF
+    unnecessary). Hours-since-epoch as the regressor keeps the slope
+    magnitudes in a range where 4-dp rounding is stable across
+    partitionings and engines."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        # whole-second truncation first (cast long) — the same epoch
+        # convention every other oracle uses, immune to sub-second drift.
+        (F.col("ts").cast("long").cast("double") / 3600.0).alias("_x"),
+        F.col("value").alias("_y"),
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.regr_slope("_y", "_x"), 4).alias("slope"),
+            F.round(F.regr_intercept("_y", "_x"), 4).alias("intercept"),
+            F.round(F.corr("_y", "_x"), 4).alias("r"),
+        )
+        .filter(F.col("n") >= 3)
+        .orderBy("user_id")
+    )
+
+
+_USER_TREND_ORACLE = """
+SELECT user_id, count(*) AS n,
+       round(regr_slope(value, CAST(floor(epoch(ts)) AS DOUBLE)
+                               / 3600.0), 4) AS slope,
+       round(regr_intercept(value, CAST(floor(epoch(ts)) AS DOUBLE)
+                                   / 3600.0), 4) AS intercept,
+       round(corr(value, CAST(floor(epoch(ts)) AS DOUBLE) / 3600.0), 4) AS r
+FROM events
+GROUP BY user_id
+HAVING count(*) >= 3
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "running_sum": q_running_sum,
     "sessionize": q_sessionize,
@@ -839,6 +880,7 @@ QUERIES = {
     "unpivot_stats": q_unpivot_stats,
     "grouping_sets_counts": q_grouping_sets_counts,
     "order_reconciliation": q_order_reconciliation,
+    "user_trend": q_user_trend,
     "ntile_bands": q_ntile_bands,
     "stratified_cap": q_stratified_cap,
     "salted_group_counts": q_salted_group_counts,
@@ -868,6 +910,7 @@ ORACLES = {
     "cube_counts": _CUBE_ORACLE,
     "grouping_sets_counts": _GROUPING_SETS_ORACLE,
     "order_reconciliation": _ORDER_RECONCILIATION_ORACLE,
+    "user_trend": _USER_TREND_ORACLE,
     "unpivot_stats": _UNPIVOT_ORACLE,
     "ntile_bands": _NTILE_ORACLE,
     "stratified_cap": _STRATIFIED_ORACLE,

@@ -198,3 +198,20 @@ def test_unigram_nll_orders_surprisal(spark):
     # hapaxes.
     expected = -math.log((1 + 1) / (9 + 5))
     assert out[3].nll == pytest.approx(expected, abs=1e-4)
+
+
+def test_udtf_split_sentences_lateral(spark):
+    """§2.10 UDTF surface: per-row Python expansion with a declared
+    schema, consumed from SQL via LATERAL."""
+    spark.udtf.register("split_sentences", ltx.SplitSentences)
+    rows = spark.sql(
+        "SELECT t.doc_id, s.sent_id, s.sentence "
+        "FROM VALUES (1, 'one fish. two fish! red?'), (2, '') t(doc_id, txt), "
+        "LATERAL split_sentences(txt) s "
+        "ORDER BY doc_id, sent_id"
+    ).collect()
+    assert [(r.doc_id, r.sent_id, r.sentence) for r in rows] == [
+        (1, 0, "one fish"),
+        (1, 1, "two fish"),
+        (1, 2, "red"),
+    ]
