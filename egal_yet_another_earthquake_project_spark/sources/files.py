@@ -43,18 +43,25 @@ _TABLES = (
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver test table, normalizing physical quirks.
 
-    ``events.parquet`` stores ``ts`` as INT64 TIMESTAMP(NANOS) which Spark's
-    parquet reader rejects; read it as nanos-long and convert (lossless —
-    the data carries no sub-microsecond component). Both confs are
-    runtime-settable, so this works in any caller-provided session — in
-    particular the session TZ is pinned UTC here because declared queries
-    format timestamps to strings and their DuckDB oracles are UTC-naive.
+    ``events.parquet`` has shipped with two physical layouts for ``ts``:
+    INT64 TIMESTAMP(NANOS) (which Spark's parquet reader only accepts as a
+    nanos-long) and plain TIMESTAMP(MICROS) without UTC adjustment (which
+    Spark reads as TIMESTAMP_NTZ). Normalize both to session-TZ
+    ``TimestampType`` so every downstream query sees one logical schema.
+    The session TZ is pinned UTC here because declared queries format
+    timestamps to strings and their DuckDB oracles are UTC-naive — under
+    UTC the NTZ→LTZ cast is wall-clock-identity, hence lossless.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type in ("long", "bigint"):
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if ts_type == "timestamp_ntz":
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
