@@ -49,6 +49,27 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return _dots(ca, cb) / (norm(ca) * norm(cb))
 
 
+def unit(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
+    """Attach the L2-normalized copy of ``vec_col`` as ``out_col``.
+
+    Normalizing ONCE PER ROW turns every downstream cosine into a single
+    dot product: a pairwise join otherwise pays three array passes per
+    candidate (dot + both norms), and the norms are recomputed
+    |candidates|/|rows| times each — at any real fan-out that triples the
+    dominant kernel. The norm is materialized in its own projection so
+    the division inside ``transform`` does not re-aggregate per element.
+    """
+    nm = norm(F.col(vec_col))
+    return (
+        df.withColumn("_nm", nm)
+        .withColumn(
+            out_col,
+            F.transform(vec_col, lambda x: x.cast("double") / F.col("_nm")),
+        )
+        .drop("_nm")
+    )
+
+
 def _topk_from_candidates(cands: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -73,16 +94,18 @@ def brute_force_topk(
     work is a tight codegen'd loop over corpus rows. Ranks are total-ordered
     (cos desc, neighbor asc) so results are unique and reproducible.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    )
+    q = unit(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        "qv", "uq",
+    ).drop("qv")
+    c = unit(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        "cv", "uc",
+    ).drop("cv")
     cands = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine("qv", "cv"), 4))
+        .withColumn("cos", F.round(_dots(F.col("uq"), F.col("uc")), 4))
         .select("query_id", "neighbor_id", "cos")
     )
     return _topk_from_candidates(cands, k)
@@ -101,20 +124,26 @@ def ivf_topk(
     depends on the quantizer; the candidate mass — and thus cost — drops by
     ~#cells. Swap ``cell_col`` for an assigned nearest-centroid column to
     use trained centroids."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        F.col(cell_col).alias("cell"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        F.col(cell_col).alias("cell"),
-    )
+    q = unit(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.col(cell_col).alias("cell"),
+        ),
+        "qv", "uq",
+    ).drop("qv")
+    c = unit(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            F.col(cell_col).alias("cell"),
+        ),
+        "cv", "uc",
+    ).drop("cv")
     cands = (
         c.join(F.broadcast(q), on="cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine("qv", "cv"), 4))
+        .withColumn("cos", F.round(_dots(F.col("uq"), F.col("uc")), 4))
         .select("query_id", "neighbor_id", "cos")
     )
     return _topk_from_candidates(cands, k)
@@ -163,14 +192,17 @@ def assign_cells(
     tiebreak, so the argmax is stable across engines (oracle parity) and
     partitionings. Corpus rows use nprobe=1; query rows probe several
     cells to recover neighbors that fell just across a cell boundary."""
-    scored = df.crossJoin(F.broadcast(centroids)).withColumn(
-        "_acos", F.round(cosine(vec_col, "cv"), 4)
+    ucent = unit(centroids, "cv", "ucv").drop("cv")
+    scored = (
+        unit(df, vec_col, "_uv")
+        .crossJoin(F.broadcast(ucent))
+        .withColumn("_acos", F.round(_dots(F.col("_uv"), F.col("ucv")), 4))
     )
     w = Window.partitionBy(id_col).orderBy(F.col("_acos").desc(), F.col("cell").asc())
     return (
         scored.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= nprobe)
-        .drop("cv", "_acos", "_rk")
+        .drop("ucv", "_uv", "_acos", "_rk")
     )
 
 
@@ -230,16 +262,22 @@ def ivf_trained_topk(
     cent = sample_centroids(corpus, num_cells, id_col, vec_col)
     if refine_iters:
         cent = refine_centroids(corpus, cent, refine_iters, id_col, vec_col)
-    c = assign_cells(corpus, cent, 1, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv2"), "cell"
-    )
-    q = assign_cells(queries, cent, nprobe, id_col, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "cell"
-    )
+    c = unit(
+        assign_cells(corpus, cent, 1, id_col, vec_col).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv2"), "cell"
+        ),
+        "cv2", "uc",
+    ).drop("cv2")
+    q = unit(
+        assign_cells(queries, cent, nprobe, id_col, vec_col).select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "cell"
+        ),
+        "qv", "uq",
+    ).drop("qv")
     cands = (
         c.join(F.broadcast(q), on="cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine("qv", "cv2"), 4))
+        .withColumn("cos", F.round(_dots(F.col("uq"), F.col("uc")), 4))
         .select("query_id", "neighbor_id", "cos")
     )
     return _topk_from_candidates(cands, k)
@@ -321,9 +359,10 @@ def lsh_ann_topk(
         dim, bits, vec_col="cv",
     )
     cands = (
-        cb.join(F.broadcast(qb), on="bucket")
+        unit(cb, "cv", "uc")
+        .join(F.broadcast(unit(qb, "qv", "uq")), on="bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine("qv", "cv"), 4))
+        .withColumn("cos", F.round(_dots(F.col("uq"), F.col("uc")), 4))
         .select("query_id", "neighbor_id", "cos")
     )
     return _topk_from_candidates(cands, k)
@@ -341,18 +380,24 @@ def neardup_pairs(
     With ``cell_col`` the pair join is per-cell (near-dups share a cell at
     any reasonable quantizer); ``None`` falls back to all-pairs — baseline
     only."""
-    a = df.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-        *( [F.col(cell_col).alias("cell")] if cell_col else [] ),
-    )
-    b = df.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-        *( [F.col(cell_col).alias("cell")] if cell_col else [] ),
-    )
+    a = unit(
+        df.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+            *( [F.col(cell_col).alias("cell")] if cell_col else [] ),
+        ),
+        "va", "ua",
+    ).drop("va")
+    b = unit(
+        df.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+            *( [F.col(cell_col).alias("cell")] if cell_col else [] ),
+        ),
+        "vb", "ub",
+    ).drop("vb")
     joined = a.join(b, on="cell") if cell_col else a.crossJoin(b)
     return (
         joined.filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(cosine("va", "vb"), 4))
+        .withColumn("cos", F.round(_dots(F.col("ua"), F.col("ub")), 4))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
@@ -384,12 +429,22 @@ def semantic_neardup_pairs(
     """
     from egal_yet_another_earthquake_project_spark.llm import text as ltx
 
-    cands = neardup_pairs(embs, threshold=cos_threshold, id_col=emb_id_col)
+    # The candidate frame feeds THREE consumers (the id union below reads
+    # it twice, the final pair join once). Without pinning, each consumer
+    # re-runs the per-cell pair join — measured 2× the whole query at
+    # sf0.1. It is tiny by construction (that is the point of the
+    # candidate stage), so localCheckpoint materializes it once and
+    # truncates the lineage.
+    cands = neardup_pairs(
+        embs, threshold=cos_threshold, id_col=emb_id_col
+    ).localCheckpoint()
     ids = (
         cands.select(F.col("id_a").alias("_vid"))
         .unionByName(cands.select(F.col("id_b").alias("_vid")))
         .distinct()
     )
+    # Same rule for the candidate-doc shingle sets: consumed by both join
+    # sides (a and b), and each evaluation re-tokenizes the pruned docs.
     sh = (
         ltx.tokenized(docs)
         .join(ids, F.col(doc_id_col) == F.col("_vid"), "leftsemi")
@@ -399,6 +454,7 @@ def semantic_neardup_pairs(
                 ltx.shingles_of_tokens(F.col("_toks"), n)
             ).alias("_sh"),
         )
+        .localCheckpoint()
     )
     a = sh.select(F.col("_doc").alias("id_a"), F.col("_sh").alias("_sha"))
     b = sh.select(F.col("_doc").alias("id_b"), F.col("_sh").alias("_shb"))
