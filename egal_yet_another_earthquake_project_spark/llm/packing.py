@@ -1,0 +1,86 @@
+"""Sequence packing: assign documents to fixed-size training contexts.
+
+Training on short documents wastes context-window tokens unless documents
+are packed: the T5/GPT-style recipe concatenates the (shuffled) token
+stream and slices it into ``ctx``-sized windows. The distributed version
+here reproduces that exactly without any sequential pass:
+
+* documents get a deterministic stream order per pack group (md5 of the
+  id — the "shuffle" every epoch pipeline does, but reproducible);
+* a window cumsum assigns each document its token offset in the group's
+  concatenated stream;
+* ``pack_id = floor(start_offset / ctx)`` — the window a document's
+  first token lands in.
+
+Packing runs per ``group_col`` (e.g. source or language bucket), so the
+window shuffle parallelizes across groups and no global single-partition
+ordering exists. For a skew-free stream at any scale, pre-bucket the
+group key (e.g. ``source‖hash(id)%B``) — the assignment stays
+deterministic because the order key is still the document hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from egal_yet_another_earthquake_project_spark.llm import text as ltx
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    text_col: str = "text",
+    ctx: int = 256,
+    salt: str = "pack",
+) -> DataFrame:
+    """Assign every document a (start_tok, pack_id) in its group's
+    concatenated token stream. Output: (id, group, n_tokens, start_tok,
+    pack_id); deterministic under any partitioning.
+
+    One shuffle (the per-group window); token counts ride the
+    materialized-tokens projection, so the text is tokenized once.
+    """
+    toks = ltx.tokenized(df, text_col).select(
+        F.col(id_col),
+        F.col(group_col),
+        F.size("_toks").alias("n_tokens"),
+        F.md5(
+            F.concat(F.lit(salt), F.col(id_col).cast("string"))
+        ).alias("_ord"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("_ord").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        toks.withColumn(
+            "start_tok", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "pack_id", F.floor(F.col("start_tok") / F.lit(ctx)).cast("long")
+        )
+        .select(id_col, group_col, "n_tokens", "start_tok", "pack_id")
+    )
+
+
+def pack_utilization(packed: DataFrame, group_col: str, ctx: int = 256) -> DataFrame:
+    """Per-(group, pack) fill statistics from :func:`pack_sequences`
+    output: how many docs start in each window and the token mass
+    charged to it — the packing-efficiency audit a pipeline runs before
+    committing a layout. Pure second aggregate over the small packed
+    frame."""
+    return (
+        packed.groupBy(group_col, "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("tok_mass"),
+        )
+        .withColumn(
+            "fill_ratio",
+            F.round(F.col("tok_mass") / F.lit(float(ctx)), 4),
+        )
+    )

@@ -1,0 +1,59 @@
+"""Embedding quantization: per-vector symmetric int8, engine-portable.
+
+Embedding tables dominate storage in a vector-heavy corpus (a 1024-dim
+float32 vector is 4 KiB/row); absmax int8 quantization (the inference-
+side recipe popularized by LLM.int8, Dettmers et al. 2022) cuts that 4×
+with near-lossless cosine ranking, which is why ANN indexes store
+quantized vectors and re-rank the shortlist in full precision.
+
+All arithmetic is element-wise Catalyst (`transform`/`zip_with`) over
+double-cast values, and the row-rounding uses ``floor(x + 0.5)`` rather
+than an engine ``round`` — half-up rounding spelled the same way in any
+SQL engine, so quantized codes, reconstruction error, and fidelity
+cosine are all hash-verifiable cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dbl(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector absmax int8 codes + fidelity metrics.
+
+    scale = absmax/127; code_i = floor(x_i/scale + 0.5) (clamped by
+    construction since |x_i| ≤ absmax); dequant_i = code_i·scale.
+    Zero vectors quantize to all-zero codes with scale 0 and perfect
+    fidelity by convention. Output: (id, qscale, max_abs_err, cos_dq)
+    — rounded 6/6/4. Shuffle-free: one projection per row, so it
+    composes with any scan at any scale.
+    """
+    v = _dbl(F.col(vec_col))
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = amax / F.lit(127.0)
+    q = F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)))
+    dq = F.transform(q, lambda c: c.cast("double") * scale)
+    err = F.array_max(
+        F.zip_with(v, dq, lambda x, d: F.abs(x - d))
+    )
+    dot = F.aggregate(
+        F.zip_with(v, dq, lambda x, d: x * d), F.lit(0.0), lambda a, b: a + b
+    )
+    nv = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, b: a + b))
+    nd = F.sqrt(F.aggregate(F.transform(dq, lambda x: x * x), F.lit(0.0), lambda a, b: a + b))
+    zero = amax == 0.0
+    return df.select(
+        F.col(id_col),
+        F.round(F.when(zero, F.lit(0.0)).otherwise(scale), 6).alias("qscale"),
+        F.round(F.when(zero, F.lit(0.0)).otherwise(err), 6).alias("max_abs_err"),
+        F.round(F.when(zero, F.lit(1.0)).otherwise(dot / (nv * nd)), 4).alias("cos_dq"),
+    )

@@ -30,6 +30,62 @@ def deterministic_sample(
     return df.filter(hash_bucket(key, 10_000, salt) < int(fraction * 10_000))
 
 
+def alpha_resample(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    budget: int = 1000,
+    salt: str = "alpha",
+) -> DataFrame:
+    """Temperature-style source rebalancing: sample a ``budget``-doc
+    corpus whose per-source share follows c_s^α (the multilingual-corpus
+    recipe — mC4/UniMax-style α-smoothing: α=1 keeps natural proportions,
+    α→0 approaches uniform-per-source, so low-resource sources are
+    upsampled relative to their natural share).
+
+    target_s = min(c_s, ceil(budget · c_s^α / Σ c_s^α)); the kept docs
+    are the target_s smallest md5(salt‖id) per source — a deterministic
+    "random" sample, stable across runs/engines/partitionings.
+
+    Plan shape: the per-source counts and the weight normalizer are
+    one tiny aggregate (broadcast back — nothing driver-side); selection
+    is one rank window partitioned by source. At extreme source skew,
+    pre-bucket the rank (source‖hash%B) and take per-bucket quotas —
+    determinism survives because the order key is the id hash.
+    Output: (id, source, target) for every kept doc.
+    """
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(source_col).agg(F.count("*").alias("_c"))
+    wsum = counts.agg(
+        F.sum(F.pow(F.col("_c").cast("double"), F.lit(alpha))).alias("_wsum")
+    )
+    targets = counts.crossJoin(F.broadcast(wsum)).select(
+        source_col,
+        F.least(
+            F.col("_c"),
+            F.ceil(
+                F.lit(float(budget))
+                * F.pow(F.col("_c").cast("double"), F.lit(alpha))
+                / F.col("_wsum")
+            ),
+        ).cast("long").alias("target"),
+    )
+    ordered = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))).alias("_ord"),
+    )
+    w = Window.partitionBy(source_col).orderBy(F.col("_ord").asc(), F.col(id_col).asc())
+    return (
+        ordered.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(targets), source_col)
+        .filter(F.col("_rn") <= F.col("target"))
+        .select(id_col, source_col, "target")
+    )
+
+
 def with_split(
     df: DataFrame,
     key: str,

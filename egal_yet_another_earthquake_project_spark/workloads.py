@@ -528,6 +528,7 @@ from egal_yet_another_earthquake_project_spark import (  # noqa: E402
     workloads_corpus,
     workloads_ext,
     workloads_llm,
+    workloads_sketch,
     workloads_tpch,
 )
 
@@ -537,6 +538,7 @@ QUERIES: dict[str, QueryFn] = {
     **workloads_ext.QUERIES,
     **workloads_tpch.QUERIES,
     **workloads_corpus.QUERIES,
+    **workloads_sketch.QUERIES,
 }
 ORACLES: dict[str, str] = {
     **_BASE_ORACLES,
@@ -544,6 +546,7 @@ ORACLES: dict[str, str] = {
     **workloads_ext.ORACLES,
     **workloads_tpch.ORACLES,
     **workloads_corpus.ORACLES,
+    **workloads_sketch.ORACLES,
 }
 
 

@@ -1,0 +1,277 @@
+"""Sketch / corpus-layout workload: deterministic cardinality and
+frequency sketches, temperature resampling, sequence packing, and
+embedding quantization — the remaining large-scale pipeline passes, each
+one oracle-paired (the sketches are md5-derived, so even the *estimates*
+hash-match an independent engine; see ``llm/sketches.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from egal_yet_another_earthquake_project_spark.llm import packing as lpack
+from egal_yet_another_earthquake_project_spark.llm import quantize as lq
+from egal_yet_another_earthquake_project_spark.llm import sampling as lsamp
+from egal_yet_another_earthquake_project_spark.llm import sketches as lsk
+from egal_yet_another_earthquake_project_spark.llm import text as ltx
+from egal_yet_another_earthquake_project_spark.sources.files import read_table
+from egal_yet_another_earthquake_project_spark.workloads_llm import _TOKS
+
+KMV_K = 64
+CMS_DEPTH, CMS_WIDTH = 4, 1024
+#: Fixed probe vocabulary for the count-min query — mixed high/low
+#: frequency so both the tight and the collision-inflated estimates show.
+CMS_TERMS = ("join", "hash", "scan", "filter", "the", "data")
+ALPHA, ALPHA_BUDGET = 0.5, 200
+PACK_CTX = 256
+
+
+def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-user estimate per event type (k=64) next to the exact
+    count — the bounded-state cardinality path that replaces
+    count(DISTINCT) at 100 TB."""
+    ev = read_table(spark, sf_dir, "events")
+    return lsk.kmv_distinct(ev, ["event_type"], "user_id", k=KMV_K).orderBy(
+        "event_type"
+    )
+
+
+_KMV_ORACLE = f"""
+WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+h AS (
+  SELECT event_type, user_id,
+         CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) + 1
+           AS hv
+  FROM d
+),
+r AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY hv ASC, user_id ASC) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS cnt
+  FROM h
+)
+SELECT event_type,
+       round(CASE WHEN cnt < {KMV_K} THEN CAST(cnt AS DOUBLE)
+                  ELSE {KMV_K - 1}.0 * 4294967296.0 / CAST(hv AS DOUBLE)
+             END, 2) AS est_distinct,
+       CAST(cnt AS BIGINT) AS exact_distinct
+FROM r
+WHERE rn = LEAST({KMV_K}, cnt)
+ORDER BY event_type
+"""
+
+
+def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min token-frequency estimates (d=4, w=1024) for a fixed
+    probe vocabulary, with exact counts alongside — the mergeable
+    bounded-memory frequency tracker; estimates are deterministic
+    overcounts."""
+    docs = read_table(spark, sf_dir, "documents")
+    items = ltx.tokenized(docs).select(F.explode("_toks").alias("tok"))
+    sketch = lsk.cms_build(items, "tok", CMS_DEPTH, CMS_WIDTH)
+    probes = spark.createDataFrame([(t,) for t in CMS_TERMS], "token string")
+    est = lsk.cms_estimate(
+        sketch, probes.withColumnRenamed("token", "tok"), "tok", CMS_DEPTH, CMS_WIDTH
+    )
+    exact = (
+        items.filter(F.col("tok").isin(*CMS_TERMS))
+        .groupBy("tok")
+        .agg(F.count("*").alias("_exact"))
+    )
+    return (
+        est.join(exact, "tok", "left")
+        .select(
+            F.col("tok").alias("token"),
+            F.col("est_count").cast("long").alias("est_count"),
+            F.coalesce(F.col("_exact"), F.lit(0)).cast("long").alias("exact_count"),
+        )
+        .orderBy("token")
+    )
+
+
+_CMS_TERM_LIST = ", ".join(f"'{t}'" for t in CMS_TERMS)
+
+_CMS_ORACLE = f"""
+WITH toks AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+js AS (SELECT unnest(range(0, {CMS_DEPTH})) AS j),
+sketch AS (
+  SELECT j,
+         CAST('0x' || substring(md5('cms' || CAST(j AS VARCHAR) || '|' || tok), 1, 8)
+              AS BIGINT) % {CMS_WIDTH} AS bucket,
+         count(*) AS cnt
+  FROM toks CROSS JOIN js
+  GROUP BY 1, 2
+),
+probes AS (SELECT unnest([{_CMS_TERM_LIST}]) AS token),
+pj AS (
+  SELECT token, j,
+         CAST('0x' || substring(md5('cms' || CAST(j AS VARCHAR) || '|' || token), 1, 8)
+              AS BIGINT) % {CMS_WIDTH} AS bucket
+  FROM probes CROSS JOIN js
+),
+est AS (
+  SELECT token, min(coalesce(cnt, 0)) AS est_count
+  FROM pj LEFT JOIN sketch USING (j, bucket)
+  GROUP BY token
+),
+exact AS (
+  SELECT tok AS token, count(*) AS c FROM toks
+  WHERE tok IN ({_CMS_TERM_LIST}) GROUP BY tok
+)
+SELECT token, CAST(est_count AS BIGINT) AS est_count,
+       CAST(coalesce(c, 0) AS BIGINT) AS exact_count
+FROM est LEFT JOIN exact USING (token)
+ORDER BY token
+"""
+
+
+def q_alpha_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α-smoothed source rebalancing (α=0.5, 200-doc budget): the
+    deterministic temperature-sampling pass that upsamples low-resource
+    sources; selection is the md5-rank quota per source."""
+    docs = read_table(spark, sf_dir, "documents")
+    return lsamp.alpha_resample(
+        docs, "source", "doc_id", alpha=ALPHA, budget=ALPHA_BUDGET
+    ).orderBy("doc_id")
+
+
+_ALPHA_ORACLE = f"""
+WITH c AS (SELECT source, count(*) AS cs FROM documents GROUP BY source),
+s AS (SELECT sum(pow(CAST(cs AS DOUBLE), {ALPHA})) AS wsum FROM c),
+t AS (
+  SELECT source,
+         LEAST(cs, CAST(ceil({ALPHA_BUDGET}.0 * pow(CAST(cs AS DOUBLE), {ALPHA})
+                              / wsum) AS BIGINT)) AS target
+  FROM c CROSS JOIN s
+),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+            ORDER BY md5('alpha' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+  FROM documents
+)
+SELECT r.doc_id, r.source, t.target
+FROM r JOIN t USING (source)
+WHERE rn <= target
+ORDER BY doc_id
+"""
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed T5-style sequence packing: per-source deterministic
+    stream order, token-offset cumsum, ctx=256 window assignment."""
+    docs = read_table(spark, sf_dir, "documents")
+    return lpack.pack_sequences(
+        docs, "doc_id", "source", ctx=PACK_CTX
+    ).orderBy("doc_id")
+
+
+_PACKING_CTE = f"""
+base AS (
+  SELECT doc_id, source, len({_TOKS}) AS n_tokens,
+         md5('pack' || CAST(doc_id AS VARCHAR)) AS ord_key
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, source, n_tokens,
+         coalesce(sum(n_tokens) OVER (PARTITION BY source
+             ORDER BY ord_key ASC, doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+  FROM base
+)
+"""
+
+_PACKING_ORACLE = f"""
+WITH {_PACKING_CTE}
+SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(floor(start_tok / {PACK_CTX}.0) AS BIGINT) AS pack_id
+FROM packed
+ORDER BY doc_id
+"""
+
+
+def q_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit: per (source, window) doc count, token
+    mass, and fill ratio — the layout check before shards are written."""
+    docs = read_table(spark, sf_dir, "documents")
+    packed = lpack.pack_sequences(docs, "doc_id", "source", ctx=PACK_CTX)
+    return (
+        lpack.pack_utilization(packed, "source", ctx=PACK_CTX)
+        .select(
+            "source",
+            "pack_id",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("tok_mass").cast("long").alias("tok_mass"),
+            "fill_ratio",
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
+_PACK_STATS_ORACLE = f"""
+WITH {_PACKING_CTE}
+SELECT source,
+       CAST(floor(start_tok / {PACK_CTX}.0) AS BIGINT) AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS tok_mass,
+       round(sum(n_tokens) / {PACK_CTX}.0, 4) AS fill_ratio
+FROM packed
+GROUP BY 1, 2
+ORDER BY source, pack_id
+"""
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absmax int8 quantization fidelity over the embedding table:
+    per-vector scale, max reconstruction error, original↔dequantized
+    cosine. Shuffle-free projection — the 4× storage-cut path an ANN
+    index runs before building."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return lq.quantize_int8(emb).orderBy("vec_id")
+
+
+_QUANTIZE_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+m AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) AS amax
+  FROM e
+),
+s AS (SELECT vec_id, v, amax, amax / 127.0 AS scale FROM m),
+q AS (
+  SELECT vec_id, v, amax, scale,
+         list_transform(v, x -> floor(x / scale + 0.5) * scale) AS dq
+  FROM s
+)
+SELECT vec_id,
+       round(CASE WHEN amax = 0 THEN 0.0 ELSE scale END, 6) AS qscale,
+       round(CASE WHEN amax = 0 THEN 0.0 ELSE
+         list_max(list_transform(range(1, len(v) + 1),
+                                 i -> abs(v[i] - dq[i]))) END, 6) AS max_abs_err,
+       round(CASE WHEN amax = 0 THEN 1.0 ELSE
+         list_cosine_similarity(v, dq) END, 4) AS cos_dq
+FROM q
+ORDER BY vec_id
+"""
+
+
+QUERIES = {
+    "kmv_distinct_users": q_kmv_distinct_users,
+    "cms_token_counts": q_cms_token_counts,
+    "alpha_resample": q_alpha_resample,
+    "sequence_packing": q_sequence_packing,
+    "pack_stats": q_pack_stats,
+    "embedding_quantize": q_embedding_quantize,
+}
+
+ORACLES = {
+    "kmv_distinct_users": _KMV_ORACLE,
+    "cms_token_counts": _CMS_ORACLE,
+    "alpha_resample": _ALPHA_ORACLE,
+    "sequence_packing": _PACKING_ORACLE,
+    "pack_stats": _PACK_STATS_ORACLE,
+    "embedding_quantize": _QUANTIZE_ORACLE,
+}

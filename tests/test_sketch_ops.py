@@ -1,0 +1,138 @@
+"""Property tests for the sketch / layout operators (llm/sketches,
+llm/packing, llm/quantize, sampling.alpha_resample): estimator bounds,
+determinism under repartitioning, and packing invariants — the
+guarantees the oracle hash can't express."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from egal_yet_another_earthquake_project_spark.llm import packing as lpack
+from egal_yet_another_earthquake_project_spark.llm import quantize as lq
+from egal_yet_another_earthquake_project_spark.llm import sampling as lsamp
+from egal_yet_another_earthquake_project_spark.llm import sketches as lsk
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from egal_yet_another_earthquake_project_spark.sources.files import read_table
+
+    return read_table(spark, SF, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    from egal_yet_another_earthquake_project_spark.sources.files import read_table
+
+    return read_table(spark, SF, "events").cache()
+
+
+def test_kmv_within_error_bound(spark, events):
+    """KMV RSE is ~1/sqrt(k-2); assert a generous 5-sigma envelope and
+    exactness below k."""
+    out = lsk.kmv_distinct(events, ["event_type"], "user_id", k=64).collect()
+    assert out, "no groups"
+    for r in out:
+        if r.exact_distinct < 64:
+            assert r.est_distinct == float(r.exact_distinct)
+        else:
+            rse = 1.0 / (62.0**0.5)
+            assert abs(r.est_distinct - r.exact_distinct) <= 5 * rse * r.exact_distinct
+
+
+def test_kmv_partition_invariant(spark, events):
+    a = lsk.kmv_distinct(events, ["event_type"], "user_id", k=32)
+    b = lsk.kmv_distinct(events.repartition(7, "user_id"), ["event_type"], "user_id", k=32)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_cms_never_underestimates(spark, docs):
+    from egal_yet_another_earthquake_project_spark.llm import text as ltx
+
+    items = ltx.tokenized(docs).select(F.explode("_toks").alias("tok"))
+    sketch = lsk.cms_build(items, "tok", depth=4, width=512)
+    probes = spark.createDataFrame([("the",), ("join",), ("zzz-absent",)], "tok string")
+    est = {r.tok: r.est_count for r in lsk.cms_estimate(sketch, probes, "tok", 4, 512).collect()}
+    exact = {
+        r.tok: r.c
+        for r in items.filter(F.col("tok").isin("the", "join", "zzz-absent"))
+        .groupBy("tok").agg(F.count("*").alias("c")).collect()
+    }
+    for t in ("the", "join", "zzz-absent"):
+        assert est[t] >= exact.get(t, 0), f"CMS underestimated {t}"
+
+
+def test_alpha_resample_budget_and_quotas(spark, docs):
+    out = lsamp.alpha_resample(docs, "source", "doc_id", alpha=0.5, budget=100)
+    per = out.groupBy("source").agg(
+        F.count("*").alias("kept"), F.first("target").alias("target")
+    ).collect()
+    total_docs = docs.count()
+    kept_total = sum(r.kept for r in per)
+    # each source fills exactly its quota (or its whole population)
+    for r in per:
+        assert r.kept == r.target
+    # ceil per source can overshoot the budget by at most one per source
+    assert kept_total <= min(100 + len(per), total_docs)
+
+
+def test_alpha_resample_flattens_shares(spark, docs):
+    """α<1 must give small sources a larger share of the sample than of
+    the population."""
+    pop = {r.source: r.c for r in docs.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    out = lsamp.alpha_resample(docs, "source", "doc_id", alpha=0.5, budget=100)
+    kept = {r.source: r.c for r in out.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    small = min(pop, key=pop.get)
+    big = max(pop, key=pop.get)
+    if pop[small] < pop[big]:  # only meaningful with a real size gap
+        pop_share = pop[small] / pop[big]
+        kept_share = kept[small] / kept[big]
+        assert kept_share >= pop_share
+
+
+def test_packing_offsets_are_contiguous(spark, docs):
+    """Within a group, sorted start offsets must tile the token stream:
+    each doc starts exactly where the previous ended."""
+    packed = lpack.pack_sequences(docs, "doc_id", "source", ctx=128)
+    rows = packed.orderBy("source", "start_tok").collect()
+    by_group: dict[str, list] = {}
+    for r in rows:
+        by_group.setdefault(r.source, []).append(r)
+    for g, rs in by_group.items():
+        pos = 0
+        for r in rs:
+            assert r.start_tok == pos, f"gap in {g} at doc {r.doc_id}"
+            pos += r.n_tokens
+            assert r.pack_id == r.start_tok // 128
+
+
+def test_packing_partition_invariant(spark, docs):
+    a = lpack.pack_sequences(docs, "doc_id", "source", ctx=64)
+    b = lpack.pack_sequences(docs.repartition(13), "doc_id", "source", ctx=64)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_quantize_error_bounded_by_half_step(spark):
+    from egal_yet_another_earthquake_project_spark.sources.files import read_table
+
+    emb = read_table(spark, SF, "embeddings")
+    out = lq.quantize_int8(emb).collect()
+    assert out
+    for r in out:
+        # half-up rounding error is at most scale/2; both sides are
+        # reported rounded to 6 decimals, so allow one rounding step
+        assert r.max_abs_err <= r.qscale / 2 + 1e-6
+        assert r.cos_dq >= 0.999, "int8 dequant should preserve cosine"
+
+
+def test_quantize_zero_vector_convention(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in lq.quantize_int8(df).collect()}
+    assert out[1].qscale == 0.0 and out[1].max_abs_err == 0.0 and out[1].cos_dq == 1.0
+    assert out[2].cos_dq > 0.999
