@@ -69,6 +69,10 @@ HEADLINE = [
     "unigram_nll",
     "pii_profile",
     "semantic_neardup",
+    # round-3 wave: bounded-state sketches and corpus-layout passes.
+    "kmv_distinct_users",
+    "sequence_packing",
+    "embedding_quantize",
 ]
 
 

@@ -282,3 +282,42 @@ def test_lone_late_supplier_folds_exists_pair_into_window(spark):
         and "Scan parquet" in line
     )
     assert n_scans == 3, plan
+
+
+def test_quantize_is_shuffle_free(spark):
+    """Int8 quantization is a pure projection: zero exchanges (the
+    declared query adds only the output sort)."""
+    from egal_yet_another_earthquake_project_spark.llm import quantize as lq
+    from egal_yet_another_earthquake_project_spark.sources.files import read_table
+
+    df = lq.quantize_int8(read_table(spark, TESTDATA_SMOKE, "embeddings"))
+    assert inspect.exchange_count(df) == 0, inspect.formatted_plan(df)
+
+
+def test_packing_single_shuffle(spark):
+    """Sequence packing = one hash exchange for the per-group window; the
+    pack-id floor adds no second shuffle."""
+    from egal_yet_another_earthquake_project_spark.llm import packing as lpack
+    from egal_yet_another_earthquake_project_spark.sources.files import read_table
+
+    df = lpack.pack_sequences(
+        read_table(spark, TESTDATA_SMOKE, "documents"), "doc_id", "source"
+    )
+    assert inspect.exchange_count(df) <= 1, inspect.formatted_plan(df)
+
+
+def test_cms_probe_join_broadcasts_sketch(spark):
+    """The d*w-row sketch must broadcast to the probes — the probe path
+    never shuffles the corpus."""
+    from egal_yet_another_earthquake_project_spark.llm import sketches as lsk
+    from egal_yet_another_earthquake_project_spark.llm import text as ltx
+    from egal_yet_another_earthquake_project_spark.sources.files import read_table
+    from pyspark.sql import functions as F
+
+    items = ltx.tokenized(read_table(spark, TESTDATA_SMOKE, "documents")).select(
+        F.explode("_toks").alias("tok")
+    )
+    sketch = lsk.cms_build(items, "tok")
+    probes = spark.createDataFrame([("join",), ("hash",)], "tok string")
+    df = lsk.cms_estimate(sketch, probes, "tok")
+    assert inspect.uses_broadcast_join(df), inspect.formatted_plan(df)
