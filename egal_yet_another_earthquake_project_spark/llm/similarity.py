@@ -56,15 +56,23 @@ def unit(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
     dot product: a pairwise join otherwise pays three array passes per
     candidate (dot + both norms), and the norms are recomputed
     |candidates|/|rows| times each — at any real fan-out that triples the
-    dominant kernel. The norm is materialized in its own projection so
-    the division inside ``transform`` does not re-aggregate per element.
+    dominant kernel. The norm must be materialized in its own projection:
+    a plain alias gets inlined back into the ``transform`` lambda by
+    CollapseProject (single-reference aliases always collapse), which
+    would re-run the O(dim) norm aggregate per ELEMENT — O(dim²)/row.
+    The ``abs``-shaped guard below references the alias in both branches;
+    the optimizer cannot prove them equal (a norm is already ≥ 0, so the
+    value is unchanged), the alias becomes multi-referenced, and the
+    projection survives — verified against the optimized plan in
+    ``tests/test_plans.py::test_unit_norm_not_inlined``.
     """
     nm = norm(F.col(vec_col))
+    guarded = F.when(F.col("_nm") >= 0, F.col("_nm")).otherwise(-F.col("_nm"))
     return (
         df.withColumn("_nm", nm)
         .withColumn(
             out_col,
-            F.transform(vec_col, lambda x: x.cast("double") / F.col("_nm")),
+            F.transform(vec_col, lambda x: x.cast("double") / guarded),
         )
         .drop("_nm")
     )

@@ -321,3 +321,15 @@ def test_cms_probe_join_broadcasts_sketch(spark):
     probes = spark.createDataFrame([("join",), ("hash",)], "tok string")
     df = lsk.cms_estimate(sketch, probes, "tok")
     assert inspect.uses_broadcast_join(df), inspect.formatted_plan(df)
+
+
+def test_unit_norm_not_inlined(spark):
+    """The L2 norm behind `similarity.unit` must stay materialized in its
+    own projection — CollapseProject inlining it into the transform
+    lambda re-runs the O(dim) aggregate per element (O(dim^2)/row)."""
+    from egal_yet_another_earthquake_project_spark.llm import similarity as lsim
+    from egal_yet_another_earthquake_project_spark.sources.files import read_table
+
+    df = lsim.unit(read_table(spark, TESTDATA_SMOKE, "embeddings"), "embedding", "u")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "_nm" in plan, "norm projection collapsed into the lambda:\n" + plan[:2000]
