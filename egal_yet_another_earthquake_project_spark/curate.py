@@ -1,0 +1,105 @@
+"""End-to-end batch corpus curation: the composed training-data job.
+
+The declared queries verify every stage in isolation; this module is the
+*product* path a pipeline operator actually runs — one callable (and a
+``curate`` CLI subcommand in ``jobs.py``) that takes a raw documents
+table through:
+
+    quality/language gates → exact dedup → (optional) MinHash-LSH
+    near-dedup with transitive clusters → α source resampling →
+    sequence packing → partitioned parquet shards
+
+Every stage is the already-tested library operator; the composition adds
+no new shuffle beyond the stages' own (gates are Catalyst filters pushed
+ahead of the dedup shuffle; the near-dedup clusters and resample quotas
+are candidate-scale frames). Stage row counts are collected once from
+tiny aggregates and returned for the job log.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from egal_yet_another_earthquake_project_spark.llm import clusters as lcl
+from egal_yet_another_earthquake_project_spark.llm import dedup as ldd
+from egal_yet_another_earthquake_project_spark.llm import packing as lpack
+from egal_yet_another_earthquake_project_spark.llm import sampling as lsamp
+from egal_yet_another_earthquake_project_spark.llm import text as ltx
+
+
+@dataclass
+class CurationResult:
+    """Curated corpus plus per-stage accounting."""
+
+    corpus: DataFrame  # doc_id, source, text, n_tokens, start_tok, pack_id
+    stats: dict[str, int] = field(default_factory=dict)
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    lang: str | None = "en",
+    near_dedup: bool = False,
+    jaccard_threshold: float = 0.7,
+    alpha: float | None = None,
+    budget: int = 1000,
+    ctx: int = 256,
+) -> CurationResult:
+    """Run the full curation flow; see module docstring for the stages.
+
+    ``near_dedup=True`` adds MinHash-LSH pair detection + connected
+    components, keeping each cluster's min-id doc (the iterative step —
+    everything else is one Catalyst plan). ``alpha`` enables the
+    temperature resample down to ``budget`` docs.
+    """
+    stats: dict[str, int] = {"input": docs.count()}
+
+    profiled = ltx.text_profile(docs)
+    gated = profiled.filter(F.col("quality") >= min_quality)
+    if lang is not None:
+        gated = gated.filter(F.col("lang_guess") == lang)
+    deduped = ldd.exact_dedup(gated, id_col, text_col)
+
+    if near_dedup:
+        pairs = ldd.minhash_lsh_dedup_pairs(
+            deduped, id_col, text_col, verify_threshold=jaccard_threshold
+        )
+        comp = lcl.connected_components(pairs, "doc_a", "doc_b")
+        losers = comp.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias(id_col)
+        )
+        deduped = deduped.join(F.broadcast(losers), id_col, "left_anti")
+    stats["after_dedup"] = deduped.count()
+
+    if alpha is not None:
+        keep = lsamp.alpha_resample(
+            deduped, source_col, id_col, alpha=alpha, budget=budget
+        ).select(id_col)
+        deduped = deduped.join(F.broadcast(keep), id_col)
+        stats["after_resample"] = deduped.count()
+
+    packed = lpack.pack_sequences(deduped, id_col, source_col, text_col, ctx=ctx)
+    out = deduped.select(id_col, source_col, text_col).join(
+        packed.drop(source_col), id_col
+    )
+    stats["packs"] = packed.select(source_col, "pack_id").distinct().count()
+    return CurationResult(corpus=out, stats=stats)
+
+
+def write_shards(result: CurationResult, out_dir: str) -> None:
+    """Write the curated corpus partitioned by source — the shard layout
+    a training loader consumes (each source directory holds its packed
+    stream in pack/offset order)."""
+    (
+        result.corpus.repartition(F.col("source"))
+        .sortWithinPartitions("source", "pack_id", "start_tok")
+        .write.mode("overwrite")
+        .partitionBy("source")
+        .parquet(out_dir)
+    )

@@ -9,11 +9,15 @@ each relaunched every minute by NiFi (SURVEY E1 step 5). Here:
         --source-dir bronze --es-url http://es:9200 [--dry-run]
     python -m egal_yet_another_earthquake_project_spark analytics \
         --source-dir bronze
+    python -m egal_yet_another_earthquake_project_spark curate \
+        --source-dir /data/raw --out /data/shards --alpha 0.5 --near-dedup
 
 ``archive`` drains (or follows) an envelope directory into a partitioned
 parquet archive; ``batch-load`` runs bronze→silver→gold and ships ES
 documents (``--dry-run`` prints counts instead); ``analytics`` prints the
-gold tables. Kafka variants use the same code paths with the gated reader
+gold tables; ``curate`` runs the full training-corpus pipeline
+(gates → dedup → resample → packing → shards, see ``curate.py``).
+Kafka variants use the same code paths with the gated reader
 (sources/kafka.py) once a broker and the connector jar are present.
 """
 
@@ -52,6 +56,19 @@ def _parser() -> argparse.ArgumentParser:
     c = sub.add_parser("analytics", help="print the gold analytic tables")
     c.add_argument("--source-dir", required=True)
     c.add_argument("--min-magnitude", type=float, default=4.0)
+
+    d = sub.add_parser(
+        "curate",
+        help="documents parquet → gated/deduped/resampled/packed shards",
+    )
+    d.add_argument("--source-dir", required=True, help="dir holding documents.parquet")
+    d.add_argument("--out", required=True, help="output shard directory")
+    d.add_argument("--min-quality", type=float, default=0.5)
+    d.add_argument("--lang", default="en", help="language gate; 'any' disables")
+    d.add_argument("--near-dedup", action="store_true")
+    d.add_argument("--alpha", type=float, default=None, help="enable α resampling")
+    d.add_argument("--budget", type=int, default=1000)
+    d.add_argument("--ctx", type=int, default=256)
     return p
 
 
@@ -92,6 +109,23 @@ def main(argv: list[str] | None = None) -> int:
             gold.column_stats.show(50, truncate=False)
             gold.region_counts.show(truncate=False)
             gold.magnitude_extrema.show(truncate=False)
+        elif args.cmd == "curate":
+            import json
+
+            from egal_yet_another_earthquake_project_spark import curate
+
+            docs = spark.read.parquet(f"{args.source_dir}/documents.parquet")
+            result = curate.curate_corpus(
+                docs,
+                min_quality=args.min_quality,
+                lang=None if args.lang == "any" else args.lang,
+                near_dedup=args.near_dedup,
+                alpha=args.alpha,
+                budget=args.budget,
+                ctx=args.ctx,
+            )
+            curate.write_shards(result, args.out)
+            print(json.dumps({"out": args.out, **result.stats}))
         return 0
     finally:
         spark.stop()

@@ -44,3 +44,36 @@ def test_cli_archive_and_dry_run(spark, bronze_in, tmp_path: Path, capsys):
         spark.stop = real_stop
     out = capsys.readouterr().out
     assert "would index 25 documents" in out
+
+
+def test_cli_curate_writes_shards(spark, tmp_path: Path, capsys):
+    """curate: documents dir → gated/deduped/packed shard tree + one JSON
+    stats line; shards must cover exactly the curated doc set."""
+    import json
+
+    from egal_yet_another_earthquake_project_spark import jobs
+
+    out = str(tmp_path / "shards")
+    real_stop = spark.stop
+    spark.stop = lambda: None
+    try:
+        rc = jobs.main(
+            [
+                "curate",
+                "--source-dir", "/root/testdata/sf0.001",
+                "--out", out,
+                "--alpha", "0.5",
+                "--budget", "120",
+                "--near-dedup",
+            ]
+        )
+    finally:
+        spark.stop = real_stop
+    assert rc == 0
+    line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    stats = json.loads(line)
+    assert stats["input"] > stats["after_dedup"] >= stats["after_resample"]
+    shards = spark.read.parquet(out)
+    assert shards.count() == stats["after_resample"]
+    cols = set(shards.columns)
+    assert {"doc_id", "source", "text", "n_tokens", "start_tok", "pack_id"} <= cols

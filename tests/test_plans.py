@@ -133,6 +133,9 @@ _ALLOWED_NESTED_LOOP = {
     # Unigram LM joins the one-row (N, V) corpus totals into the
     # term-frequency frame — same bounded 1×n broadcast shape.
     "unigram_nll",
+    # α resampling joins the one-row weight normalizer Σc^α into the
+    # #sources-row quota table — bounded 1×n broadcast.
+    "alpha_resample",
 }
 
 
