@@ -258,7 +258,32 @@ ORDER BY vec_id
 """
 
 
+def q_global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global row numbering over documents — two-phase
+    bucket ranks instead of the single-partition global window the
+    oracle (correctly, at its scale) uses."""
+    from egal_yet_another_earthquake_project_spark.operators.rowids import (
+        hash_ordered_row_numbers,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return hash_ordered_row_numbers(docs, "doc_id").select("doc_id", "rid").orderBy(
+        "doc_id"
+    )
+
+
+_ROW_IDS_ORACLE = """
+SELECT doc_id,
+       CAST(row_number() OVER (
+            ORDER BY md5('rowid' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+            AS BIGINT) AS rid
+FROM documents
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "global_row_ids": q_global_row_ids,
     "kmv_distinct_users": q_kmv_distinct_users,
     "cms_token_counts": q_cms_token_counts,
     "alpha_resample": q_alpha_resample,
@@ -268,6 +293,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "global_row_ids": _ROW_IDS_ORACLE,
     "kmv_distinct_users": _KMV_ORACLE,
     "cms_token_counts": _CMS_ORACLE,
     "alpha_resample": _ALPHA_ORACLE,

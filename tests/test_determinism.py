@@ -39,6 +39,14 @@ CHECKED = [
     "semantic_neardup",
     "top_supplier",
     "lone_late_supplier",
+    # round-3 sketch wave: hash-rank estimators and window cumsums are
+    # the classic partition-order traps; these must not care.
+    "kmv_distinct_users",
+    "cms_token_counts",
+    "alpha_resample",
+    "sequence_packing",
+    "embedding_quantize",
+    "global_row_ids",
 ]
 
 

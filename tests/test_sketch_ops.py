@@ -136,3 +136,17 @@ def test_quantize_zero_vector_convention(spark):
     out = {r.vec_id: r for r in lq.quantize_int8(df).collect()}
     assert out[1].qscale == 0.0 and out[1].max_abs_err == 0.0 and out[1].cos_dq == 1.0
     assert out[2].cos_dq > 0.999
+
+
+def test_row_numbers_contiguous_and_partition_invariant(spark, docs):
+    from egal_yet_another_earthquake_project_spark.operators.rowids import (
+        hash_ordered_row_numbers,
+    )
+
+    out = hash_ordered_row_numbers(docs, "doc_id")
+    rids = sorted(r.rid for r in out.select("rid").collect())
+    assert rids == list(range(1, len(rids) + 1)), "ids not contiguous 1..n"
+    again = hash_ordered_row_numbers(docs.repartition(11), "doc_id")
+    a = {r.doc_id: r.rid for r in out.select("doc_id", "rid").collect()}
+    b = {r.doc_id: r.rid for r in again.select("doc_id", "rid").collect()}
+    assert a == b
