@@ -310,6 +310,7 @@ def minhash_signatures(
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = DEFAULT_NUM_HASHES,
+    engine: str = "catalyst",
 ) -> DataFrame:
     """Per-doc MinHash signature columns mh0..mh{k-1} (64-bit longs).
 
@@ -317,25 +318,93 @@ def minhash_signatures(
     md5(shingle) as a 32-bit integer — then k affine permutations
     g_i(h) = (a_i·h + b_i) mod P with fixed public coefficients
     (:func:`minhash_coeffs`): min over shingles per permutation. Digest
-    work is O(shingles), not O(k·shingles). Computed via explode →
-    groupBy(doc) with k ``min`` aggregates; the base hash is MATERIALIZED
-    in a projection before the aggregate (codegen subexpression
-    elimination does not span aggregate expressions), and partial
-    map-side mins make the shuffle carry only k longs per doc.
+    work is O(shingles), not O(k·shingles).
+
+    Two engines computing IDENTICAL values (pure integer arithmetic, no
+    float anywhere — equality is asserted in ``tests/test_dedup.py``):
+
+    * ``engine="catalyst"`` (default): explode → groupBy(doc) with k
+      ``min`` aggregates — map-side partial mins, one shuffle of k
+      longs/doc. The k-wide aggregate evaluates interpreted (outside
+      codegen limits) yet still wins locally: ~1.0 s vs 1.3 s at sf0.1.
+    * ``engine="pandas"``: per-row shingle arrays through an
+      Arrow-batched ``mapInPandas`` — one (k × shingles) int64
+      affine-mod and a segmented min per batch; all products stay < 2⁶²
+      (both factors < P = 2³¹−1), so int64 never overflows. ZERO
+      shuffle — signatures never leave their input partition — which is
+      the lever when the signature shuffle itself is the bottleneck
+      (very wide k, or a cluster where Python workers are cheaper than
+      shuffle I/O); locally the Arrow hop + per-shingle Python md5
+      makes it the slower path, hence not the default.
     """
-    exploded = exploded_shingles(df, id_col, text_col, n)
-    based = exploded.select(
-        "doc",
-        (
-            F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long")
-            % F.lit(MINHASH_P)
-        ).alias("_h"),
+    if engine == "catalyst":
+        exploded = exploded_shingles(df, id_col, text_col, n)
+        based = exploded.select(
+            "doc",
+            (
+                F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long")
+                % F.lit(MINHASH_P)
+            ).alias("_h"),
+        )
+        aggs = [
+            F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
+            for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+        ]
+        return based.groupBy("doc").agg(*aggs)
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from egal_yet_another_earthquake_project_spark.llm.text import (
+        shingles_of_tokens,
+        tokenized,
     )
-    aggs = [
-        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
-        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
-    ]
-    return based.groupBy("doc").agg(*aggs)
+
+    # distinct per doc only trims duplicate digests — min over a multiset
+    # equals min over its set, so both engines agree regardless.
+    base = tokenized(df, text_col).select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(shingles_of_tokens(F.col("_toks"), n)).alias("_sh"),
+    )
+    coeffs = minhash_coeffs(num_hashes)
+    a_vec = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
+    b_vec = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
+    out_schema = T.StructType(
+        [base.schema["doc"]]
+        + [T.StructField(f"mh{i}", T.LongType(), False) for i in range(num_hashes)]
+    )
+
+    def run(batches):
+        import hashlib
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            sh_lists = pdf["_sh"].tolist()
+            counts = np.fromiter((len(s) for s in sh_lists), dtype=np.int64)
+            flat = [s for lst in sh_lists for s in lst]
+            h = np.fromiter(
+                (
+                    int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+                    % MINHASH_P
+                    for s in flat
+                ),
+                dtype=np.int64,
+                count=len(flat),
+            )
+            # (k × m) affine family; shingles_of_tokens never yields an
+            # empty array (short texts produce one joined shingle), so
+            # every reduceat segment is non-empty.
+            m = (a_vec * h[None, :] + b_vec) % MINHASH_P
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            mins = np.minimum.reduceat(m, starts, axis=1)  # k × n_docs
+            out = pd.DataFrame({"doc": pdf["doc"].to_numpy()})
+            for i in range(num_hashes):
+                out[f"mh{i}"] = mins[i]
+            yield out
+
+    return base.mapInPandas(run, out_schema)
 
 
 def lsh_candidate_pairs(

@@ -104,3 +104,13 @@ def test_minhash_cap_prunes_verify_stage(spark):
         corpus, "doc_id", verify_threshold=0.5, max_doc_freq=5
     ).collect()
     assert capped == []
+
+
+def test_minhash_engines_identical(spark):
+    """The pandas (Arrow/numpy) and catalyst signature engines are two
+    implementations of the same integer arithmetic — values must be
+    bit-identical."""
+    docs = _boilerplate_corpus(spark)
+    a = sorted(map(tuple, ldd.minhash_signatures(docs, "doc_id", engine="catalyst").collect()))
+    b = sorted(map(tuple, ldd.minhash_signatures(docs, "doc_id", engine="pandas").collect()))
+    assert a == b
