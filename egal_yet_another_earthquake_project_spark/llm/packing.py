@@ -67,6 +67,44 @@ def pack_sequences(
     )
 
 
+def pack_texts(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    text_col: str = "text",
+    ctx: int = 256,
+    salt: str = "pack",
+) -> DataFrame:
+    """Materialize each (group, pack) window as its concatenated member
+    text — the shard payload a training loader reads. Members are joined
+    in stream order (start_tok) with a single space, matching the
+    token-stream concatenation the offsets were computed from.
+
+    One extra aggregate over :func:`pack_sequences` output joined back to
+    the text: ``collect_list`` of (start, text) structs, ``array_sort``
+    (sorts on the leading struct field — the offset), then join. The
+    per-pack payload is bounded by ctx plus one straddling document, so
+    the collected list never exceeds a context window of text.
+    """
+    packed = pack_sequences(df, id_col, group_col, text_col, ctx, salt)
+    joined = packed.join(df.select(id_col, text_col), id_col)
+    return (
+        joined.groupBy(group_col, "pack_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("start_tok", text_col))
+                    ),
+                    lambda s: s[text_col],
+                ),
+                " ",
+            ).alias("pack_text"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
 def pack_utilization(packed: DataFrame, group_col: str, ctx: int = 256) -> DataFrame:
     """Per-(group, pack) fill statistics from :func:`pack_sequences`
     output: how many docs start in each window and the token mass

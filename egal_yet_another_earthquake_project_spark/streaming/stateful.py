@@ -107,6 +107,81 @@ def track_series_gaps(
     )
 
 
+#: Streaming KMV output: live distinct-count estimate per group.
+KMV_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("g", T.StringType(), False),
+        T.StructField("est_distinct", T.DoubleType(), False),
+        T.StructField("n_kept", T.IntegerType(), False),
+    ]
+)
+
+#: State: the k smallest (distinct) value hashes seen so far.
+KMV_STATE_SCHEMA = T.StructType(
+    [T.StructField("kept", T.ArrayType(T.LongType()), True)]
+)
+
+_KMV_HASH_SPACE = float(1 << 32)
+
+
+def _kmv_fn_factory(k: int):
+    def fn(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        kept: list[int] = list(state.get[0]) if state.exists else []
+        seen = set(kept)
+        for pdf in batches:
+            for hv in pdf["hv"]:
+                seen.add(int(hv))
+        kept = sorted(seen)[:k]
+        state.update((kept,))
+        if len(kept) < k:
+            est = float(len(kept))
+        else:
+            est = round((k - 1) * _KMV_HASH_SPACE / kept[-1], 2)
+        yield pd.DataFrame(
+            {"g": [key[0]], "est_distinct": [est], "n_kept": [len(kept)]}
+        )
+
+    return fn
+
+
+def kmv_stream(
+    stream: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Live per-group distinct-count estimates over an unbounded stream.
+
+    The batch KMV (llm/sketches.py) as a stateful streaming operator:
+    state per group is the k smallest md5 value-hashes — BOUNDED
+    (k longs) no matter how many events flow, which is the whole reason
+    a stream can afford it (exact streaming count-distinct needs
+    unbounded state). Each trigger min-merges the batch's hashes into
+    the sketch (KMV union = k-smallest of the union — associative,
+    commutative, idempotent: late or replayed data cannot corrupt it)
+    and emits the group's refreshed estimate. Same estimator arithmetic
+    as the batch operator, so a drained stream converges to the batch
+    answer exactly (asserted in tests/test_streaming_sketch.py).
+    """
+    hv = (
+        F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        + 1
+    ).alias("hv")
+    prepared = stream.select(F.col(group_col).cast("string").alias("g"), hv)
+    return prepared.groupBy("g").applyInPandasWithState(
+        _kmv_fn_factory(k),
+        outputStructType=KMV_OUT_SCHEMA,
+        stateStructType=KMV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def session_counts(
     stream: DataFrame,
     event_time: str = "ts",

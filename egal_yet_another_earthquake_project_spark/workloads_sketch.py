@@ -224,6 +224,35 @@ ORDER BY source, pack_id
 """
 
 
+def q_pack_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized shard payloads: each (source, window) as its
+    stream-order concatenated member text — what the training loader
+    actually reads."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        lpack.pack_texts(docs, "doc_id", "source", ctx=PACK_CTX)
+        .select(
+            "source",
+            "pack_id",
+            "pack_text",
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
+_PACK_TEXTS_ORACLE = f"""
+WITH {_PACKING_CTE}
+SELECT p.source,
+       CAST(floor(p.start_tok / {PACK_CTX}.0) AS BIGINT) AS pack_id,
+       string_agg(d.text, ' ' ORDER BY p.start_tok, d.text) AS pack_text,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM packed p JOIN documents d USING (doc_id)
+GROUP BY 1, 2
+ORDER BY p.source, pack_id
+"""
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Absmax int8 quantization fidelity over the embedding table:
     per-vector scale, max reconstruction error, original↔dequantized
@@ -289,6 +318,7 @@ QUERIES = {
     "alpha_resample": q_alpha_resample,
     "sequence_packing": q_sequence_packing,
     "pack_stats": q_pack_stats,
+    "pack_texts": q_pack_texts,
     "embedding_quantize": q_embedding_quantize,
 }
 
@@ -299,5 +329,6 @@ ORACLES = {
     "alpha_resample": _ALPHA_ORACLE,
     "sequence_packing": _PACKING_ORACLE,
     "pack_stats": _PACK_STATS_ORACLE,
+    "pack_texts": _PACK_TEXTS_ORACLE,
     "embedding_quantize": _QUANTIZE_ORACLE,
 }

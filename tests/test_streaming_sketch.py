@@ -58,3 +58,46 @@ def test_streaming_cms_equals_batch_sketch(spark, tmp_path: Path):
     # bounded state: never more rows than the sketch geometry allows
     assert len(streamed) <= DEPTH * WIDTH
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_streaming_kmv_converges_to_batch(spark, tmp_path: Path):
+    """Drained streaming KMV == batch KMV: the k-min merge is associative,
+    so feeding the events table in two micro-batches must land on the
+    batch estimator's numbers exactly (update mode: last row per group
+    wins)."""
+    from egal_yet_another_earthquake_project_spark.streaming.stateful import kmv_stream
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_type", "user_id"
+    )
+    src = tmp_path / "kmv_in"
+    events.filter(F.col("user_id") % 2 == 0).write.parquet(str(src / "b1"))
+
+    stream = stream_parquet_dir(spark, str(src) + "/*", events.schema)
+    q = (
+        kmv_stream(stream, "event_type", "user_id", k=32)
+        .writeStream.format("memory")
+        .queryName("kmv_live")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "kmv_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        events.filter(F.col("user_id") % 2 == 1).write.parquet(str(src / "b2"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # update mode appends one row per group per trigger; keep the last.
+    live = {}
+    for r in spark.table("kmv_live").collect():
+        live[r.g] = r.est_distinct
+
+    from egal_yet_another_earthquake_project_spark.llm import sketches as lsk
+
+    batch = {
+        r.event_type: r.est_distinct
+        for r in lsk.kmv_distinct(events, ["event_type"], "user_id", k=32).collect()
+    }
+    assert live == batch
