@@ -73,6 +73,8 @@ HEADLINE = [
     "kmv_distinct_users",
     "sequence_packing",
     "embedding_quantize",
+    "alpha_resample",
+    "global_row_ids",
 ]
 
 

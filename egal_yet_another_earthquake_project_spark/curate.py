@@ -71,10 +71,14 @@ def curate_corpus(
             deduped, id_col, text_col, verify_threshold=jaccard_threshold
         )
         comp = lcl.connected_components(pairs, "doc_a", "doc_b")
+        # No broadcast hint: the loser set is a corpus FRACTION (every
+        # non-canonical duplicate), not a fixed-size dim — at real dup
+        # rates it outgrows any broadcast threshold. AQE still broadcasts
+        # it at small scale where it genuinely fits.
         losers = comp.filter(F.col("node") != F.col("component")).select(
             F.col("node").alias(id_col)
         )
-        deduped = deduped.join(F.broadcast(losers), id_col, "left_anti")
+        deduped = deduped.join(losers, id_col, "left_anti")
     stats["after_dedup"] = deduped.count()
 
     if alpha is not None:

@@ -253,6 +253,68 @@ ORDER BY p.source, pack_id
 """
 
 
+MIN_SHARED_FPS = 3
+
+
+def q_substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication signal (the Lee et al. 2022 concern
+    the shingle-set methods miss): doc pairs sharing ≥3 distinct
+    winnowing fingerprints — each shared fingerprint witnesses a shared
+    ≥8-char substring, position-independent. Inverted-index join on the
+    fingerprint (work ∝ shared-fingerprint mass, never n²); the same
+    ``max_doc_freq``-style cap as jaccard_pairs applies at corpora with
+    hot boilerplate."""
+    from egal_yet_another_earthquake_project_spark.llm import text as ltx
+    from egal_yet_another_earthquake_project_spark.workloads_llm import _aug_corpus
+
+    corpus = _aug_corpus(read_table(spark, sf_dir, "documents"))
+    fps = ltx.winnow_fingerprints(corpus, "doc_id")
+    a = fps.select(F.col("doc").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= MIN_SHARED_FPS)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _substring_oracle() -> str:
+    from egal_yet_another_earthquake_project_spark.workloads_llm import (
+        _AUG_SQL,
+        _NORM,
+    )
+
+    return f"""
+WITH corpus AS ({_AUG_SQL}),
+base AS (SELECT doc_id AS doc, {_NORM} AS norm FROM corpus),
+grams AS (
+  SELECT doc,
+    CASE WHEN length(norm) < 8 THEN [md5(norm)]
+         ELSE list_transform(range(0, length(norm) - 8 + 1),
+                             i -> md5(substring(norm, CAST(i + 1 AS INTEGER), 8)))
+    END AS h
+  FROM base
+),
+wins AS (
+  SELECT doc,
+    CASE WHEN len(h) <= 4 THEN [list_min(h)]
+         ELSE list_transform(range(0, len(h) - 4 + 1),
+                             j -> list_min(h[j+1:j+4]))
+    END AS w
+  FROM grams
+),
+fps AS (SELECT doc, unnest(list_distinct(w)) AS fp FROM wins)
+SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc < b.doc
+GROUP BY 1, 2
+HAVING count(*) >= {MIN_SHARED_FPS}
+ORDER BY doc_a, doc_b
+"""
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Absmax int8 quantization fidelity over the embedding table:
     per-vector scale, max reconstruction error, original↔dequantized
@@ -319,6 +381,7 @@ QUERIES = {
     "sequence_packing": q_sequence_packing,
     "pack_stats": q_pack_stats,
     "pack_texts": q_pack_texts,
+    "substring_dup_pairs": q_substring_dup_pairs,
     "embedding_quantize": q_embedding_quantize,
 }
 
@@ -330,5 +393,6 @@ ORACLES = {
     "sequence_packing": _PACKING_ORACLE,
     "pack_stats": _PACK_STATS_ORACLE,
     "pack_texts": _PACK_TEXTS_ORACLE,
+    "substring_dup_pairs": _substring_oracle(),
     "embedding_quantize": _QUANTIZE_ORACLE,
 }
