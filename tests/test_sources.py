@@ -52,3 +52,39 @@ def test_default_fetch_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         src.poll_earthquake_events("a", "b")
+
+
+def test_read_table_normalizes_both_events_ts_layouts(spark, tmp_path):
+    """The driver's events.parquet has shipped ts as INT64 TIMESTAMP(NANOS)
+    and as TIMESTAMP(MICROS)/NTZ across testdata generations; read_table
+    must yield the same session-TZ timestamps for both physical layouts
+    (this exact drift broke every events query in one driver round)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from egal_yet_another_earthquake_project_spark.sources.files import read_table
+
+    ts = [1700000000_000000, 1700000060_500000]  # micros
+    base = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([10, 20], pa.int64()),
+        "event_type": pa.array(["a", "b"]),
+        "value": pa.array([1.0, 2.0]),
+        "props": pa.array(["{}", "{}"]),
+    }
+    for sub, typ, vals in [
+        ("nanos", pa.timestamp("ns"), [t * 1000 for t in ts]),
+        ("micros", pa.timestamp("us"), ts),
+    ]:
+        d = tmp_path / sub
+        d.mkdir()
+        pq.write_table(
+            pa.table({**base, "ts": pa.array(vals, typ)}),
+            str(d / "events.parquet"),
+            use_deprecated_int96_timestamps=False,
+            coerce_timestamps=None,
+        )
+    a = {r.event_id: r.ts for r in read_table(spark, str(tmp_path / "nanos"), "events").collect()}
+    b = {r.event_id: r.ts for r in read_table(spark, str(tmp_path / "micros"), "events").collect()}
+    assert a == b and len(a) == 2
+    assert read_table(spark, str(tmp_path / "micros"), "events").schema["ts"].dataType.typeName() == "timestamp"
