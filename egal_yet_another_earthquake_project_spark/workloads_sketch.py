@@ -253,6 +253,64 @@ ORDER BY p.source, pack_id
 """
 
 
+COVERAGE_PCT = 99
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary sizing: the smallest frequency-ranked token set covering
+    ≥99% of corpus token mass (the Zipf-head cut every tokenizer/vocab
+    build starts from). The coverage cutoff is INTEGER arithmetic
+    ((cum−cnt)·100 < 99·total — no float in the predicate), so the kept
+    set is bit-identical across engines.
+
+    The rank window runs over the DISTINCT-token frame — vocabulary
+    scale, orders of magnitude below corpus scale (Heaps' law); for a
+    vocabulary that outgrows one partition, the bucket-prefix trick of
+    operators/rowids.py applies to the same (count, token) order key."""
+    docs = read_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    counts = (
+        ltx.tokenized(docs)
+        .select(F.explode("_toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("_total"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        counts.withColumn("cum", F.sum("cnt").over(w))
+        .crossJoin(F.broadcast(total))
+        .filter((F.col("cum") - F.col("cnt")) * 100 < COVERAGE_PCT * F.col("_total"))
+        .select(
+            "token",
+            "cnt",
+            F.round(F.col("cum") / F.col("_total"), 6).alias("cum_share"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+    )
+
+
+_VOCAB_ORACLE = f"""
+WITH toks AS (SELECT unnest({_TOKS}) AS token FROM documents),
+c AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+t AS (SELECT sum(cnt) AS total FROM c),
+r AS (
+  SELECT token, cnt,
+         sum(cnt) OVER (ORDER BY cnt DESC, token ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM c
+)
+SELECT token, CAST(cnt AS BIGINT) AS cnt,
+       round(CAST(cum AS DOUBLE) / total, 6) AS cum_share
+FROM r CROSS JOIN t
+WHERE (cum - cnt) * 100 < {COVERAGE_PCT} * total
+ORDER BY cnt DESC, token ASC
+"""
+
+
 MIN_SHARED_FPS = 3
 
 
