@@ -79,16 +79,30 @@ def curate_corpus(
             F.col("node").alias(id_col)
         )
         deduped = deduped.join(losers, id_col, "left_anti")
+
+    # Pin the heavy lineage (gates -> window dedup -> optional LSH
+    # anti-join) once: it is re-read by the stats counts, both sides of
+    # the packed join, and write_shards. MEMORY_AND_DISK, so at real
+    # scale executors spill instead of OOM-ing or silently recomputing.
+    deduped = deduped.persist()
     stats["after_dedup"] = deduped.count()
 
     if alpha is not None:
+        # No broadcast hint: `keep` is budget-sized, and a real curation
+        # budget is the training set itself (billions of ids) — the same
+        # corpus-fraction class as the loser set above. left_semi keeps
+        # the plan shape; AQE still broadcasts while it genuinely fits.
         keep = lsamp.alpha_resample(
             deduped, source_col, id_col, alpha=alpha, budget=budget
         ).select(id_col)
-        deduped = deduped.join(F.broadcast(keep), id_col)
-        stats["after_resample"] = deduped.count()
+        resampled = deduped.join(keep, id_col, "left_semi").persist()
+        stats["after_resample"] = resampled.count()
+        deduped.unpersist()
+        deduped = resampled
 
-    packed = lpack.pack_sequences(deduped, id_col, source_col, text_col, ctx=ctx)
+    packed = lpack.pack_sequences(
+        deduped, id_col, source_col, text_col, ctx=ctx
+    ).persist()
     out = deduped.select(id_col, source_col, text_col).join(
         packed.drop(source_col), id_col
     )
@@ -99,9 +113,17 @@ def curate_corpus(
 def write_shards(result: CurationResult, out_dir: str) -> None:
     """Write the curated corpus partitioned by source — the shard layout
     a training loader consumes (each source directory holds its packed
-    stream in pack/offset order)."""
+    stream in pack/offset order).
+
+    Range-partition on (source, pack_id), not hash-on-source: one
+    partition per source value funnels a dominant source (a web crawl
+    that is 90% of corpus mass) through a single task. Ranging over the
+    pack id spreads each source across many tasks while
+    ``partitionBy("source")`` still yields one directory per source and
+    ``sortWithinPartitions`` keeps pack/offset order within each file.
+    """
     (
-        result.corpus.repartition(F.col("source"))
+        result.corpus.repartitionByRange("source", "pack_id")
         .sortWithinPartitions("source", "pack_id", "start_tok")
         .write.mode("overwrite")
         .partitionBy("source")

@@ -337,6 +337,14 @@ def minhash_signatures(
       shuffle I/O); locally the Arrow hop + per-shingle Python md5
       makes it the slower path, hence not the default.
     """
+    # Null-text docs are dropped up front in BOTH engines: without this
+    # the catalyst path null-fills their signatures (md5(null) → null →
+    # min(null)=null) while the pandas path crashes on len(None) in the
+    # worker — the engines diverge exactly where it's least visible. A
+    # null signature is also garbage downstream (a null band key can
+    # never match in the LSH equi-join). Dropping is the one behavior
+    # both engines can share bit-for-bit.
+    df = df.filter(F.col(text_col).isNotNull())
     if engine == "catalyst":
         exploded = exploded_shingles(df, id_col, text_col, n)
         based = exploded.select(

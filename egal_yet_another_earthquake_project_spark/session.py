@@ -42,6 +42,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # The driver testdata has shipped events.ts as INT64
+        # TIMESTAMP(NANOS), which Spark's reader only accepts as a
+        # nanos-long under this flag (sources/files.py normalizes it).
+        # Set once at build time, not per read.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Streaming state: RocksDB scales far past the in-memory provider
         # for the dedup/update-state operators (SURVEY ST5).
         .config(

@@ -40,6 +40,27 @@ _TABLES = (
 ).split()
 
 
+def _ensure_read_confs(spark: SparkSession) -> None:
+    """Idempotent session-conf guard for sessions NOT built by
+    :func:`egal_yet_another_earthquake_project_spark.session.get_spark`
+    (the driver hands us its own session): UTC session TZ (the declared
+    queries format timestamps to strings and their DuckDB oracles are
+    UTC-naive) and the nanos-as-long parquet flag (see ``read_table``).
+    Reads first, writes only on mismatch — so a session built with the
+    right confs is never mutated, and any other session is fixed exactly
+    once, not per read."""
+    for key, want in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ):
+        try:
+            current = spark.conf.get(key)
+        except Exception:
+            current = None
+        if current != want:
+            spark.conf.set(key, want)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver test table, normalizing physical quirks.
 
@@ -48,13 +69,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     nanos-long) and plain TIMESTAMP(MICROS) without UTC adjustment (which
     Spark reads as TIMESTAMP_NTZ). Normalize both to session-TZ
     ``TimestampType`` so every downstream query sees one logical schema.
-    The session TZ is pinned UTC here because declared queries format
+    The session TZ is pinned UTC because declared queries format
     timestamps to strings and their DuckDB oracles are UTC-naive — under
     UTC the NTZ→LTZ cast is wall-clock-identity, hence lossless.
     """
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _ensure_read_confs(spark)
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         ts_type = df.schema["ts"].dataType.typeName()
         if ts_type in ("long", "bigint"):

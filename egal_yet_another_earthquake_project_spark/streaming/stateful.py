@@ -116,12 +116,33 @@ KMV_OUT_SCHEMA = T.StructType(
     ]
 )
 
-#: State: the k smallest (distinct) value hashes seen so far.
+#: State: the k smallest (hash, value) pairs seen so far. Keeping the
+#: raw value alongside its hash makes the kept set a multiset of hashes
+#: keyed by distinct VALUES — exactly what the batch operator ranks
+#: after its distinct-(group, value) pass — so two distinct values that
+#: collide to one 32-bit hash occupy two slots in both engines and the
+#: drained-stream == batch equality holds even under collisions.
 KMV_STATE_SCHEMA = T.StructType(
-    [T.StructField("kept", T.ArrayType(T.LongType()), True)]
+    [
+        T.StructField("kept_hv", T.ArrayType(T.LongType()), True),
+        T.StructField("kept_val", T.ArrayType(T.StringType()), True),
+    ]
 )
 
 _KMV_HASH_SPACE = float(1 << 32)
+
+
+def _kmv_round2(x: float) -> float:
+    """HALF_UP rounding to 2 places, matching Spark's ``F.round`` (which
+    goes through BigDecimal HALF_UP) rather than Python's builtin
+    ``round`` (banker's half-even — diverges on .xx5 midpoints)."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("0.01"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
 
 
 def _kmv_fn_factory(k: int):
@@ -130,17 +151,22 @@ def _kmv_fn_factory(k: int):
         batches: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        kept: list[int] = list(state.get[0]) if state.exists else []
-        seen = set(kept)
+        if state.exists:
+            hvs, vals = state.get
+            seen = set(zip(hvs, vals))
+        else:
+            seen = set()
         for pdf in batches:
-            for hv in pdf["hv"]:
-                seen.add(int(hv))
+            for hv, val in zip(pdf["hv"], pdf["v"]):
+                seen.add((int(hv), str(val)))
+        # Same order as the batch window (ORDER BY _hv, value): ties on
+        # hash break on the value, so the retained k are identical.
         kept = sorted(seen)[:k]
-        state.update((kept,))
+        state.update(([hv for hv, _ in kept], [v for _, v in kept]))
         if len(kept) < k:
             est = float(len(kept))
         else:
-            est = round((k - 1) * _KMV_HASH_SPACE / kept[-1], 2)
+            est = _kmv_round2((k - 1) * _KMV_HASH_SPACE / kept[-1][0])
         yield pd.DataFrame(
             {"g": [key[0]], "est_distinct": [est], "n_kept": [len(kept)]}
         )
@@ -172,7 +198,11 @@ def kmv_stream(
         .cast("long")
         + 1
     ).alias("hv")
-    prepared = stream.select(F.col(group_col).cast("string").alias("g"), hv)
+    prepared = stream.select(
+        F.col(group_col).cast("string").alias("g"),
+        hv,
+        F.col(value_col).cast("string").alias("v"),
+    )
     return prepared.groupBy("g").applyInPandasWithState(
         _kmv_fn_factory(k),
         outputStructType=KMV_OUT_SCHEMA,

@@ -438,7 +438,8 @@ _BASE_ORACLES: dict[str, str] = {
     """,
     "variant_props": """
         SELECT event_type, count(*) AS n,
-               sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                    AS BIGINT) AS sum_k,
                CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER))
                     AS INTEGER) AS max_k
         FROM events

@@ -441,6 +441,7 @@ QUERIES = {
     "pack_texts": q_pack_texts,
     "substring_dup_pairs": q_substring_dup_pairs,
     "embedding_quantize": q_embedding_quantize,
+    "vocab_coverage": q_vocab_coverage,
 }
 
 ORACLES = {
@@ -453,4 +454,5 @@ ORACLES = {
     "pack_texts": _PACK_TEXTS_ORACLE,
     "substring_dup_pairs": _substring_oracle(),
     "embedding_quantize": _QUANTIZE_ORACLE,
+    "vocab_coverage": _VOCAB_ORACLE,
 }

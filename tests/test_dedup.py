@@ -114,3 +114,16 @@ def test_minhash_engines_identical(spark):
     a = sorted(map(tuple, ldd.minhash_signatures(docs, "doc_id", engine="catalyst").collect()))
     b = sorted(map(tuple, ldd.minhash_signatures(docs, "doc_id", engine="pandas").collect()))
     assert a == b
+
+
+def test_minhash_engines_agree_on_null_text(spark):
+    """Null-text docs are dropped by BOTH engines (previously: catalyst
+    null-filled their signatures while the pandas worker crashed on
+    len(None) — a divergence exactly where it's least visible)."""
+    docs = _boilerplate_corpus(spark).unionByName(
+        spark.createDataFrame([(9901, None), (9902, None)], "doc_id long, text string")
+    )
+    a = sorted(map(tuple, ldd.minhash_signatures(docs, "doc_id", engine="catalyst").collect()))
+    b = sorted(map(tuple, ldd.minhash_signatures(docs, "doc_id", engine="pandas").collect()))
+    assert a == b
+    assert not any(row[0] in (9901, 9902) for row in a)

@@ -101,3 +101,62 @@ def test_streaming_kmv_converges_to_batch(spark, tmp_path: Path):
         for r in lsk.kmv_distinct(events, ["event_type"], "user_id", k=32).collect()
     }
     assert live == batch
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving the KMV merge fn directly."""
+
+    def __init__(self):
+        self.exists = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.exists = True
+
+
+def test_kmv_state_is_hash_multiset_under_collisions():
+    """Two distinct VALUES colliding to one 32-bit hash must occupy two
+    sketch slots (the batch operator dedups raw values, so its ranked
+    hash column is a multiset) — a hash-set state would silently drop
+    one and overestimate. Driven directly with crafted hashes, since md5
+    collisions can't be produced on demand."""
+    import pandas as pd
+
+    from egal_yet_another_earthquake_project_spark.streaming.stateful import (
+        _KMV_HASH_SPACE,
+        _kmv_fn_factory,
+        _kmv_round2,
+    )
+
+    fn = _kmv_fn_factory(2)
+    state = _FakeState()
+    pdf = pd.DataFrame({"hv": [10, 10, 50], "v": ["a", "b", "c"]})
+    (out,) = fn(("g1",), iter([pdf]), state)
+    # multiset: kept = [(10,'a'), (10,'b')] -> k-th smallest hash is 10,
+    # not 50 as a set-of-hashes state would report.
+    assert out["est_distinct"][0] == _kmv_round2(1 * _KMV_HASH_SPACE / 10)
+    # replay/merge idempotence: same batch again changes nothing.
+    (out2,) = fn(("g1",), iter([pdf]), state)
+    assert out2["est_distinct"][0] == out["est_distinct"][0]
+    assert state.get == ([10, 10], ["a", "b"])
+
+
+def test_kmv_round_matches_spark_half_up(spark):
+    """The streaming estimator's rounding must match F.round (BigDecimal
+    HALF_UP) on .xx5 midpoints where Python's builtin round (half-even)
+    diverges."""
+    from egal_yet_another_earthquake_project_spark.streaming.stateful import (
+        _kmv_round2,
+    )
+
+    cases = [2.675, 0.125, 1.005, 2.665, 7.865, 1234.565, 0.005]
+    rows = spark.createDataFrame(
+        [(x,) for x in cases], "x double"
+    ).select(F.round("x", 2).alias("r")).collect()
+    for x, row in zip(cases, rows):
+        assert _kmv_round2(x) == row.r, x
