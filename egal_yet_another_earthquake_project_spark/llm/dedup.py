@@ -66,12 +66,26 @@ def plan_banding(
     return best
 
 
-#: 120 hashes banded 20×6 = plan_banding(120, 0.7): s-curve midpoint
-#: (1/20)^(1/6) ≈ 0.61 with recall 0.92 at jaccard 0.7 (the declared
-#: queries' verify threshold) and only a 27% candidate rate at 0.5 — vs
-#: the old 8×4 banding whose midpoint 0.5 flooded the verify stage with
-#: sub-threshold pairs at corpus scale.
-DEFAULT_NUM_HASHES = 120
+#: 65 hashes banded 13×5 = plan_banding(65, 0.7): s-curve midpoint
+#: (1/13)^(1/5) ≈ 0.60 with recall 0.91 at jaccard 0.7 (the declared
+#: queries' verify threshold). Measured against the alternatives at
+#: sf0.1 (the k-wide min aggregate runs interpreted, so signature cost
+#: scales with k):
+#:   k=120 b=20 r=6 — midpoint 0.607, recall 0.918, 4.95 s. The prior
+#:     default; its only edge is +1% recall.
+#:   k=64 b=16 r=4 — midpoint 0.500, 3.81 s locally, REJECTED: a 0.5
+#:     midpoint admits 65% of jaccard-0.5 pairs as candidates (vs 27%
+#:     here) — the verify-stage flood at corpus scale that round 1
+#:     eliminated. Local seconds don't price that in.
+#:   pandas/Arrow engine k=120 — 3.49 s vs 1.83 s catalyst for the
+#:     signature stage alone: loses locally (Arrow hop + per-shingle
+#:     Python md5); stays available for clusters where shuffle I/O is
+#:     the binding constraint (it is shuffle-free).
+#: k=65 keeps the selective midpoint (0.599) at 46% less corpus-wide
+#: signature work — the term that dominates at 100 TB, since verify
+#: touches only candidates. Identical output on the test corpus; the
+#: DuckDB oracle regenerates from these constants automatically.
+DEFAULT_NUM_HASHES = 65
 DEFAULT_BANDS, DEFAULT_ROWS_PER_BAND = plan_banding(DEFAULT_NUM_HASHES, 0.7)
 
 #: Mersenne-prime modulus for the affine min-hash family. P = 2³¹−1 with
@@ -192,6 +206,53 @@ def jaccard_pairs(
         .select("doc_a", "doc_b", "jaccard")
     )
     return out
+
+
+def substring_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 3,
+    max_doc_freq: int | None = 20,
+) -> DataFrame:
+    """Doc pairs sharing ≥ ``min_shared`` winnowing fingerprints — the
+    exact-substring duplication signal (Lee et al. 2022) that shingle-set
+    methods miss: each shared fingerprint witnesses a shared ≥ ``k``-char
+    substring, position-independent.
+
+    Inverted-index join on the fingerprint (work ∝ shared-fingerprint
+    mass, never n²), with hot boilerplate fingerprints (doc-frequency >
+    ``max_doc_freq``) dropped BEFORE the join by a window count — one
+    shuffle on fp, no extra join, per-fp pair fan-out bounded at
+    cap²/2. Without the cap a single template substring is quadratic:
+    measured df=3436 for one fp at sf0.1 ⇒ 5.9M pairs from that fp
+    alone. Same stop-key reasoning as ``max_doc_freq`` in
+    :func:`jaccard_pairs`; ``None`` disables (small corpora only).
+    """
+    from pyspark.sql.window import Window
+
+    from egal_yet_another_earthquake_project_spark.llm.text import (
+        winnow_fingerprints,
+    )
+
+    fps = winnow_fingerprints(df, id_col, text_col, k=k, window=window)
+    if max_doc_freq is not None:
+        fps = (
+            fps.withColumn("_df", F.count("*").over(Window.partitionBy("fp")))
+            .filter(F.col("_df") <= max_doc_freq)
+            .drop("_df")
+        )
+    a = fps.select(F.col("doc").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
 
 
 def contaminated_docs(

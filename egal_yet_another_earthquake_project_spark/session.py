@@ -35,6 +35,15 @@ def get_spark(
     cpus = shuffle_partitions or _DEFAULT_CPUS
     builder = (
         SparkSession.builder.appName(app_name)
+        # local mode runs every executor thread inside the driver JVM,
+        # whose default heap is 1g regardless of machine size — a 32-way
+        # local session on a 128 GiB box OOMs on any memory-hungry stage
+        # long before the machine does. Size the heap to the machine
+        # (overridable; ignored with a warning if a JVM already exists).
+        # On a real cluster the submitter sets executor/driver memory.
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")

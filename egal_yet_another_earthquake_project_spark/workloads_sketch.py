@@ -313,30 +313,30 @@ ORDER BY cnt DESC, token ASC
 
 MIN_SHARED_FPS = 3
 
+#: Fingerprints shared by more than this many docs are boilerplate, not
+#: duplication evidence: a fingerprint with doc-frequency d contributes
+#: d(d-1)/2 rows to the pair join, so ONE hot template substring at
+#: corpus scale (measured: df=3436 for a single fp at sf0.1 ⇒ 5.9M
+#: pairs from that fp alone, 10M pairs total) turns the inverted index
+#: quadratic. Capping bounds per-fp join fan-out at cap²/2 while the
+#: planted near-dup signal (df 2-3) is untouched — the same stop-key
+#: reasoning as ``max_doc_freq`` in jaccard_pairs.
+MAX_FP_DOC_FREQ = 20
+
 
 def q_substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-substring duplication signal (the Lee et al. 2022 concern
-    the shingle-set methods miss): doc pairs sharing ≥3 distinct
-    winnowing fingerprints — each shared fingerprint witnesses a shared
-    ≥8-char substring, position-independent. Inverted-index join on the
-    fingerprint (work ∝ shared-fingerprint mass, never n²); the same
-    ``max_doc_freq``-style cap as jaccard_pairs applies at corpora with
-    hot boilerplate."""
-    from egal_yet_another_earthquake_project_spark.llm import text as ltx
+    """Exact-substring duplication via :func:`llm.dedup.substring_dup_pairs`
+    (winnowing fingerprints, boilerplate df-cap, inverted-index join)."""
+    from egal_yet_another_earthquake_project_spark.llm import dedup as ldd
     from egal_yet_another_earthquake_project_spark.workloads_llm import _aug_corpus
 
     corpus = _aug_corpus(read_table(spark, sf_dir, "documents"))
-    fps = ltx.winnow_fingerprints(corpus, "doc_id")
-    a = fps.select(F.col("doc").alias("doc_a"), "fp")
-    b = fps.select(F.col("doc").alias("doc_b"), "fp")
-    return (
-        a.join(b, "fp")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_shared"))
-        .filter(F.col("n_shared") >= MIN_SHARED_FPS)
-        .orderBy("doc_a", "doc_b")
-    )
+    return ldd.substring_dup_pairs(
+        corpus,
+        "doc_id",
+        min_shared=MIN_SHARED_FPS,
+        max_doc_freq=MAX_FP_DOC_FREQ,
+    ).orderBy("doc_a", "doc_b")
 
 
 def _substring_oracle() -> str:
@@ -364,9 +364,14 @@ wins AS (
     END AS w
   FROM grams
 ),
-fps AS (SELECT doc, unnest(list_distinct(w)) AS fp FROM wins)
+fps AS (SELECT doc, unnest(list_distinct(w)) AS fp FROM wins),
+kept AS (
+  SELECT doc, fp FROM (
+    SELECT doc, fp, count(*) OVER (PARTITION BY fp) AS dfreq FROM fps
+  ) WHERE dfreq <= {MAX_FP_DOC_FREQ}
+)
 SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
-FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc < b.doc
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc < b.doc
 GROUP BY 1, 2
 HAVING count(*) >= {MIN_SHARED_FPS}
 ORDER BY doc_a, doc_b

@@ -127,3 +127,24 @@ def test_minhash_engines_agree_on_null_text(spark):
     b = sorted(map(tuple, ldd.minhash_signatures(docs, "doc_id", engine="pandas").collect()))
     assert a == b
     assert not any(row[0] in (9901, 9902) for row in a)
+
+
+def test_substring_dup_pairs_caps_boilerplate(spark):
+    """A template substring present in MANY docs must produce no pairs
+    (its fingerprints exceed the df-cap: ubiquity is not duplication),
+    while genuinely shared rare substrings still pair up."""
+    boiler = "all rights reserved contact the publisher for permissions "
+    rare = "the quick brown fox jumps over the lazy dog in zanzibar "
+    rows = []
+    for i in range(30):  # 30 docs share only the boilerplate
+        rows.append((i, boiler + f"unique filler number {i} " * 3))
+    rows.append((100, rare * 2 + "alpha tail"))
+    rows.append((101, rare * 2 + "beta tail"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = ldd.substring_dup_pairs(docs, "doc_id", max_doc_freq=10).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in got}
+    assert (100, 101) in pairs
+    assert all(a >= 100 for a, _ in pairs), f"boilerplate-only pairs leaked: {pairs}"
+    # uncapped, the boilerplate floods: every one of the 30×29/2 pairs
+    uncapped = ldd.substring_dup_pairs(docs, "doc_id", max_doc_freq=None).count()
+    assert uncapped > 400

@@ -136,6 +136,9 @@ _ALLOWED_NESTED_LOOP = {
     # α resampling joins the one-row weight normalizer Σc^α into the
     # #sources-row quota table — bounded 1×n broadcast.
     "alpha_resample",
+    # Vocabulary coverage joins the one-row corpus token total into the
+    # distinct-token frame — bounded 1×n broadcast.
+    "vocab_coverage",
 }
 
 
