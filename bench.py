@@ -80,6 +80,8 @@ HEADLINE = [
     "substring_dup_pairs",
     "pack_texts",
     "vocab_coverage",
+    "label_centroids",
+    "retention_cohorts",
 ]
 
 

@@ -64,7 +64,14 @@ def curate_corpus(
     gated = profiled.filter(F.col("quality") >= min_quality)
     if lang is not None:
         gated = gated.filter(F.col("lang_guess") == lang)
-    deduped = ldd.exact_dedup(gated, id_col, text_col)
+    # Pin the heavy lineage (gates -> window exact-dedup) once, BEFORE
+    # near-dedup: the LSH path alone reads it three times (signatures,
+    # the candidate-doc verify join, the loser anti-join), and the stats
+    # counts, both sides of the packed join, and write_shards read the
+    # result again. MEMORY_AND_DISK, so at real scale executors spill
+    # instead of OOM-ing or silently recomputing. Measured at sf0.1:
+    # the un-persisted pipeline re-ran the gate+dedup stages 4-5x.
+    deduped = ldd.exact_dedup(gated, id_col, text_col).persist()
 
     if near_dedup:
         pairs = ldd.minhash_lsh_dedup_pairs(
@@ -78,14 +85,12 @@ def curate_corpus(
         losers = comp.filter(F.col("node") != F.col("component")).select(
             F.col("node").alias(id_col)
         )
-        deduped = deduped.join(losers, id_col, "left_anti")
-
-    # Pin the heavy lineage (gates -> window dedup -> optional LSH
-    # anti-join) once: it is re-read by the stats counts, both sides of
-    # the packed join, and write_shards. MEMORY_AND_DISK, so at real
-    # scale executors spill instead of OOM-ing or silently recomputing.
-    deduped = deduped.persist()
-    stats["after_dedup"] = deduped.count()
+        kept = deduped.join(losers, id_col, "left_anti").persist()
+        stats["after_dedup"] = kept.count()
+        deduped.unpersist()
+        deduped = kept
+    else:
+        stats["after_dedup"] = deduped.count()
 
     if alpha is not None:
         # No broadcast hint: `keep` is budget-sized, and a real curation

@@ -863,6 +863,56 @@ ORDER BY user_id
 """
 
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users bucketed by the week of their
+    first event; each later week of activity counts the cohort's
+    distinct returning users — the classic product-analytics triangle.
+
+    Scale shape: the first-seen frame aggregates on user_id (one
+    shuffle), joins back to events on the same key (AQE may broadcast
+    it at small scale, but it is a users-scale corpus fraction so it
+    carries no hint), and the final (cohort, offset) aggregate is
+    weeks² rows. The offset arithmetic is day-difference / 7 over
+    week-truncated timestamps — exact integers, no float in the key."""
+    ev = read_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort")
+    )
+    act = ev.join(firsts, "user_id").select(
+        "user_id",
+        "cohort",
+        (
+            F.datediff(F.date_trunc("week", F.col("ts")).cast("date"), F.col("cohort"))
+            / 7
+        )
+        .cast("int")
+        .alias("week_offset"),
+    )
+    return (
+        act.groupBy("cohort", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort", "week_offset")
+    )
+
+
+_RETENTION_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+  FROM events GROUP BY 1
+),
+act AS (
+  SELECT e.user_id, f.cohort,
+         CAST(datediff('day', f.cohort,
+                        CAST(date_trunc('week', e.ts) AS DATE)) / 7
+              AS INTEGER) AS week_offset
+  FROM events e JOIN firsts f USING (user_id)
+)
+SELECT cohort, week_offset, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM act GROUP BY 1, 2
+ORDER BY cohort, week_offset
+"""
+
+
 QUERIES = {
     "running_sum": q_running_sum,
     "sessionize": q_sessionize,
@@ -892,6 +942,7 @@ QUERIES = {
     "promo_revenue": q_promo_revenue,
     "supplier_nation_revenue": q_supplier_nation_revenue,
     "trailing_hour_stats": q_trailing_hour_stats,
+    "retention_cohorts": q_retention_cohorts,
 }
 
 ORACLES = {
@@ -923,4 +974,5 @@ ORACLES = {
     "promo_revenue": _PROMO_REVENUE_ORACLE,
     "supplier_nation_revenue": _SUPPLIER_NATION_ORACLE,
     "trailing_hour_stats": _TRAILING_HOUR_ORACLE,
+    "retention_cohorts": _RETENTION_ORACLE,
 }

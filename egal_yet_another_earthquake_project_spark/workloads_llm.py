@@ -760,6 +760,48 @@ FROM deduped GROUP BY source ORDER BY source
 """
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label element-wise centroid of the embedding table — the
+    vector aggregation every clustering/SemDeDup/IVF-training pass runs.
+
+    Scale shape: ``posexplode`` to (label, dim, val) rows, then ONE
+    shuffle of labels×dims partial aggregates (map-side combine does the
+    heavy summing); no collect, no per-vector Python, no all-pairs.
+    Floats are cast to double BEFORE accumulation (both engines), and
+    the mean is rounded to 4 places so partial-sum association order
+    cannot leak into the hash compare (the numeric_stats precedent)."""
+    emb = _emb(spark, sf_dir)
+    exploded = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "val"),
+    )
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("val"), 4).alias("centroid"),
+        )
+        .select(
+            "label",
+            F.col("dim").cast("int").alias("dim"),
+            "n",
+            "centroid",
+        )
+        .orderBy("label", "dim")
+    )
+
+
+_LABEL_CENTROIDS_ORACLE = """
+SELECT label, CAST(i AS INTEGER) AS dim,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(v[i + 1]), 4) AS centroid
+FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+     range(64) r(i)
+GROUP BY 1, 2
+ORDER BY label, dim
+"""
+
+
 QUERIES = {
     "text_profile": q_text_profile,
     "winnow_fingerprints": q_winnow_fingerprints,
@@ -780,6 +822,7 @@ QUERIES = {
     "semantic_neardup": q_semantic_neardup,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
+    "label_centroids": q_label_centroids,
 }
 
 ORACLES = {
@@ -802,4 +845,5 @@ ORACLES = {
     "semantic_neardup": _SEMANTIC_NEARDUP_ORACLE,
     "multimodal_meta": _MULTIMODAL_META_ORACLE,
     "multimodal_features": _MULTIMODAL_FEATURES_ORACLE,
+    "label_centroids": _LABEL_CENTROIDS_ORACLE,
 }
