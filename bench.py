@@ -82,6 +82,7 @@ HEADLINE = [
     "vocab_coverage",
     "label_centroids",
     "retention_cohorts",
+    "incremental_new_docs",
 ]
 
 

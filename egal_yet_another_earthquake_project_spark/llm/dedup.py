@@ -135,6 +135,39 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
     )
 
 
+def incremental_new_docs(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Docs from an incoming batch that are genuinely new: not an exact
+    duplicate of anything in the existing corpus, nor of another
+    incoming doc (min-id wins within the batch) — the continuous-crawl
+    ingestion gate, where re-deduping the whole corpus per batch would
+    be O(corpus) daily.
+
+    Scale shape: the corpus side collapses to its DISTINCT fingerprint
+    column before the anti-join (one md5 per historical doc — in
+    production this frame is the persisted fingerprint index, not a
+    rescan), and both the anti-join and the batch-internal window
+    shuffle hash on the uniform fingerprint key. Work per batch is
+    O(batch) + one join against the index; no hint, since the seen-set
+    is corpus-sized (AQE broadcasts it only while it genuinely fits).
+    """
+    from pyspark.sql.window import Window
+
+    seen = corpus.select(fingerprint(text_col).alias("_fp")).distinct()
+    keyed = incoming.withColumn("_fp", fingerprint(text_col))
+    w = Window.partitionBy("_fp")
+    return (
+        keyed.join(seen, "_fp", "left_anti")
+        .withColumn("_min_id", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("_min_id"))
+        .drop("_fp", "_min_id")
+    )
+
+
 def doc_shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, shingle) pairs, distinct — the inverted-index input."""
     return exploded_shingles(df, id_col, text_col, n).distinct()

@@ -156,6 +156,39 @@ QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fp)
 """
 
 
+def q_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-crawl ingestion gate (llm.dedup.incremental_new_docs):
+    the augmented corpus split 1-in-5 into an 'incoming batch' vs the
+    'existing corpus'; incoming docs survive only if their fingerprint is
+    absent from the existing side and they win min-id within the batch."""
+    corpus_all = _aug_corpus(_docs(spark, sf_dir))
+    incoming = corpus_all.filter(F.col("doc_id") % 5 == 0)
+    existing = corpus_all.filter(F.col("doc_id") % 5 != 0)
+    return (
+        ldd.incremental_new_docs(incoming, existing, "doc_id")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+_INCREMENTAL_ORACLE = f"""
+WITH corpus AS ({_AUG_SQL}),
+inc AS (
+  SELECT doc_id, source, md5({_NORM}) AS fp FROM corpus WHERE doc_id % 5 = 0
+),
+seen AS (
+  SELECT DISTINCT md5({_NORM}) AS fp FROM corpus WHERE doc_id % 5 <> 0
+)
+SELECT doc_id, source FROM (
+  SELECT i.doc_id, i.source, i.fp
+  FROM inc i LEFT JOIN seen s ON i.fp = s.fp
+  WHERE s.fp IS NULL
+)
+QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fp)
+ORDER BY doc_id
+"""
+
+
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _aug_corpus(_docs(spark, sf_dir))
     return ldd.jaccard_pairs(corpus, "doc_id", threshold=0.7)
@@ -767,19 +800,37 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ``posexplode`` to (label, dim, val) rows, then ONE
     shuffle of labels×dims partial aggregates (map-side combine does the
     heavy summing); no collect, no per-vector Python, no all-pairs.
-    Floats are cast to double BEFORE accumulation (both engines), and
-    the mean is rounded to 4 places so partial-sum association order
-    cannot leak into the hash compare (the numeric_stats precedent)."""
+
+    Determinism: values are floor-quantized to 1e-6 integers BEFORE
+    aggregation — integer sums are exact and partition-order-free, so
+    both engines divide IDENTICAL operands and round identically. A
+    plain double avg is order-dependent in the last ulp, which round(4)
+    does NOT absorb when a mean sits exactly on a rounding boundary
+    (observed at sf0.001: -0.00005 rounding to -0.0001 in Spark and
+    -0.0 in DuckDB). Same reasoning as routing money sums through
+    DECIMAL; quantization error < 1e-6 is invisible at 4 places away
+    from boundaries and *defined* behavior on them."""
     emb = _emb(spark, sf_dir)
     exploded = emb.select(
         "label",
         F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "val"),
     )
     return (
-        exploded.groupBy("label", "dim")
+        exploded.withColumn("qv", F.floor(F.col("val") * 1000000).cast("long"))
+        .groupBy("label", "dim")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("val"), 4).alias("centroid"),
+            # + 0.0 normalizes IEEE negative zero: Spark's BigDecimal
+            # round returns +0.0 for a tiny negative mean, DuckDB keeps
+            # -0.0 — numerically equal, but the driver hashes RENDERED
+            # values, where '-0.0' != '0.0'.
+            (
+                F.round(
+                    (F.sum("qv").cast("double") / F.lit(1000000.0)) / F.count("*"),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("centroid"),
         )
         .select(
             "label",
@@ -794,7 +845,8 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LABEL_CENTROIDS_ORACLE = """
 SELECT label, CAST(i AS INTEGER) AS dim,
        CAST(count(*) AS BIGINT) AS n,
-       round(avg(v[i + 1]), 4) AS centroid
+       round((CAST(sum(CAST(floor(v[i + 1] * 1000000) AS BIGINT)) AS DOUBLE)
+              / 1000000.0) / count(*), 4) + 0.0 AS centroid
 FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
      range(64) r(i)
 GROUP BY 1, 2
@@ -823,6 +875,7 @@ QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
     "label_centroids": q_label_centroids,
+    "incremental_new_docs": q_incremental_new_docs,
 }
 
 ORACLES = {
@@ -846,4 +899,5 @@ ORACLES = {
     "multimodal_meta": _MULTIMODAL_META_ORACLE,
     "multimodal_features": _MULTIMODAL_FEATURES_ORACLE,
     "label_centroids": _LABEL_CENTROIDS_ORACLE,
+    "incremental_new_docs": _INCREMENTAL_ORACLE,
 }

@@ -148,3 +148,27 @@ def test_substring_dup_pairs_caps_boilerplate(spark):
     # uncapped, the boilerplate floods: every one of the 30×29/2 pairs
     uncapped = ldd.substring_dup_pairs(docs, "doc_id", max_doc_freq=None).count()
     assert uncapped > 400
+
+
+def test_incremental_new_docs_gate(spark):
+    """The ingestion gate: drops incoming docs already in the corpus
+    (by normalized fingerprint), collapses within-batch duplicates to
+    the min id, passes genuinely new docs through."""
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon")],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, "Alpha  beta GAMMA"),   # dup of corpus doc 1 (normalized)
+            (11, "zeta eta theta"),      # new
+            (12, "zeta eta theta"),      # within-batch dup of 11
+            (13, "iota kappa"),          # new
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        r.doc_id
+        for r in ldd.incremental_new_docs(incoming, corpus, "doc_id").collect()
+    )
+    assert got == [11, 13]
