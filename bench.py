@@ -83,6 +83,7 @@ HEADLINE = [
     "label_centroids",
     "retention_cohorts",
     "incremental_new_docs",
+    "source_overlap",
 ]
 
 

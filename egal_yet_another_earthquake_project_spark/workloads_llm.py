@@ -189,6 +189,42 @@ ORDER BY doc_id
 """
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for each source pair, how many
+    distinct contents appear in BOTH — the overlap measurement that
+    decides dedup order and crawl budgets across corpora.
+
+    Scale shape: the corpus collapses to DISTINCT (fingerprint, source)
+    pairs FIRST, so per-fingerprint join fan-out is bounded by #sources
+    (a handful), never by the duplicate count — a content shared by a
+    million docs of two crawls still contributes exactly one (fp, a, b)
+    row. One distinct shuffle on fp + one bounded self-join."""
+    corpus = _aug_corpus(_docs(spark, sf_dir))
+    fs = corpus.select(
+        ltx.fingerprint("text").alias("fp"), "source"
+    ).distinct()
+    a = fs.select("fp", F.col("source").alias("source_a"))
+    b = fs.select("fp", F.col("source").alias("source_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared_contents"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+_SOURCE_OVERLAP_ORACLE = f"""
+WITH corpus AS ({_AUG_SQL}),
+fs AS (SELECT DISTINCT md5({_NORM}) AS fp, source FROM corpus)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared_contents
+FROM fs a JOIN fs b ON a.fp = b.fp AND a.source < b.source
+GROUP BY 1, 2
+ORDER BY source_a, source_b
+"""
+
+
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _aug_corpus(_docs(spark, sf_dir))
     return ldd.jaccard_pairs(corpus, "doc_id", threshold=0.7)
@@ -876,6 +912,7 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "label_centroids": q_label_centroids,
     "incremental_new_docs": q_incremental_new_docs,
+    "source_overlap": q_source_overlap,
 }
 
 ORACLES = {
@@ -900,4 +937,5 @@ ORACLES = {
     "multimodal_features": _MULTIMODAL_FEATURES_ORACLE,
     "label_centroids": _LABEL_CENTROIDS_ORACLE,
     "incremental_new_docs": _INCREMENTAL_ORACLE,
+    "source_overlap": _SOURCE_OVERLAP_ORACLE,
 }

@@ -56,16 +56,18 @@ def test_stream_gate_matches_batch_gate(spark, tmp_path: Path):
     finally:
         q.stop()
 
-    streamed = sorted(r.doc_id for r in spark.table("ingest_out").collect())
-    batch = sorted(
-        r.doc_id
-        for r in ldd.incremental_new_docs(
-            incoming.drop("ingest_ts"), corpus, "doc_id"
-        ).collect()
-    )
-    # dropDuplicatesWithinWatermark keeps the FIRST arrival per fp and the
-    # batch gate keeps the min id; the fixture aligns arrival order with
-    # id order so both reduce to the same winner set.
-    assert streamed == batch == [11, 13]
+    streamed_rows = spark.table("ingest_out").collect()
+    batch_rows = ldd.incremental_new_docs(
+        incoming.drop("ingest_ts"), corpus, "doc_id"
+    ).withColumn("fp", fingerprint("text")).collect()
+    # The gate contract is one representative per NEW fingerprint. WHICH
+    # dup representative survives differs by engine mode: the batch gate
+    # picks min-id deterministically, the stream keeps whichever arrives
+    # first within the micro-batch (partition-order-dependent for rows
+    # landing in one trigger) — so compare the admitted CONTENT set, not
+    # the winner ids.
+    assert sorted(r.fp for r in streamed_rows) == sorted(r.fp for r in batch_rows)
+    streamed_ids = sorted(r.doc_id for r in streamed_rows)
+    assert streamed_ids[0] in (11, 12) and streamed_ids[1:] == [13]
     # admitted rows carry fp so the sink can extend the seen-set index
     assert "fp" in spark.table("ingest_out").columns
