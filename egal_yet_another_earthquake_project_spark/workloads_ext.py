@@ -875,14 +875,17 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     weeks² rows. The offset arithmetic is day-difference / 7 over
     week-truncated timestamps — exact integers, no float in the key."""
     ev = read_table(spark, sf_dir, "events")
+    # cohort is a yyyy-MM-dd STRING, not a date: engines render date
+    # values differently downstream (datetime.date vs pandas Timestamp)
+    # and the driver hashes rendered values — a string is render-proof.
     firsts = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort")
+        F.date_trunc("week", F.min("ts")).cast("date").alias("_cw")
     )
     act = ev.join(firsts, "user_id").select(
         "user_id",
-        "cohort",
+        F.date_format("_cw", "yyyy-MM-dd").alias("cohort"),
         (
-            F.datediff(F.date_trunc("week", F.col("ts")).cast("date"), F.col("cohort"))
+            F.datediff(F.date_trunc("week", F.col("ts")).cast("date"), F.col("_cw"))
             / 7
         )
         .cast("int")
@@ -901,7 +904,7 @@ WITH firsts AS (
   FROM events GROUP BY 1
 ),
 act AS (
-  SELECT e.user_id, f.cohort,
+  SELECT e.user_id, strftime(f.cohort, '%Y-%m-%d') AS cohort,
          CAST(datediff('day', f.cohort,
                         CAST(date_trunc('week', e.ts) AS DATE)) / 7
               AS INTEGER) AS week_offset

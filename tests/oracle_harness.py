@@ -65,4 +65,34 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
         if a != b:
             problems.append(f"first differing row #{i}: spark={a!r} oracle={b!r}")
             break
+    # The driver hashes RENDERED values, so 99111 (bigint) and 99111.0
+    # (a HUGEINT surfaced as float) are equal here but hash-differ there
+    # — the exact failure class of round 3's variant_props row. Flag
+    # cross-engine Python-type drift between numeric families and
+    # date/datetime even when the values compare equal.
+    import datetime as _dt
+
+    def _render_class(v):
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, int):
+            return "int"
+        if isinstance(v, float):
+            return "float"
+        if isinstance(v, _dt.datetime):
+            return "datetime"
+        if isinstance(v, _dt.date):
+            return "date"
+        return type(v).__name__
+    for a, b in zip(s_sorted[:1], o_sorted[:1]):
+        for j, (x, y) in enumerate(zip(a, b)):
+            if x is None or y is None:
+                continue
+            cx, cy = _render_class(x), _render_class(y)
+            if cx != cy:
+                problems.append(
+                    f"render-type drift in column {order[j]!r}: "
+                    f"spark={cx} ({x!r}) oracle={cy} ({y!r}) — equal values "
+                    f"but the driver's rendered-value hash will differ"
+                )
     return problems
