@@ -48,23 +48,24 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        # Carry the previous label through the update so convergence is
+        # a filter on the checkpointed frame — not a second join of new
+        # vs old labels (labels only decrease, so changed ⇔ label <
+        # previous). Two jobs per round instead of three; the count
+        # reads checkpointed data, re-shuffling nothing.
+        stepped = (
             labels.join(nbr_min, labels.node == nbr_min.a, "left")
             .select(
                 "node",
+                F.col("label").alias("_prev"),
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("label") < F.col("_prev")).count()
+        labels = stepped.drop("_prev")
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("component"))
