@@ -172,3 +172,20 @@ def test_incremental_new_docs_gate(spark):
         for r in ldd.incremental_new_docs(incoming, corpus, "doc_id").collect()
     )
     assert got == [11, 13]
+
+
+def test_incremental_gate_idempotent(spark):
+    """Admitting the gate's output into the corpus then re-gating the
+    same batch admits nothing — the invariant that makes the gate safe
+    under replayed/re-scraped batches."""
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "doc_id long, text string"
+    )
+    incoming = spark.createDataFrame(
+        [(10, "delta epsilon"), (11, "delta epsilon"), (12, "zeta eta")],
+        "doc_id long, text string",
+    )
+    admitted = ldd.incremental_new_docs(incoming, corpus, "doc_id")
+    grown = corpus.unionByName(admitted)
+    again = ldd.incremental_new_docs(incoming, grown, "doc_id")
+    assert again.count() == 0

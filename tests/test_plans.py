@@ -339,3 +339,40 @@ def test_unit_norm_not_inlined(spark):
     df = lsim.unit(read_table(spark, TESTDATA_SMOKE, "embeddings"), "embedding", "u")
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "_nm" in plan, "norm projection collapsed into the lambda:\n" + plan[:2000]
+
+
+def test_ingest_gate_seen_set_never_hint_broadcast(spark):
+    """The incremental gate's seen-set is the corpus fingerprint index —
+    corpus-sized, so it must reach the anti-join without a broadcast
+    hint (AQE may still broadcast at small scale; a hint is forever).
+    With size-based autobroadcast off, a surviving BroadcastHashJoin on
+    fp could only come from a hint."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        nodes = inspect.join_key_nodes(_q(spark, "incremental_new_docs"))
+        bad = [n for n, keys in nodes if n == "BroadcastHashJoin"]
+        assert not bad, f"hint-broadcast join in ingest gate: {nodes}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_retention_firsts_never_hint_broadcast(spark):
+    """The first-seen frame is users-scale (a corpus fraction), so the
+    join back to events must carry no broadcast hint."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        nodes = inspect.join_key_nodes(_q(spark, "retention_cohorts"))
+        bad = [n for n, keys in nodes if n == "BroadcastHashJoin"]
+        assert not bad, f"hint-broadcast join in retention: {nodes}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_source_overlap_joins_on_fingerprint(spark):
+    """The overlap matrix must self-join the DISTINCT (fp, source) frame
+    on fp — per-fp fan-out bounded by #sources. A join keyed on anything
+    else (or a nested-loop fallback) would be the doc-pair explosion."""
+    nodes = inspect.join_key_nodes(_q(spark, "source_overlap"))
+    assert any("fp" in keys for _, keys in nodes), nodes
