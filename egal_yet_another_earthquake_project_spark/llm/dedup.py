@@ -135,6 +135,56 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
     )
 
 
+def gate_against_fps(
+    incoming: DataFrame,
+    seen_fps: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Core ingestion gate: incoming docs whose fingerprint is absent
+    from ``seen_fps`` (one ``fp`` column), min-id winner within the
+    batch. Both the anti-join and the batch-internal window hash on the
+    uniform fingerprint key; no broadcast hint, since the seen-set is
+    corpus-sized (AQE broadcasts it only while it genuinely fits).
+
+    At scale, pass ``spark.table(...)`` of an index written by
+    :func:`write_fingerprint_index`: the bucketed index side then joins
+    with ZERO exchange — only the (small) batch shuffles, the 100 TB
+    index never does (asserted in tests/test_dedup.py).
+    """
+    from pyspark.sql.window import Window
+
+    keyed = incoming.withColumn("fp", fingerprint(text_col))
+    w = Window.partitionBy("fp")
+    return (
+        keyed.join(seen_fps, "fp", "left_anti")
+        .withColumn("_min_id", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("_min_id"))
+        .drop("fp", "_min_id")
+    )
+
+
+def write_fingerprint_index(
+    corpus: DataFrame,
+    table: str,
+    text_col: str = "text",
+    num_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus seen-set as a bucketed-by-fp table — the
+    ingestion gate's index. Bucketing costs one shuffle at write time;
+    every subsequent gate call reads matching buckets with no exchange
+    on the index side (the term that dominates once the corpus dwarfs
+    the daily batch). Append each batch's admitted fingerprints to keep
+    it current."""
+    from egal_yet_another_earthquake_project_spark.sinks.bucketed import (
+        write_bucketed,
+    )
+
+    seen = corpus.select(fingerprint(text_col).alias("fp")).distinct()
+    write_bucketed(seen, table, ["fp"], num_buckets, sort_cols=["fp"], mode=mode)
+
+
 def incremental_new_docs(
     incoming: DataFrame,
     corpus: DataFrame,
@@ -147,25 +197,14 @@ def incremental_new_docs(
     ingestion gate, where re-deduping the whole corpus per batch would
     be O(corpus) daily.
 
-    Scale shape: the corpus side collapses to its DISTINCT fingerprint
-    column before the anti-join (one md5 per historical doc — in
-    production this frame is the persisted fingerprint index, not a
-    rescan), and both the anti-join and the batch-internal window
-    shuffle hash on the uniform fingerprint key. Work per batch is
-    O(batch) + one join against the index; no hint, since the seen-set
-    is corpus-sized (AQE broadcasts it only while it genuinely fits).
+    This convenience form derives the seen-set from a corpus frame (one
+    md5 per historical doc); production keeps the persisted bucketed
+    index instead (:func:`write_fingerprint_index`) and calls
+    :func:`gate_against_fps` directly. Work per batch is O(batch) + one
+    join against the index.
     """
-    from pyspark.sql.window import Window
-
-    seen = corpus.select(fingerprint(text_col).alias("_fp")).distinct()
-    keyed = incoming.withColumn("_fp", fingerprint(text_col))
-    w = Window.partitionBy("_fp")
-    return (
-        keyed.join(seen, "_fp", "left_anti")
-        .withColumn("_min_id", F.min(id_col).over(w))
-        .filter(F.col(id_col) == F.col("_min_id"))
-        .drop("_fp", "_min_id")
-    )
+    seen = corpus.select(fingerprint(text_col).alias("fp")).distinct()
+    return gate_against_fps(incoming, seen, id_col, text_col)
 
 
 def doc_shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:

@@ -73,9 +73,25 @@ def join_key_nodes(df: DataFrame) -> list[tuple[str, set[str]]]:
 
 def exchange_count(df: DataFrame) -> int:
     """Number of shuffle exchanges in the plan (lower is better; broadcast
-    exchanges are excluded)."""
+    exchanges are excluded).
+
+    Walks the formatted plan's per-node detail blocks and counts
+    Exchange nodes whose Arguments are hash- or range-partitioned.
+    Two traps this dodges: formatted mode puts the node name and its
+    arguments on separate lines (a same-line "Exchange hashpartitioning"
+    pattern matches NOTHING, so every assertion on it passes vacuously —
+    found when a plan with a visible Exchange counted 0), and a global
+    aggregate's mandatory SinglePartition hop carries one row per task
+    and must not count as a shuffle."""
     plan = formatted_plan(df)
-    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning", plan))
+    count = 0
+    for block in re.split(r"\n(?=\(\d+\) )", plan):
+        header = block.split("\n", 1)[0]
+        if re.match(r"\(\d+\) Exchange$", header) and (
+            "hashpartitioning" in block or "rangepartitioning" in block
+        ):
+            count += 1
+    return count
 
 
 def codegen_stage_count(df: DataFrame) -> int:

@@ -592,10 +592,13 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: for each mid-size STANDARD part, the EUROPE
     supplier(s) offering it at minimum cost. Cost is the cheapest observed
     line price per (part, supplier) (no partsupp table). The correlated
-    MIN subquery becomes two grouped aggregates sharing the l_partkey
-    shuffle key plus an exact-decimal equality join back — never a
-    per-part loop, never a window over a global sort. Part/nation/region
-    prune early; only true dims are broadcast."""
+    MIN subquery becomes a per-part window over the (part, supplier)
+    aggregate — ONE lineitem scan and two hash exchanges, where the
+    aggregate+join-back formulation re-evaluated the whole offers
+    subtree on both join sides (two scans, five exchanges; plan-pinned
+    in test_min_cost_supplier_reuses_partkey_shuffle). Never a per-part
+    loop, never a window over a global sort. Part/nation/region prune
+    early; only true dims are broadcast."""
     part = (
         _t(spark, sf_dir, "part")
         .filter(F.col("p_size").between(10, 20) & (F.col("p_type") == "STANDARD"))
@@ -610,8 +613,17 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min("_price").alias("_cost"))
     )
-    cheapest = offers.groupBy(F.col("l_partkey").alias("_pk")).agg(
-        F.min("_cost").alias("_min_cost")
+    # Correlated MIN as a PER-PART window over the offers aggregate, not
+    # a second aggregate + equality join back: the join-back formulation
+    # evaluates the whole offers subtree twice (two lineitem scans, five
+    # hash exchanges — no exchange reuse across the self-join), where
+    # the window costs one extra l_partkey exchange over single-computed
+    # offers. Partitioned by part — never a global-order window.
+    from pyspark.sql.window import Window
+
+    cheapest_w = Window.partitionBy("l_partkey")
+    best = offers.withColumn("_min_cost", F.min("_cost").over(cheapest_w)).filter(
+        F.col("_cost") == F.col("_min_cost")
     )
     supplier = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation").select(
@@ -623,12 +635,7 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r_regionkey")
     )
     return (
-        offers.join(
-            cheapest,
-            (offers.l_partkey == F.col("_pk"))
-            & (offers._cost == F.col("_min_cost")),
-        )
-        .join(supplier, offers.l_suppkey == supplier.s_suppkey)
+        best.join(supplier, best.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select(

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from egal_yet_another_earthquake_project_spark.llm import dedup as ldd
 
 
@@ -189,3 +191,36 @@ def test_incremental_gate_idempotent(spark):
     grown = corpus.unionByName(admitted)
     again = ldd.incremental_new_docs(incoming, grown, "doc_id")
     assert again.count() == 0
+
+
+def test_fingerprint_index_gate_zero_shuffle_on_index_side(spark):
+    """With the seen-set persisted as a bucketed-by-fp table, the gate's
+    anti-join must shuffle ONLY the incoming batch (one exchange,
+    hashpartitioned on fp to match the buckets): the index side reads
+    bucket-aligned with no exchange, and the within-batch window reuses
+    the join's fp partitioning. This is the shape that keeps a 100 TB
+    index from ever moving."""
+    from egal_yet_another_earthquake_project_spark.plans import inspect
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        corpus = spark.range(500).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("doc "), F.col("id")).alias("text"),
+        )
+        ldd.write_fingerprint_index(corpus, "fp_index_test", num_buckets=8)
+        incoming = spark.range(450, 600).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("doc "), F.col("id")).alias("text"),
+        )
+        gated = ldd.gate_against_fps(
+            incoming, spark.table("fp_index_test"), "doc_id"
+        )
+        assert gated.count() == 100  # 500..599 are new
+        plan = inspect.formatted_plan(gated)
+        assert "Bucketed: true" in plan, plan
+        assert inspect.exchange_count(gated) == 1, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS fp_index_test")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

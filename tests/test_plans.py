@@ -265,14 +265,14 @@ def test_market_share_broadcasts_only_dims(spark):
 
 
 def test_min_cost_supplier_reuses_partkey_shuffle(spark):
-    """Q2 shape: the per-(part,supplier) aggregate and the per-part min
-    share the l_partkey hash partitioning, and the final top-100 is
-    per-partition heaps, not a global sort."""
+    """Q2 shape: one lineitem scan, (part,supplier) aggregate, per-part
+    window — exactly two hash exchanges; the final top-100 is
+    per-partition heaps, not a global sort. (The aggregate+join-back
+    formulation re-evaluated the offers subtree on both join sides:
+    two scans, five exchanges.)"""
     df = _q(spark, "min_cost_supplier")
     assert inspect.uses_take_ordered(df)
-    # offers→cheapest→join-back could naively cost 5+ hash exchanges;
-    # exchange reuse on l_partkey keeps it at ≤4.
-    assert inspect.exchange_count(df) <= 4, inspect.exchange_count(df)
+    assert inspect.exchange_count(df) <= 2, inspect.exchange_count(df)
 
 
 def test_lone_late_supplier_folds_exists_pair_into_window(spark):
