@@ -84,6 +84,13 @@ HEADLINE = [
     "retention_cohorts",
     "incremental_new_docs",
     "source_overlap",
+    # round-4 wave 2: record linkage, keyword extraction, weighted
+    # sampling, and the time-series repair pair.
+    "fuzzy_matches",
+    "tfidf_keywords",
+    "weighted_sample",
+    "interpolate_gaps",
+    "zscore_outliers",
 ]
 
 

@@ -86,6 +86,49 @@ def alpha_resample(
     )
 
 
+def weighted_priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int = 100,
+    salt: str = "wrs",
+) -> DataFrame:
+    """Weighted sampling without replacement, A-Res style (Efraimidis &
+    Spirakis priority sampling): each row gets priority u^(1/w) for a
+    deterministic hash-uniform u ∈ (0, 1]; the global top-k priorities
+    are the sample. Inclusion probability is proportional to weight,
+    and — unlike ``df.sample`` — the outcome is identical across runs,
+    engines, and partitionings because u derives from md5(salt‖id).
+
+    Plan shape: per-partition partial top-k (TakeOrderedAndProject),
+    merged at the driver — no full sort, no shuffle of the input. This
+    is the distributed weighted-reservoir formulation: at 100 TB every
+    partition ships only its k best rows.
+
+    Output: (id, weight, priority) with priority rounded for display;
+    selection orders on the unrounded key with id as tiebreak.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(4294967296.0)
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(weight_col).cast("long").alias("weight"),
+            key.alias("_key"),
+        )
+        .orderBy(F.col("_key").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "weight", F.round("_key", 4).alias("priority"))
+    )
+
+
 def with_split(
     df: DataFrame,
     key: str,

@@ -528,7 +528,9 @@ _BASE_ORACLES: dict[str, str] = {
 from egal_yet_another_earthquake_project_spark import (  # noqa: E402
     workloads_corpus,
     workloads_ext,
+    workloads_linkage,
     workloads_llm,
+    workloads_series,
     workloads_sketch,
     workloads_tpch,
 )
@@ -540,6 +542,8 @@ QUERIES: dict[str, QueryFn] = {
     **workloads_tpch.QUERIES,
     **workloads_corpus.QUERIES,
     **workloads_sketch.QUERIES,
+    **workloads_linkage.QUERIES,
+    **workloads_series.QUERIES,
 }
 ORACLES: dict[str, str] = {
     **_BASE_ORACLES,
@@ -548,6 +552,8 @@ ORACLES: dict[str, str] = {
     **workloads_tpch.ORACLES,
     **workloads_corpus.ORACLES,
     **workloads_sketch.ORACLES,
+    **workloads_linkage.ORACLES,
+    **workloads_series.ORACLES,
 }
 
 

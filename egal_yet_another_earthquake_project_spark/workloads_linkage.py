@@ -1,0 +1,138 @@
+"""Record-linkage and keyword workload: blocked fuzzy matching, TF-IDF
+keyword extraction, and weighted priority sampling over the documents
+table — entity-resolution and data-mixing passes a training pipeline
+runs beyond the shingle/MinHash dedup family.
+
+Oracles reuse the canonical normalization SQL from ``workloads_llm``
+(imported, not re-derived) so Spark and DuckDB see identical text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from egal_yet_another_earthquake_project_spark.llm import linkage as llk
+from egal_yet_another_earthquake_project_spark.llm import sampling as lsamp
+from egal_yet_another_earthquake_project_spark.sources.files import read_table
+from egal_yet_another_earthquake_project_spark.workloads_llm import _NORM
+
+FUZZY_BLOCK_CHARS = 16
+FUZZY_PROBE_CHARS = 64
+FUZZY_MAX_DIST = 8
+FUZZY_MAX_BLOCK = 50
+
+TFIDF_TOP_N = 3
+
+WRS_K = 100
+WRS_SALT = "wrs"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents")
+
+
+def q_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage: doc pairs whose normalized-text
+    64-char prefixes are within 8 edits, blocked on the 16-char prefix
+    (equi-join, never all-pairs) with quadratic-hot-block cap."""
+    return llk.blocked_fuzzy_pairs(
+        _docs(spark, sf_dir),
+        block_chars=FUZZY_BLOCK_CHARS,
+        probe_chars=FUZZY_PROBE_CHARS,
+        max_dist=FUZZY_MAX_DIST,
+        max_block=FUZZY_MAX_BLOCK,
+    ).orderBy("doc_a", "doc_b")
+
+
+_FUZZY_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id AS doc,
+         substring({_NORM}, 1, {FUZZY_BLOCK_CHARS}) AS blk,
+         substring({_NORM}, 1, {FUZZY_PROBE_CHARS}) AS probe
+  FROM documents
+),
+ok AS (
+  SELECT blk FROM base GROUP BY blk HAVING count(*) <= {FUZZY_MAX_BLOCK}
+),
+c AS (SELECT base.* FROM base JOIN ok USING (blk))
+SELECT a.doc AS doc_a, b.doc AS doc_b,
+       CAST(levenshtein(a.probe, b.probe) AS INTEGER) AS edit_dist
+FROM c a JOIN c b ON a.blk = b.blk AND a.doc < b.doc
+WHERE levenshtein(a.probe, b.probe) <= {FUZZY_MAX_DIST}
+ORDER BY doc_a, doc_b
+"""
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document, ranked on the rounded score
+    with term as tiebreak (stable across engines)."""
+    return llk.tfidf_keywords(_docs(spark, sf_dir), top_n=TFIDF_TOP_N).orderBy(
+        "doc_id", "rank"
+    )
+
+
+# _TOKS-equivalent inline: unnest of the normalized token split; empty
+# docs contribute no rows (explode semantics on both engines).
+_TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id AS doc, unnest(string_split({_NORM}, ' ')) AS term
+  FROM documents
+  WHERE length({_NORM}) > 0
+),
+tf AS (SELECT doc, term, count(*) AS tf FROM toks GROUP BY doc, term),
+dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+stats AS (SELECT count(DISTINCT doc_id) AS ndocs FROM documents),
+scored AS (
+  SELECT doc, term,
+         round(tf * ln((ndocs + 1.0) / (df_t + 1.0)), 4) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+),
+ranked AS (
+  SELECT doc, term, score,
+         row_number() OVER (PARTITION BY doc
+                            ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc AS doc_id, term, score, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TFIDF_TOP_N}
+ORDER BY doc_id, rank
+"""
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (A-Res priorities,
+    md5-deterministic): the 100 documents with the largest u^(1/w) for
+    w = n_chars — partial top-k per partition, no input shuffle."""
+    return lsamp.weighted_priority_sample(
+        _docs(spark, sf_dir), "doc_id", "n_chars", k=WRS_K, salt=WRS_SALT
+    ).orderBy("doc_id")
+
+
+_WRS_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         pow((CAST('0x' || substring(md5('{WRS_SALT}' ||
+                 CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 1.0)
+             / 4294967296.0,
+             1.0 / n_chars) AS key
+  FROM documents
+),
+top AS (
+  SELECT doc_id, weight, round(key, 4) AS priority
+  FROM b ORDER BY key DESC, doc_id ASC LIMIT {WRS_K}
+)
+SELECT doc_id, weight, priority FROM top ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "fuzzy_matches": q_fuzzy_matches,
+    "tfidf_keywords": q_tfidf_keywords,
+    "weighted_sample": q_weighted_sample,
+}
+
+ORACLES = {
+    "fuzzy_matches": _FUZZY_ORACLE,
+    "tfidf_keywords": _TFIDF_ORACLE,
+    "weighted_sample": _WRS_ORACLE,
+}

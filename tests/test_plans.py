@@ -139,6 +139,9 @@ _ALLOWED_NESTED_LOOP = {
     # Vocabulary coverage joins the one-row corpus token total into the
     # distinct-token frame — bounded 1×n broadcast.
     "vocab_coverage",
+    # TF-IDF joins the one-row document count into the per-(doc,term)
+    # frequency frame — bounded 1×n broadcast.
+    "tfidf_keywords",
 }
 
 
