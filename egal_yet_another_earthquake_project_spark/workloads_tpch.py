@@ -1,7 +1,9 @@
-"""Decision-support query shapes (TPC-H Q2/Q4/Q6/Q7/Q8/Q11/Q12/Q13/Q15/
-Q16/Q17/Q18/Q19/Q21/Q22 families — with Q20, every one of the 22
-TPC-H query families is now represented across the workload modules)
-that the round-1 workload did not yet cover, each oracle-paired. Shapes needing columns the dataset lacks are
+"""Decision-support query shapes (TPC-H Q2/Q4/Q6/Q7/Q8/Q9/Q11/Q12/Q13/
+Q15/Q16/Q17/Q18/Q19/Q20/Q21/Q22 families; Q14 lives in
+``workloads_ext.q_promo_revenue`` — with Q9, every one of the 22 TPC-H
+query families is now represented across the workload modules) that the
+round-1 workload did not yet cover, each
+oracle-paired. Shapes needing columns the dataset lacks are
 adapted: partsupp is derived from distinct lineitem (part, supplier)
 pairs, and Q4/Q21 lateness uses shipdate-vs-orderdate (no
 commit/receipt dates).
@@ -786,6 +788,71 @@ LIMIT 100
 """
 
 
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: per-nation, per-year profit on parts whose name
+    matches a pattern. The dataset has no partsupp, so unit cost is
+    proxied as 60% of ``p_retailprice`` (exact DECIMAL math — the join
+    shape, not the cost model, is what Q9 exercises).
+
+    Plan shape: one pass over lineitem; the name-filtered part slice
+    prunes lineitem early (join order puts the selective part join
+    first), supplier joins on suppkey with no hint (SF-proportional —
+    AQE decides), nation is a broadcast dim, and orders contributes only
+    the year. Aggregation is a map-side-combinable decimal sum on
+    (nation, year) — 25×7 groups, no skew."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    cost = (
+        F.col("p_retailprice").cast("decimal(18,2)")
+        * F.lit("0.6").cast("decimal(2,1)")
+        * F.col("l_quantity").cast("decimal(9,0)")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("nation", "o_year")
+        .agg(
+            F.round(F.sum(_dec_revenue() - cost), 2)
+            .cast("double")
+            .alias("profit")
+        )
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+_PRODUCT_PROFIT_ORACLE = """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(round(sum(
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(4,2)))
+         - CAST(p_retailprice AS DECIMAL(18,2))
+           * CAST(0.6 AS DECIMAL(2,1))
+           * CAST(l_quantity AS DECIMAL(9,0))
+       ), 2) AS DOUBLE) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY n_name, o_year
+ORDER BY n_name ASC, o_year DESC
+"""
+
+
 def q_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape: suppliers in one nation who shipped a large
     volume (>100 units across a year) of some PROMO part — the chained
@@ -857,6 +924,7 @@ QUERIES = {
     "disjunctive_revenue": q_disjunctive_revenue,
     "lone_late_supplier": q_lone_late_supplier,
     "excess_shippers": q_excess_shippers,
+    "product_profit": q_product_profit,
 }
 
 ORACLES = {
@@ -876,4 +944,5 @@ ORACLES = {
     "disjunctive_revenue": _DISJUNCTIVE_ORACLE,
     "lone_late_supplier": _LONE_LATE_ORACLE,
     "excess_shippers": _EXCESS_SHIPPERS_ORACLE,
+    "product_profit": _PRODUCT_PROFIT_ORACLE,
 }
