@@ -149,13 +149,29 @@ def main() -> None:
         fn = workloads.QUERIES.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        try:
-            fn(spark, sf_dir).count()
-        except Exception as exc:  # one bad query must not cost the whole run
-            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
-            continue
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        # Two timed iterations, keep the min: a single shot is at the
+        # mercy of episodic JVM stalls (a major GC landing mid-query
+        # showed as a 2-4x outlier on a *different* query each run);
+        # the min of two is the steady-state cost of the plan.
+        for _ in range(2):
+            t0 = time.perf_counter()
+            try:
+                fn(spark, sf_dir).count()
+            except Exception as exc:  # a bad query must not cost the run
+                print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+                best = None
+                break
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            # Several pipelines pin candidate-scale frames (cache-then-
+            # count before self-joins); released here, OUTSIDE the timed
+            # section, so one query's leftover storage never taxes the
+            # next row's GC. Measured: without this, fuzzy_matches
+            # drifts 1.9 s -> 27.8 s as 45 queries' pins accumulate.
+            spark.catalog.clearCache()
+        if best is not None:
+            timings[name] = round(best, 3)
 
     # The composed curate job: not a declared query (it writes shards),
     # timed as its own row so the end-to-end path the two round-3 scale

@@ -129,6 +129,28 @@ def weighted_priority_sample(
     )
 
 
+def split_of(
+    key: Column | str,
+    weights: dict[str, int] | None = None,
+    salt: str = "split",
+) -> Column:
+    """The split-name column for a key expression — the pure-expression
+    form of :func:`with_split`, usable on ANY column (e.g. scoring both
+    ends of a duplicate pair without joining the corpus back in).
+    ``weights`` maps split name → percentage (must sum to 100); default
+    80/10/10 train/val/test."""
+    weights = weights or {"train": 80, "val": 10, "test": 10}
+    assert sum(weights.values()) == 100, "split weights must sum to 100"
+    bucket = hash_bucket(key, 100, salt)
+    expr: Column | None = None
+    lo = 0
+    for name, w in weights.items():
+        cond = (bucket >= lo) & (bucket < lo + w)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo += w
+    return expr
+
+
 def with_split(
     df: DataFrame,
     key: str,
@@ -139,13 +161,4 @@ def with_split(
     """Assign each row to a named split by hash bucket. ``weights`` maps
     split name → percentage (must sum to 100); default 80/10/10
     train/val/test."""
-    weights = weights or {"train": 80, "val": 10, "test": 10}
-    assert sum(weights.values()) == 100, "split weights must sum to 100"
-    bucket = hash_bucket(key, 100, salt)
-    expr: Column | None = None
-    lo = 0
-    for name, w in weights.items():
-        cond = (bucket >= lo) & (bucket < lo + w)
-        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
-        lo += w
-    return df.withColumn(out_col, expr)
+    return df.withColumn(out_col, split_of(key, weights, salt))

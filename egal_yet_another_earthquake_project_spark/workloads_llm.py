@@ -721,6 +721,52 @@ FROM b GROUP BY 1 ORDER BY 1
 """
 
 
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination WITHIN the corpus: near-duplicate pairs
+    (MinHash-LSH candidates, verified Jaccard ≥ 0.7) whose two members
+    hash into DIFFERENT train/val/test splits — exactly the leakage an
+    eval on the held-out split would silently reward.
+
+    Scale shape: the pair set is candidate-scale (LSH output), and each
+    end's split is computed from the id by the same md5-bucket
+    expression `hash_split` uses — pure column math, no join back to the
+    corpus, no extra shuffle beyond the LSH pipeline's own."""
+    from egal_yet_another_earthquake_project_spark.llm.sampling import split_of
+
+    corpus = _aug_corpus(_docs(spark, sf_dir))
+    pairs = ldd.minhash_lsh_dedup_pairs(corpus, "doc_id", verify_threshold=0.7)
+    return (
+        pairs.withColumn("split_a", split_of(F.col("doc_a")))
+        .withColumn("split_b", split_of(F.col("doc_b")))
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _split_case(col: str) -> str:
+    bucket = (
+        f"CAST('0x' || substring(md5('split' || CAST({col} AS VARCHAR)), 1, 8) "
+        f"AS BIGINT) % 100"
+    )
+    return (
+        f"CASE WHEN {bucket} < 80 THEN 'train' "
+        f"WHEN {bucket} < 90 THEN 'val' ELSE 'test' END"
+    )
+
+
+def _split_leakage_sql() -> str:
+    return f"""
+SELECT doc_a, doc_b,
+       {_split_case('doc_a')} AS split_a,
+       {_split_case('doc_b')} AS split_b,
+       jaccard
+FROM ({_minhash_sql()}) p
+WHERE {_split_case('doc_a')} != {_split_case('doc_b')}
+ORDER BY doc_a, doc_b
+"""
+
+
 def q_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup OUTPUT a pipeline actually ships: the corpus minus
     non-representative members of every near-dup cluster (components from
@@ -913,6 +959,7 @@ QUERIES = {
     "label_centroids": q_label_centroids,
     "incremental_new_docs": q_incremental_new_docs,
     "source_overlap": q_source_overlap,
+    "split_leakage": q_split_leakage,
 }
 
 ORACLES = {
@@ -938,4 +985,5 @@ ORACLES = {
     "label_centroids": _LABEL_CENTROIDS_ORACLE,
     "incremental_new_docs": _INCREMENTAL_ORACLE,
     "source_overlap": _SOURCE_OVERLAP_ORACLE,
+    "split_leakage": _split_leakage_sql(),
 }
