@@ -379,3 +379,29 @@ def test_source_overlap_joins_on_fingerprint(spark):
     else (or a nested-loop fallback) would be the doc-pair explosion."""
     nodes = inspect.join_key_nodes(_q(spark, "source_overlap"))
     assert any("fp" in keys for _, keys in nodes), nodes
+
+
+def test_product_profit_broadcasts_only_nation(spark):
+    """Q9 shape: nation is the only hint-broadcast side; the
+    SF-proportional tables (part slice, supplier, orders) stay shuffle
+    joins the static planner cannot force to the driver at any scale."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        nodes = inspect.join_key_nodes(_q(spark, "product_profit"))
+        bcast = [k for n, k in nodes if n == "BroadcastHashJoin"]
+        shuffled = [k for n, k in nodes if n in ("SortMergeJoin", "ShuffledHashJoin")]
+        assert len(bcast) == 1 and any("n_nationkey" in k for k in bcast), nodes
+        assert len(shuffled) == 3, nodes
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_split_leakage_adds_no_join_beyond_lsh(spark):
+    """Scoring each pair end's split must be pure column math on the id —
+    the plan's join count has to equal the LSH pair pipeline's own (a
+    regression that joins the corpus back in to look up splits would add
+    a corpus-scale shuffle per end)."""
+    lsh_joins = len(inspect.join_key_nodes(_q(spark, "minhash_lsh_pairs")))
+    leak_joins = len(inspect.join_key_nodes(_q(spark, "split_leakage")))
+    assert leak_joins == lsh_joins, (lsh_joins, leak_joins)
