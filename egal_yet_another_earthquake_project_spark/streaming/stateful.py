@@ -212,6 +212,133 @@ def kmv_stream(
     )
 
 
+#: Streaming z-score output: one row per anomalous event (append mode).
+ZSCORE_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("value", T.DoubleType(), False),
+        T.StructField("z", T.DoubleType(), False),
+    ]
+)
+
+#: State: the last ``lookback`` values per key, in (ts, event_id) order —
+#: bounded by construction (lookback doubles), like the KMV sketch above.
+ZSCORE_STATE_SCHEMA = T.StructType(
+    [T.StructField("vals", T.ArrayType(T.DoubleType()), True)]
+)
+
+
+def _round_half_up(x: float, quantum: str) -> float:
+    """HALF_UP rounding matching Spark's ``F.round`` on doubles (which
+    goes through ``BigDecimal.valueOf(double)`` — i.e. the shortest
+    decimal repr, same as Python's ``repr`` — then HALF_UP setScale),
+    rather than Python's builtin banker's rounding."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal(quantum), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _zscore_fn_factory(lookback: int, min_points: int, threshold: float):
+    def fn(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        vals: list[float] = list(state.get[0]) if state.exists else []
+        out: list[tuple[int, float, float]] = []
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if chunks:
+            # Establish the batch window's frame order within the trigger;
+            # cross-trigger order is the feed's contract (time-ordered
+            # micro-batches), as with every trailing-window stream.
+            merged = pd.concat(chunks).sort_values(["ts", "event_id"])
+            for eid, v in zip(merged["event_id"], merged["value"]):
+                v = float(v)
+                n = len(vals)
+                if n >= min_points:
+                    # Mean as Spark's Average (sequential sum / count) and
+                    # variance via Welford updates in frame order — the
+                    # exact arithmetic of CentralMomentAgg/stddev_samp, so
+                    # the streamed z is bit-identical to the batch window's
+                    # and the drained==batch assertion cannot flake on ulps.
+                    mu = sum(vals) / n
+                    avg = 0.0
+                    m2 = 0.0
+                    for i, x in enumerate(vals, 1):
+                        d = x - avg
+                        avg += d / i
+                        m2 += d * (x - avg)
+                    sd = (m2 / (n - 1)) ** 0.5
+                    if sd > 1e-9:
+                        z = (v - mu) / sd
+                        if abs(z) >= threshold:
+                            out.append((int(eid), v, _round_half_up(z, "0.0001")))
+                vals.append(v)
+                if len(vals) > lookback:
+                    vals = vals[-lookback:]
+        state.update((vals,))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "event_id": [o[0] for o in out],
+                    "user_id": [int(key[0])] * len(out),
+                    "value": [o[1] for o in out],
+                    "z": [o[2] for o in out],
+                }
+            )
+
+    return fn
+
+
+def zscore_stream(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    lookback: int = 20,
+    min_points: int = 10,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Live per-key trailing-window anomaly detection — the streaming twin
+    of :func:`operators.series.trailing_zscore`.
+
+    State per key is the last ``lookback`` values only (bounded doubles,
+    never the history), so a million keys shard across executors with
+    O(lookback) memory each. Each trigger scores its rows against the
+    rolling window exactly as the batch window frame does (frame excludes
+    the current row; same mean/Welford-variance arithmetic), emitting
+    only threshold crossings in append mode. A drained time-ordered
+    stream equals the batch operator's output row-for-row
+    (tests/test_stateful_streaming.py).
+
+    Null values are dropped at the door: the batch window would keep a
+    null-valued row as a frame SLOT (its value ignored by avg/count)
+    while bounded per-key state cannot afford placeholder slots, so on
+    null-bearing inputs the two twins diverge by design — the stream
+    scores against the last ``lookback`` non-null values.
+    """
+    stream = stream.filter(F.col(value_col).isNotNull())
+    prepared = stream.select(
+        F.col(key_col).cast("long").alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).cast("long").alias("event_id"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _zscore_fn_factory(lookback, min_points, threshold),
+        outputStructType=ZSCORE_OUT_SCHEMA,
+        stateStructType=ZSCORE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def session_counts(
     stream: DataFrame,
     event_time: str = "ts",

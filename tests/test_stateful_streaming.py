@@ -105,3 +105,60 @@ def test_session_counts_stream(spark, tmp_path: Path):
         for r in spark.sql("SELECT * FROM sess_out").collect()
     )
     assert got == [(7, "00:00", 2, 3.0), (7, "02:00", 1, 4.0)], got
+
+
+def test_streaming_zscore_equals_batch(spark, tmp_path: Path):
+    """A drained, time-ordered stream of events through zscore_stream must
+    emit exactly the batch trailing_zscore rows: same frame order, same
+    mean/Welford-variance arithmetic, same HALF_UP rounding."""
+    from egal_yet_another_earthquake_project_spark.operators.series import (
+        trailing_zscore,
+    )
+    from egal_yet_another_earthquake_project_spark.sources.files import read_table
+    from egal_yet_another_earthquake_project_spark.streaming.stateful import (
+        zscore_stream,
+    )
+
+    events = read_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    cut = events.agg(
+        F.percentile_approx("ts", 0.5).alias("c")
+    ).collect()[0].c
+
+    src = tmp_path / "z_in"
+    events.filter(F.col("ts") < F.lit(cut)).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+
+    kw = dict(lookback=20, min_points=10, threshold=2.0)
+    stream = stream_parquet_dir(
+        spark, str(src) + "/*", events.schema, max_files_per_trigger=1
+    )
+    q = (
+        zscore_stream(stream, **kw)
+        .writeStream.format("memory")
+        .queryName("z_live")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "z_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        events.filter(F.col("ts") >= F.lit(cut)).coalesce(1).write.parquet(
+            str(src / "b2")
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = {
+        (r.event_id, r.user_id, r.value, r.z)
+        for r in spark.table("z_live").collect()
+    }
+    batch = {
+        (r.event_id, r.user_id, r.value, r.z)
+        for r in trailing_zscore(events, **kw).collect()
+    }
+    assert streamed == batch
+    assert len(batch) > 0  # the fixture must actually exercise the path
