@@ -91,6 +91,9 @@ HEADLINE = [
     "weighted_sample",
     "interpolate_gaps",
     "zscore_outliers",
+    # round-4 wave 3: the continuous-crawl near-dedup gate (incoming
+    # bands joined against the existing corpus's band index only).
+    "incremental_neardup",
 ]
 
 

@@ -548,6 +548,35 @@ def minhash_signatures(
     return base.mapInPandas(run, out_schema)
 
 
+def band_key_frame(
+    signatures: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """``(doc, band, sig)`` band keys from a signature frame — the LSH
+    index rows. The band signature is a 64-bit hash of the band's
+    min-hashes, not their concatenated string: the band frame and any
+    join over it carry 8 bytes instead of a ~20-char-per-hash string. A
+    hash collision can only ADD a candidate pair, which the
+    exact-Jaccard verify then rejects — output is unchanged (up to the
+    2^-64 chance a colliding pair also passes verify, i.e. is a genuine
+    near-dup LSH happened to miss). This frame is what production
+    PERSISTS as the incremental index (bucketed by sig), so a daily
+    batch joins against it instead of re-signing the corpus."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [
+            F.col(f"mh{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*parts).alias("sig"))
+        )
+    return signatures.select("doc", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "doc", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     num_hashes: int = DEFAULT_NUM_HASHES,
@@ -566,25 +595,7 @@ def lsh_candidate_pairs(
     cost (measured ~2× at sf0.1). The frame is small by construction —
     bands × docs rows of (doc, band, fixed-width sig).
     """
-    rows_per_band = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"mh{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        # The band signature is a 64-bit hash of the band's min-hashes,
-        # not their concatenated string: the cached band frame and the
-        # self-join shuffle carry 8 bytes instead of a ~20-char-per-hash
-        # string. A hash collision can only ADD a candidate pair, which
-        # the exact-Jaccard verify then rejects — output is unchanged
-        # (up to the 2^-64 chance a colliding pair also passes verify,
-        # i.e. is a genuine near-dup LSH happened to miss).
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(*parts).alias("sig"))
-        )
-    exploded = (
-        signatures.select("doc", F.explode(F.array(*band_cols)).alias("bk"))
-        .select("doc", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
-        .cache()
-    )
+    exploded = band_key_frame(signatures, num_hashes, bands).cache()
     # Materialize BEFORE the self-join: the two join sides otherwise race
     # on the unpopulated cache within one job and each run the pipeline.
     exploded.count()
@@ -623,6 +634,26 @@ def minhash_lsh_dedup_pairs(
     cands = lsh_candidate_pairs(sigs, num_hashes, bands)
     if verify_threshold is None:
         return cands
+    return verify_candidate_pairs(
+        df, cands, id_col, text_col, n, verify_threshold, max_doc_freq
+    )
+
+
+def verify_candidate_pairs(
+    df: DataFrame,
+    cands: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    verify_threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact-Jaccard verification of an LSH candidate-pair frame against
+    the corpus ``df`` holding both pair ends: keep ``(doc_a, doc_b)``
+    whose shingle-set Jaccard (rounded 4) meets ``verify_threshold``.
+    Factored out of :func:`minhash_lsh_dedup_pairs` so the incremental
+    (batch-vs-corpus) path shares the identical verify arithmetic.
+    """
     # The candidate set feeds three consumers (doc pruning, the pair join,
     # the final projection); cache AND materialize it so the LSH pipeline
     # runs exactly once — concurrent downstream stages would otherwise race
@@ -703,4 +734,59 @@ def minhash_lsh_dedup_pairs(
         )
         .filter(F.col("jaccard") >= verify_threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def incremental_neardup_pairs(
+    incoming: DataFrame,
+    existing: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    verify_threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs BETWEEN an incoming batch and the existing
+    corpus — the continuous-crawl near-dedup gate, the MinHash analogue
+    of :func:`incremental_new_docs`.
+
+    Returns ``(doc_a, doc_b, jaccard)`` with ``doc_a`` from ``incoming``
+    and ``doc_b`` from ``existing`` (ids must be disjoint across the two
+    frames — true by construction for a crawl increment).
+
+    Why not ``minhash_lsh_dedup_pairs(incoming ∪ existing)``: that
+    re-signs and re-self-joins the WHOLE corpus every batch — O(corpus)
+    daily. Here the candidate join is incoming-bands ⋈ existing-bands
+    only: never incoming×incoming (the batch's internal dups are the
+    batch dedup's job), never existing×existing (already deduped when it
+    was ingested). Per-batch work is O(batch signatures) plus one
+    equi-join against the existing band index — which production keeps
+    PERSISTED (:func:`band_key_frame` bucketed by sig, exactly like
+    :func:`write_fingerprint_index` for the exact gate) so the corpus
+    side is a scan, not a recompute; this convenience form derives it
+    from the corpus frame. Verification reuses the per-pair
+    array-intersect arithmetic over the two frames' union, pruned to
+    candidate docs first.
+    """
+    inc_bands = band_key_frame(
+        minhash_signatures(incoming, id_col, text_col, n, num_hashes),
+        num_hashes,
+        bands,
+    ).select(F.col("doc").alias("_na"), "band", "sig")
+    ex_bands = band_key_frame(
+        minhash_signatures(existing, id_col, text_col, n, num_hashes),
+        num_hashes,
+        bands,
+    ).select(F.col("doc").alias("_nb"), "band", "sig")
+    cands = (
+        inc_bands.join(ex_bands, ["band", "sig"])
+        .select(F.col("_na").alias("doc_a"), F.col("_nb").alias("doc_b"))
+        .distinct()
+    )
+    union = incoming.select(id_col, text_col).unionByName(
+        existing.select(id_col, text_col)
+    )
+    return verify_candidate_pairs(
+        union, cands, id_col, text_col, n, verify_threshold
     )

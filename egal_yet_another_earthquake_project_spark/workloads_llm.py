@@ -262,11 +262,13 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ldd.minhash_lsh_dedup_pairs(corpus, "doc_id", verify_threshold=0.7)
 
 
-def _minhash_sql() -> str:
+def _minhash_prefix_sql() -> str:
+    """The shared minhash CTE chain (corpus → base hashes → signatures →
+    band keys), mirroring llm.dedup.minhash_signatures/band_key_frame:
+    mh_i = min((a_i*h + b_i) % P) over one md5-derived base hash per
+    shingle."""
     k, bands = ldd.DEFAULT_NUM_HASHES, ldd.DEFAULT_BANDS
     rpb = k // bands
-    # affine family over one md5-derived base hash per shingle, mirroring
-    # llm.dedup.minhash_signatures: mh_i = min((a_i*h + b_i) % P)
     mh_cols = ", ".join(
         f"list_min(list_transform(hv, h -> ({a} * h + {b}) % {ldd.MINHASH_P})) AS mh{i}"
         for i, (a, b) in enumerate(ldd.minhash_coeffs(k))
@@ -291,6 +293,11 @@ based AS (
 ),
 sigs AS (SELECT doc, {mh_cols} FROM based),
 bandkeys AS ({band_rows}),
+"""
+
+
+def _minhash_sql() -> str:
+    return f"""{_minhash_prefix_sql()}
 cands AS (
   SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
   FROM bandkeys a JOIN bandkeys b
@@ -721,6 +728,38 @@ FROM b GROUP BY 1 ORDER BY 1
 """
 
 
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-crawl NEAR-dedup gate
+    (llm.dedup.incremental_neardup_pairs): the augmented corpus split
+    1-in-5 into 'incoming batch' vs 'existing corpus'; candidate pairs
+    come only from incoming-bands ⋈ existing-bands (never batch×batch or
+    corpus×corpus — per-batch work stays O(batch) + one index join),
+    verified at Jaccard ≥ 0.7."""
+    corpus_all = _aug_corpus(_docs(spark, sf_dir))
+    incoming = corpus_all.filter(F.col("doc_id") % 5 == 0)
+    existing = corpus_all.filter(F.col("doc_id") % 5 != 0)
+    return ldd.incremental_neardup_pairs(
+        incoming, existing, "doc_id", verify_threshold=0.7
+    ).orderBy("doc_a", "doc_b")
+
+
+def _incremental_neardup_sql() -> str:
+    return f"""{_minhash_prefix_sql()}
+cands AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM bandkeys a JOIN bandkeys b
+    ON a.band = b.band AND a.sig = b.sig
+  WHERE a.doc % 5 = 0 AND b.doc % 5 <> 0
+),
+{_JACCARD_CORE}
+SELECT c.doc_a, c.doc_b, j.jaccard
+FROM cands c JOIN jac j
+  ON j.doc_a = least(c.doc_a, c.doc_b) AND j.doc_b = greatest(c.doc_a, c.doc_b)
+WHERE j.jaccard >= 0.7
+ORDER BY c.doc_a, c.doc_b
+"""
+
+
 def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test contamination WITHIN the corpus: near-duplicate pairs
     (MinHash-LSH candidates, verified Jaccard ≥ 0.7) whose two members
@@ -958,6 +997,7 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "label_centroids": q_label_centroids,
     "incremental_new_docs": q_incremental_new_docs,
+    "incremental_neardup": q_incremental_neardup,
     "source_overlap": q_source_overlap,
     "split_leakage": q_split_leakage,
 }
@@ -984,6 +1024,7 @@ ORACLES = {
     "multimodal_features": _MULTIMODAL_FEATURES_ORACLE,
     "label_centroids": _LABEL_CENTROIDS_ORACLE,
     "incremental_new_docs": _INCREMENTAL_ORACLE,
+    "incremental_neardup": _incremental_neardup_sql(),
     "source_overlap": _SOURCE_OVERLAP_ORACLE,
     "split_leakage": _split_leakage_sql(),
 }
