@@ -737,6 +737,37 @@ def verify_candidate_pairs(
     )
 
 
+def write_band_index(
+    corpus: DataFrame,
+    table: str,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    num_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus's LSH band keys as a table bucketed by
+    (band, sig) — the near-dedup analogue of
+    :func:`write_fingerprint_index`. Bucketing costs one shuffle at
+    write time; every incremental gate call then joins incoming bands
+    against it with ZERO exchange on the index side (asserted in
+    tests/test_dedup.py), so the 100 TB corpus's signatures never move
+    again. Append each admitted batch's bands to keep it current."""
+    frame = band_key_frame(
+        minhash_signatures(corpus, id_col, text_col, n, num_hashes),
+        num_hashes,
+        bands,
+    )
+    (
+        frame.write.mode(mode)
+        .bucketBy(num_buckets, "band", "sig")
+        .sortBy("band", "sig")
+        .saveAsTable(table)
+    )
+
+
 def incremental_neardup_pairs(
     incoming: DataFrame,
     existing: DataFrame,
@@ -745,7 +776,8 @@ def incremental_neardup_pairs(
     n: int = 3,
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
-    verify_threshold: float = 0.8,
+    verify_threshold: float | None = 0.8,
+    existing_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs BETWEEN an incoming batch and the existing
     corpus — the continuous-crawl near-dedup gate, the MinHash analogue
@@ -774,16 +806,20 @@ def incremental_neardup_pairs(
         num_hashes,
         bands,
     ).select(F.col("doc").alias("_na"), "band", "sig")
-    ex_bands = band_key_frame(
-        minhash_signatures(existing, id_col, text_col, n, num_hashes),
-        num_hashes,
-        bands,
-    ).select(F.col("doc").alias("_nb"), "band", "sig")
+    if existing_bands is None:
+        existing_bands = band_key_frame(
+            minhash_signatures(existing, id_col, text_col, n, num_hashes),
+            num_hashes,
+            bands,
+        )
+    ex_bands = existing_bands.select(F.col("doc").alias("_nb"), "band", "sig")
     cands = (
         inc_bands.join(ex_bands, ["band", "sig"])
         .select(F.col("_na").alias("doc_a"), F.col("_nb").alias("doc_b"))
         .distinct()
     )
+    if verify_threshold is None:
+        return cands
     union = incoming.select(id_col, text_col).unionByName(
         existing.select(id_col, text_col)
     )

@@ -224,3 +224,46 @@ def test_fingerprint_index_gate_zero_shuffle_on_index_side(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS fp_index_test")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_band_index_gate_zero_shuffle_on_index_side(spark):
+    """With the corpus's LSH band keys persisted bucketed by (band, sig),
+    the incremental near-dedup candidate join must shuffle ONLY the
+    incoming batch: signatures (1), the band join (1), the pair distinct
+    (1) — the index side reads bucket-aligned with no exchange. The
+    shape that keeps the 100 TB corpus's signatures from ever moving."""
+    from egal_yet_another_earthquake_project_spark.plans import inspect
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        corpus = spark.range(200).select(
+            F.col("id").alias("doc_id"),
+            # every token id-derived: no shingle (hence no band) is shared
+            # between two different corpus docs
+            F.concat(
+                F.lit("w"), F.col("id"),
+                F.lit(" x"), F.col("id") * 7,
+                F.lit(" y"), F.col("id") * 13,
+                F.lit(" z"), F.col("id") * 29,
+                F.lit(" q"), F.col("id") * 31,
+            ).alias("text"),
+        )
+        ldd.write_band_index(corpus, "band_index_test", "doc_id", num_buckets=8)
+        incoming = corpus.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 1000).alias("doc_id"), "text"
+        )
+        cands = ldd.incremental_neardup_pairs(
+            incoming,
+            corpus,
+            "doc_id",
+            verify_threshold=None,
+            existing_bands=spark.table("band_index_test"),
+        )
+        assert cands.count() == 50  # each shifted doc matches its original
+        plan = inspect.formatted_plan(cands)
+        assert "Bucketed: true" in plan, plan
+        assert inspect.exchange_count(cands) == 3, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS band_index_test")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
