@@ -92,8 +92,10 @@ HEADLINE = [
     "interpolate_gaps",
     "zscore_outliers",
     # round-4 wave 3: the continuous-crawl near-dedup gate (incoming
-    # bands joined against the existing corpus's band index only).
+    # bands joined against the existing corpus's band index only) and
+    # the iterative Lloyd k-means over embeddings.
     "incremental_neardup",
+    "kmeans_clusters",
 ]
 
 

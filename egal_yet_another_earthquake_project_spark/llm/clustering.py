@@ -1,0 +1,130 @@
+"""Distributed k-means (Lloyd's iterations) over an embedding column.
+
+The clustering pass a corpus pipeline runs before SemDeDup-style
+pruning or IVF index training (``llm/similarity.py`` trains its coarse
+quantizer with one argmax pass; this is the full iterative refinement).
+The reference has no vector operations at all — this is engine-provided
+capability, like the window-function family.
+
+Scale shape (the textbook scalable k-means):
+
+* Centroids are driver state bounded by k × dim integers — the ONLY
+  thing the driver ever holds (same bounded-driver-state contract as
+  ``llm/clusters.py``'s label propagation). They enter each assignment
+  pass as plan literals, i.e. broadcast by construction.
+* Assignment is a pure projection over the vectors — no join, no
+  shuffle: each row computes k squared distances against the literal
+  centroids and takes the argmin.
+* The update step is ONE shuffle of (cluster, dim) partial sums per
+  iteration — map-side combine does the heavy summing; k × dim rows
+  come back to the driver.
+
+Determinism (what makes an iterative float algorithm oracle-checkable):
+values are floor-quantized to a 1e-6 integer grid up front, distances
+are exact int64 sums of squares (|q| ≤ 2·10⁶, dim ≤ 64 ⇒ < 2⁶² — no
+overflow), and centroid updates are ``floor(sum / n)`` where both
+operands are < 2⁵³ so the IEEE double division and floor are identical
+on every engine and partitioning. A float k-means diverges across
+engines in the last ulp and then AMPLIFIES the difference through the
+next argmin; the integer grid makes every iteration bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+QUANT_SCALE = 1_000_000
+
+
+def _quantized(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return emb.select(
+        F.col(id_col).alias("vid"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda v: F.floor(v * QUANT_SCALE).cast("long"),
+        ).alias("qv"),
+    )
+
+
+def _assign(q: DataFrame, centroids: list[tuple[int, list[int]]]) -> DataFrame:
+    """Add the argmin-centroid ``cluster`` column: k in-row distance
+    expressions against literal centroids, first-minimum (lowest cid)
+    tie-break. No join, no shuffle."""
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"),
+                    F.array(*[F.lit(c) for c in vec]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, d: acc + d,
+            )
+            for _, vec in centroids
+        ]
+    )
+    cids = F.array(*[F.lit(cid) for cid, _ in centroids])
+    return q.withColumn(
+        "cluster",
+        F.element_at(cids, F.array_position(dists, F.array_min(dists)).cast("int")),
+    )
+
+
+def _update(assigned: DataFrame) -> list[tuple[int, list[int]]]:
+    """New centroids: floor(sum/n) per (cluster, dim) — one shuffle of
+    partial sums, k × dim rows to the driver. Empty clusters simply
+    disappear (their cid stops being a candidate), mirroring the SQL
+    formulation exactly."""
+    rows = (
+        assigned.select("cluster", F.posexplode("qv").alias("dim", "v"))
+        .groupBy("cluster", "dim")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        .withColumn("c", F.floor(F.col("s") / F.col("n")).cast("long"))
+        .collect()
+    )
+    by_cid: dict[int, dict[int, int]] = {}
+    for r in rows:
+        by_cid.setdefault(r.cluster, {})[r.dim] = r.c
+    return [
+        (cid, [dims[i] for i in range(len(dims))])
+        for cid, dims in sorted(by_cid.items())
+    ]
+
+
+def kmeans_clusters(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Run ``iters`` Lloyd iterations from the deterministic seed (the k
+    lowest-id vectors) and return per-cluster summaries:
+    ``(cluster, n, centroid_norm)`` — member count of the final
+    assignment and the L2 norm of the final recomputed centroid,
+    rounded to 4.
+    """
+    q = _quantized(emb, id_col, vec_col).cache()
+    seed = q.orderBy("vid").limit(k).collect()
+    centroids = [(i, list(r.qv)) for i, r in enumerate(seed)]
+    assigned = None
+    for _ in range(iters):
+        assigned = _assign(q, centroids)
+        centroids = _update(assigned)
+    norm_of = {
+        cid: sum(c * c for c in vec) ** 0.5 / QUANT_SCALE for cid, vec in centroids
+    }
+    norms = F.create_map(
+        *[F.lit(x) for cid in norm_of for x in (cid, float(norm_of[cid]))]
+    )
+    out = (
+        assigned.groupBy("cluster")
+        .agg(F.count("*").alias("n"))
+        .withColumn("centroid_norm", F.round(norms[F.col("cluster")], 4))
+        .select(F.col("cluster").cast("int").alias("cluster"), "n", "centroid_norm")
+        .orderBy("cluster")
+    )
+    q.unpersist()
+    return out

@@ -728,6 +728,65 @@ FROM b GROUP BY 1 ORDER BY 1
 """
 
 
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (llm.clustering.kmeans_clusters): 2 Lloyd
+    iterations, k=8, deterministic lowest-id seed; assignment is a
+    shuffle-free projection against literal (broadcast) centroids, the
+    update one (cluster, dim) partial-sum shuffle per iteration; the
+    1e-6 integer grid makes every iteration bit-identical across
+    engines (the oracle replays both iterations in SQL)."""
+    from egal_yet_another_earthquake_project_spark.llm.clustering import (
+        kmeans_clusters,
+    )
+
+    return kmeans_clusters(_emb(spark, sf_dir), k=8, iters=2)
+
+
+def _kmeans_sql() -> str:
+    assign = """
+  SELECT vid, qv, cid,
+         row_number() OVER (PARTITION BY vid ORDER BY dist, cid) AS rn
+  FROM (
+    SELECT e.vid, e.qv, c.cid,
+           list_sum(list_transform(range(1, 65),
+                    i -> (e.qv[i] - c.cv[i]) * (e.qv[i] - c.cv[i]))) AS dist
+    FROM q e CROSS JOIN {ctab} c
+  )
+"""
+    update = """
+  SELECT cid, i,
+         CAST(floor(CAST(sum(qv[i]) AS DOUBLE) / count(*)) AS BIGINT) AS cvi
+  FROM {mtab}, range(1, 65) t(i) GROUP BY cid, i
+"""
+    return f"""
+WITH q AS (
+  SELECT vec_id AS vid,
+         list_transform(embedding::DOUBLE[],
+                        v -> CAST(floor(v * 1000000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vid) - 1 AS cid, qv AS cv
+  FROM q ORDER BY vid LIMIT 8
+),
+a1 AS ({assign.format(ctab="c0")}),
+m1 AS (SELECT vid, qv, cid FROM a1 WHERE rn = 1),
+s1 AS ({update.format(mtab="m1")}),
+c1 AS (SELECT cid, list(cvi ORDER BY i) AS cv FROM s1 GROUP BY cid),
+a2 AS ({assign.format(ctab="c1")}),
+m2 AS (SELECT vid, qv, cid FROM a2 WHERE rn = 1),
+s2 AS ({update.format(mtab="m2")}),
+c2 AS (SELECT cid, list(cvi ORDER BY i) AS cv FROM s2 GROUP BY cid)
+SELECT CAST(m.cid AS INTEGER) AS cluster,
+       count(*) AS n,
+       round(sqrt(CAST(list_sum(list_transform(c.cv, x -> x * x)) AS DOUBLE))
+             / 1000000.0, 4) AS centroid_norm
+FROM m2 m JOIN c2 c ON m.cid = c.cid
+GROUP BY m.cid, c.cv
+ORDER BY cluster
+"""
+
+
 def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-crawl NEAR-dedup gate
     (llm.dedup.incremental_neardup_pairs): the augmented corpus split
@@ -996,6 +1055,7 @@ QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
     "label_centroids": q_label_centroids,
+    "kmeans_clusters": q_kmeans_clusters,
     "incremental_new_docs": q_incremental_new_docs,
     "incremental_neardup": q_incremental_neardup,
     "source_overlap": q_source_overlap,
@@ -1023,6 +1083,7 @@ ORACLES = {
     "multimodal_meta": _MULTIMODAL_META_ORACLE,
     "multimodal_features": _MULTIMODAL_FEATURES_ORACLE,
     "label_centroids": _LABEL_CENTROIDS_ORACLE,
+    "kmeans_clusters": _kmeans_sql(),
     "incremental_new_docs": _INCREMENTAL_ORACLE,
     "incremental_neardup": _incremental_neardup_sql(),
     "source_overlap": _SOURCE_OVERLAP_ORACLE,

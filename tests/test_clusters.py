@@ -32,3 +32,18 @@ def test_long_chain_within_iteration_budget(spark):
     edges = [(i, i + 1) for i in range(1, 13)]
     got = _cc(spark, edges)
     assert set(got.values()) == {1}
+
+
+def test_kmeans_partition_invariant(spark):
+    """The integer-grid k-means must produce IDENTICAL summaries however
+    the input is partitioned — the property float k-means lacks (ulp
+    drift through argmin) and the reason the grid exists."""
+    from egal_yet_another_earthquake_project_spark.llm.clustering import (
+        kmeans_clusters,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = kmeans_clusters(emb, k=4, iters=2).collect()
+    b = kmeans_clusters(emb.repartition(13), k=4, iters=2).collect()
+    assert a == b
+    assert sum(r.n for r in a) == emb.count()
