@@ -548,6 +548,41 @@ def minhash_signatures(
     return base.mapInPandas(run, out_schema)
 
 
+def minhash_signature_columns(
+    hv: Column, num_hashes: int = DEFAULT_NUM_HASHES
+) -> list[Column]:
+    """Per-ROW signature columns mh0..mh{k-1} from an array of base
+    hashes (each already reduced mod P) — the stateless formulation:
+    no explode, no groupBy, so it is legal in a streaming projection
+    and keeps every other column alive. Values are identical to both
+    aggregated engines (min over the array = min over the exploded
+    multiset; same affine arithmetic)."""
+    return [
+        F.array_min(
+            F.transform(hv, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P))
+        ).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    ]
+
+
+def band_struct_array(
+    num_hashes: int = DEFAULT_NUM_HASHES, bands: int = DEFAULT_BANDS
+) -> Column:
+    """The array of (band, sig) structs over mh0..mh{k-1} columns —
+    shared by the batch band frame and the streaming gate so both key
+    spaces are bit-identical."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [
+            F.col(f"mh{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*parts).alias("sig"))
+        )
+    return F.array(*band_cols)
+
+
 def band_key_frame(
     signatures: DataFrame,
     num_hashes: int = DEFAULT_NUM_HASHES,
@@ -563,18 +598,9 @@ def band_key_frame(
     near-dup LSH happened to miss). This frame is what production
     PERSISTS as the incremental index (bucketed by sig), so a daily
     batch joins against it instead of re-signing the corpus."""
-    rows_per_band = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        parts = [
-            F.col(f"mh{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-        ]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(*parts).alias("sig"))
-        )
-    return signatures.select("doc", F.explode(F.array(*band_cols)).alias("bk")).select(
-        "doc", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
-    )
+    return signatures.select(
+        "doc", F.explode(band_struct_array(num_hashes, bands)).alias("bk")
+    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
 
 
 def lsh_candidate_pairs(

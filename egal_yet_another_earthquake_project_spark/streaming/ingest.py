@@ -49,3 +49,105 @@ def stream_new_docs(
     return fresh.withWatermark(event_time, watermark).dropDuplicatesWithinWatermark(
         ["fp"]
     )
+
+
+def stream_neardup_flags(
+    incoming: DataFrame,
+    band_index: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    verify_threshold: float = 0.8,
+    event_time: str = "ingest_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Flag stream documents that are NEAR-duplicates of the static
+    corpus — the streaming twin of ``llm.dedup.incremental_neardup_pairs``
+    (exact-gate analogue above). Emits ``(doc_a, doc_b, jaccard)``:
+    stream doc, matched corpus doc, verified Jaccard ≥ threshold.
+
+    Every stage is stateless per micro-batch except the final bounded
+    dedup, which is what makes it streaming-legal:
+
+    * signatures come from the per-ROW expression form
+      (``minhash_signature_columns`` — ``array_min`` over the shingle
+      hash array, no explode/groupBy), so no aggregation state and the
+      event-time column survives for the watermark;
+    * band keys (same ``band_struct_array`` as the batch index — key
+      spaces are bit-identical) stream-static equi-join against the
+      persisted band index, so corpus memory lives in the index, not
+      in streaming state;
+    * verification is one more stream-static join (corpus shingle sets)
+      plus per-pair ``array_intersect`` arithmetic;
+    * a pair hit by several bands collapses via
+      ``dropDuplicatesWithinWatermark`` on (doc_a, doc_b) — state
+      bounded by the watermark horizon.
+
+    A drained time-ordered stream equals the batch gate's pair set
+    (asserted in tests/test_streaming_ingest.py).
+    """
+    from egal_yet_another_earthquake_project_spark.llm import dedup as ldd
+    from egal_yet_another_earthquake_project_spark.llm.text import (
+        shingles_of_tokens,
+        tokenized,
+    )
+
+    def sh_raw() -> F.Column:
+        return F.array_distinct(shingles_of_tokens(F.col("_toks"), n))
+
+    prepared = tokenized(incoming.filter(F.col(text_col).isNotNull()), text_col).select(
+        F.col(id_col).alias("doc_a"),
+        F.col(event_time),
+        F.transform(
+            sh_raw(),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+            % F.lit(ldd.MINHASH_P),
+        ).alias("_hv"),
+        F.transform(sh_raw(), lambda s: F.xxhash64(s)).alias("_ja"),
+    )
+    sigs = prepared.select(
+        "doc_a",
+        event_time,
+        "_ja",
+        *ldd.minhash_signature_columns(F.col("_hv")),
+    )
+    banded = sigs.select(
+        "doc_a",
+        event_time,
+        "_ja",
+        F.explode(ldd.band_struct_array()).alias("bk"),
+    ).select(
+        "doc_a",
+        event_time,
+        "_ja",
+        F.col("bk.band").alias("band"),
+        F.col("bk.sig").alias("sig"),
+    )
+    hits = banded.join(
+        band_index.select(F.col("doc").alias("doc_b"), "band", "sig"),
+        ["band", "sig"],
+    )
+    sh_static = tokenized(corpus.filter(F.col(text_col).isNotNull()), text_col).select(
+        F.col(id_col).alias("doc_b"),
+        F.transform(sh_raw(), lambda s: F.xxhash64(s)).alias("_jb"),
+    )
+    common = F.size(F.array_intersect("_ja", "_jb"))
+    verified = (
+        hits.join(sh_static, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                common
+                / (F.size("_ja") + F.size("_jb") - common).cast("double"),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select("doc_a", "doc_b", "jaccard", event_time)
+    )
+    return (
+        verified.withWatermark(event_time, watermark)
+        .dropDuplicatesWithinWatermark(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -71,3 +71,65 @@ def test_stream_gate_matches_batch_gate(spark, tmp_path: Path):
     assert streamed_ids[0] in (11, 12) and streamed_ids[1:] == [13]
     # admitted rows carry fp so the sink can extend the seen-set index
     assert "fp" in spark.table("ingest_out").columns
+
+
+def test_stream_neardup_flags_match_batch_gate(spark, tmp_path: Path):
+    """Drained streaming near-dedup == the batch incremental gate on the
+    same split: same signatures (per-row expression form), same band
+    keys (shared band_struct_array), same verify arithmetic."""
+    from egal_yet_another_earthquake_project_spark.streaming.ingest import (
+        stream_neardup_flags,
+    )
+
+    def words(i: int) -> str:
+        return " ".join(f"t{i}w{j}" for j in range(12))
+
+    corpus = spark.createDataFrame(
+        [(i, words(i)) for i in range(1, 6)], "doc_id long, text string"
+    )
+    ldd.write_band_index(corpus, "stream_band_index_test", "doc_id")
+    incoming = spark.createDataFrame(
+        [
+            (101, words(1) + " extra", "2024-01-01 10:00:00"),  # near-dup of 1
+            (102, words(99), "2024-01-01 10:01:00"),            # genuinely new
+            (103, words(3), "2024-01-01 10:02:00"),             # exact dup of 3
+        ],
+        "doc_id long, text string, ingest_ts string",
+    ).withColumn("ingest_ts", F.col("ingest_ts").cast("timestamp"))
+
+    src = tmp_path / "nd_in"
+    incoming.filter(F.col("doc_id") != 103).write.parquet(str(src / "b1"))
+    stream = stream_parquet_dir(spark, str(src) + "/*", incoming.schema)
+    flags = stream_neardup_flags(
+        stream,
+        spark.table("stream_band_index_test"),
+        corpus,
+        verify_threshold=0.8,
+    )
+    q = (
+        flags.writeStream.format("memory")
+        .queryName("neardup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "nd_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        incoming.filter(F.col("doc_id") == 103).write.parquet(str(src / "b2"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        spark.sql("DROP TABLE IF EXISTS stream_band_index_test")
+
+    streamed = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in spark.table("neardup_out").collect()
+    }
+    batch = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ldd.incremental_neardup_pairs(
+            incoming.drop("ingest_ts"), corpus, "doc_id", verify_threshold=0.8
+        ).collect()
+    }
+    assert streamed == batch
+    assert {(a, b) for a, b, _ in streamed} == {(101, 1), (103, 3)}
