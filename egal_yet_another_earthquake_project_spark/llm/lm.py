@@ -85,3 +85,56 @@ def doc_nll(
         )
         .orderBy(id_col)
     )
+
+
+def encode_token_ids(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 32,
+) -> DataFrame:
+    """Token→id encoding against the corpus's frequency-ranked
+    vocabulary — the step between curated text and packed training
+    sequences. Id 1 = most frequent token (ties break on token asc),
+    0 = out-of-vocabulary.
+
+    Output per doc: ``(id_col, n_tokens, n_oov, ids_fp)`` where
+    ``ids_fp`` is the md5 of the space-joined id sequence in token
+    order — a portable digest of the exact encoding (returning raw
+    arrays would tie the contract to engine-specific list rendering).
+
+    Scale shape: one (doc, pos, token) explode; vocab ranking is a
+    window over the DISTINCT-token frame (vocabulary scale — Heaps'
+    law; same fallback as vocab_coverage for a vocab that outgrows one
+    partition); the encode join broadcasts the vocab, which is
+    FIXED-SIZE by construction (``vocab_size`` rows — a legitimate
+    hint, unlike corpus-fraction frames); per-doc reassembly is one
+    groupBy shuffle on the doc key.
+    """
+    from pyspark.sql.window import Window
+
+    toks = ltx.tokenized(df, text_col).select(
+        F.col(id_col).alias("doc"), F.posexplode("_toks").alias("pos", "token")
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    vocab = counts.select(
+        "token", F.row_number().over(w).alias("tid")
+    ).filter(F.col("tid") <= vocab_size)
+    enc = toks.join(F.broadcast(vocab), "token", "left").withColumn(
+        "tid", F.coalesce(F.col("tid"), F.lit(0))
+    )
+    ids = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+        lambda s: s["tid"].cast("string"),
+    )
+    return (
+        enc.groupBy("doc")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("tid") == 0, 1).otherwise(0)).alias("n_oov"),
+            F.md5(F.concat_ws(" ", ids)).alias("ids_fp"),
+        )
+        .select(F.col("doc").alias(id_col), "n_tokens", "n_oov", "ids_fp")
+        .orderBy(id_col)
+    )

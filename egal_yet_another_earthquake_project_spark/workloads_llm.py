@@ -728,6 +728,38 @@ FROM b GROUP BY 1 ORDER BY 1
 """
 
 
+def q_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token→id encoding (llm.lm.encode_token_ids): frequency-ranked
+    32-token vocabulary, OOV→0; per-doc output digests the exact id
+    sequence (md5 of the space-joined ids in token order), so the
+    oracle verifies every position of every encoding."""
+    from egal_yet_another_earthquake_project_spark.llm.lm import encode_token_ids
+
+    return encode_token_ids(_docs(spark, sf_dir), vocab_size=32)
+
+
+_TOKEN_IDS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc, unnest(ts) AS token, generate_subscripts(ts, 1) AS pos
+  FROM (SELECT doc_id AS doc, {_TOKS} AS ts FROM documents)
+),
+c AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+v AS (
+  SELECT token, row_number() OVER (ORDER BY cnt DESC, token ASC) AS tid
+  FROM c QUALIFY tid <= 32
+),
+e AS (
+  SELECT t.doc, t.pos, coalesce(v.tid, 0) AS tid
+  FROM toks t LEFT JOIN v USING (token)
+)
+SELECT doc AS doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       md5(string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos)) AS ids_fp
+FROM e GROUP BY doc ORDER BY doc_id
+"""
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed k-means (llm.clustering.kmeans_clusters): 2 Lloyd
     iterations, k=8, deterministic lowest-id seed; assignment is a
@@ -1056,6 +1088,7 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "label_centroids": q_label_centroids,
     "kmeans_clusters": q_kmeans_clusters,
+    "token_ids": q_token_ids,
     "incremental_new_docs": q_incremental_new_docs,
     "incremental_neardup": q_incremental_neardup,
     "source_overlap": q_source_overlap,
@@ -1084,6 +1117,7 @@ ORACLES = {
     "multimodal_features": _MULTIMODAL_FEATURES_ORACLE,
     "label_centroids": _LABEL_CENTROIDS_ORACLE,
     "kmeans_clusters": _kmeans_sql(),
+    "token_ids": _TOKEN_IDS_ORACLE,
     "incremental_new_docs": _INCREMENTAL_ORACLE,
     "incremental_neardup": _incremental_neardup_sql(),
     "source_overlap": _SOURCE_OVERLAP_ORACLE,
