@@ -96,6 +96,7 @@ HEADLINE = [
     # the iterative Lloyd k-means over embeddings.
     "incremental_neardup",
     "kmeans_clusters",
+    "token_ids",
 ]
 
 

@@ -699,6 +699,104 @@ FROM reach GROUP BY node ORDER BY node
 """
 
 
+def q_canonical_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: per near-dup cluster keep the
+    HIGHEST-quality member (ties → min doc_id) instead of the min-id
+    one — the policy a production dedup actually ships (keep the best
+    copy, not the first seen). Unclustered docs are their own
+    component. Output: per-source counts + mean quality of the kept
+    set (quality routed through DECIMAL so the mean is exact and
+    partition-order-free)."""
+    from pyspark.sql.window import Window
+
+    from egal_yet_another_earthquake_project_spark.llm.clusters import (
+        connected_components,
+    )
+
+    corpus = _aug_corpus(_docs(spark, sf_dir))
+    profiled = ltx.text_profile(corpus).select("doc_id", "source", "quality")
+    edges = ldd.jaccard_pairs(corpus, "doc_id", threshold=0.7).cache()
+    edges.count()
+    cc = connected_components(edges).withColumnRenamed("node", "doc_id")
+    labeled = profiled.join(cc, "doc_id", "left").withColumn(
+        "component", F.coalesce("component", F.col("doc_id"))
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    best = labeled.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") == 1
+    )
+    return (
+        best.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.sum(F.col("quality").cast("decimal(8,4)")).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+def _canonical_best_sql() -> str:
+    return f"""
+WITH RECURSIVE corpus AS ({_AUG_SQL}),
+{_JACCARD_CORE},
+pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.7),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+cnodes AS (SELECT DISTINCT a AS node FROM edges),
+reach AS (
+  SELECT node, node AS r FROM cnodes
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+base_q AS (SELECT doc_id, source, {_NORM} AS norm, {_TOKS} AS toks FROM corpus),
+feat_q AS (
+  SELECT doc_id, source, len(toks) AS n_tokens,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+    END AS mtl,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE CAST(len(list_filter(toks, t -> t IN ({_sql_in(ltx.EN_STOPWORDS)}))) AS DOUBLE) / len(toks)
+    END AS swr,
+    CASE WHEN length(norm) = 0 THEN 0.0
+         ELSE CAST(length(regexp_replace(norm, '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / length(norm)
+    END AS pr
+  FROM base_q
+),
+scored AS (
+  SELECT doc_id, source,
+    round(0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+        + 0.2 * (CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 1.0 ELSE 0.5 END)
+        + 0.2 * (CASE WHEN swr >= 0.01 AND swr <= 0.6 THEN 1.0 ELSE 0.3 END)
+        + 0.2 * (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.4 END), 4) AS quality
+  FROM feat_q
+),
+labeled AS (
+  SELECT s.doc_id, s.source, s.quality,
+         coalesce(c.component, s.doc_id) AS component
+  FROM scored s LEFT JOIN comp c ON c.node = s.doc_id
+),
+best AS (
+  SELECT * FROM labeled
+  QUALIFY row_number() OVER (
+    PARTITION BY component ORDER BY quality DESC, doc_id ASC
+  ) = 1
+)
+SELECT source, count(*) AS n_docs,
+       round(CAST(sum(CAST(quality AS DECIMAL(8,4))) AS DOUBLE) / count(*), 4)
+         AS avg_quality
+FROM best GROUP BY source ORDER BY source
+"""
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 train/val/test assignment by md5 bucket of
     the stable key — identical membership on any engine, partitioning, or
@@ -1073,6 +1171,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "hash_split": q_hash_split,
     "canonical_corpus": q_canonical_corpus,
+    "canonical_best": q_canonical_best,
     "exact_dedup": q_exact_dedup,
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1102,6 +1201,7 @@ ORACLES = {
     "dedup_clusters": _DEDUP_CLUSTERS_ORACLE,
     "hash_split": _HASH_SPLIT_ORACLE,
     "canonical_corpus": _CANONICAL_ORACLE,
+    "canonical_best": _canonical_best_sql(),
     "exact_dedup": _EXACT_DEDUP_ORACLE,
     "jaccard_pairs": _JACCARD_ORACLE,
     "minhash_lsh_pairs": _minhash_sql(),
