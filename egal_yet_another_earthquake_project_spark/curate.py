@@ -47,6 +47,7 @@ def curate_corpus(
     lang: str | None = "en",
     near_dedup: bool = False,
     jaccard_threshold: float = 0.7,
+    keep: str = "min_id",
     alpha: float | None = None,
     budget: int = 1000,
     ctx: int = 256,
@@ -54,9 +55,13 @@ def curate_corpus(
     """Run the full curation flow; see module docstring for the stages.
 
     ``near_dedup=True`` adds MinHash-LSH pair detection + connected
-    components, keeping each cluster's min-id doc (the iterative step —
-    everything else is one Catalyst plan). ``alpha`` enables the
-    temperature resample down to ``budget`` docs.
+    components (the iterative step — everything else is one Catalyst
+    plan). ``keep`` picks the cluster survivor: ``"min_id"`` (the
+    component representative — cheapest, no extra shuffle) or
+    ``"best_quality"`` (highest quality, ties → min id — the
+    keep-the-best-copy policy; one row_number window over the
+    clustered docs only, which are a corpus fraction). ``alpha``
+    enables the temperature resample down to ``budget`` docs.
     """
     stats: dict[str, int] = {"input": docs.count()}
 
@@ -73,6 +78,8 @@ def curate_corpus(
     # the un-persisted pipeline re-ran the gate+dedup stages 4-5x.
     deduped = ldd.exact_dedup(gated, id_col, text_col).persist()
 
+    if keep not in ("min_id", "best_quality"):
+        raise ValueError(f"unknown keep policy: {keep!r}")
     if near_dedup:
         pairs = ldd.minhash_lsh_dedup_pairs(
             deduped, id_col, text_col, verify_threshold=jaccard_threshold
@@ -82,9 +89,29 @@ def curate_corpus(
         # non-canonical duplicate), not a fixed-size dim — at real dup
         # rates it outgrows any broadcast threshold. AQE still broadcasts
         # it at small scale where it genuinely fits.
-        losers = comp.filter(F.col("node") != F.col("component")).select(
-            F.col("node").alias(id_col)
-        )
+        if keep == "best_quality":
+            # Keep each cluster's highest-quality member (ties → min id)
+            # instead of the component representative. The window runs
+            # over CLUSTERED docs only — a corpus fraction — and quality
+            # is already on `deduped` from the profiling gate, so the
+            # policy costs one row_number window, no rescoring.
+            from pyspark.sql.window import Window
+
+            scored = comp.select(
+                F.col("node").alias(id_col), "component"
+            ).join(deduped.select(id_col, "quality"), id_col)
+            w = Window.partitionBy("component").orderBy(
+                F.col("quality").desc(), F.col(id_col).asc()
+            )
+            losers = (
+                scored.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") > 1)
+                .select(id_col)
+            )
+        else:
+            losers = comp.filter(F.col("node") != F.col("component")).select(
+                F.col("node").alias(id_col)
+            )
         kept = deduped.join(losers, id_col, "left_anti").persist()
         stats["after_dedup"] = kept.count()
         deduped.unpersist()

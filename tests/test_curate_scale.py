@@ -113,3 +113,30 @@ def test_curate_end_to_end_all_stages(spark, docs):
         assert result.corpus.select("pack_id").distinct().count() <= s["packs"]
     finally:
         spark.catalog.clearCache()
+
+
+def test_curate_keep_best_quality(spark):
+    """keep='best_quality' must retain each near-dup cluster's
+    highest-quality member (here the LONGER doc, which has the larger
+    id — the min_id policy would keep the shorter one)."""
+    from egal_yet_another_earthquake_project_spark import curate
+
+    base = " ".join(f"tok{j} word{j}" for j in range(20))  # 40 tokens
+    longer = base + " " + " ".join(f"extra{j}" for j in range(5))
+    docs = spark.createDataFrame(
+        [
+            (1, "web", base),
+            (2, "web", longer),  # near-dup of 1, higher quality, larger id
+            (3, "web", " ".join(f"unrel{j} other{j}" for j in range(20))),
+        ],
+        "doc_id long, source string, text string",
+    )
+    kept_best = curate.curate_corpus(
+        docs, lang=None, near_dedup=True, keep="best_quality"
+    ).corpus
+    ids_best = {r.doc_id for r in kept_best.select("doc_id").distinct().collect()}
+    assert ids_best == {2, 3}
+
+    kept_min = curate.curate_corpus(docs, lang=None, near_dedup=True).corpus
+    ids_min = {r.doc_id for r in kept_min.select("doc_id").distinct().collect()}
+    assert ids_min == {1, 3}
