@@ -335,6 +335,49 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization: clip values to the group's exact
+    interpolated [p05, p95] and report tail-clip counts plus the
+    clipped mean — the standard outlier treatment before training on a
+    noisy numeric feature.
+
+    Plan shape: the bounds frame is GROUP-KEY scale (one row per
+    event_type — the same class as alpha_resample's quota table), so
+    its broadcast is legitimate; then one projection clips and one
+    aggregate summarizes. The clipped mean goes through the floor-1e-6
+    integer grid (exact, partition-order-free — the label_centroids
+    discipline) because the clip bounds are interpolated doubles."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("_lo"),
+        F.expr("percentile(value, 0.95)").alias("_hi"),
+    )
+    cv = F.greatest(F.col("_lo"), F.least(F.col("_hi"), F.col("value")))
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_type",
+            F.when(F.col("value") < F.col("_lo"), 1).otherwise(0).alias("_is_lo"),
+            F.when(F.col("value") > F.col("_hi"), 1).otherwise(0).alias("_is_hi"),
+            F.floor(cv * 1000000).cast("long").alias("_qcv"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("_is_lo").cast("long").alias("n_lo"),
+            F.sum("_is_hi").cast("long").alias("n_hi"),
+            (
+                F.round(
+                    (F.sum("_qcv").cast("double") / F.lit(1000000.0))
+                    / F.count("*"),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("mean_clipped"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -361,6 +404,7 @@ _BASE_QUERIES: dict[str, QueryFn] = {
     "event_electric_correlation": q_event_electric_correlation,
     "median_by_group": q_median_by_group,
     "value_histogram": q_value_histogram,
+    "winsorized_stats": q_winsorized_stats,
 }
 
 _REGION_IN = "('click', 'error', 'view')"
@@ -501,6 +545,27 @@ _BASE_ORACLES: dict[str, str] = {
     "value_histogram": """
         SELECT CAST(floor(value / 50) AS BIGINT) AS bucket, count(*) AS n
         FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "winsorized_stats": """
+        WITH b AS (
+          SELECT event_type,
+                 quantile_cont(value, 0.05) AS lo,
+                 quantile_cont(value, 0.95) AS hi
+          FROM events GROUP BY event_type
+        ),
+        c AS (
+          SELECT e.event_type,
+                 CASE WHEN value < lo THEN 1 ELSE 0 END AS is_lo,
+                 CASE WHEN value > hi THEN 1 ELSE 0 END AS is_hi,
+                 CAST(floor(greatest(lo, least(hi, value)) * 1000000) AS BIGINT) AS qcv
+          FROM events e JOIN b USING (event_type)
+        )
+        SELECT event_type,
+               CAST(sum(is_lo) AS BIGINT) AS n_lo,
+               CAST(sum(is_hi) AS BIGINT) AS n_hi,
+               round((CAST(sum(qcv) AS DOUBLE) / 1000000.0) / count(*), 4) + 0.0
+                 AS mean_clipped
+        FROM c GROUP BY event_type ORDER BY event_type
     """,
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
