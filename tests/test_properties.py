@@ -117,3 +117,94 @@ def test_cosine_matches_numpy(spark, a, b):
     got = df.select(cosine("x", "y").alias("c")).collect()[0].c
     assert got == pytest.approx(expected, rel=1e-9, abs=1e-9)
     assert not math.isnan(got)
+
+
+@st.composite
+def _series_case(draw):
+    minutes = draw(
+        st.lists(
+            st.integers(min_value=0, max_value=30), min_size=2, max_size=12, unique=True
+        )
+    )
+    vals = draw(
+        st.lists(
+            st.floats(min_value=-50, max_value=50, allow_nan=False),
+            min_size=len(minutes),
+            max_size=len(minutes),
+        )
+    )
+    return sorted(zip(minutes, vals))
+
+
+@SETTINGS
+@given(_series_case())
+def test_interpolation_matches_float_reference(spark, case):
+    """interpolate_minute_series: exact on present minutes, within one
+    grid quantum of the float linear interpolation on gap minutes, full
+    grid coverage — checked against an independent float reference."""
+    from datetime import datetime, timezone
+
+    from egal_yet_another_earthquake_project_spark.operators.series import (
+        interpolate_minute_series,
+    )
+
+    def dt(m):
+        return datetime.fromtimestamp(m * 60, tz=timezone.utc).replace(tzinfo=None)
+
+    events = spark.createDataFrame(
+        [(dt(m), v) for m, v in case], "ts timestamp, value double"
+    )
+    rows = interpolate_minute_series(events).collect()
+    lo, hi = case[0][0], case[-1][0]
+    assert len(rows) == hi - lo + 1
+    present = {m: round(v, 4) for m, v in case}
+    xs = [m for m, _ in case]
+    ys = [round(v, 4) for _, v in case]
+    for i, r in enumerate(rows):
+        m = lo + i
+        if m in present:
+            assert not r.was_gap and abs(r.v - present[m]) < 1e-9, (m, r)
+            continue
+        assert r.was_gap
+        j = bisect.bisect_left(xs, m)
+        x0, x1, y0, y1 = xs[j - 1], xs[j], ys[j - 1], ys[j]
+        ref = y0 + (y1 - y0) * (m - x0) / (x1 - x0)
+        assert abs(r.v - ref) <= 1.5e-4, (m, r.v, ref)
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.floats(min_value=-1000, max_value=1000, allow_nan=False),
+        min_size=3,
+        max_size=40,
+    )
+)
+def test_winsorized_stats_matches_numpy(spark, vals):
+    """q_winsorized_stats semantics vs a numpy reference: identical tail
+    counts (Spark's `percentile` and numpy's linear method agree) and
+    clipped mean within the floor-grid quantum."""
+    import numpy as np
+
+    from egal_yet_another_earthquake_project_spark.workloads import (
+        q_winsorized_stats,
+    )
+
+    ev = spark.createDataFrame(
+        [("g", float(v)) for v in vals], "event_type string, value double"
+    )
+
+    import egal_yet_another_earthquake_project_spark.workloads as w
+
+    orig = w._t
+    w._t = lambda spark_, sf_dir_, name_: ev
+    try:
+        row = q_winsorized_stats(spark, "unused").collect()[0]
+    finally:
+        w._t = orig
+    a = np.array(vals, dtype=np.float64)
+    lo, hi = np.percentile(a, 5), np.percentile(a, 95)
+    assert row.n_lo == int((a < lo).sum())
+    assert row.n_hi == int((a > hi).sum())
+    ref_mean = float(np.clip(a, lo, hi).mean())
+    assert abs(row.mean_clipped - ref_mean) <= 2e-4
