@@ -405,3 +405,21 @@ def test_split_leakage_adds_no_join_beyond_lsh(spark):
     lsh_joins = len(inspect.join_key_nodes(_q(spark, "minhash_lsh_pairs")))
     leak_joins = len(inspect.join_key_nodes(_q(spark, "split_leakage")))
     assert leak_joins == lsh_joins, (lsh_joins, leak_joins)
+
+
+def test_winsorized_bounds_are_broadcast(spark):
+    """The per-group percentile bounds frame is group-key scale; the
+    clip join must broadcast it (3 exchanges total: bounds agg, summary
+    agg, output sort — never a shuffle of events for the join)."""
+    df = _q(spark, "winsorized_stats")
+    assert inspect.uses_broadcast_join(df)
+    assert inspect.exchange_count(df) <= 3, inspect.exchange_count(df)
+
+
+def test_token_ids_vocab_is_broadcast(spark):
+    """The encode join's vocab side is FIXED-SIZE (vocab_size rows), so
+    it must broadcast — re-shuffling the exploded token stream to meet
+    a shuffle join here would be the corpus-scale mistake."""
+    df = _q(spark, "token_ids")
+    assert inspect.uses_broadcast_join(df)
+    assert inspect.exchange_count(df) <= 3, inspect.exchange_count(df)
