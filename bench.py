@@ -150,6 +150,16 @@ def main() -> None:
     spark.catalog.clearCache()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # Calibration: a fixed CPU-bound reference job (no I/O, no shuffle)
+    # whose cost is independent of the workload. On this box it runs
+    # ~0.10-0.15 s idle; a materially larger value means the run was
+    # host-contended and every row is inflated — read the suite number
+    # against this, not in isolation. (Observed: the same suite measured
+    # 69 s idle and 212 s under transient host steal.)
+    t0 = time.perf_counter()
+    spark.range(200_000_000).selectExpr("sum(id)").collect()
+    calibration = round(time.perf_counter() - t0, 3)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = workloads.QUERIES.get(name)
@@ -199,6 +209,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "calibration_sec": calibration,
             }
         )
     )
