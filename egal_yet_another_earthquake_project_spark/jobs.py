@@ -66,6 +66,12 @@ def _parser() -> argparse.ArgumentParser:
     d.add_argument("--min-quality", type=float, default=0.5)
     d.add_argument("--lang", default="en", help="language gate; 'any' disables")
     d.add_argument("--near-dedup", action="store_true")
+    d.add_argument(
+        "--keep",
+        choices=["min_id", "best_quality"],
+        default="min_id",
+        help="near-dup cluster survivor policy",
+    )
     d.add_argument("--alpha", type=float, default=None, help="enable α resampling")
     d.add_argument("--budget", type=int, default=1000)
     d.add_argument("--ctx", type=int, default=256)
@@ -120,6 +126,7 @@ def main(argv: list[str] | None = None) -> int:
                 min_quality=args.min_quality,
                 lang=None if args.lang == "any" else args.lang,
                 near_dedup=args.near_dedup,
+                keep=args.keep,
                 alpha=args.alpha,
                 budget=args.budget,
                 ctx=args.ctx,
