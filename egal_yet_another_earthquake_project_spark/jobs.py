@@ -75,6 +75,20 @@ def _parser() -> argparse.ArgumentParser:
     d.add_argument("--alpha", type=float, default=None, help="enable α resampling")
     d.add_argument("--budget", type=int, default=1000)
     d.add_argument("--ctx", type=int, default=256)
+
+    e = sub.add_parser(
+        "index", help="embeddings parquet → cell-partitioned IVF index"
+    )
+    e.add_argument("--source-dir", required=True, help="dir holding embeddings.parquet")
+    e.add_argument("--out", required=True, help="index directory")
+    e.add_argument("--num-cells", type=int, default=16)
+    e.add_argument("--refine-iters", type=int, default=0)
+
+    s = sub.add_parser("search", help="top-k ANN against a persisted IVF index")
+    s.add_argument("--index", required=True, help="index directory")
+    s.add_argument("--queries", required=True, help="parquet of query vectors")
+    s.add_argument("--k", type=int, default=5)
+    s.add_argument("--nprobe", type=int, default=4)
     return p
 
 
@@ -133,6 +147,30 @@ def main(argv: list[str] | None = None) -> int:
             )
             curate.write_shards(result, args.out)
             print(json.dumps({"out": args.out, **result.stats}))
+        elif args.cmd == "index":
+            import json
+
+            from egal_yet_another_earthquake_project_spark.llm.ann_index import (
+                build_ivf_index,
+            )
+
+            emb = spark.read.parquet(f"{args.source_dir}/embeddings.parquet")
+            build_ivf_index(
+                emb,
+                args.out,
+                num_cells=args.num_cells,
+                refine_iters=args.refine_iters,
+            )
+            print(json.dumps({"out": args.out, "num_cells": args.num_cells}))
+        elif args.cmd == "search":
+            from egal_yet_another_earthquake_project_spark.llm.ann_index import (
+                search_ivf_index,
+            )
+
+            queries = spark.read.parquet(args.queries)
+            search_ivf_index(
+                spark, args.index, queries, k=args.k, nprobe=args.nprobe
+            ).show(50, truncate=False)
         return 0
     finally:
         spark.stop()

@@ -1,0 +1,104 @@
+"""Persisted IVF ANN index: build once, search many — the product form
+of ``llm.similarity.ivf_trained_topk``.
+
+The declared ANN queries train + assign + search in one plan because the
+oracle needs one self-contained statement. A production vector store
+amortizes the expensive parts instead:
+
+* **build** (once per corpus version): train the coarse quantizer,
+  assign every corpus vector to its cell, precompute unit vectors, and
+  write the index PARTITIONED BY cell. The layout IS the index — each
+  cell is a directory.
+* **search** (per query batch): assign queries to their top-``nprobe``
+  cells, then scan ONLY those cells' partitions. The probed-cell set is
+  ≤ num_cells (≈ √n by the sizing rule) regardless of batch size, so
+  collecting it to the driver for a static partition filter is bounded —
+  and static pruning means the scan never touches the other cells'
+  files (plan-asserted: the FileSourceScan's PartitionFilters carries
+  the cell predicate).
+
+At 100 TB: the corpus-side work per search is nprobe/num_cells of one
+corpus scan — and with min/max footer stats + the partition layout, the
+bytes read shrink by the same factor. No shuffle touches the corpus at
+search time; only the (small) query batch broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from egal_yet_another_earthquake_project_spark.llm.similarity import (
+    _dots,
+    _topk_from_candidates,
+    assign_cells,
+    refine_centroids,
+    sample_centroids,
+    unit,
+)
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    index_dir: str,
+    num_cells: int = 16,
+    refine_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Train the quantizer and write the cell-partitioned index.
+
+    Layout: ``{index_dir}/centroids`` (cell, cv) and
+    ``{index_dir}/cells`` (neighbor_id, uv) partitioned by ``cell``,
+    with unit vectors precomputed so search pays no normalization."""
+    cent = sample_centroids(corpus, num_cells, id_col, vec_col)
+    if refine_iters:
+        cent = refine_centroids(corpus, cent, refine_iters, id_col, vec_col)
+    cent.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    assigned = unit(
+        assign_cells(corpus, cent, 1, id_col, vec_col).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v"), "cell"
+        ),
+        "_v",
+        "uv",
+    ).drop("_v")
+    (
+        assigned.write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{index_dir}/cells")
+    )
+
+
+def search_ivf_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-``k`` neighbors for a query batch against a persisted index.
+
+    The probed-cell set (≤ num_cells values however large the batch is)
+    becomes a STATIC partition filter, so the scan plans against only
+    those directories; the query side broadcasts into the cell join."""
+    cent = spark.read.parquet(f"{index_dir}/centroids")
+    qa = unit(
+        assign_cells(queries, cent, nprobe, id_col, vec_col).select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_q"), "cell"
+        ),
+        "_q",
+        "uq",
+    ).drop("_q")
+    probed = [r.cell for r in qa.select("cell").distinct().collect()]
+    cells = spark.read.parquet(f"{index_dir}/cells").filter(
+        F.col("cell").isin(probed)
+    )
+    cands = (
+        cells.join(F.broadcast(qa), on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(_dots(F.col("uq"), F.col("uv")), 4))
+        .select("query_id", "neighbor_id", "cos")
+    )
+    return _topk_from_candidates(cands, k)

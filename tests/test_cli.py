@@ -77,3 +77,47 @@ def test_cli_curate_writes_shards(spark, tmp_path: Path, capsys):
     assert shards.count() == stats["after_resample"]
     cols = set(shards.columns)
     assert {"doc_id", "source", "text", "n_tokens", "start_tok", "pack_id"} <= cols
+
+
+def test_cli_index_and_search(spark, tmp_path: Path, capsys):
+    """index builds the cell-partitioned IVF layout; search returns a
+    top-k table against it."""
+    import shutil
+
+    from egal_yet_another_earthquake_project_spark import jobs
+
+    src = tmp_path / "emb_src"
+    (tmp_path / "emb_src").mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        str(src / "embeddings.parquet"),
+    )
+    emb = spark.read.parquet(str(src / "embeddings.parquet"))
+    emb.orderBy("vec_id").limit(5).write.parquet(str(tmp_path / "queries"))
+
+    real_stop = spark.stop
+    spark.stop = lambda: None
+    try:
+        rc = jobs.main(
+            [
+                "index",
+                "--source-dir", str(src),
+                "--out", str(tmp_path / "ivf"),
+                "--num-cells", "8",
+            ]
+        )
+        assert rc == 0
+        assert (tmp_path / "ivf" / "cells").exists()
+        rc = jobs.main(
+            [
+                "search",
+                "--index", str(tmp_path / "ivf"),
+                "--queries", str(tmp_path / "queries"),
+                "--k", "3",
+            ]
+        )
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "query_id" in out and "neighbor_id" in out
+    finally:
+        spark.stop = real_stop

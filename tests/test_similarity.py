@@ -156,3 +156,35 @@ def test_approx_sketches(spark):
     exact_median = events.approxQuantile("value", [0.5], 0.0)[0]
     assert abs(row.p50 - exact_median) / exact_median < 0.25
     assert row.acd_ids > 0
+
+
+def test_persisted_ivf_index_matches_inline_ivf(spark, tmp_path):
+    """build_ivf_index + search_ivf_index must return exactly what the
+    one-plan ivf_trained_topk computes (same sampled quantizer, same
+    rounding), and the search scan must carry the probed-cell partition
+    filter — the layout IS the index."""
+    from egal_yet_another_earthquake_project_spark.llm.ann_index import (
+        build_ivf_index,
+        search_ivf_index,
+    )
+    from egal_yet_another_earthquake_project_spark.llm.similarity import (
+        ivf_trained_topk,
+    )
+    from egal_yet_another_earthquake_project_spark.plans import inspect
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.orderBy("vec_id").limit(10)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, num_cells=8)
+
+    got = search_ivf_index(spark, idx, queries, k=5, nprobe=3)
+    want = ivf_trained_topk(queries, emb, k=5, num_cells=8, nprobe=3)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    plan = inspect.formatted_plan(got)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*cell[^\]]*)\]", plan)
+    assert m, plan
