@@ -1,0 +1,73 @@
+"""Partition-level MERGE: last-writer-wins semantics plus the physical
+guarantee — untouched partitions' files are byte-identical after the
+merge (the O(touched)/batch property that replaces O(corpus)/day)."""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from egal_yet_another_earthquake_project_spark.sinks.merge import (
+    merge_into_partitioned,
+)
+
+
+def _files(root: str, part: str) -> dict[str, tuple[int, float]]:
+    d = Path(root) / part
+    return {
+        f.name: (f.stat().st_size, f.stat().st_mtime)
+        for f in d.glob("*.parquet")
+    }
+
+
+def test_merge_touches_only_updated_partitions(spark, tmp_path):
+    table = str(tmp_path / "events_tbl")
+    base = spark.createDataFrame(
+        [(i, f"d{i % 3}", float(i), 1) for i in range(30)],
+        "id long, dt string, v double, ver int",
+    )
+    base.coalesce(2).write.partitionBy("dt").parquet(table)
+
+    before_d0 = _files(table, "dt=d0")
+    before_d2 = _files(table, "dt=d2")
+    assert before_d0 and before_d2
+
+    updates = spark.createDataFrame(
+        [
+            (1, "d1", 99.0, 2),     # update existing key in d1
+            (1, "d1", 77.0, 3),     # newer version same batch — must win
+            (100, "d1", 5.0, 2),    # brand-new key
+        ],
+        "id long, dt string, v double, ver int",
+    )
+    touched = merge_into_partitioned(
+        spark, table, updates, ["id"], "dt", order_col="ver"
+    )
+    assert touched == ["d1"]
+
+    out = spark.read.parquet(table)
+    assert out.count() == 31
+    assert out.filter("id = 1").collect()[0].v == 77.0
+    # non-touched keys in d1 survive
+    assert out.filter("dt = 'd1' and id = 4").count() == 1
+    # untouched partitions: exactly the same files, sizes, mtimes
+    assert _files(table, "dt=d0") == before_d0
+    assert _files(table, "dt=d2") == before_d2
+
+
+def test_merge_is_idempotent_under_replay(spark, tmp_path):
+    table = str(tmp_path / "replay_tbl")
+    spark.createDataFrame(
+        [(i, "d0", float(i), 1) for i in range(10)],
+        "id long, dt string, v double, ver int",
+    ).write.partitionBy("dt").parquet(table)
+    updates = spark.createDataFrame(
+        [(3, "d0", 42.0, 2)], "id long, dt string, v double, ver int"
+    )
+    merge_into_partitioned(spark, table, updates, ["id"], "dt", order_col="ver")
+    merge_into_partitioned(spark, table, updates, ["id"], "dt", order_col="ver")
+    out = spark.read.parquet(table)
+    assert out.count() == 10
+    assert out.filter("id = 3").collect()[0].v == 42.0
