@@ -71,3 +71,52 @@ def test_merge_is_idempotent_under_replay(spark, tmp_path):
     out = spark.read.parquet(table)
     assert out.count() == 10
     assert out.filter("id = 3").collect()[0].v == 42.0
+
+
+def test_stream_merge_into_table(spark, tmp_path):
+    """A change stream drained through stream_merge_into leaves the
+    table in the batch-merge state: updates applied, new keys added,
+    untouched partitions' files identical."""
+    from egal_yet_another_earthquake_project_spark.sources.files import (
+        stream_parquet_dir,
+    )
+    from egal_yet_another_earthquake_project_spark.streaming.merge_sink import (
+        stream_merge_into,
+    )
+
+    table = str(tmp_path / "cdc_tbl")
+    spark.createDataFrame(
+        [(i, f"d{i % 2}", float(i), 1) for i in range(10)],
+        "id long, dt string, v double, ver int",
+    ).write.partitionBy("dt").parquet(table)
+    before_d0 = _files(table, "dt=d0")
+
+    src = tmp_path / "changes"
+    b1 = spark.createDataFrame(
+        [(1, "d1", 50.0, 2)], "id long, dt string, v double, ver int"
+    )
+    b1.write.parquet(str(src / "b1"))
+    stream = stream_parquet_dir(spark, str(src) + "/*", b1.schema)
+    q = stream_merge_into(
+        stream,
+        table,
+        ["id"],
+        "dt",
+        order_col="ver",
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [(1, "d1", 60.0, 3), (99, "d1", 7.0, 1)],
+            "id long, dt string, v double, ver int",
+        ).write.parquet(str(src / "b2"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = spark.read.parquet(table)
+    assert out.count() == 11
+    assert out.filter("id = 1").collect()[0].v == 60.0
+    assert out.filter("id = 99").count() == 1
+    assert _files(table, "dt=d0") == before_d0
