@@ -11,12 +11,18 @@ each relaunched every minute by NiFi (SURVEY E1 step 5). Here:
         --source-dir bronze
     python -m egal_yet_another_earthquake_project_spark curate \
         --source-dir /data/raw --out /data/shards --alpha 0.5 --near-dedup
+    python -m egal_yet_another_earthquake_project_spark index \
+        --source-dir /data/raw --out /data/ivf --num-cells 64
+    python -m egal_yet_another_earthquake_project_spark search \
+        --index /data/ivf --queries /data/queries.parquet --k 5
 
 ``archive`` drains (or follows) an envelope directory into a partitioned
 parquet archive; ``batch-load`` runs bronze→silver→gold and ships ES
 documents (``--dry-run`` prints counts instead); ``analytics`` prints the
 gold tables; ``curate`` runs the full training-corpus pipeline
-(gates → dedup → resample → packing → shards, see ``curate.py``).
+(gates → dedup → resample → packing → shards, see ``curate.py``);
+``index``/``search`` build and probe the cell-partitioned IVF ANN index
+(``llm/ann_index.py``).
 Kafka variants use the same code paths with the gated reader
 (sources/kafka.py) once a broker and the connector jar are present.
 """
