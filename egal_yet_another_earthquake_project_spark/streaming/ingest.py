@@ -96,15 +96,24 @@ def stream_neardup_flags(
     def sh_raw() -> F.Column:
         return F.array_distinct(shingles_of_tokens(F.col("_toks"), n))
 
-    prepared = tokenized(incoming.filter(F.col(text_col).isNotNull()), text_col).select(
-        F.col(id_col).alias("doc_a"),
-        F.col(event_time),
+    # Materialize the shingle array behind a projection boundary before
+    # deriving both hash arrays from it — two sh_raw() references in one
+    # select would tokenize+shingle every row twice (llm/text.py module
+    # note: codegen CSE does not merge non-trivial duplicated subtrees).
+    shingled = tokenized(
+        incoming.filter(F.col(text_col).isNotNull()), text_col
+    ).select(
+        F.col(id_col).alias("doc_a"), F.col(event_time), sh_raw().alias("_shr")
+    )
+    prepared = shingled.select(
+        "doc_a",
+        event_time,
         F.transform(
-            sh_raw(),
+            F.col("_shr"),
             lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
             % F.lit(ldd.MINHASH_P),
         ).alias("_hv"),
-        F.transform(sh_raw(), lambda s: F.xxhash64(s)).alias("_ja"),
+        F.transform(F.col("_shr"), lambda s: F.xxhash64(s)).alias("_ja"),
     )
     sigs = prepared.select(
         "doc_a",
