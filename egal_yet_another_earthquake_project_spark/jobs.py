@@ -95,6 +95,14 @@ def _parser() -> argparse.ArgumentParser:
     s.add_argument("--queries", required=True, help="parquet of query vectors")
     s.add_argument("--k", type=int, default=5)
     s.add_argument("--nprobe", type=int, default=4)
+
+    g = sub.add_parser(
+        "compact", help="rewrite a fragmented parquet dataset as balanced files"
+    )
+    g.add_argument("--src", required=True)
+    g.add_argument("--dst", required=True)
+    g.add_argument("--partition-col", action="append", default=None)
+    g.add_argument("--target-rows", type=int, default=1_000_000)
     return p
 
 
@@ -177,6 +185,21 @@ def main(argv: list[str] | None = None) -> int:
             search_ivf_index(
                 spark, args.index, queries, k=args.k, nprobe=args.nprobe
             ).show(50, truncate=False)
+        elif args.cmd == "compact":
+            import json
+
+            from egal_yet_another_earthquake_project_spark.sinks.parquet import (
+                compact_parquet,
+            )
+
+            n = compact_parquet(
+                spark,
+                args.src,
+                args.dst,
+                partition_cols=args.partition_col,
+                target_rows_per_file=args.target_rows,
+            )
+            print(json.dumps({"dst": args.dst, "files": n}))
         return 0
     finally:
         spark.stop()

@@ -121,3 +121,26 @@ def test_cli_index_and_search(spark, tmp_path: Path, capsys):
         assert "query_id" in out and "neighbor_id" in out
     finally:
         spark.stop = real_stop
+
+
+def test_cli_compact(spark, tmp_path: Path, capsys):
+    src = tmp_path / "frag"
+    df = spark.range(1000).selectExpr("id", "id % 3 AS g")
+    df.repartition(20).write.parquet(str(src))
+    assert len(list(src.glob("*.parquet"))) >= 10  # genuinely fragmented
+
+    from egal_yet_another_earthquake_project_spark import jobs
+
+    real_stop = spark.stop
+    spark.stop = lambda: None
+    try:
+        rc = jobs.main(
+            ["compact", "--src", str(src), "--dst", str(tmp_path / "out"),
+             "--target-rows", "1000"]
+        )
+        assert rc == 0
+    finally:
+        spark.stop = real_stop
+    out_files = list((tmp_path / "out").glob("*.parquet"))
+    assert len(out_files) == 1
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 1000
