@@ -917,6 +917,61 @@ ORDER BY cluster
 """
 
 
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding audit: candidate recall against the exact-Jaccard
+    ground truth at the 0.7 threshold — the MEASURED form of
+    plan_banding's ≥0.9 recall sizing (llm/dedup.py constants). A
+    banding regression that silently drops true near-dup pairs flips
+    this row's hash, so the driver gate itself now polices the s-curve.
+
+    Plan: both pair sets are candidate-scale; counts are three one-row
+    aggregates crossed (bounded 1×1 broadcasts)."""
+    corpus = _aug_corpus(_docs(spark, sf_dir))
+    cands = ldd.minhash_lsh_dedup_pairs(
+        corpus, "doc_id", verify_threshold=None
+    ).cache()
+    cands.count()
+    truth = ldd.jaccard_pairs(corpus, "doc_id", threshold=0.7).cache()
+    truth.count()
+    hit = truth.join(cands, ["doc_a", "doc_b"], "left_semi")
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    n_cand = cands.agg(F.count("*").alias("n_candidates"))
+    n_hit = hit.agg(F.count("*").alias("n_hit"))
+    return (
+        n_truth.crossJoin(n_cand)
+        .crossJoin(n_hit)
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_truth"), 4
+            ).alias("recall"),
+        )
+    )
+
+
+def _lsh_recall_sql() -> str:
+    return f"""{_minhash_prefix_sql()}
+cands AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM bandkeys a JOIN bandkeys b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc < b.doc
+),
+{_JACCARD_CORE},
+truth AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.7),
+hit AS (
+  SELECT t.doc_a FROM truth t
+  JOIN cands c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+)
+SELECT (SELECT count(*) FROM truth) AS n_truth,
+       (SELECT count(*) FROM cands) AS n_candidates,
+       (SELECT count(*) FROM hit) AS n_hit,
+       round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+             / (SELECT count(*) FROM truth), 4) AS recall
+"""
+
+
 def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-crawl NEAR-dedup gate
     (llm.dedup.incremental_neardup_pairs): the augmented corpus split
@@ -1190,6 +1245,7 @@ QUERIES = {
     "token_ids": q_token_ids,
     "incremental_new_docs": q_incremental_new_docs,
     "incremental_neardup": q_incremental_neardup,
+    "lsh_recall": q_lsh_recall,
     "source_overlap": q_source_overlap,
     "split_leakage": q_split_leakage,
 }
@@ -1220,6 +1276,7 @@ ORACLES = {
     "token_ids": _TOKEN_IDS_ORACLE,
     "incremental_new_docs": _INCREMENTAL_ORACLE,
     "incremental_neardup": _incremental_neardup_sql(),
+    "lsh_recall": _lsh_recall_sql(),
     "source_overlap": _SOURCE_OVERLAP_ORACLE,
     "split_leakage": _split_leakage_sql(),
 }

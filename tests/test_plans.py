@@ -142,6 +142,9 @@ _ALLOWED_NESTED_LOOP = {
     # TF-IDF joins the one-row document count into the per-(doc,term)
     # frequency frame — bounded 1×n broadcast.
     "tfidf_keywords",
+    # The LSH recall audit crosses three ONE-ROW aggregate frames —
+    # bounded 1×1 broadcasts.
+    "lsh_recall",
 }
 
 
