@@ -47,3 +47,19 @@ def test_kmeans_partition_invariant(spark):
     b = kmeans_clusters(emb.repartition(13), k=4, iters=2).collect()
     assert a == b
     assert sum(r.n for r in a) == emb.count()
+
+
+def test_kmeans_assignment_is_shuffle_free(spark):
+    """The assignment pass is a pure projection against literal
+    centroids — zero exchanges; only the update step may shuffle."""
+    from egal_yet_another_earthquake_project_spark.llm.clustering import (
+        _assign,
+        _quantized,
+    )
+    from egal_yet_another_earthquake_project_spark.plans import inspect
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = _quantized(emb, "vec_id", "embedding")
+    seed = [(i, list(r.qv)) for i, r in enumerate(q.orderBy("vid").limit(4).collect())]
+    assigned = _assign(q, seed)
+    assert inspect.exchange_count(assigned) == 0, inspect.formatted_plan(assigned)
