@@ -841,6 +841,9 @@ def incremental_neardup_pairs(
     ex_bands = existing_bands.select(F.col("doc").alias("_nb"), "band", "sig")
     cands = (
         inc_bands.join(ex_bands, ["band", "sig"])
+        # ids are disjoint by contract; the guard makes an accidental
+        # overlap degrade to "no self-pair" instead of jaccard-1 noise
+        .filter(F.col("_na") != F.col("_nb"))
         .select(F.col("_na").alias("doc_a"), F.col("_nb").alias("doc_b"))
         .distinct()
     )
