@@ -47,6 +47,18 @@ CHECKED = [
     "sequence_packing",
     "embedding_quantize",
     "global_row_ids",
+    # round-4 wave: interpolated-percentile clipping, floor-grid means,
+    # the integer-grid k-means, decimal quality means over clusters,
+    # TF-IDF float scores, and the Q9 decimal profit rollup.
+    "winsorized_stats",
+    "kmeans_clusters",
+    "canonical_best",
+    "tfidf_keywords",
+    "product_profit",
+    "token_ids",
+    "lsh_recall",
+    "interpolate_gaps",
+    "zscore_outliers",
 ]
 
 
