@@ -22,6 +22,17 @@ and runs, and the driver's DuckDB gate can check them exactly.
   ln(1/δ). The sketch is d·w longs regardless of corpus size and is
   mergeable by element-wise +, which is what makes frequency tracking
   over an unbounded token stream feasible.
+* :func:`hll_registers` / :func:`hll_distinct` — HyperLogLog (Flajolet
+  et al. 2007): m = 2^p registers each hold the max leading-zero rank ρ
+  of the hashes routed to that bucket; the harmonic-mean estimate has
+  RSE ≈ 1.04/√m (~3.3% at m=1024 — KMV needs k≈1000 mins for the same,
+  HLL needs 1024 *bytes* in a real register encoding). Unlike KMV no
+  distinct pre-pass is needed (max over occurrences = max over the
+  distinct set), so the only shuffle carries ≤ partitions·m partial-max
+  rows. The ρ sum is folded through exact integer arithmetic
+  (Σ2^(K−ρ) at K=40) so the estimate is bit-identical across engines;
+  the one ln() in the small-range linear-counting branch is the sole
+  libm call, on a well-separated argument.
 """
 
 from __future__ import annotations
@@ -152,3 +163,86 @@ def cms_estimate(
         joined.groupBy(key_col)
         .agg(F.min("_c").alias("est_count"))
     )
+
+
+def hll_rho(c: Column, p: int) -> tuple[Column, Column]:
+    """(bucket, ρ) for one value under the md5 hash family.
+
+    The 32-bit hash splits as bucket = h mod 2^p and w = h div 2^p; ρ is
+    the number of leading zeros of w in its (32−p)-bit window plus one,
+    i.e. ``33 − p − bitlength(w)`` (and 33 − p when w = 0). Bit length is
+    taken as the length of the minimal base-2 string — `conv(…, 10, 2)`
+    here, `bin()` in DuckDB — which both engines render identically, so
+    ρ itself is engine-portable integer math.
+    """
+    h = _h32(c)
+    m = 1 << p
+    bucket = (h % m).alias("bucket")
+    w = F.floor(h / m).cast("long")
+    bits = F.length(F.conv(w.cast("string"), 10, 2))
+    rho = F.when(w == 0, F.lit(33 - p)).otherwise(F.lit(33 - p) - bits)
+    return bucket, rho.cast("int").alias("rho")
+
+
+def hll_registers(
+    df: DataFrame, group_cols: list[str], value_col: str, p: int = 10
+) -> DataFrame:
+    """Per-group HLL register table: (group_cols…, bucket, M=max ρ).
+
+    One shuffle, map-side partial max, ≤ 2^p rows per group regardless
+    of input size. Mergeable by per-bucket max — unioning two corpora's
+    register tables and re-maxing equals sketching the union, which is
+    what makes incremental / cross-shard cardinality tracking free.
+    """
+    bucket, rho = hll_rho(F.col(value_col), p)
+    return (
+        df.select(*group_cols, bucket, rho)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("M"))
+    )
+
+
+#: Fold exponent for the exact-integer harmonic sum: ρ ≤ 33 < K, and
+#: m·2^K ≤ 2^10·2^40 = 2^50 fits a long with room to spare.
+_HLL_K = 40
+
+
+def hll_estimate(regs: DataFrame, group_cols: list[str], p: int = 10) -> DataFrame:
+    """Distinct-count estimate from a register table.
+
+    The harmonic sum Σ 2^−M_j (absent buckets contribute 2^0 = 1) is
+    computed as the exact integer T = Σ 2^(K−M_j) + (m − present)·2^K,
+    so E_raw = α_m·m²·2^K / T is one double division of two exact
+    integers — bit-identical on any engine. Below the 2.5m small-range
+    threshold with empty buckets left, the standard linear-counting
+    branch m·ln(m/V) applies instead. Output: group_cols +
+    ``est_distinct`` (double, rounded 2).
+    """
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    t_term = F.pow(F.lit(2.0), F.lit(_HLL_K) - F.col("M")).cast("long")
+    agg = regs.groupBy(*group_cols).agg(
+        F.sum(t_term).alias("_tp"),
+        F.count("*").alias("_present"),
+    )
+    two_k = 1 << _HLL_K
+    t = F.col("_tp") + (F.lit(m) - F.col("_present")) * F.lit(two_k)
+    v_zero = (F.lit(m) - F.col("_present")).cast("double")
+    e_raw = F.lit(alpha * m * m * float(two_k)) / t.cast("double")
+    e_lin = F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero)
+    est = F.when((e_raw <= 2.5 * m) & (v_zero > 0), e_lin).otherwise(e_raw)
+    return agg.select(*group_cols, F.round(est, 2).alias("est_distinct"))
+
+
+def hll_distinct(
+    df: DataFrame, group_cols: list[str], value_col: str, p: int = 10
+) -> DataFrame:
+    """HLL distinct estimate per group, with the exact count alongside
+    (the exact pass exists for quality visibility in the declared query;
+    the sketch itself never needs it). Output: group_cols +
+    ``est_distinct`` + ``exact_distinct``."""
+    est = hll_estimate(hll_registers(df, group_cols, value_col, p), group_cols, p)
+    exact = df.groupBy(*group_cols).agg(
+        F.countDistinct(value_col).alias("exact_distinct")
+    )
+    return est.join(exact, group_cols)

@@ -436,9 +436,76 @@ ORDER BY doc_id
 """
 
 
+HLL_P = 10
+
+
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate per event type (m=2^10
+    registers) next to the exact count — the register-based cardinality
+    sketch: unlike KMV it needs no distinct pre-pass, the only shuffle
+    carries ≤ partitions·m partial-max rows, and the register table
+    merges across shards by per-bucket max."""
+    ev = read_table(spark, sf_dir, "events")
+    return lsk.hll_distinct(ev, ["event_type"], "user_id", p=HLL_P).orderBy(
+        "event_type"
+    )
+
+
+def _hll_oracle() -> str:
+    """DuckDB replay of the full HLL pipeline. The α·m²·2^K numerator is
+    computed HERE in Python and embedded as one double literal, so both
+    engines divide the identical numerator by the identical exact-integer
+    harmonic sum — the estimate hash-matches bit-for-bit."""
+    p = HLL_P
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = alpha * m * m * float(1 << 40)
+    return f"""
+WITH h AS (
+  SELECT event_type, user_id,
+         CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+           AS hv
+  FROM events
+),
+b AS (
+  SELECT event_type, hv % {m} AS bucket, hv // {m} AS w FROM h
+),
+regs AS (
+  SELECT event_type, bucket,
+         max(CASE WHEN w = 0 THEN {33 - p}
+                  ELSE {33 - p} - length(bin(w)) END) AS M
+  FROM b GROUP BY event_type, bucket
+),
+agg AS (
+  SELECT event_type,
+         sum(CAST(pow(2.0, 40 - M) AS BIGINT)) AS tp,
+         count(*) AS present
+  FROM regs GROUP BY event_type
+),
+est AS (
+  SELECT event_type,
+         CAST({num!r} AS DOUBLE)
+           / CAST(tp + ({m} - present) * 1099511627776 AS DOUBLE) AS e_raw,
+         CAST({m} - present AS DOUBLE) AS v
+  FROM agg
+)
+SELECT e.event_type,
+       round(CASE WHEN e.e_raw <= {2.5 * m!r} AND e.v > 0
+                  THEN {float(m)!r} * ln({float(m)!r} / e.v)
+                  ELSE e.e_raw END, 2) AS est_distinct,
+       x.exact_distinct
+FROM est e
+JOIN (SELECT event_type,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events GROUP BY event_type) x USING (event_type)
+ORDER BY e.event_type
+"""
+
+
 QUERIES = {
     "global_row_ids": q_global_row_ids,
     "kmv_distinct_users": q_kmv_distinct_users,
+    "hll_distinct_users": q_hll_distinct_users,
     "cms_token_counts": q_cms_token_counts,
     "alpha_resample": q_alpha_resample,
     "sequence_packing": q_sequence_packing,
@@ -452,6 +519,7 @@ QUERIES = {
 ORACLES = {
     "global_row_ids": _ROW_IDS_ORACLE,
     "kmv_distinct_users": _KMV_ORACLE,
+    "hll_distinct_users": _hll_oracle(),
     "cms_token_counts": _CMS_ORACLE,
     "alpha_resample": _ALPHA_ORACLE,
     "sequence_packing": _PACKING_ORACLE,

@@ -150,3 +150,52 @@ def test_row_numbers_contiguous_and_partition_invariant(spark, docs):
     a = {r.doc_id: r.rid for r in out.select("doc_id", "rid").collect()}
     b = {r.doc_id: r.rid for r in again.select("doc_id", "rid").collect()}
     assert a == b
+
+
+def test_hll_raw_branch_within_error_bound(spark):
+    """50k distinct keys exercise the raw harmonic estimator (the
+    linear-counting branch caps at 2.5m = 2560 at m=1024); RSE ≈
+    1.04/√m ≈ 3.3% — assert a 5-sigma envelope."""
+    big = spark.range(50_000).select(
+        (F.col("id") % 2).alias("g"), F.col("id").alias("v")
+    )
+    out = lsk.hll_distinct(big, ["g"], "v", p=10).collect()
+    assert out, "no groups"
+    for r in out:
+        assert r.exact_distinct == 25_000
+        rse = 1.04 / (1024.0**0.5)
+        assert abs(r.est_distinct - r.exact_distinct) <= 5 * rse * r.exact_distinct
+
+
+def test_hll_small_range_branch_near_exact(spark, events):
+    """Low cardinality (user_id: 150 distinct) lands in the
+    linear-counting branch, which is near-exact there."""
+    out = lsk.hll_distinct(events, ["event_type"], "user_id", p=10).collect()
+    for r in out:
+        assert abs(r.est_distinct - r.exact_distinct) <= 0.02 * r.exact_distinct
+
+
+def test_hll_registers_merge_like_the_union(spark, events):
+    """Max-merging the register tables of two disjoint halves equals
+    sketching the union — the property that makes cross-shard and
+    incremental cardinality tracking free."""
+    lo = events.filter(F.col("user_id") % 2 == 0)
+    hi = events.filter(F.col("user_id") % 2 == 1)
+    merged = (
+        lsk.hll_registers(lo, ["event_type"], "event_id", p=8)
+        .unionByName(lsk.hll_registers(hi, ["event_type"], "event_id", p=8))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("M").alias("M"))
+    )
+    whole = lsk.hll_registers(events, ["event_type"], "event_id", p=8)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_hll_partition_invariant(spark, events):
+    a = lsk.hll_distinct(events, ["event_type"], "event_id", p=9)
+    b = lsk.hll_distinct(
+        events.repartition(7, "event_id"), ["event_type"], "event_id", p=9
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
