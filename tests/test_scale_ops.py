@@ -104,3 +104,56 @@ def test_approx_sketches_track_exact(spark):
         F.expr("approx_percentile(value, 0.5, 1000)").alias("ap"),
     ).first()
     assert row.lo <= row.ap <= row.hi, row
+
+
+def test_bloom_pruned_join_matches_plain_and_filters_before_exchange(spark):
+    """The bloom-pruned join is bit-identical to the plain join, and the
+    probe side's getbit filter sits BELOW its exchange in the physical
+    plan — the shuffle only carries candidate rows."""
+    from egal_yet_another_earthquake_project_spark.operators import bloom
+    from tests.conftest import TESTDATA_SMOKE
+
+    orders = read_table(spark, TESTDATA_SMOKE, "orders")
+    rich = (
+        read_table(spark, TESTDATA_SMOKE, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_custkey").alias("o_custkey"), "c_acctbal")
+    )
+    got = bloom.bloom_pruned_join(orders, rich, "o_custkey")
+    plain = orders.join(rich, "o_custkey")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, plain.collect()))
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "bit_get" in plan, "bloom bit-test missing from the physical plan"
+    # The bit-test must run under the probe's exchange (filter-then-
+    # shuffle): in executedPlan's top-down print, the first bit_get
+    # appears after the join node but there must be NO Exchange between
+    # the probe scan and the Filter — i.e. the Filter's subtree contains
+    # the scan directly.
+    tail = plan[plan.index("bit_get"):]
+    first_scan = tail.find("FileScan")
+    first_exchange = tail.find("Exchange")
+    assert first_scan != -1
+    assert first_exchange == -1 or first_scan < first_exchange
+
+
+def test_bloom_never_false_negative(spark):
+    """Every true build key passes the probe filter (bloom guarantees
+    no false negatives); the pass-through set is a superset of matches
+    and a subset of the probe."""
+    from egal_yet_another_earthquake_project_spark.operators import bloom
+    from tests.conftest import TESTDATA_SMOKE
+
+    orders = read_table(spark, TESTDATA_SMOKE, "orders")
+    rich = (
+        read_table(spark, TESTDATA_SMOKE, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    words = bloom.bloom_words(rich, "o_custkey")
+    passed = orders.filter(bloom.might_contain(F.col("o_custkey"), words))
+    matches = orders.join(rich, "o_custkey", "left_semi")
+    n_probe, n_passed, n_match = orders.count(), passed.count(), matches.count()
+    assert n_match <= n_passed <= n_probe
+    # matches ⊆ passed row-wise, not just by count
+    assert matches.join(passed, orders.columns, "left_anti").count() == 0
