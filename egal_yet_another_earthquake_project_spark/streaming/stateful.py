@@ -353,3 +353,100 @@ def session_counts(
         .groupBy(F.session_window(event_time, gap), F.col(key_col))
         .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
     )
+
+
+#: Streaming HLL output: live distinct-count estimate per group.
+HLL_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("g", T.StringType(), False),
+        T.StructField("est_distinct", T.DoubleType(), False),
+        T.StructField("present", T.IntegerType(), False),
+    ]
+)
+
+#: State: the group's non-zero HLL registers as parallel (bucket, M)
+#: arrays — at most 2^p entries, bounded by construction like the KMV
+#: sketch above. Max-merge is associative/commutative/idempotent, so
+#: replayed or late data cannot corrupt the sketch.
+HLL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("buckets", T.ArrayType(T.IntegerType()), True),
+        T.StructField("ranks", T.ArrayType(T.IntegerType()), True),
+    ]
+)
+
+
+def _hll_fn_factory(p: int):
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = alpha * m * m * float(1 << 40)  # same Python double as the batch lit
+    two_k = 1 << 40
+
+    def fn(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        regs: dict[int, int] = {}
+        if state.exists:
+            bks, rks = state.get
+            regs = dict(zip(bks, rks))
+        for pdf in batches:
+            for b, r in zip(pdf["bucket"], pdf["rho"]):
+                b, r = int(b), int(r)
+                if r > regs.get(b, 0):
+                    regs[b] = r
+        items = sorted(regs.items())
+        state.update(([b for b, _ in items], [r for _, r in items]))
+        present = len(regs)
+        # Identical arithmetic to the batch hll_estimate: exact-integer
+        # harmonic fold, one double division, linear counting below 2.5m.
+        t = sum(1 << (40 - r) for r in regs.values()) + (m - present) * two_k
+        v = m - present
+        e_raw = num / float(t)
+        if e_raw <= 2.5 * m and v > 0:
+            import math
+
+            est = float(m) * math.log(float(m) / float(v))
+        else:
+            est = e_raw
+        yield pd.DataFrame(
+            {
+                "g": [key[0]],
+                "est_distinct": [_round_half_up(est, "0.01")],
+                "present": [present],
+            }
+        )
+
+    return fn
+
+
+def hll_stream(
+    stream: DataFrame,
+    group_col: str,
+    value_col: str,
+    p: int = 10,
+) -> DataFrame:
+    """Live per-group HLL distinct estimates over an unbounded stream.
+
+    The batch HLL (llm/sketches.py) as a stateful streaming operator:
+    (bucket, ρ) is computed JVM-side by the same `hll_rho` column math
+    the batch path uses, so the Python state fn only max-merges integers
+    — state is the ≤ 2^p non-zero registers, bounded no matter how many
+    events flow. Drained-stream == batch equality is exact because both
+    sides share the hash family, the register fold, and the estimator's
+    integer arithmetic (asserted in tests/test_streaming_sketch.py).
+    """
+    from egal_yet_another_earthquake_project_spark.llm.sketches import hll_rho
+
+    bucket, rho = hll_rho(F.col(value_col).cast("string"), p)
+    prepared = stream.select(
+        F.col(group_col).cast("string").alias("g"), bucket, rho
+    )
+    return prepared.groupBy("g").applyInPandasWithState(
+        _hll_fn_factory(p),
+        outputStructType=HLL_OUT_SCHEMA,
+        stateStructType=HLL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -160,3 +160,47 @@ def test_kmv_round_matches_spark_half_up(spark):
     ).select(F.round("x", 2).alias("r")).collect()
     for x, row in zip(cases, rows):
         assert _kmv_round2(x) == row.r, x
+
+
+def test_streaming_hll_converges_to_batch(spark, tmp_path: Path):
+    """Drained streaming HLL == batch HLL: per-bucket max-merge is
+    associative/idempotent, and both sides share the hash family and the
+    exact-integer estimator, so two micro-batches must land on the batch
+    numbers exactly."""
+    from egal_yet_another_earthquake_project_spark.streaming.stateful import hll_stream
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_type", "event_id"
+    )
+    src = tmp_path / "hll_in"
+    events.filter(F.col("event_id") % 2 == 0).write.parquet(str(src / "b1"))
+
+    stream = stream_parquet_dir(spark, str(src) + "/*", events.schema)
+    q = (
+        hll_stream(stream, "event_type", "event_id", p=8)
+        .writeStream.format("memory")
+        .queryName("hll_live")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "hll_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        events.filter(F.col("event_id") % 2 == 1).write.parquet(str(src / "b2"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    live = {}
+    n_present = {}
+    for r in spark.table("hll_live").collect():
+        live[r.g] = r.est_distinct
+        n_present[r.g] = r.present
+
+    batch = {
+        r.event_type: r.est_distinct
+        for r in lsk.hll_distinct(events, ["event_type"], "event_id", p=8).collect()
+    }
+    assert live == batch
+    # bounded state: register count never exceeds the sketch geometry
+    assert all(n <= 256 for n in n_present.values())
