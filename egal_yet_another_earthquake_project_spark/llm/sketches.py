@@ -246,3 +246,57 @@ def hll_distinct(
         F.countDistinct(value_col).alias("exact_distinct")
     )
     return est.join(exact, group_cols)
+
+
+def cms_heavy_hitters(
+    items: DataFrame,
+    key_col: str,
+    min_count: int,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Exact counts of every key occurring ≥ ``min_count`` times,
+    without a full-keyspace shuffle.
+
+    The straight formulation (groupBy → HAVING) partially aggregates
+    map-side, but with a near-unique key space (5-gram shingles, URLs —
+    the 100 TB norm) partial aggregation barely collapses anything and
+    the exchange still carries ~|keys| rows. Here the count-min sketch
+    gates the shuffle instead:
+
+    1. one bounded pass builds the d×w sketch (≤ partitions·d·w rows);
+    2. each item row looks up its d buckets via d broadcast joins —
+       map-side, no exchange — and is dropped unless EVERY bucket
+       reached ``min_count``. CMS never underestimates, so no true
+       heavy hitter is dropped (no false negatives);
+    3. the exact count + HAVING runs over surviving rows only — the
+       one keyspace-scale exchange carries candidate keys' occurrences,
+       a vanishing fraction under a Zipfian key distribution.
+
+    Result is bit-identical to the straight formulation (step 3 removes
+    the sketch's false positives), which is how the declared query
+    hash-verifies against a plain GROUP BY/HAVING oracle.
+    """
+    with_buckets = items.select(
+        F.col(key_col),
+        *[
+            (_h32(F.col(key_col), f"cms{j}|") % width).alias(f"_b{j}")
+            for j in range(depth)
+        ],
+    )
+    sketch = cms_build(items, key_col, depth, width, None)
+    gated = with_buckets
+    for j in range(depth):
+        row = (
+            sketch.filter(F.col("j") == j)
+            .select(F.col("bucket").alias(f"_b{j}"), F.col("cnt").alias(f"_c{j}"))
+        )
+        gated = gated.join(F.broadcast(row), f"_b{j}")
+    cand = gated.filter(
+        F.least(*[F.col(f"_c{j}") for j in range(depth)]) >= min_count
+    )
+    return (
+        cand.groupBy(key_col)
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )

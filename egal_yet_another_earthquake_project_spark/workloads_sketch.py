@@ -437,6 +437,28 @@ ORDER BY doc_id
 
 
 HLL_P = 10
+HH_MIN_COUNT = 60
+
+
+def q_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: exact counts of tokens occurring ≥ 60×, with the
+    keyspace-scale shuffle gated map-side by the broadcast count-min
+    sketch (CMS never underestimates ⇒ no true heavy hitter is lost;
+    the exact pass kills the sketch's false positives) — hash-matches
+    the plain GROUP BY/HAVING oracle."""
+    docs = read_table(spark, sf_dir, "documents")
+    items = ltx.tokenized(docs).select(F.explode("_toks").alias("tok"))
+    return lsk.cms_heavy_hitters(
+        items, "tok", HH_MIN_COUNT, CMS_DEPTH, CMS_WIDTH
+    ).orderBy("tok")
+
+
+_HH_ORACLE = f"""
+WITH toks AS (SELECT unnest({_TOKS}) AS tok FROM documents)
+SELECT tok, count(*) AS n FROM toks
+GROUP BY tok HAVING count(*) >= {HH_MIN_COUNT}
+ORDER BY tok
+"""
 
 
 def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -506,6 +528,7 @@ QUERIES = {
     "global_row_ids": q_global_row_ids,
     "kmv_distinct_users": q_kmv_distinct_users,
     "hll_distinct_users": q_hll_distinct_users,
+    "frequent_tokens": q_frequent_tokens,
     "cms_token_counts": q_cms_token_counts,
     "alpha_resample": q_alpha_resample,
     "sequence_packing": q_sequence_packing,
@@ -520,6 +543,7 @@ ORACLES = {
     "global_row_ids": _ROW_IDS_ORACLE,
     "kmv_distinct_users": _KMV_ORACLE,
     "hll_distinct_users": _hll_oracle(),
+    "frequent_tokens": _HH_ORACLE,
     "cms_token_counts": _CMS_ORACLE,
     "alpha_resample": _ALPHA_ORACLE,
     "sequence_packing": _PACKING_ORACLE,

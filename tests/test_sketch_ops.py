@@ -199,3 +199,17 @@ def test_hll_partition_invariant(spark, events):
         events.repartition(7, "event_id"), ["event_type"], "event_id", p=9
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_cms_heavy_hitters_matches_plain_having(spark, docs):
+    """The sketch-gated exact pass is bit-identical to the straight
+    GROUP BY/HAVING, and the gate's bucket lookups are broadcast joins
+    (no extra exchange ahead of the final aggregate)."""
+    from egal_yet_another_earthquake_project_spark.llm import text as ltx
+    from egal_yet_another_earthquake_project_spark.plans import inspect
+
+    toks = ltx.tokenized(docs).select(F.explode("_toks").alias("tok"))
+    got = lsk.cms_heavy_hitters(toks, "tok", 30, depth=4, width=256)
+    plain = toks.groupBy("tok").agg(F.count("*").alias("n")).filter(F.col("n") >= 30)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, plain.collect()))
+    assert inspect.uses_broadcast_join(got)
