@@ -1,0 +1,100 @@
+"""Weighted PageRank on an edge table — random-walk centrality as a
+fixed number of join+aggregate rounds.
+
+Centrality over a link or similarity graph is a standard curation
+signal (crawl-frontier prioritization, picking the canonical member of
+a duplicate cluster, weighting sources by authority). Like the other
+iterative operators here (``llm/clusters.py`` label propagation,
+``llm/clustering.py`` Lloyd iterations), each round is fully
+partition-parallel — one equi-join of scores to edges on the source
+vertex and one partial-aggregated sum by destination — and the driver
+holds only a single scalar (the vertex count).
+
+Determinism: the textbook iteration sums floating-point fractions,
+whose result depends on partitioning (float addition is not
+associative). Scores here live on an INTEGER grid instead — micro-units
+of ``scale`` — and every step is integer arithmetic (``div``, exact
+``sum`` of longs): bit-identical across engines, partitionings, and
+runs, which is what lets a DuckDB oracle replay the unrolled iterations
+and hash-match the ranks exactly. Requires ``scale · max(out-weight
+product)`` < 2^63: r ≤ scale ≈ 1e9 and r·w must fit a long, so per-edge
+weights up to ~1e9 are safe.
+
+Dangling vertices (no out-edges) keep only their teleport share — their
+walk mass leaks instead of being redistributed, a deliberate
+simplification that keeps each round one join. Feed symmetric edges
+(u→v and v→u) when the graph is conceptually undirected; then no vertex
+dangles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Rank micro-unit: ranks are integers summing to ~RANK_SCALE.
+RANK_SCALE = 10**9
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    iterations: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Rank every vertex of the weighted directed edge table.
+
+    Output: ``node`` (the vertex id column type of ``src``/``dst``) and
+    ``rank`` (long, micro-units of :data:`RANK_SCALE`). Fixed
+    ``iterations`` — no convergence check — so the whole computation is
+    replayable as unrolled SQL.
+
+    Plan per round: scores ⋈ edges on src (one shuffle, or zero if the
+    edge table is pre-partitioned by src), partial-aggregated integer
+    sum by dst, left join back to the node set. The edge table with its
+    out-weight totals is localCheckpointed once up front; each round's
+    scores are checkpointed to keep the logical plan flat, exactly as
+    the label-propagation loop does.
+    """
+    e0 = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d"), F.col(weight).alias("_w")
+    )
+    nodes = (
+        e0.select(F.col("_s").alias("node"))
+        .unionByName(e0.select(F.col("_d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    # NB: Spark name resolution is case-insensitive by default, so the
+    # out-weight total must not be spelled `_W` (it would collide with
+    # the per-edge `_w`).
+    outw = e0.groupBy("_s").agg(F.sum("_w").alias("_wt"))
+    e = e0.join(outw, "_s").localCheckpoint(eager=True)
+
+    base = RANK_SCALE // n  # initial and teleport mass, exact ints
+    teleport = (RANK_SCALE * (100 - damping_pct)) // (100 * n)
+    r = nodes.withColumn("rank", F.lit(base).cast("long"))
+
+    for _ in range(iterations):
+        contrib = (
+            e.join(r, e._s == r.node)
+            .select(F.col("_d"), F.expr("(rank * _w) div _wt").alias("_c"))
+        )
+        summed = contrib.groupBy("_d").agg(F.sum("_c").alias("_in"))
+        r = (
+            nodes.join(summed, nodes.node == summed._d, "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"(coalesce(_in, 0L) * {damping_pct}) div 100"
+                    )
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return r

@@ -125,13 +125,96 @@ SELECT doc_id, weight, priority FROM top ORDER BY doc_id
 """
 
 
+
+
+def q_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-grid weighted PageRank (3 rounds, d=0.85) over the
+    customer↔supplier trade graph (edge weight = lineitem count via
+    orders, symmetric so no vertex dangles) — random-walk centrality as
+    the authority signal. Every step is integer arithmetic, so the
+    DuckDB oracle replays the unrolled iterations and the ranks
+    hash-match exactly. See ``llm/graph.py``."""
+    from pyspark.sql import functions as F
+
+    from egal_yet_another_earthquake_project_spark.llm.graph import pagerank
+
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    eo = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count("*").alias("w"))
+    )
+    edges = eo.select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        "w",
+    ).unionByName(
+        eo.select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+            "w",
+        )
+    )
+    return pagerank(edges, iterations=3).orderBy("node")
+
+
+_PR_EDGES = """
+eo AS (
+  SELECT o_custkey AS c, l_suppkey AS s, count(*) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT 'c' || CAST(c AS VARCHAR) AS src, 's' || CAST(s AS VARCHAR) AS dst, w
+  FROM eo
+  UNION ALL
+  SELECT 's' || CAST(s AS VARCHAR), 'c' || CAST(c AS VARCHAR), w FROM eo
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+tot AS (SELECT src, sum(w) AS wt FROM edges GROUP BY src),
+e AS (SELECT src, dst, w, wt FROM edges JOIN tot USING (src))
+"""
+
+
+def _pr_round(prev: str, this: str) -> str:
+    return f"""
+{this} AS (
+  SELECT node,
+         ((CAST(1000000000 AS BIGINT) * 15) // (100 * n))
+           + (coalesce(x.s85, 0) * 85) // 100 AS rank
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN (
+    SELECT dst, sum((rank * w) // wt) AS s85
+    FROM e JOIN {prev} ON {prev}.node = e.src
+    GROUP BY dst
+  ) x ON x.dst = nodes.node
+)"""
+
+
+_PAGERANK_ORACLE = (
+    "WITH "
+    + _PR_EDGES.strip().rstrip()
+    + ",\nr0 AS (SELECT node, CAST(1000000000 AS BIGINT) // n AS rank FROM nodes CROSS JOIN nn),"
+    + _pr_round("r0", "r1")
+    + ","
+    + _pr_round("r1", "r2")
+    + ","
+    + _pr_round("r2", "r3")
+    + "\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY node"
+)
+
+
 QUERIES = {
+    "trade_pagerank": q_trade_pagerank,
     "fuzzy_matches": q_fuzzy_matches,
     "tfidf_keywords": q_tfidf_keywords,
     "weighted_sample": q_weighted_sample,
 }
 
 ORACLES = {
+    "trade_pagerank": _PAGERANK_ORACLE,
     "fuzzy_matches": _FUZZY_ORACLE,
     "tfidf_keywords": _TFIDF_ORACLE,
     "weighted_sample": _WRS_ORACLE,

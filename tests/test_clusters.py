@@ -63,3 +63,46 @@ def test_kmeans_assignment_is_shuffle_free(spark):
     seed = [(i, list(r.qv)) for i, r in enumerate(q.orderBy("vid").limit(4).collect())]
     assigned = _assign(q, seed)
     assert inspect.exchange_count(assigned) == 0, inspect.formatted_plan(assigned)
+
+
+def test_pagerank_star_graph_matches_hand_iteration(spark):
+    """Symmetric 5-leaf star, 3 rounds from uniform: the hand-rolled
+    integer iteration gives center 661083330 and leaves 67783333 μ-units
+    (oscillating toward the 0.473 stationary center mass); mass loss to
+    integer flooring stays under 10 μ-units per round."""
+    from egal_yet_another_earthquake_project_spark.llm.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, i, 1) for i in range(1, 6)] + [(i, 0, 1) for i in range(1, 6)],
+        "src int, dst int, w int",
+    )
+    got = {r.node: r.rank for r in pagerank(edges, iterations=3).collect()}
+    assert got[0] == 661_083_330
+    assert all(got[i] == 67_783_333 for i in range(1, 6))
+    assert 10**9 - sum(got.values()) < 30
+
+
+def test_pagerank_partition_invariant(spark):
+    from egal_yet_another_earthquake_project_spark.llm.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 3) % 23, 1 + i % 4) for i in range(23)]
+        + [((i * 7 + 3) % 23, i, 1 + i % 4) for i in range(23)],
+        "src int, dst int, w int",
+    )
+    a = sorted(map(tuple, pagerank(edges, iterations=4).collect()))
+    b = sorted(map(tuple, pagerank(edges.repartition(11), iterations=4).collect()))
+    assert a == b
+
+
+def test_pagerank_weight_pull(spark):
+    """A vertex receiving the heavier edge from a common source must
+    outrank the lighter sibling."""
+    from egal_yet_another_earthquake_project_spark.llm.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, 1, 9), (0, 2, 1), (1, 0, 1), (2, 0, 1)],
+        "src int, dst int, w int",
+    )
+    got = {r.node: r.rank for r in pagerank(edges, iterations=3).collect()}
+    assert got[1] > got[2]
