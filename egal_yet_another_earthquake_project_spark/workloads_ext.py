@@ -690,6 +690,87 @@ GROUP BY o_custkey ORDER BY o_custkey
 """
 
 
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel: per user, first view → first click AFTER that
+    view → first purchase AFTER that click; one row of stage counts and
+    conversion rates.
+
+    Plan shape: all three stage timestamps are window minimums over the
+    SAME user partitioning — Catalyst chains the Window operators on one
+    exchange (the later specs read the earlier's output column, no
+    re-shuffle; the same one-shuffle-two-specs shape event_deltas pins).
+    The final count-distinct collapses to a single-row aggregate.
+    """
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    t_view = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    with_v = ev.withColumn("_tv", t_view)
+    t_click = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("_tv")),
+            F.col("ts"),
+        )
+    ).over(w)
+    with_c = with_v.withColumn("_tc", t_click)
+    t_buy = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("_tc")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = with_c.withColumn("_tp", t_buy)
+    per_user = staged.groupBy("user_id").agg(
+        F.max(F.col("_tv").isNotNull()).alias("_v"),
+        F.max(F.col("_tc").isNotNull()).alias("_c"),
+        F.max(F.col("_tp").isNotNull()).alias("_p"),
+    )
+    return per_user.agg(
+        F.sum(F.col("_v").cast("long")).alias("n_view"),
+        F.sum(F.col("_c").cast("long")).alias("n_click"),
+        F.sum(F.col("_p").cast("long")).alias("n_purchase"),
+        F.round(
+            F.sum(F.col("_c").cast("long")).cast("double")
+            / F.sum(F.col("_v").cast("long")).cast("double"),
+            4,
+        ).alias("click_rate"),
+        F.round(
+            F.sum(F.col("_p").cast("long")).cast("double")
+            / F.sum(F.col("_c").cast("long")).cast("double"),
+            4,
+        ).alias("purchase_rate"),
+    )
+
+
+_FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS tv
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS tc
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.tv
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS tp
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.tc
+  GROUP BY e.user_id
+)
+SELECT CAST((SELECT count(*) FROM v WHERE tv IS NOT NULL) AS BIGINT) AS n_view,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click,
+       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase,
+       round(CAST((SELECT count(*) FROM c) AS DOUBLE)
+             / CAST((SELECT count(*) FROM v WHERE tv IS NOT NULL) AS DOUBLE), 4)
+         AS click_rate,
+       round(CAST((SELECT count(*) FROM p) AS DOUBLE)
+             / CAST((SELECT count(*) FROM c) AS DOUBLE), 4) AS purchase_rate
+"""
+
+
 def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q14 shape: conditional aggregation (CASE inside SUM) over
     lineitem ⋈ part — promo revenue share per ship month. part is
@@ -979,6 +1060,7 @@ QUERIES = {
     "event_deltas": q_event_deltas,
     "replicated_dim_join": q_replicated_dim_join,
     "bloom_pruned_join": q_bloom_pruned_join,
+    "funnel_conversion": q_funnel_conversion,
     "promo_revenue": q_promo_revenue,
     "supplier_nation_revenue": q_supplier_nation_revenue,
     "trailing_hour_stats": q_trailing_hour_stats,
@@ -1012,6 +1094,7 @@ ORACLES = {
     "event_deltas": _EVENT_DELTAS_ORACLE,
     "replicated_dim_join": _REPLICATED_JOIN_ORACLE,
     "bloom_pruned_join": _BLOOM_JOIN_ORACLE,
+    "funnel_conversion": _FUNNEL_ORACLE,
     "promo_revenue": _PROMO_REVENUE_ORACLE,
     "supplier_nation_revenue": _SUPPLIER_NATION_ORACLE,
     "trailing_hour_stats": _TRAILING_HOUR_ORACLE,

@@ -426,3 +426,15 @@ def test_token_ids_vocab_is_broadcast(spark):
     df = _q(spark, "token_ids")
     assert inspect.uses_broadcast_join(df)
     assert inspect.exchange_count(df) <= 3, inspect.exchange_count(df)
+
+
+def test_funnel_conversion_is_single_exchange(spark):
+    """The three funnel stages are chained window minimums over one user
+    partitioning, the per-user rollup reuses it, and the final global
+    aggregate partial-aggregates — one exchange for the whole funnel."""
+    from egal_yet_another_earthquake_project_spark.workloads_ext import (
+        q_funnel_conversion,
+    )
+
+    df = q_funnel_conversion(spark, TESTDATA_SMOKE)
+    assert inspect.exchange_count(df) == 1
