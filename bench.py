@@ -97,6 +97,13 @@ HEADLINE = [
     "incremental_neardup",
     "kmeans_clusters",
     "token_ids",
+    # round-4 wave 4: register/bit-array sketches, sketch-gated heavy
+    # hitters, bloom-pruned join, graph centrality, funnel windows.
+    "hll_distinct_users",
+    "frequent_tokens",
+    "bloom_pruned_join",
+    "trade_pagerank",
+    "funnel_conversion",
 ]
 
 

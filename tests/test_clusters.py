@@ -106,3 +106,31 @@ def test_pagerank_weight_pull(spark):
     )
     got = {r.node: r.rank for r in pagerank(edges, iterations=3).collect()}
     assert got[1] > got[2]
+
+
+def test_components_driver_and_distributed_paths_agree(spark):
+    """The union-find fast path and the propagation loop are
+    bit-identical on a graph with chains, stars, and singleton-free
+    isolates — both compute min-reachable-id."""
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    df = spark.createDataFrame(edges, "doc_a int, doc_b int")
+    fast = sorted(map(tuple, connected_components(df).collect()))
+    loop = sorted(
+        map(tuple, connected_components(df, driver_threshold=0).collect())
+    )
+    assert fast == loop
+
+
+def test_components_distributed_loop_still_converges(spark):
+    """Pin the distributed path explicitly (the default would take the
+    driver fast path at test scale): a 15-node chain propagates one hop
+    per round (within the 20-round default) and must collapse to one
+    component."""
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(15)], "doc_a int, doc_b int"
+    )
+    out = connected_components(df, driver_threshold=0).collect()
+    assert {r.component for r in out} == {0}
