@@ -642,15 +642,35 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ltx.winnow_fingerprints(_docs(spark, sf_dir), "doc_id")
 
 
-_WINNOW_ORACLE = f"""
-WITH base AS (SELECT doc_id AS doc, {_NORM} AS norm FROM documents),
+def _poly_gram_sql(k: int = 8) -> str:
+    """The Spark polynomial k-gram hash, verbatim in DuckDB list syntax:
+    weighted sum of char codes mod 2^31-1 with the same embedded
+    weights (see llm/text._poly_weights)."""
+    from egal_yet_another_earthquake_project_spark.llm.text import (
+        POLY_M,
+        _poly_weights,
+    )
+
+    w = _poly_weights(k)
+    terms = " + ".join(f"c[i + {t + 1}] * {w[t]}" for t in range(k))
+    return f"({terms}) % {POLY_M}"
+
+
+_WINNOW_CTE = f"""
+base AS (
+  SELECT doc,
+         CASE WHEN length(norm) < 8 THEN rpad(norm, 8, ' ') ELSE norm END AS nm
+  FROM base0
+),
+codes AS (
+  SELECT doc,
+         list_transform(string_split(nm, ''), x -> CAST(ascii(x) AS BIGINT)) AS c
+  FROM base
+),
 grams AS (
   SELECT doc,
-    CASE WHEN length(norm) < 8 THEN [md5(norm)]
-         ELSE list_transform(range(0, length(norm) - 8 + 1),
-                             i -> md5(substring(norm, CAST(i + 1 AS INTEGER), 8)))
-    END AS h
-  FROM base
+         list_transform(range(0, len(c) - 8 + 1), i -> {_poly_gram_sql(8)}) AS h
+  FROM codes
 ),
 wins AS (
   SELECT doc,
@@ -660,6 +680,11 @@ wins AS (
     END AS w
   FROM grams
 )
+"""
+
+_WINNOW_ORACLE = f"""
+WITH base0 AS (SELECT doc_id AS doc, {_NORM} AS norm FROM documents),
+{_WINNOW_CTE.strip()}
 SELECT doc, unnest(list_distinct(w)) AS fp FROM wins
 """
 

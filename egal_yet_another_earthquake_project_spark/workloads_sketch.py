@@ -343,27 +343,13 @@ def _substring_oracle() -> str:
     from egal_yet_another_earthquake_project_spark.workloads_llm import (
         _AUG_SQL,
         _NORM,
+        _WINNOW_CTE,
     )
 
     return f"""
 WITH corpus AS ({_AUG_SQL}),
-base AS (SELECT doc_id AS doc, {_NORM} AS norm FROM corpus),
-grams AS (
-  SELECT doc,
-    CASE WHEN length(norm) < 8 THEN [md5(norm)]
-         ELSE list_transform(range(0, length(norm) - 8 + 1),
-                             i -> md5(substring(norm, CAST(i + 1 AS INTEGER), 8)))
-    END AS h
-  FROM base
-),
-wins AS (
-  SELECT doc,
-    CASE WHEN len(h) <= 4 THEN [list_min(h)]
-         ELSE list_transform(range(0, len(h) - 4 + 1),
-                             j -> list_min(h[j+1:j+4]))
-    END AS w
-  FROM grams
-),
+base0 AS (SELECT doc_id AS doc, {_NORM} AS norm FROM corpus),
+{_WINNOW_CTE.strip()},
 fps AS (SELECT doc, unnest(list_distinct(w)) AS fp FROM wins),
 kept AS (
   SELECT doc, fp FROM (
