@@ -162,3 +162,56 @@ def with_split(
     split name → percentage (must sum to 100); default 80/10/10
     train/val/test."""
     return df.withColumn(out_col, split_of(key, weights, salt))
+
+
+def mixture_epochs(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Materialize a training data mixture: repeat each doc according to
+    its source's epoch weight.
+
+    A mixture spec ("wiki ×2.3, web ×0.8") is the standard way training
+    runs consume a curated corpus — upsampling high-quality sources by
+    repetition, downsampling the rest. A weight w yields ⌊w⌋ copies of
+    every doc plus one extra copy for a deterministic md5-chosen
+    fraction frac(w) of docs (w = 2.3 → every doc twice, a stable 30%
+    three times; w = 0.8 → a stable 80% once). Selection is per-doc hash
+    against an integer threshold — reproducible across runs, engines,
+    and partitionings, like every sampler here.
+
+    Output: the input columns plus ``copy`` (1-based repetition index).
+    Scale shape: one when-chain projection + ``explode(sequence)`` —
+    zero shuffle, composes with any downstream packing pass. The weights
+    dict is plan literals (a mixture spec is dozens of sources, not a
+    data-scale frame).
+    """
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+
+    def copies_for(w: float) -> Column:
+        whole = int(w)
+        frac = w - whole
+        threshold = int(round(frac * (1 << 32)))
+        return F.lit(whole) + (hv < F.lit(threshold)).cast("int")
+
+    n_copies = copies_for(default_weight)
+    for src, w in sorted(weights.items()):
+        n_copies = F.when(F.col(source_col) == src, copies_for(w)).otherwise(
+            n_copies
+        )
+    return (
+        df.withColumn("_nc", n_copies)
+        .filter(F.col("_nc") > 0)
+        .withColumn("copy", F.explode(F.sequence(F.lit(1), F.col("_nc"))))
+        .drop("_nc")
+    )

@@ -91,12 +91,31 @@ def kmv_distinct(
     )
 
 
+def _bucket_fn(hash_family: str, width: int):
+    """Row j's bucket assignment under the chosen hash family.
+
+    ``"md5"`` is the engine-portable family — required wherever the
+    sketch CONTENTS are part of the oracle-checked result
+    (cms_token_counts, the streaming twin). ``"xxhash64"`` is the cheap
+    JVM-native family for uses where the sketch is only an internal
+    pruning device whose false positives a later exact pass removes
+    (cms_heavy_hitters) — there the hash values never surface, so
+    portability buys nothing and the salted-md5 digest per (row, hash)
+    is pure overhead."""
+    if hash_family == "md5":
+        return lambda c, j: _h32(c, f"cms{j}|") % width
+    if hash_family == "xxhash64":
+        return lambda c, j: F.pmod(F.xxhash64(c, F.lit(j)), F.lit(width))
+    raise ValueError(f"unknown hash_family: {hash_family!r}")
+
+
 def cms_build(
     items: DataFrame,
     key_col: str,
     depth: int = 4,
     width: int = 1024,
     weight_col: str | None = None,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Build a count-min sketch from an item stream (one row per
     occurrence, or per (key, weight) with ``weight_col``).
@@ -108,6 +127,7 @@ def cms_build(
     partially aggregate before the only shuffle, which carries at most
     partitions·depth·width rows.
     """
+    bucket = _bucket_fn(hash_family, width)
     wcol = F.col(weight_col) if weight_col else F.lit(1)
     rows = items.select(
         F.explode(
@@ -115,7 +135,7 @@ def cms_build(
                 *[
                     F.struct(
                         F.lit(j).alias("j"),
-                        (_h32(F.col(key_col), f"cms{j}|") % width).alias("bucket"),
+                        bucket(F.col(key_col), j).alias("bucket"),
                     )
                     for j in range(depth)
                 ]
@@ -253,7 +273,8 @@ def cms_heavy_hitters(
     key_col: str,
     min_count: int,
     depth: int = 4,
-    width: int = 1024,
+    width: int = 8192,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Exact counts of every key occurring ≥ ``min_count`` times,
     without a full-keyspace shuffle.
@@ -277,14 +298,17 @@ def cms_heavy_hitters(
     the sketch's false positives), which is how the declared query
     hash-verifies against a plain GROUP BY/HAVING oracle.
     """
+    bucket = _bucket_fn(hash_family, width)
     with_buckets = items.select(
         F.col(key_col),
-        *[
-            (_h32(F.col(key_col), f"cms{j}|") % width).alias(f"_b{j}")
-            for j in range(depth)
-        ],
+        *[bucket(F.col(key_col), j).alias(f"_b{j}") for j in range(depth)],
     )
-    sketch = cms_build(items, key_col, depth, width, None)
+    # Materialize the (tiny, ≤ d·w rows) sketch ONCE: each of the d
+    # broadcast legs below references it, and without the checkpoint
+    # every leg would re-run the full corpus aggregation.
+    sketch = cms_build(
+        items, key_col, depth, width, None, hash_family=hash_family
+    ).localCheckpoint(eager=True)
     gated = with_buckets
     for j in range(depth):
         row = (

@@ -145,17 +145,20 @@ def q_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey", "l_suppkey")
         .agg(F.count("*").alias("w"))
     )
+    # Symmetrize with one explode instead of a self-union: a union of
+    # two selects over `eo` evaluates the fact-table join + aggregate
+    # TWICE (Catalyst doesn't dedupe common subplans) — measured ~1 s of
+    # the query at sf0.1.
+    c_node = F.concat(F.lit("c"), F.col("o_custkey"))
+    s_node = F.concat(F.lit("s"), F.col("l_suppkey"))
     edges = eo.select(
-        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
-        "w",
-    ).unionByName(
-        eo.select(
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
-            "w",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(c_node.alias("src"), s_node.alias("dst"), F.col("w")),
+                F.struct(s_node.alias("src"), c_node.alias("dst"), F.col("w")),
+            )
+        ).alias("_e")
+    ).select("_e.*")
     return pagerank(edges, iterations=3).orderBy("node")
 
 

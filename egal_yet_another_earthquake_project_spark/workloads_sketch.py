@@ -431,12 +431,14 @@ def q_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyspace-scale shuffle gated map-side by the broadcast count-min
     sketch (CMS never underestimates ⇒ no true heavy hitter is lost;
     the exact pass kills the sketch's false positives) — hash-matches
-    the plain GROUP BY/HAVING oracle."""
+    the plain GROUP BY/HAVING oracle. The gate uses the operator's
+    xxhash64/8192-bucket defaults: pruning needs width ≫ N/min_count
+    (1024 buckets saturate at sf0.1), and these hash values never
+    surface in the result, so the portable-md5 family would be pure
+    overhead here."""
     docs = read_table(spark, sf_dir, "documents")
     items = ltx.tokenized(docs).select(F.explode("_toks").alias("tok"))
-    return lsk.cms_heavy_hitters(
-        items, "tok", HH_MIN_COUNT, CMS_DEPTH, CMS_WIDTH
-    ).orderBy("tok")
+    return lsk.cms_heavy_hitters(items, "tok", HH_MIN_COUNT).orderBy("tok")
 
 
 _HH_ORACLE = f"""
@@ -510,11 +512,54 @@ ORDER BY e.event_type
 """
 
 
+#: Mixture spec for the epoch-materialization query: upsample src0,
+#: fractional-downsample src1, drop src2, fractional-upsample src3;
+#: everything else rides the default 1.0.
+MIX_WEIGHTS = {"src0": 2.3, "src1": 0.5, "src2": 0.0, "src3": 1.75}
+
+
+def q_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture materialization: each doc repeated per its
+    source's epoch weight (floor copies + md5-stable fractional extra) —
+    zero-shuffle explode, deterministic across engines."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return lsamp.mixture_epochs(docs, "source", "doc_id", MIX_WEIGHTS).orderBy(
+        "doc_id", "copy"
+    )
+
+
+def _mixture_oracle() -> str:
+    def thr(w: float) -> int:
+        return int(round((w - int(w)) * (1 << 32)))
+
+    cases = " ".join(
+        f"WHEN source = '{src}' THEN {int(w)} + CASE WHEN hv < {thr(w)} THEN 1 ELSE 0 END"
+        for src, w in sorted(MIX_WEIGHTS.items())
+    )
+    return f"""
+WITH h AS (
+  SELECT doc_id, source,
+         CAST('0x' || substring(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) AS hv
+  FROM documents
+),
+n AS (
+  SELECT doc_id, source,
+         CASE {cases} ELSE 1 END AS nc
+  FROM h
+)
+SELECT doc_id, source, CAST(unnest(range(1, nc + 1)) AS INTEGER) AS copy
+FROM n WHERE nc > 0
+ORDER BY doc_id, copy
+"""
+
+
 QUERIES = {
     "global_row_ids": q_global_row_ids,
     "kmv_distinct_users": q_kmv_distinct_users,
     "hll_distinct_users": q_hll_distinct_users,
     "frequent_tokens": q_frequent_tokens,
+    "mixture_epochs": q_mixture_epochs,
     "cms_token_counts": q_cms_token_counts,
     "alpha_resample": q_alpha_resample,
     "sequence_packing": q_sequence_packing,
@@ -530,6 +575,7 @@ ORACLES = {
     "kmv_distinct_users": _KMV_ORACLE,
     "hll_distinct_users": _hll_oracle(),
     "frequent_tokens": _HH_ORACLE,
+    "mixture_epochs": _mixture_oracle(),
     "cms_token_counts": _CMS_ORACLE,
     "alpha_resample": _ALPHA_ORACLE,
     "sequence_packing": _PACKING_ORACLE,

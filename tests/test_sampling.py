@@ -41,3 +41,41 @@ def test_split_disjoint_from_sample_salt(spark):
     s1 = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.5, salt="a").collect()}
     s2 = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.5, salt="b").collect()}
     assert s1 != s2  # overwhelmingly likely under independence
+
+
+def test_mixture_epochs_copy_counts_and_determinism(spark):
+    """Weight w yields floor(w) copies for every doc plus one extra for
+    a stable ~frac(w) share; zero-weight sources vanish; repartitioning
+    changes nothing."""
+    from egal_yet_another_earthquake_project_spark.llm import sampling as lsamp
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(400)],
+        "doc_id long, source string",
+    )
+    out = lsamp.mixture_epochs(df, "source", "doc_id", {"a": 2.5, "b": 0.0})
+    rows = out.collect()
+    assert all(r.source == "a" for r in rows), "zero-weight source survived"
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.copy)
+    for doc, copies in per_doc.items():
+        assert sorted(copies) == list(range(1, len(copies) + 1))
+        assert len(copies) in (2, 3)
+    share3 = sum(1 for c in per_doc.values() if len(c) == 3) / len(per_doc)
+    assert 0.3 < share3 < 0.7  # ~0.5 of 200 docs, generous envelope
+    again = lsamp.mixture_epochs(
+        df.repartition(7), "source", "doc_id", {"a": 2.5, "b": 0.0}
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+
+def test_mixture_epochs_is_shuffle_free(spark):
+    from egal_yet_another_earthquake_project_spark.llm import sampling as lsamp
+    from egal_yet_another_earthquake_project_spark.plans import inspect
+    from egal_yet_another_earthquake_project_spark.sources.files import read_table
+    from tests.conftest import TESTDATA_SMOKE
+
+    docs = read_table(spark, TESTDATA_SMOKE, "documents").select("doc_id", "source")
+    out = lsamp.mixture_epochs(docs, "source", "doc_id", {"src0": 2.3})
+    assert inspect.exchange_count(out) == 0
