@@ -129,13 +129,44 @@ def _bench_curate_e2e(spark, sf_dir: str) -> None:
         shutil.rmtree(out_dir, ignore_errors=True)
         # curate_corpus persists its dedup/pack stages; release them so
         # the bench's later queries run uncontended.
-        spark.catalog.clearCache()
+        _release_storage(spark)
+
+
+def _release_storage(spark) -> None:
+    """Drop every cached table AND every persistent RDD block.
+
+    catalog.clearCache() misses localCheckpoint blocks — the iterative
+    operators (components, k-means, PageRank) checkpoint per run, and
+    those blocks pin executor storage until the Python frames are
+    GC'd. Across a 60-query session the leak shows as 30-50% inflation
+    of late rows vs the same query isolated.
+    """
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc.sc()
+    it = jsc.getPersistentRDDs().values().iterator()
+    while it.hasNext():
+        it.next().unpersist(False)
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark("egal-spark-bench")
+    # Lean status-tracking confs for a 60-query single-session run: the
+    # default UI/status store retains up to 1000 SQL executions with
+    # their full plan strings — multi-KB per query here (literal-heavy
+    # plans), which accretes driver heap across the suite and shows up
+    # as GC inflation of the LAST rows (measured: the final 8 queries
+    # ran 3-6x their isolated cost before this).
+    spark = get_spark(
+        "egal-spark-bench",
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.sql.ui.retainedExecutions": "8",
+            "spark.ui.retainedJobs": "100",
+            "spark.ui.retainedStages": "100",
+            "spark.appStateStore.asyncTracking.enable": "false",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warmup: compile every headline query's codegen against tiny data,
@@ -192,7 +223,7 @@ def main() -> None:
             # section, so one query's leftover storage never taxes the
             # next row's GC. Measured: without this, fuzzy_matches
             # drifts 1.9 s -> 27.8 s as 45 queries' pins accumulate.
-            spark.catalog.clearCache()
+            _release_storage(spark)
         if best is not None:
             timings[name] = round(best, 3)
 

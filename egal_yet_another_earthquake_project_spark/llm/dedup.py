@@ -280,6 +280,51 @@ def jaccard_pairs(
     return out
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Directional shingle containment: pairs where |A∩B|/|A| ≥ threshold
+    — doc_a is (near-)INCLUDED in doc_b.
+
+    Jaccard misses inclusion: a paragraph quoted whole inside a 100×
+    larger page scores |∩|/|∪| ≈ 0.01 but containment 1.0. This is the
+    boilerplate/quotation/wrapper-page detector — the asymmetric
+    complement of :func:`jaccard_pairs`, sharing its inverted-index
+    plan and ``max_doc_freq`` stop-shingle guard (same hot-key bound;
+    set sizes stay uncapped). Output: ``(doc_a, doc_b, containment)``
+    with BOTH directions emitted independently when both clear the
+    threshold; ``doc_a ≠ doc_b``.
+    """
+    pairs = doc_shingle_sets(df, id_col, text_col, n)
+    sizes = pairs.groupBy("doc").agg(F.count("*").alias("sz"))
+    joinable = (
+        _df_capped(pairs, "sh", max_doc_freq) if max_doc_freq is not None else pairs
+    )
+    a = joinable.alias("a")
+    b = joinable.alias("b")
+    common = (
+        a.join(b, on="sh")
+        .filter(F.col("a.doc") != F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
+    return (
+        common.join(sa, "doc_a")
+        .withColumn(
+            "containment",
+            F.round(F.col("common") / F.col("sz_a").cast("double"), 4),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )
+
+
 def substring_dup_pairs(
     df: DataFrame,
     id_col: str,

@@ -74,14 +74,19 @@ def bloom_words(
 
 def might_contain(
     key: Column,
-    words: list[int],
+    words: list[int] | Column,
     num_bits: int = NUM_BITS,
     num_hashes: int = NUM_HASHES,
 ) -> Column:
     """True iff every hash position of ``key`` is set — the probe-side
-    filter expression. Pure codegen-able column math over the literal
-    word array; no shuffle, no UDF."""
-    arr = F.lit(words)
+    filter expression. Pure codegen-able column math over the word
+    array; no shuffle, no UDF. ``words`` may be a Python list (becomes
+    a plan literal — fine for ad-hoc use) or a Column referencing a
+    broadcast-joined array (see :func:`bloom_pruned_join` — the form
+    that scales: the bit array rides as DATA, so a wide filter never
+    bloats the plan, and at real num_bits a plan literal is impossible
+    anyway)."""
+    arr = F.lit(words) if isinstance(words, list) else words
     cond = F.lit(True)
     for p in _positions(key, num_bits, num_hashes):
         word = F.element_at(arr, (F.floor(p / 64) + 1).cast("int"))
@@ -98,7 +103,24 @@ def bloom_pruned_join(
 ) -> DataFrame:
     """Inner-join ``probe`` to ``build`` on ``key_col``, with the probe
     side bloom-pruned before its exchange. Bit-identical to the plain
-    join — false positives die in the exact join."""
+    join — false positives die in the exact join.
+
+    The bit array ships as a broadcast ONE-ROW frame, not a plan
+    literal: a 2048-word literal renders ~tens of KB into every plan
+    string (retained per execution by the status store — measured as
+    session-wide driver-heap creep), and a production-sized filter
+    (2^30 bits = 128 MiB) could never be an expression literal at all.
+    """
     words = bloom_words(build, key_col, num_bits, num_hashes)
-    pruned = probe.filter(might_contain(F.col(key_col), words, num_bits, num_hashes))
+    spark = probe.sparkSession
+    wdf = spark.createDataFrame([(words,)], "_bloom_words array<long>")
+    pruned = (
+        probe.join(F.broadcast(wdf))
+        .filter(
+            might_contain(
+                F.col(key_col), F.col("_bloom_words"), num_bits, num_hashes
+            )
+        )
+        .drop("_bloom_words")
+    )
     return pruned.join(build, key_col)

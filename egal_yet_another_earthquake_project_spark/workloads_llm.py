@@ -257,6 +257,36 @@ SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.7
 """
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional shingle containment ≥ 0.7 over the augmented corpus —
+    the inclusion/boilerplate detector Jaccard structurally misses
+    (llm.dedup.containment_pairs; same inverted-index plan)."""
+    corpus = _aug_corpus(_docs(spark, sf_dir))
+    return ldd.containment_pairs(corpus, "doc_id", threshold=0.7).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+_CONTAINMENT_ORACLE = f"""
+WITH corpus AS ({_AUG_SQL}),
+shing AS (
+  SELECT doc_id AS doc, unnest({_SHINGLES}) AS sh FROM corpus
+),
+dshing AS (SELECT DISTINCT doc, sh FROM shing),
+sizes AS (SELECT doc, count(*) AS sz FROM dshing GROUP BY doc),
+common AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS common
+  FROM dshing a JOIN dshing b ON a.sh = b.sh AND a.doc <> b.doc
+  GROUP BY a.doc, b.doc
+)
+SELECT doc_a, doc_b,
+       round(CAST(common AS DOUBLE) / sa.sz, 4) AS containment
+FROM common JOIN sizes sa ON sa.doc = doc_a
+WHERE round(CAST(common AS DOUBLE) / sa.sz, 4) >= 0.7
+ORDER BY doc_a, doc_b
+"""
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _aug_corpus(_docs(spark, sf_dir))
     return ldd.minhash_lsh_dedup_pairs(corpus, "doc_id", verify_threshold=0.7)
@@ -1254,6 +1284,7 @@ QUERIES = {
     "canonical_best": q_canonical_best,
     "exact_dedup": q_exact_dedup,
     "jaccard_pairs": q_jaccard_pairs,
+    "containment_pairs": q_containment_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash32": q_simhash32,
     "simhash_neardup": q_simhash_neardup,
@@ -1285,6 +1316,7 @@ ORACLES = {
     "canonical_best": _canonical_best_sql(),
     "exact_dedup": _EXACT_DEDUP_ORACLE,
     "jaccard_pairs": _JACCARD_ORACLE,
+    "containment_pairs": _CONTAINMENT_ORACLE,
     "minhash_lsh_pairs": _minhash_sql(),
     "simhash32": _simhash32_sql(),
     "simhash_neardup": _simhash_neardup_sql(),

@@ -267,3 +267,23 @@ def test_band_index_gate_zero_shuffle_on_index_side(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS band_index_test")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_containment_catches_inclusion_jaccard_misses(spark):
+    """A short doc quoted whole inside a much larger one: containment
+    small→big ≈ 1.0 while Jaccard stays far below any dedup threshold —
+    the wrapper/boilerplate case the directional metric exists for."""
+    small = "the quick brown fox jumps over the lazy dog near the river bank"
+    filler = " ".join(f"filler{i} token{i} word{i}" for i in range(120))
+    big = filler + " " + small + " " + filler
+    df = spark.createDataFrame(
+        [(1, small), (2, big)], "doc_id long, text string"
+    )
+    cont = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in ldd.containment_pairs(df, "doc_id", threshold=0.7).collect()
+    }
+    assert cont.get((1, 2), 0.0) >= 0.9, "small-in-big inclusion missed"
+    assert (2, 1) not in cont, "big is not contained in small"
+    jac = ldd.jaccard_pairs(df, "doc_id", threshold=0.3).collect()
+    assert not jac, "jaccard should NOT flag the inclusion pair"
