@@ -450,3 +450,74 @@ def hll_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+#: Streaming funnel output: each user's current stage after a trigger.
+FUNNEL_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("stage", T.IntegerType(), False),
+    ]
+)
+
+#: State: the three stage timestamps as epoch-micros (−1 = not reached)
+#: — 3 longs per user, bounded by construction.
+FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("tv", T.LongType(), True),
+        T.StructField("tc", T.LongType(), True),
+        T.StructField("tp", T.LongType(), True),
+    ]
+)
+
+
+def _funnel_fn(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    tv, tc, tp = state.get if state.exists else (-1, -1, -1)
+    chunks = [pdf for pdf in batches if len(pdf)]
+    if chunks:
+        merged = pd.concat(chunks).sort_values(["ts", "event_id"])
+        for et, ts in zip(merged["event_type"], merged["ts"]):
+            us = int(ts.value // 1000)  # pandas ns → µs
+            if et == "view" and tv < 0:
+                tv = us
+            elif et == "click" and tc < 0 and tv >= 0 and us > tv:
+                tc = us
+            elif et == "purchase" and tp < 0 and tc >= 0 and us > tc:
+                tp = us
+    state.update((tv, tc, tp))
+    stage = 3 if tp >= 0 else 2 if tc >= 0 else 1 if tv >= 0 else 0
+    yield pd.DataFrame({"user_id": [key[0]], "stage": [stage]})
+
+
+def funnel_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Live per-user funnel stage (view=1 → click=2 → purchase=3) over
+    an events stream — the streaming twin of the batch
+    ``funnel_conversion`` window chain.
+
+    State per user is THREE epoch-micros longs (first view, first
+    qualifying click, first qualifying purchase) — bounded regardless of
+    event volume, which is what makes a funnel over an unbounded stream
+    affordable. Stage timestamps only ever latch forward, so under a
+    time-ordered feed (every trailing-window stream's contract here, cf.
+    ``zscore_stream``) the drained stream's per-user stages equal the
+    batch funnel's exactly (asserted in tests/test_stateful_streaming.py).
+    Update mode: one row per active user per trigger; the downstream
+    conversion rollup is a plain batch aggregate over the latest rows.
+    """
+    prepared = stream.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("event_type").cast("string").alias("event_type"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _funnel_fn,
+        outputStructType=FUNNEL_OUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -162,3 +162,81 @@ def test_streaming_zscore_equals_batch(spark, tmp_path: Path):
     }
     assert streamed == batch
     assert len(batch) > 0  # the fixture must actually exercise the path
+
+
+def test_streaming_funnel_equals_batch(spark, tmp_path: Path):
+    """Drained time-ordered stream through funnel_stream == the batch
+    funnel's per-user stages (stage timestamps only latch forward, so
+    two ts-split micro-batches must land on the window chain's
+    answer)."""
+    from pyspark.sql.window import Window
+
+    from egal_yet_another_earthquake_project_spark.sources.files import read_table
+    from egal_yet_another_earthquake_project_spark.streaming.stateful import (
+        funnel_stream,
+    )
+
+    events = read_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    cut = events.agg(F.percentile_approx("ts", 0.5).alias("c")).collect()[0].c
+
+    src = tmp_path / "f_in"
+    events.filter(F.col("ts") < F.lit(cut)).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    stream = stream_parquet_dir(
+        spark, str(src) + "/*", events.schema, max_files_per_trigger=1
+    )
+    q = (
+        funnel_stream(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_live")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "f_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        events.filter(F.col("ts") >= F.lit(cut)).coalesce(1).write.parquet(
+            str(src / "b2")
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # update mode: last row per user wins.
+    live_rows = spark.table("funnel_live").collect()
+    live: dict = {}
+    for r in live_rows:  # memory sink appends in trigger order
+        live[r.user_id] = r.stage
+
+    # batch reference: the q_funnel_conversion window chain, per user.
+    w = Window.partitionBy("user_id")
+    tv = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    with_v = events.withColumn("_tv", tv)
+    tc = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("_tv")),
+            F.col("ts"),
+        )
+    ).over(w)
+    with_c = with_v.withColumn("_tc", tc)
+    tp = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("_tc")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = with_c.withColumn("_tp", tp)
+    batch = {
+        r.user_id: (3 if r.p else 2 if r.c else 1 if r.v else 0)
+        for r in staged.groupBy("user_id")
+        .agg(
+            F.max(F.col("_tv").isNotNull()).alias("v"),
+            F.max(F.col("_tc").isNotNull()).alias("c"),
+            F.max(F.col("_tp").isNotNull()).alias("p"),
+        )
+        .collect()
+    }
+    assert live == batch
