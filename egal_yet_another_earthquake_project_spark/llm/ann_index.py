@@ -102,3 +102,54 @@ def search_ivf_index(
         .select("query_id", "neighbor_id", "cos")
     )
     return _topk_from_candidates(cands, k)
+
+
+def append_ivf_index(
+    spark: SparkSession,
+    index_dir: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Add a batch of vectors to an existing index WITHOUT a rebuild.
+
+    The coarse quantizer is frozen: new vectors are assigned to the
+    already-trained centroids and appended into their cells' partitions
+    (dynamic partition append — only the touched cell directories gain
+    files). Per-batch work is O(batch × num_cells) assignment math plus
+    one write; the corpus is never rescanned, which is what makes daily
+    ingest into a 10^10-vector index affordable.
+
+    The standard IVF maintenance trade: as the corpus drifts from the
+    training sample, cell balance degrades — monitor with
+    :func:`ivf_cell_stats` and trigger a rebuild (or a
+    ``refine_centroids`` pass) when the imbalance ratio crosses the
+    documented threshold, exactly like compaction for small files.
+    Search needs no change: appended vectors live in the same partition
+    layout, so probes see them immediately.
+    """
+    cent = spark.read.parquet(f"{index_dir}/centroids")
+    assigned = unit(
+        assign_cells(new_vectors, cent, 1, id_col, vec_col).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v"), "cell"
+        ),
+        "_v",
+        "uv",
+    ).drop("_v")
+    (
+        assigned.write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{index_dir}/cells")
+    )
+
+
+def ivf_cell_stats(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Per-cell vector counts + the max/mean imbalance ratio — the
+    rebuild trigger metric for :func:`append_ivf_index` (a cell at many
+    times the mean probes slow and recalls poorly)."""
+    cells = spark.read.parquet(f"{index_dir}/cells")
+    per = cells.groupBy("cell").agg(F.count("*").alias("n"))
+    stats = per.agg(
+        F.max("n").alias("_mx"), F.avg("n").alias("_mean")
+    ).select(F.round(F.col("_mx") / F.col("_mean"), 4).alias("imbalance"))
+    return per.crossJoin(F.broadcast(stats)).orderBy("cell")

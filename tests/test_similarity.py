@@ -188,3 +188,73 @@ def test_persisted_ivf_index_matches_inline_ivf(spark, tmp_path):
 
     m = re.search(r"PartitionFilters: \[([^\]]*cell[^\]]*)\]", plan)
     assert m, plan
+
+
+def test_ivf_append_equals_full_build_under_frozen_centroids(spark, tmp_path):
+    """Building from half the corpus then appending the other half must
+    equal building from the whole corpus with the SAME centroids: the
+    quantizer is frozen, so assignment is pointwise and append-only.
+    Search over the appended index returns identical neighbors."""
+    from egal_yet_another_earthquake_project_spark.llm import ann_index as ai
+    from egal_yet_another_earthquake_project_spark.sources.files import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+
+    inc_dir = str(tmp_path / "inc")
+    ai.build_ivf_index(first, inc_dir, num_cells=8)
+    ai.append_ivf_index(spark, inc_dir, rest)
+
+    # full rebuild with the SAME centroids (copy them over)
+    full_dir = str(tmp_path / "full")
+    cent = spark.read.parquet(f"{inc_dir}/centroids")
+    cent.write.parquet(f"{full_dir}/centroids")
+    from egal_yet_another_earthquake_project_spark.llm.similarity import (
+        assign_cells,
+        unit,
+    )
+
+    assigned = unit(
+        assign_cells(emb, cent, 1, "vec_id", "embedding").select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("_v"),
+            "cell",
+        ),
+        "_v",
+        "uv",
+    ).drop("_v")
+    assigned.write.partitionBy("cell").parquet(f"{full_dir}/cells")
+
+    inc_cells = sorted(
+        (r.neighbor_id, r.cell)
+        for r in spark.read.parquet(f"{inc_dir}/cells").collect()
+    )
+    full_cells = sorted(
+        (r.neighbor_id, r.cell)
+        for r in spark.read.parquet(f"{full_dir}/cells").collect()
+    )
+    assert inc_cells == full_cells
+
+    queries = emb.limit(4)
+    a = sorted(
+        map(
+            tuple,
+            ai.search_ivf_index(spark, inc_dir, queries, k=3, nprobe=4)
+            .select("query_id", "neighbor_id")
+            .collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            ai.search_ivf_index(spark, full_dir, queries, k=3, nprobe=4)
+            .select("query_id", "neighbor_id")
+            .collect(),
+        )
+    )
+    assert a == b
+
+    stats = ai.ivf_cell_stats(spark, inc_dir).collect()
+    assert sum(r.n for r in stats) == emb.count()
+    assert all(r.imbalance >= 1.0 for r in stats)
