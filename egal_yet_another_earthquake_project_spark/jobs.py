@@ -21,8 +21,10 @@ parquet archive; ``batch-load`` runs bronze→silver→gold and ships ES
 documents (``--dry-run`` prints counts instead); ``analytics`` prints the
 gold tables; ``curate`` runs the full training-corpus pipeline
 (gates → dedup → resample → packing → shards, see ``curate.py``);
-``index``/``search`` build and probe the cell-partitioned IVF ANN index
-(``llm/ann_index.py``).
+``index``/``index-append``/``search`` build, incrementally extend, and
+probe the cell-partitioned IVF ANN index (``llm/ann_index.py``);
+``index-append`` reports the post-append cell imbalance (the rebuild
+trigger metric).
 Kafka variants use the same code paths with the gated reader
 (sources/kafka.py) once a broker and the connector jar are present.
 """
@@ -89,6 +91,13 @@ def _parser() -> argparse.ArgumentParser:
     e.add_argument("--out", required=True, help="index directory")
     e.add_argument("--num-cells", type=int, default=16)
     e.add_argument("--refine-iters", type=int, default=0)
+
+    ap = sub.add_parser(
+        "index-append",
+        help="assign a new vector batch to an existing IVF index (frozen quantizer)",
+    )
+    ap.add_argument("--index", required=True, help="index directory")
+    ap.add_argument("--vectors", required=True, help="parquet of new vectors")
 
     s = sub.add_parser("search", help="top-k ANN against a persisted IVF index")
     s.add_argument("--index", required=True, help="index directory")
@@ -176,6 +185,20 @@ def main(argv: list[str] | None = None) -> int:
                 refine_iters=args.refine_iters,
             )
             print(json.dumps({"out": args.out, "num_cells": args.num_cells}))
+        elif args.cmd == "index-append":
+            import json
+
+            from egal_yet_another_earthquake_project_spark.llm.ann_index import (
+                append_ivf_index,
+                ivf_cell_stats,
+            )
+
+            new_vecs = spark.read.parquet(args.vectors)
+            append_ivf_index(spark, args.index, new_vecs)
+            imb = ivf_cell_stats(spark, args.index).agg(
+                {"imbalance": "max"}
+            ).collect()[0][0]
+            print(json.dumps({"index": args.index, "imbalance": imb}))
         elif args.cmd == "search":
             from egal_yet_another_earthquake_project_spark.llm.ann_index import (
                 search_ivf_index,

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 from pathlib import Path
 
+from pyspark.sql import functions as F
+
 import pytest
 
 from egal_yet_another_earthquake_project_spark.schemas import KAFKA_ENVELOPE
@@ -119,6 +121,25 @@ def test_cli_index_and_search(spark, tmp_path: Path, capsys):
         assert rc == 0
         out = capsys.readouterr().out
         assert "query_id" in out and "neighbor_id" in out
+
+        # append a second batch against the frozen quantizer; the CLI
+        # reports the post-append imbalance metric
+        extra = emb.orderBy(F.col("vec_id").desc()).limit(10).selectExpr(
+            "vec_id + 100000 AS vec_id", "embedding"
+        )
+        extra.write.parquet(str(tmp_path / "extra_vecs"))
+        n_before = spark.read.parquet(str(tmp_path / "ivf" / "cells")).count()
+        rc = jobs.main(
+            [
+                "index-append",
+                "--index", str(tmp_path / "ivf"),
+                "--vectors", str(tmp_path / "extra_vecs"),
+            ]
+        )
+        assert rc == 0
+        assert "imbalance" in capsys.readouterr().out
+        n_after = spark.read.parquet(str(tmp_path / "ivf" / "cells")).count()
+        assert n_after == n_before + 10
     finally:
         spark.stop = real_stop
 
