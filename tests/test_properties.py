@@ -219,3 +219,54 @@ def test_winsorized_stats_matches_numpy(spark, vals):
     assert row.n_hi == int((a > hi).sum())
     ref_mean = float(np.clip(a, lo, hi).mean())
     assert abs(row.mean_clipped - ref_mean) <= 2e-4
+
+
+@SETTINGS
+@given(
+    st.text(alphabet="abcdefgh ", min_size=30, max_size=120),
+    st.text(alphabet="abcdefgh ", min_size=30, max_size=120),
+    st.text(alphabet="abcdefgh", min_size=12, max_size=30),
+)
+def test_winnow_guarantee_shared_substring_shares_fingerprint(
+    spark, prefix_a, prefix_b, shared
+):
+    """The MOSS winnowing guarantee: any shared substring of length ≥
+    k + window − 1 (= 11 at the defaults) forces at least one shared
+    fingerprint — the property the substring_dup_pairs detector rests
+    on. Texts are drawn from the already-normalized alphabet so
+    normalization can't shorten the planted overlap."""
+    a = (prefix_a + " " + shared).strip()
+    b = (prefix_b + " " + shared).strip()
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    fps = ltx.winnow_fingerprints(df, "doc_id")
+    by_doc: dict = {1: set(), 2: set()}
+    for r in fps.collect():
+        by_doc[r.doc].add(r.fp)
+    assert by_doc[1] & by_doc[2], (
+        f"planted {len(shared)}-char shared substring produced no shared "
+        f"fingerprint: {a!r} vs {b!r}"
+    )
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10_000), min_size=1, max_size=300
+    )
+)
+def test_hll_deterministic_and_bounded(spark, vals):
+    """HLL over arbitrary integer multisets: duplicate-insensitive
+    (multiset == set estimate), and within the 5-sigma envelope of the
+    true cardinality in whichever estimator branch applies."""
+    from egal_yet_another_earthquake_project_spark.llm import sketches as lsk
+
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v long")
+    dfd = spark.createDataFrame(
+        [("g", v) for v in set(vals)], "g string, v long"
+    )
+    out = lsk.hll_distinct(df, ["g"], "v", p=9).collect()[0]
+    out_d = lsk.hll_distinct(dfd, ["g"], "v", p=9).collect()[0]
+    assert out.est_distinct == out_d.est_distinct
+    exact = len(set(vals))
+    rse = 1.04 / (512.0**0.5)
+    assert abs(out.est_distinct - exact) <= max(5 * rse * exact, 3)
