@@ -133,6 +133,11 @@ _ALLOWED_NESTED_LOOP = {
     # Unigram LM joins the one-row (N, V) corpus totals into the
     # term-frequency frame — same bounded 1×n broadcast shape.
     "unigram_nll",
+    # The bloom probe filter joins the ONE-ROW broadcast word-array
+    # frame into the probe scan (deliberately data-side, not a plan
+    # literal) — bounded 1×n, and the whole point is to shrink the real
+    # join's exchange.
+    "bloom_pruned_join",
     # α resampling joins the one-row weight normalizer Σc^α into the
     # #sources-row quota table — bounded 1×n broadcast.
     "alpha_resample",
