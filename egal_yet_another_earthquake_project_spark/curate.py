@@ -50,6 +50,7 @@ def curate_corpus(
     keep: str = "min_id",
     alpha: float | None = None,
     budget: int = 1000,
+    mixture: dict[str, float] | None = None,
     ctx: int = 256,
 ) -> CurationResult:
     """Run the full curation flow; see module docstring for the stages.
@@ -62,6 +63,11 @@ def curate_corpus(
     keep-the-best-copy policy; one row_number window over the
     clustered docs only, which are a corpus fraction). ``alpha``
     enables the temperature resample down to ``budget`` docs.
+    ``mixture`` maps source → epoch weight: each surviving doc is
+    repeated per its source's weight (floor copies + md5-stable
+    fractional extra — llm.sampling.mixture_epochs) BEFORE packing, so
+    the shards materialize the training mixture itself; rows then carry
+    a ``copy`` column and pack under a composite ``id#copy`` key.
     """
     stats: dict[str, int] = {"input": docs.count()}
 
@@ -132,12 +138,31 @@ def curate_corpus(
         deduped.unpersist()
         deduped = resampled
 
+    pack_id_col = id_col
+    if mixture is not None:
+        # Zero-shuffle projection+explode; the repeat stream packs under
+        # a composite key so duplicate doc ids stay distinct rows.
+        mixed = lsamp.mixture_epochs(
+            deduped, source_col, id_col, mixture
+        ).withColumn(
+            "_mix_id",
+            F.concat(F.col(id_col).cast("string"), F.lit("#"), F.col("copy")),
+        )
+        deduped = mixed.persist()
+        stats["after_mixture"] = deduped.count()
+        pack_id_col = "_mix_id"
+
     packed = lpack.pack_sequences(
-        deduped, id_col, source_col, text_col, ctx=ctx
+        deduped, pack_id_col, source_col, text_col, ctx=ctx
     ).persist()
-    out = deduped.select(id_col, source_col, text_col).join(
-        packed.drop(source_col), id_col
+    keep_cols = [id_col, source_col, text_col] + (
+        ["copy", "_mix_id"] if mixture is not None else []
     )
+    out = deduped.select(*keep_cols).join(
+        packed.drop(source_col), pack_id_col
+    )
+    if mixture is not None:
+        out = out.drop("_mix_id")
     stats["packs"] = packed.select(source_col, "pack_id").distinct().count()
     return CurationResult(corpus=out, stats=stats)
 

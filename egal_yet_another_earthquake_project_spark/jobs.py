@@ -82,6 +82,12 @@ def _parser() -> argparse.ArgumentParser:
     )
     d.add_argument("--alpha", type=float, default=None, help="enable α resampling")
     d.add_argument("--budget", type=int, default=1000)
+    d.add_argument(
+        "--mixture",
+        default=None,
+        help="epoch weights per source, e.g. 'wiki=2.3,web=0.8' — shards "
+        "materialize the training mixture (repeat copies)",
+    )
     d.add_argument("--ctx", type=int, default=256)
 
     e = sub.add_parser(
@@ -166,6 +172,16 @@ def main(argv: list[str] | None = None) -> int:
                 keep=args.keep,
                 alpha=args.alpha,
                 budget=args.budget,
+                mixture=(
+                    {
+                        k: float(v)
+                        for k, v in (
+                            kv.split("=", 1) for kv in args.mixture.split(",")
+                        )
+                    }
+                    if args.mixture
+                    else None
+                ),
                 ctx=args.ctx,
             )
             curate.write_shards(result, args.out)

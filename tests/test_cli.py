@@ -165,3 +165,49 @@ def test_cli_compact(spark, tmp_path: Path, capsys):
     out_files = list((tmp_path / "out").glob("*.parquet"))
     assert len(out_files) == 1
     assert spark.read.parquet(str(tmp_path / "out")).count() == 1000
+
+
+def test_cli_curate_with_mixture_materializes_repeats(spark, tmp_path: Path, capsys):
+    """curate --mixture: shards carry the epoch-repeated stream — docs
+    from a weight-2.5 source appear 2-3 times (distinct copy indices),
+    zero-weight sources vanish, and the stats line reports the
+    post-mixture row count."""
+    import json
+
+    from egal_yet_another_earthquake_project_spark import jobs
+
+    out = str(tmp_path / "mix_shards")
+    real_stop = spark.stop
+    spark.stop = lambda: None
+    try:
+        rc = jobs.main(
+            [
+                "curate",
+                "--source-dir", "/root/testdata/sf0.001",
+                "--out", out,
+                "--mixture", "src0=2.5,src1=0.0",
+            ]
+        )
+    finally:
+        spark.stop = real_stop
+    assert rc == 0
+    line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    stats = json.loads(line)
+    assert stats["after_mixture"] > stats["after_dedup"]
+    shards = spark.read.parquet(out)
+    assert "copy" in shards.columns
+    assert shards.count() == stats["after_mixture"]
+    from pyspark.sql import functions as F
+
+    per_src = {
+        r.source: (r.rows, r.docs)
+        for r in shards.groupBy("source")
+        .agg(F.count("*").alias("rows"), F.countDistinct("doc_id").alias("docs"))
+        .collect()
+    }
+    assert "src1" not in per_src, "zero-weight source survived into shards"
+    r0, d0 = per_src["src0"]
+    assert 2 * d0 <= r0 <= 3 * d0, "weight-2.5 source not repeated 2-3x"
+    for src, (rows, docs) in per_src.items():
+        if src != "src0":
+            assert rows == docs, f"default-weight source {src} duplicated"
