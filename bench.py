@@ -104,6 +104,9 @@ HEADLINE = [
     "bloom_pruned_join",
     "trade_pagerank",
     "funnel_conversion",
+    "mixture_epochs",
+    "containment_pairs",
+    "media_neardup",
 ]
 
 

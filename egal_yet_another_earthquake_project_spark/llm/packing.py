@@ -122,3 +122,52 @@ def pack_utilization(packed: DataFrame, group_col: str, ctx: int = 256) -> DataF
             F.round(F.col("tok_mass") / F.lit(float(ctx)), 4),
         )
     )
+
+
+def pack_tails(packed: DataFrame, group_col: str) -> DataFrame:
+    """Per-group continuation state for incremental packing: the total
+    token count already laid out. One row per group (bounded —
+    group-key-scale); this is the only state an append needs."""
+    return packed.groupBy(group_col).agg(
+        (F.max(F.col("start_tok") + F.col("n_tokens"))).alias("tail_tok")
+    )
+
+
+def pack_sequences_append(
+    new_docs: DataFrame,
+    tails: DataFrame,
+    id_col: str,
+    group_col: str,
+    text_col: str = "text",
+    ctx: int = 256,
+    salt: str = "pack",
+) -> DataFrame:
+    """Pack an APPENDED batch continuing each group's existing stream.
+
+    Daily shard production can't re-pack the whole corpus: the new
+    batch gets its own deterministic hash-order cumsum, offset by the
+    group's stored tail (:func:`pack_tails` — one tiny row per group,
+    broadcast). Within-batch layout is identical to a fresh
+    :func:`pack_sequences` of the batch; offsets continue seamlessly
+    (the first appended doc starts exactly where the group's stream
+    ended — asserted in tests). This is append-order packing: a full
+    REBUILD would interleave old and new docs in global hash order and
+    produce a different (equally valid) layout, which is the standard
+    trade for O(batch) incremental work.
+
+    Output matches ``pack_sequences``: (id, group, n_tokens, start_tok,
+    pack_id).
+    """
+    base = pack_sequences(new_docs, id_col, group_col, text_col, ctx, salt)
+    offset = tails.select(group_col, "tail_tok")
+    return (
+        base.join(F.broadcast(offset), group_col, "left")
+        .withColumn(
+            "start_tok",
+            F.col("start_tok") + F.coalesce(F.col("tail_tok"), F.lit(0)),
+        )
+        .withColumn(
+            "pack_id", F.floor(F.col("start_tok") / F.lit(ctx)).cast("long")
+        )
+        .select(id_col, group_col, "n_tokens", "start_tok", "pack_id")
+    )

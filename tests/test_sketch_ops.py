@@ -213,3 +213,37 @@ def test_cms_heavy_hitters_matches_plain_having(spark, docs):
     plain = toks.groupBy("tok").agg(F.count("*").alias("n")).filter(F.col("n") >= 30)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, plain.collect()))
     assert inspect.uses_broadcast_join(got)
+
+
+def test_pack_append_continues_each_group_stream(spark, docs):
+    """Incremental packing: the appended batch's offsets continue
+    exactly where each group's existing stream ended (no gap, no
+    overlap), within-batch contiguity holds, and groups unseen in the
+    tail state start at zero."""
+    first = docs.filter(F.col("doc_id") % 3 != 0)
+    second = docs.filter(F.col("doc_id") % 3 == 0)
+    base = lpack.pack_sequences(first, "doc_id", "source", ctx=128)
+    tails = {r.source: r.tail_tok for r in lpack.pack_tails(base, "source").collect()}
+    appended = lpack.pack_sequences_append(
+        second, lpack.pack_tails(base, "source"), "doc_id", "source", ctx=128
+    )
+    rows = appended.orderBy("source", "start_tok").collect()
+    by_group: dict[str, list] = {}
+    for r in rows:
+        by_group.setdefault(r.source, []).append(r)
+    assert by_group, "append produced nothing"
+    for g, rs in by_group.items():
+        pos = tails.get(g, 0)
+        for r in rs:
+            assert r.start_tok == pos, f"gap in {g} at doc {r.doc_id}"
+            pos += r.n_tokens
+            assert r.pack_id == r.start_tok // 128
+    # the union is a single contiguous stream per group
+    union = base.unionByName(appended)
+    total = {r.source: r.tail_tok for r in lpack.pack_tails(union, "source").collect()}
+    full_tokens = {
+        r.source: r.s
+        for r in lpack.pack_sequences(docs, "doc_id", "source", ctx=128)
+        .groupBy("source").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    assert total == full_tokens
