@@ -554,12 +554,58 @@ ORDER BY doc_id, copy
 """
 
 
+def q_pack_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental packing (llm.packing.pack_sequences_append): the
+    corpus split 2:1 into an existing stream and an appended batch; the
+    batch's offsets must continue each source's stream from its stored
+    tail — O(batch) daily shard production without a corpus re-pack."""
+    docs = read_table(spark, sf_dir, "documents")
+    first = docs.filter(F.col("doc_id") % 3 != 0)
+    second = docs.filter(F.col("doc_id") % 3 == 0)
+    base = lpack.pack_sequences(first, "doc_id", "source", ctx=PACK_CTX)
+    tails = lpack.pack_tails(base, "source")
+    return lpack.pack_sequences_append(
+        second, tails, "doc_id", "source", ctx=PACK_CTX
+    ).orderBy("doc_id")
+
+
+_PACK_APPEND_ORACLE = f"""
+WITH base1 AS (
+  SELECT doc_id, source, len({_TOKS}) AS n_tokens,
+         md5('pack' || CAST(doc_id AS VARCHAR)) AS ord_key
+  FROM documents WHERE doc_id % 3 <> 0
+),
+tails AS (
+  SELECT source, sum(n_tokens) AS tail_tok FROM base1 GROUP BY source
+),
+base2 AS (
+  SELECT doc_id, source, len({_TOKS}) AS n_tokens,
+         md5('pack' || CAST(doc_id AS VARCHAR)) AS ord_key
+  FROM documents WHERE doc_id % 3 = 0
+),
+packed2 AS (
+  SELECT doc_id, source, n_tokens,
+         coalesce(sum(n_tokens) OVER (PARTITION BY source
+             ORDER BY ord_key ASC, doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rel_tok
+  FROM base2
+)
+SELECT p.doc_id, p.source, CAST(p.n_tokens AS INTEGER) AS n_tokens,
+       CAST(p.rel_tok + coalesce(t.tail_tok, 0) AS BIGINT) AS start_tok,
+       CAST(floor((p.rel_tok + coalesce(t.tail_tok, 0)) / {PACK_CTX}.0)
+            AS BIGINT) AS pack_id
+FROM packed2 p LEFT JOIN tails t USING (source)
+ORDER BY p.doc_id
+"""
+
+
 QUERIES = {
     "global_row_ids": q_global_row_ids,
     "kmv_distinct_users": q_kmv_distinct_users,
     "hll_distinct_users": q_hll_distinct_users,
     "frequent_tokens": q_frequent_tokens,
     "mixture_epochs": q_mixture_epochs,
+    "pack_append": q_pack_append,
     "cms_token_counts": q_cms_token_counts,
     "alpha_resample": q_alpha_resample,
     "sequence_packing": q_sequence_packing,
@@ -576,6 +622,7 @@ ORACLES = {
     "hll_distinct_users": _hll_oracle(),
     "frequent_tokens": _HH_ORACLE,
     "mixture_epochs": _mixture_oracle(),
+    "pack_append": _PACK_APPEND_ORACLE,
     "cms_token_counts": _CMS_ORACLE,
     "alpha_resample": _ALPHA_ORACLE,
     "sequence_packing": _PACKING_ORACLE,
