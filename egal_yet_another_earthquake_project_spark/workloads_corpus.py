@@ -215,12 +215,83 @@ ORDER BY doc_id
 """.replace("REDACTED", _PII_REDACTED)
 
 
+BPE_MERGES = 3
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (llm.bpe): the first 3 merge
+    rules learned from the corpus's word-frequency table — per round one
+    weighted pair aggregate, a deterministic global top-1, and a
+    boundary-safe literal merge; the oracle replays the unrolled
+    iterations exactly."""
+    from egal_yet_another_earthquake_project_spark.llm import bpe as lbpe
+
+    docs = read_table(spark, sf_dir, "documents")
+    words = (
+        ltx.tokenized(docs)
+        .select(F.explode("_toks").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return lbpe.bpe_train(spark, words, num_merges=BPE_MERGES).orderBy("step")
+
+
+def _bpe_oracle() -> str:
+    def pair_cte(wi: str, pi: str) -> str:
+        return f"""{pi} AS (
+  SELECT s[i] || ' ' || s[i + 1] AS pair, sum(cnt) AS cnt
+  FROM (SELECT cnt, string_split(sym, '  ') AS s FROM {wi}),
+       unnest(range(1, len(s))) AS t(i)
+  GROUP BY 1
+)"""
+
+    def top_cte(pi: str, mi: str) -> str:
+        return f"""{mi} AS (
+  SELECT pair, cnt FROM {pi} ORDER BY cnt DESC, pair ASC LIMIT 1
+)"""
+
+    def apply_cte(wi: str, mi: str, wo: str) -> str:
+        return f"""{wo} AS (
+  SELECT word, {wi}.cnt,
+         trim(replace(' ' || sym || ' ',
+              ' ' || split_part({mi}.pair, ' ', 1) || '  '
+                  || split_part({mi}.pair, ' ', 2) || ' ',
+              ' ' || replace({mi}.pair, ' ', '') || ' ')) AS sym
+  FROM {wi} CROSS JOIN {mi}
+)"""
+
+    rounds = []
+    for k in range(1, BPE_MERGES + 1):
+        rounds.append(pair_cte(f"w{k - 1}", f"p{k}"))
+        rounds.append(top_cte(f"p{k}", f"m{k}"))
+        if k < BPE_MERGES:
+            rounds.append(apply_cte(f"w{k - 1}", f"m{k}", f"w{k}"))
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {k} AS step, pair, CAST(cnt AS BIGINT) AS cnt FROM m{k}"
+        for k in range(1, BPE_MERGES + 1)
+    )
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH toks AS (SELECT unnest({_TOKS}) AS word FROM documents),
+words AS (SELECT word, count(*) AS cnt FROM toks GROUP BY word),
+w0 AS (
+  SELECT word, cnt,
+         array_to_string(list_append(string_split(word, ''), '$'), '  ') AS sym
+  FROM words
+),
+{rounds_sql}
+{selects}
+ORDER BY step
+"""
+
+
 QUERIES = {
     "doc_chunks": q_doc_chunks,
     "repetition_profile": q_repetition_profile,
     "bm25_search": q_bm25_search,
     "unigram_nll": q_unigram_nll,
     "pii_profile": q_pii_profile,
+    "bpe_merges": q_bpe_merges,
 }
 
 ORACLES = {
@@ -229,4 +300,5 @@ ORACLES = {
     "bm25_search": _BM25_ORACLE,
     "unigram_nll": _UNIGRAM_NLL_ORACLE,
     "pii_profile": _PII_ORACLE,
+    "bpe_merges": _bpe_oracle(),
 }

@@ -215,3 +215,46 @@ def test_udtf_split_sentences_lateral(spark):
         (1, 1, "two fish"),
         (1, 2, "red"),
     ]
+
+
+def test_bpe_merges_hand_computed_and_greedy(spark):
+    """Hand-checkable vocabulary: 'low'×5, 'lower'×2, 'aaaa'×10.
+    Round 1: 'aaaa' contributes 3 adjacent 'a a' pairs ×10 = 30 — the
+    clear winner; the greedy left-to-right merge turns it into
+    'aa aa $'. Round 2: 'aa aa' and 'aa $' tie at 10 (> 'l o' at 7) and
+    the deterministic tie-break (pair ascending; '$' < 'a') picks
+    'aa $'. Round 3: the stream is 'aa aa$', so 'aa aa$' wins at 10."""
+    from egal_yet_another_earthquake_project_spark.llm import bpe as lbpe
+
+    words = spark.createDataFrame(
+        [("low", 5), ("lower", 2), ("aaaa", 10)], "word string, cnt long"
+    )
+    merges = {r.step: (r.pair, r.cnt) for r in
+              lbpe.bpe_train(spark, words, num_merges=3).collect()}
+    assert merges[1] == ("a a", 30)
+    assert merges[2] == ("aa $", 10), f"round 2 got {merges[2]}"
+    assert merges[3] == ("aa aa$", 10), f"round 3 got {merges[3]}"
+
+
+def test_bpe_partition_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from egal_yet_another_earthquake_project_spark.llm import bpe as lbpe
+    from egal_yet_another_earthquake_project_spark.llm import text as ltx
+    from egal_yet_another_earthquake_project_spark.sources.files import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    words = (
+        ltx.tokenized(docs)
+        .select(F.explode("_toks").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    a = sorted(map(tuple, lbpe.bpe_train(spark, words, num_merges=2).collect()))
+    b = sorted(
+        map(
+            tuple,
+            lbpe.bpe_train(spark, words.repartition(7), num_merges=2).collect(),
+        )
+    )
+    assert a == b
