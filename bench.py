@@ -107,6 +107,8 @@ HEADLINE = [
     "mixture_epochs",
     "containment_pairs",
     "media_neardup",
+    "pack_append",
+    "bpe_merges",
 ]
 
 
