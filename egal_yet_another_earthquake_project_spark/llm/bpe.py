@@ -102,3 +102,27 @@ def bpe_train(
             ),
         ).localCheckpoint(eager=True)
     return spark.createDataFrame(merges, "step int, pair string, cnt long")
+
+
+def bpe_apply(
+    words: DataFrame, merges: list[str], word_col: str = "word"
+) -> DataFrame:
+    """Segment each word with an ordered merge list (the APPLY side of
+    the tokenizer: train once, encode everywhere).
+
+    Pure projection: the k ordered merges chain into k literal replaces
+    over the symbol string — no shuffle, no per-merge action, composes
+    with any scan. Output adds ``pieces`` (the word's subword sequence,
+    single-space-joined) and ``n_pieces``.
+    """
+    out = word_symbols(words, word_col)
+    sym = F.concat(F.lit(" "), F.col("sym"), F.lit(" "))
+    for pair in merges:
+        a, b = pair.split(" ")
+        sym = F.replace(sym, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+    pieces = F.array_join(F.split(F.trim(sym), "  "), " ")
+    return (
+        out.withColumn("pieces", pieces)
+        .withColumn("n_pieces", F.size(F.split(F.col("pieces"), " ")))
+        .drop("sym")
+    )

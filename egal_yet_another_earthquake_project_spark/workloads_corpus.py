@@ -285,6 +285,80 @@ ORDER BY step
 """
 
 
+def q_bpe_encoded_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-apply round trip: segment the whole vocabulary with
+    the 3 learned merges (llm.bpe.bpe_apply — a pure k-replace
+    projection, no shuffle beyond the word count). The oracle replays
+    training AND encoding in one unrolled statement."""
+    from egal_yet_another_earthquake_project_spark.llm import bpe as lbpe
+
+    docs = read_table(spark, sf_dir, "documents")
+    words = (
+        ltx.tokenized(docs)
+        .select(F.explode("_toks").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    merges = [
+        r.pair
+        for r in lbpe.bpe_train(spark, words, num_merges=BPE_MERGES)
+        .orderBy("step")
+        .collect()
+    ]
+    return (
+        lbpe.bpe_apply(words, merges)
+        .select("word", F.col("cnt").alias("cnt"), "pieces", "n_pieces")
+        .orderBy("word")
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    def pair_cte(wi: str, pi: str) -> str:
+        return f"""{pi} AS (
+  SELECT s[i] || ' ' || s[i + 1] AS pair, sum(cnt) AS cnt
+  FROM (SELECT cnt, string_split(sym, '  ') AS s FROM {wi}),
+       unnest(range(1, len(s))) AS t(i)
+  GROUP BY 1
+)"""
+
+    def top_cte(pi: str, mi: str) -> str:
+        return f"""{mi} AS (
+  SELECT pair, cnt FROM {pi} ORDER BY cnt DESC, pair ASC LIMIT 1
+)"""
+
+    def apply_cte(wi: str, mi: str, wo: str) -> str:
+        return f"""{wo} AS (
+  SELECT word, {wi}.cnt,
+         trim(replace(' ' || sym || ' ',
+              ' ' || split_part({mi}.pair, ' ', 1) || '  '
+                  || split_part({mi}.pair, ' ', 2) || ' ',
+              ' ' || replace({mi}.pair, ' ', '') || ' ')) AS sym
+  FROM {wi} CROSS JOIN {mi}
+)"""
+
+    rounds = []
+    for k in range(1, BPE_MERGES + 1):
+        rounds.append(pair_cte(f"w{k - 1}", f"p{k}"))
+        rounds.append(top_cte(f"p{k}", f"m{k}"))
+        rounds.append(apply_cte(f"w{k - 1}", f"m{k}", f"w{k}"))
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH toks AS (SELECT unnest({_TOKS}) AS word FROM documents),
+words AS (SELECT word, count(*) AS cnt FROM toks GROUP BY word),
+w0 AS (
+  SELECT word, cnt,
+         array_to_string(list_append(string_split(word, ''), '$'), '  ') AS sym
+  FROM words
+),
+{rounds_sql}
+SELECT word, CAST(cnt AS BIGINT) AS cnt,
+       array_to_string(string_split(sym, '  '), ' ') AS pieces,
+       CAST(len(string_split(sym, '  ')) AS INTEGER) AS n_pieces
+FROM w{BPE_MERGES}
+ORDER BY word
+"""
+
+
 QUERIES = {
     "doc_chunks": q_doc_chunks,
     "repetition_profile": q_repetition_profile,
@@ -292,6 +366,7 @@ QUERIES = {
     "unigram_nll": q_unigram_nll,
     "pii_profile": q_pii_profile,
     "bpe_merges": q_bpe_merges,
+    "bpe_encoded_vocab": q_bpe_encoded_vocab,
 }
 
 ORACLES = {
@@ -301,4 +376,5 @@ ORACLES = {
     "unigram_nll": _UNIGRAM_NLL_ORACLE,
     "pii_profile": _PII_ORACLE,
     "bpe_merges": _bpe_oracle(),
+    "bpe_encoded_vocab": _bpe_encode_oracle(),
 }

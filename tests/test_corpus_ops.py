@@ -258,3 +258,23 @@ def test_bpe_partition_invariant(spark):
         )
     )
     assert a == b
+
+
+def test_bpe_apply_segments_with_learned_merges(spark):
+    """Round trip: applying the learned merges segments 'lower' into the
+    merged units (round 1 'a a', 2 'aa $', 3 'aa aa$' — from the
+    hand-computed fixture) and leaves unrelated words at char level;
+    'aaaa' collapses to the single final symbol."""
+    from egal_yet_another_earthquake_project_spark.llm import bpe as lbpe
+
+    words = spark.createDataFrame(
+        [("low", 5), ("lower", 2), ("aaaa", 10)], "word string, cnt long"
+    )
+    merges = [
+        r.pair
+        for r in lbpe.bpe_train(spark, words, num_merges=3).orderBy("step").collect()
+    ]
+    got = {r.word: r.pieces for r in lbpe.bpe_apply(words, merges).collect()}
+    assert got["aaaa"] == "aaaa$"
+    assert got["low"] == "l o w $"
+    assert got["lower"] == "l o w e r $"
