@@ -46,3 +46,41 @@ def stream_merge_into(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def stream_enrich_with_refreshing_dim(
+    stream: DataFrame,
+    dim_dir: str,
+    key: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    broadcast_dim: bool = True,
+) -> StreamingQuery:
+    """Enrich a stream against a dimension table that CHANGES while the
+    query runs, without restarting the query.
+
+    A plain stream-static join resolves the static side's snapshot ONCE
+    at query start — dimension updates (new customers, repriced SKUs,
+    refreshed quality scores) are invisible until restart. Here
+    ``foreachBatch`` re-reads the dimension per trigger, so every
+    micro-batch joins against the CURRENT snapshot; the dim is
+    broadcast (dims are small by definition — drop ``broadcast_dim``
+    for an unusually large one and let AQE decide). Left join keeps
+    unmatched facts flowing with null attributes rather than dropping
+    them. Per-trigger cost: one dim read + one broadcast join —
+    O(batch), no state.
+    """
+    from pyspark.sql import functions as F
+
+    def _enrich(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        dim = spark.read.parquet(dim_dir)
+        side = F.broadcast(dim) if broadcast_dim else dim
+        batch.join(side, key, "left").write.mode("append").parquet(out_dir)
+
+    writer = stream.writeStream.foreachBatch(_enrich).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

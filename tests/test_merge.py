@@ -120,3 +120,58 @@ def test_stream_merge_into_table(spark, tmp_path):
     assert out.filter("id = 1").collect()[0].v == 60.0
     assert out.filter("id = 99").count() == 1
     assert _files(table, "dt=d0") == before_d0
+
+
+def test_stream_enrichment_sees_dim_updates_between_triggers(spark, tmp_path):
+    """The refreshing-dim join must pick up a dimension rewrite between
+    micro-batches: rows enriched in trigger 1 carry the old attribute,
+    rows in trigger 2 the new one — no query restart."""
+    from pyspark.sql import functions as F
+
+    from egal_yet_another_earthquake_project_spark.sources.files import (
+        stream_parquet_dir,
+    )
+    from egal_yet_another_earthquake_project_spark.streaming.merge_sink import (
+        stream_enrich_with_refreshing_dim,
+    )
+
+    dim_dir = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(1, "bronze"), (2, "bronze")], "user_id long, tier string"
+    ).write.parquet(dim_dir)
+
+    src = tmp_path / "facts"
+    spark.createDataFrame([(100, 1)], "event_id long, user_id long").write.parquet(
+        str(src / "b1")
+    )
+    out_dir = str(tmp_path / "enriched")
+    stream = stream_parquet_dir(
+        spark,
+        str(src) + "/*",
+        spark.read.parquet(str(src / "b1")).schema,
+        max_files_per_trigger=1,
+    )
+    q = stream_enrich_with_refreshing_dim(
+        stream,
+        dim_dir,
+        "user_id",
+        out_dir,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    try:
+        q.processAllAvailable()
+        # rewrite the dimension, then feed the second fact batch
+        spark.createDataFrame(
+            [(1, "gold"), (2, "gold")], "user_id long, tier string"
+        ).write.mode("overwrite").parquet(dim_dir)
+        spark.createDataFrame(
+            [(200, 1), (201, 3)], "event_id long, user_id long"
+        ).write.parquet(str(src / "b2"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {r.event_id: r.tier for r in spark.read.parquet(out_dir).collect()}
+    assert rows[100] == "bronze", "trigger-1 row should carry the old snapshot"
+    assert rows[200] == "gold", "trigger-2 row missed the dim refresh"
+    assert rows[201] is None, "unmatched fact must flow with null attributes"
