@@ -46,3 +46,32 @@ def latest_by_key(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    fp_col: str,
+) -> DataFrame:
+    """Corpus-version diff: per id, whether it was added, removed,
+    changed (same id, different content fingerprint) or unchanged —
+    the audit every dataset release needs before shipping v(N+1).
+
+    One full-outer join on the id with a fingerprint compare; both
+    sides are pre-projected to (id, fp) so the join carries two slim
+    columns, not document bodies. Output: (id, status) with status ∈
+    {added, removed, changed, unchanged}.
+    """
+    from pyspark.sql import functions as F
+
+    o = old.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_ofp"))
+    n = new.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_nfp"))
+    return o.join(n, "_id", "full_outer").select(
+        F.col("_id").alias(id_col),
+        F.when(F.col("_ofp").isNull(), F.lit("added"))
+        .when(F.col("_nfp").isNull(), F.lit("removed"))
+        .when(F.col("_ofp") == F.col("_nfp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )

@@ -287,6 +287,69 @@ ORDER BY doc_a, doc_b
 """
 
 
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release audit between corpus versions (operators.dedup
+    snapshot_diff): v2 derives deterministically from documents (drop
+    ids ≡ 0 mod 10, rewrite text for ids ≡ 1 mod 10, add 5 fresh ids);
+    the diff classifies every id added/removed/changed/unchanged from a
+    slim (id, fingerprint) full-outer join — bodies never ride the
+    shuffle."""
+    from egal_yet_another_earthquake_project_spark.operators.dedup import (
+        snapshot_diff,
+    )
+
+    docs = _docs(spark, sf_dir)
+    v1 = docs.withColumn("fp", ltx.fingerprint("text"))
+    base2 = docs.filter(F.col("doc_id") % 10 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 1, F.concat(F.col("text"), F.lit(" revised"))
+        ).otherwise(F.col("text")),
+    )
+    fresh = spark.range(5).select(
+        (F.col("id") + 10_000_000).alias("doc_id"),
+        F.concat(F.lit("brand new doc "), F.col("id")).alias("text"),
+    )
+    v2 = base2.select("doc_id", "text").unionByName(fresh).withColumn(
+        "fp", ltx.fingerprint("text")
+    )
+    return (
+        snapshot_diff(v1, v2, "doc_id", "fp")
+        .groupBy("status")
+        .agg(F.count("*").alias("n"))
+        .orderBy("status")
+    )
+
+
+_CORPUS_DIFF_ORACLE = f"""
+WITH v1 AS (SELECT doc_id, md5({_NORM}) AS fp FROM documents),
+v2base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 1 THEN text || ' revised' ELSE text END AS text
+  FROM documents WHERE doc_id % 10 <> 0
+),
+fresh AS (
+  SELECT 10000000 + i AS doc_id,
+         'brand new doc ' || CAST(i AS VARCHAR) AS text
+  FROM unnest(range(0, 5)) AS t(i)
+),
+v2 AS (
+  SELECT doc_id, md5({_NORM}) AS fp FROM v2base
+  UNION ALL
+  SELECT doc_id, md5({_NORM}) AS fp FROM fresh
+),
+d AS (
+  SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+         CASE WHEN v1.doc_id IS NULL THEN 'added'
+              WHEN v2.doc_id IS NULL THEN 'removed'
+              WHEN v1.fp = v2.fp THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+)
+SELECT status, count(*) AS n FROM d GROUP BY status ORDER BY status
+"""
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _aug_corpus(_docs(spark, sf_dir))
     return ldd.minhash_lsh_dedup_pairs(corpus, "doc_id", verify_threshold=0.7)
@@ -1353,6 +1416,7 @@ QUERIES = {
     "exact_dedup": q_exact_dedup,
     "jaccard_pairs": q_jaccard_pairs,
     "containment_pairs": q_containment_pairs,
+    "corpus_diff": q_corpus_diff,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash32": q_simhash32,
     "simhash_neardup": q_simhash_neardup,
@@ -1386,6 +1450,7 @@ ORACLES = {
     "exact_dedup": _EXACT_DEDUP_ORACLE,
     "jaccard_pairs": _JACCARD_ORACLE,
     "containment_pairs": _CONTAINMENT_ORACLE,
+    "corpus_diff": _CORPUS_DIFF_ORACLE,
     "minhash_lsh_pairs": _minhash_sql(),
     "simhash32": _simhash32_sql(),
     "simhash_neardup": _simhash_neardup_sql(),
