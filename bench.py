@@ -109,6 +109,9 @@ HEADLINE = [
     "media_neardup",
     "pack_append",
     "bpe_merges",
+    "bpe_encoded_vocab",
+    "corpus_diff",
+    "embedding_project",
 ]
 
 

@@ -599,6 +599,53 @@ ORDER BY p.doc_id
 """
 
 
+def q_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-sign JL projection 64 → 16 dims (llm.quantize.project_jl)
+    — the pre-ANN shrink; fixed-order signed sums make the projected
+    values bit-identical cross-engine."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return lq.project_jl(emb).orderBy("vec_id", "dim")
+
+
+def _jl_oracle() -> str:
+    import math
+
+    from egal_yet_another_earthquake_project_spark.llm.quantize import (
+        JL_OUT_DIM,
+        _jl_signs,
+    )
+
+    signs = _jl_signs(64, JL_OUT_DIM)
+    scale = math.sqrt(3.0 / JL_OUT_DIM)
+    dims = []
+    for j in range(JL_OUT_DIM):
+        terms = []
+        for d in range(64):
+            w = signs[j][d]
+            if w == 0:
+                continue
+            t = f"CAST(embedding[{d + 1}] AS DOUBLE)"
+            terms.append(t if not terms and w > 0 else ("+ " + t if w > 0 else "- " + t))
+        expr = " ".join(terms) if terms else "0.0"
+        dims.append(f"round(({expr}) * {scale!r}, 6)")
+    sel = ",\n  ".join(
+        f"{e} AS v{j}" for j, e in enumerate(dims)
+    )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {j} AS dim, v{j} AS val FROM proj"
+        for j in range(JL_OUT_DIM)
+    )
+    return f"""
+WITH proj AS (
+  SELECT vec_id,
+  {sel}
+  FROM embeddings
+)
+{unions}
+ORDER BY vec_id, dim
+"""
+
+
 QUERIES = {
     "global_row_ids": q_global_row_ids,
     "kmv_distinct_users": q_kmv_distinct_users,
@@ -613,6 +660,7 @@ QUERIES = {
     "pack_texts": q_pack_texts,
     "substring_dup_pairs": q_substring_dup_pairs,
     "embedding_quantize": q_embedding_quantize,
+    "embedding_project": q_embedding_project,
     "vocab_coverage": q_vocab_coverage,
 }
 
@@ -630,5 +678,6 @@ ORACLES = {
     "pack_texts": _PACK_TEXTS_ORACLE,
     "substring_dup_pairs": _substring_oracle(),
     "embedding_quantize": _QUANTIZE_ORACLE,
+    "embedding_project": _jl_oracle(),
     "vocab_coverage": _VOCAB_ORACLE,
 }

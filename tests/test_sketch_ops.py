@@ -247,3 +247,39 @@ def test_pack_append_continues_each_group_stream(spark, docs):
         .groupBy("source").agg(F.sum("n_tokens").alias("s")).collect()
     }
     assert total == full_tokens
+
+
+def test_jl_projection_preserves_distances_and_is_shuffle_free(spark):
+    """JL guarantee, measured: the median pairwise-distance distortion
+    of the 64→16 projection stays modest (k=16 gives a loose ε; assert
+    median relative error < 0.35 over 30 random pairs), and the
+    projection plan has zero exchanges."""
+    import itertools
+    import math
+    import random
+
+    from egal_yet_another_earthquake_project_spark.llm import quantize as lq
+    from egal_yet_another_earthquake_project_spark.plans import inspect
+    from egal_yet_another_earthquake_project_spark.sources.files import read_table
+
+    emb = read_table(spark, SF, "embeddings")
+    out = lq.project_jl(emb)
+    assert inspect.exchange_count(out) == 0
+
+    orig = {r.vec_id: r.embedding for r in emb.limit(20).collect()}
+    proj: dict = {}
+    for r in out.collect():
+        proj.setdefault(r.vec_id, {})[r.dim] = r.val
+    rng = random.Random(3)
+    ids = sorted(orig)
+    pairs = rng.sample(list(itertools.combinations(ids, 2)), 30)
+    dist = []
+    for a, b in pairs:
+        do = math.dist(orig[a], orig[b])
+        pa = [proj[a][i] for i in range(16)]
+        pb = [proj[b][i] for i in range(16)]
+        dp = math.dist(pa, pb)
+        if do > 0:
+            dist.append(abs(dp - do) / do)
+    dist.sort()
+    assert dist[len(dist) // 2] < 0.35, f"median distortion {dist[len(dist)//2]:.3f}"
