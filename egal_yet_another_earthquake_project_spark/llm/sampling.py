@@ -190,6 +190,9 @@ def mixture_epochs(
     dict is plan literals (a mixture spec is dozens of sources, not a
     data-scale frame).
     """
+    bad = {k: v for k, v in weights.items() if v < 0}
+    if bad or default_weight < 0:
+        raise ValueError(f"mixture weights must be ≥ 0 (drop = 0.0): {bad}")
     hv = F.conv(
         F.substring(
             F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8

@@ -57,6 +57,8 @@ def bloom_words(
     partial), collect ≤ ``num_bits`` ints, fold into words driver-side.
     Returns signed longs ready for a Spark ``array<long>`` literal.
     """
+    if num_bits % 64:
+        raise ValueError(f"num_bits must be a multiple of 64, got {num_bits}")
     pos = (
         build.select(
             F.explode(

@@ -79,3 +79,13 @@ def test_mixture_epochs_is_shuffle_free(spark):
     docs = read_table(spark, TESTDATA_SMOKE, "documents").select("doc_id", "source")
     out = lsamp.mixture_epochs(docs, "source", "doc_id", {"src0": 2.3})
     assert inspect.exchange_count(out) == 0
+
+
+def test_mixture_rejects_negative_weights(spark):
+    import pytest
+
+    from egal_yet_another_earthquake_project_spark.llm import sampling as lsamp
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError, match="must be ≥ 0"):
+        lsamp.mixture_epochs(df, "source", "doc_id", {"a": -1.0}).collect()
