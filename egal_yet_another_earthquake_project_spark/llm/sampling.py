@@ -218,3 +218,40 @@ def mixture_epochs(
         .withColumn("copy", F.explode(F.sequence(F.lit(1), F.col("_nc"))))
         .drop("_nc")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    weights: dict[str, int] | None = None,
+    salt: str = "split",
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+) -> DataFrame:
+    """Split assignment that PREVENTS near-dup leakage by construction:
+    every member of a duplicate cluster hashes into the SAME split.
+
+    The audit (`q_split_leakage`) measures leakage after the fact; this
+    is the fix — split on the CLUSTER representative, not the doc id:
+    near-dup pairs → connected components → each doc's split = hash of
+    its component id (docs outside any pair keep their own id as
+    representative, so the assignment is unchanged for the un-duplicated
+    bulk of the corpus). One left join against the component table,
+    which is candidate-scale, not corpus-scale.
+
+    Output: df + ``split``.
+    """
+    from egal_yet_another_earthquake_project_spark.llm.clusters import (
+        connected_components,
+    )
+
+    comp = connected_components(pairs, src_col, dst_col).select(
+        F.col("node").alias(id_col), "component"
+    )
+    rep = F.coalesce(F.col("component"), F.col(id_col))
+    return (
+        df.join(comp, id_col, "left")
+        .withColumn("split", split_of(rep, weights, salt))
+        .drop("component")
+    )

@@ -885,6 +885,58 @@ FROM reach GROUP BY node ORDER BY node
 """
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware split assignment (llm.sampling.leakage_safe_split):
+    every near-dup cluster hashes into ONE split — split_leakage's
+    measured problem, PREVENTED by construction. Output each doc's
+    split over the augmented corpus."""
+    from egal_yet_another_earthquake_project_spark.llm import sampling as lsamp
+
+    corpus = _aug_corpus(_docs(spark, sf_dir))
+    pairs = ldd.jaccard_pairs(corpus, "doc_id", threshold=0.7)
+    return (
+        lsamp.leakage_safe_split(
+            corpus.select("doc_id"), pairs, "doc_id"
+        )
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )
+
+
+_LEAKAGE_SAFE_SPLIT_ORACLE = f"""
+WITH RECURSIVE corpus AS ({_AUG_SQL}),
+{_JACCARD_CORE},
+pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.7),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+enodes AS (SELECT DISTINCT a AS node FROM edges),
+reach AS (
+  SELECT node, node AS r FROM enodes
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+rep AS (
+  SELECT c.doc_id, coalesce(k.component, c.doc_id) AS rep
+  FROM corpus c LEFT JOIN comp k ON k.node = c.doc_id
+),
+b AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5('split' || CAST(rep AS VARCHAR)), 1, 8)
+              AS BIGINT) % 100 AS bucket
+  FROM rep
+)
+SELECT doc_id,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+ORDER BY doc_id
+"""
+
+
 def q_canonical_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware canonical selection: per near-dup cluster keep the
     HIGHEST-quality member (ties → min doc_id) instead of the min-id
@@ -1437,6 +1489,8 @@ QUERIES = {
     "lsh_recall": q_lsh_recall,
     "source_overlap": q_source_overlap,
     "split_leakage": q_split_leakage,
+    "leakage_safe_split": q_leakage_safe_split,
+    "leakage_safe_split": q_leakage_safe_split,
 }
 
 ORACLES = {
@@ -1471,4 +1525,5 @@ ORACLES = {
     "lsh_recall": _lsh_recall_sql(),
     "source_overlap": _SOURCE_OVERLAP_ORACLE,
     "split_leakage": _split_leakage_sql(),
+    "leakage_safe_split": _LEAKAGE_SAFE_SPLIT_ORACLE,
 }

@@ -89,3 +89,29 @@ def test_mixture_rejects_negative_weights(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
     with pytest.raises(ValueError, match="must be ≥ 0"):
         lsamp.mixture_epochs(df, "source", "doc_id", {"a": -1.0}).collect()
+
+
+def test_leakage_safe_split_never_straddles_pairs(spark):
+    """The whole point: every near-dup pair's two ends land in the SAME
+    split (contrast hash_split on raw ids, which the split_leakage
+    audit catches straddling); docs outside any pair keep the id-hash
+    assignment."""
+    from egal_yet_another_earthquake_project_spark.llm import sampling as lsamp
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 100) for i in range(0, 50)], "doc_a long, doc_b long"
+    )
+    out = lsamp.leakage_safe_split(docs.select("doc_id"), pairs, "doc_id")
+    split = {r.doc_id: r.split for r in out.collect()}
+    for a in range(0, 50):
+        assert split[a] == split[a + 100], f"pair ({a},{a+100}) straddles"
+    # unpaired docs match the plain id-hash assignment
+    plain = {
+        r.doc_id: r.split
+        for r in lsamp.with_split(docs.select("doc_id"), "doc_id").collect()
+    }
+    for i in range(50, 100):
+        assert split[i] == plain[i]
