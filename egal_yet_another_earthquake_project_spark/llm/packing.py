@@ -171,3 +171,67 @@ def pack_sequences_append(
         )
         .select(id_col, group_col, "n_tokens", "start_tok", "pack_id")
     )
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    batch_size: int = 8,
+    salt: str = "lenbatch",
+) -> DataFrame:
+    """Assign docs to fixed-size batches within log2 length buckets —
+    the padding-waste reducer for non-packed (per-example) training:
+    batching similar lengths together means each batch pads to a max
+    close to its mean.
+
+    bucket = ⌊log2(n_tokens + 1)⌋ (integer — engine-portable, no
+    quantile estimation drift); within a bucket docs take an md5-rank
+    order and chunk into ``batch_size`` groups. One shuffle (the bucket
+    window). Output: (id, n_tokens, bucket, batch_id), deterministic
+    under any partitioning.
+    """
+    toks = ltx.tokenized(df, text_col).select(
+        F.col(id_col),
+        F.size("_toks").alias("n_tokens"),
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))).alias("_ord"),
+    )
+    bucket = F.length(
+        F.conv((F.col("n_tokens") + 1).cast("string"), 10, 2)
+    ) - F.lit(1)
+    w = Window.partitionBy("bucket").orderBy(F.col("_ord").asc(), F.col(id_col).asc())
+    return (
+        toks.withColumn("bucket", bucket.cast("int"))
+        .withColumn(
+            "batch_id",
+            ((F.row_number().over(w) - 1) / batch_size).cast("long"),
+        )
+        .select(id_col, "n_tokens", "bucket", "batch_id")
+    )
+
+
+def padding_audit(batches: DataFrame) -> DataFrame:
+    """Per-bucket padding accounting over length-bucketed batches: each
+    batch pads every member to the batch max, so waste = Σ(max·n − Σlen)
+    — all integer until the final ratio. Output per bucket:
+    (bucket, n_batches, pad_pct)."""
+    per_batch = batches.groupBy("bucket", "batch_id").agg(
+        F.max("n_tokens").alias("_mx"),
+        F.sum("n_tokens").alias("_sum"),
+        F.count("*").alias("_n"),
+    )
+    return (
+        per_batch.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_batches"),
+            F.round(
+                F.lit(100.0)
+                * (
+                    F.sum(F.col("_mx") * F.col("_n")) - F.sum("_sum")
+                ).cast("double")
+                / F.sum(F.col("_mx") * F.col("_n")).cast("double"),
+                4,
+            ).alias("pad_pct"),
+        )
+        .orderBy("bucket")
+    )

@@ -646,6 +646,50 @@ ORDER BY vec_id, dim
 """
 
 
+LEN_BATCH_SIZE = 8
+
+
+def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch shaping + integer-exact padding audit
+    (llm.packing.length_bucketed_batches): batching similar lengths
+    cuts per-example padding waste; the audit reports per log2-bucket
+    batch counts and pad percentage."""
+    docs = read_table(spark, sf_dir, "documents")
+    b = lpack.length_bucketed_batches(docs, "doc_id", batch_size=LEN_BATCH_SIZE)
+    return lpack.padding_audit(b)
+
+
+_LENGTH_BATCHES_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, len({_TOKS}) AS n_tokens,
+         md5('lenbatch' || CAST(doc_id AS VARCHAR)) AS ord_key
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n_tokens,
+         CAST(length(bin(n_tokens + 1)) - 1 AS INTEGER) AS bucket,
+         ord_key
+  FROM toks
+),
+r AS (
+  SELECT doc_id, n_tokens, bucket,
+         CAST((row_number() OVER (PARTITION BY bucket
+               ORDER BY ord_key ASC, doc_id ASC) - 1) // {LEN_BATCH_SIZE}
+              AS BIGINT) AS batch_id
+  FROM b
+),
+pb AS (
+  SELECT bucket, batch_id, max(n_tokens) AS mx, sum(n_tokens) AS s,
+         count(*) AS n
+  FROM r GROUP BY bucket, batch_id
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_batches,
+       round(100.0 * CAST(sum(mx * n) - sum(s) AS DOUBLE)
+             / CAST(sum(mx * n) AS DOUBLE), 4) AS pad_pct
+FROM pb GROUP BY bucket ORDER BY bucket
+"""
+
+
 QUERIES = {
     "global_row_ids": q_global_row_ids,
     "kmv_distinct_users": q_kmv_distinct_users,
@@ -653,6 +697,7 @@ QUERIES = {
     "frequent_tokens": q_frequent_tokens,
     "mixture_epochs": q_mixture_epochs,
     "pack_append": q_pack_append,
+    "length_batches": q_length_batches,
     "cms_token_counts": q_cms_token_counts,
     "alpha_resample": q_alpha_resample,
     "sequence_packing": q_sequence_packing,
@@ -671,6 +716,7 @@ ORACLES = {
     "frequent_tokens": _HH_ORACLE,
     "mixture_epochs": _mixture_oracle(),
     "pack_append": _PACK_APPEND_ORACLE,
+    "length_batches": _LENGTH_BATCHES_ORACLE,
     "cms_token_counts": _CMS_ORACLE,
     "alpha_resample": _ALPHA_ORACLE,
     "sequence_packing": _PACKING_ORACLE,

@@ -283,3 +283,42 @@ def test_jl_projection_preserves_distances_and_is_shuffle_free(spark):
             dist.append(abs(dp - do) / do)
     dist.sort()
     assert dist[len(dist) // 2] < 0.35, f"median distortion {dist[len(dist)//2]:.3f}"
+
+
+def test_length_bucketing_cuts_padding_vs_random_batches(spark, docs):
+    """The point of length bucketing, measured: padding waste under
+    bucketed batches is strictly below random (id-hash ordered,
+    unbucketed) batches of the same size on the same corpus."""
+    batched = lpack.length_bucketed_batches(docs, "doc_id", batch_size=8)
+    bucketed_rows = lpack.padding_audit(batched).collect()
+
+    # random baseline: same batch size, single bucket, hash order
+    toks = batched.select("doc_id", "n_tokens")
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(
+        F.md5(F.concat(F.lit("rand"), F.col("doc_id").cast("string"))), "doc_id"
+    )
+    rand = toks.withColumn("bucket", F.lit(0)).withColumn(
+        "batch_id", ((F.row_number().over(w) - 1) / 8).cast("long")
+    )
+    rand_pct = lpack.padding_audit(rand).collect()[0].pad_pct
+
+    total_mass = sum(r.n_batches for r in bucketed_rows)
+    weighted = sum(r.pad_pct * r.n_batches for r in bucketed_rows) / total_mass
+    assert weighted < rand_pct, (weighted, rand_pct)
+
+
+def test_length_batches_are_full_and_partition_invariant(spark, docs):
+    out = lpack.length_bucketed_batches(docs, "doc_id", batch_size=8)
+    sizes = out.groupBy("bucket", "batch_id").count().collect()
+    # every batch except possibly each bucket's last is exactly full
+    by_bucket: dict[int, list] = {}
+    for r in sizes:
+        by_bucket.setdefault(r.bucket, []).append((r.batch_id, r["count"]))
+    for b, lst in by_bucket.items():
+        lst.sort()
+        for bid, n in lst[:-1]:
+            assert n == 8, f"bucket {b} batch {bid} has {n}"
+    again = lpack.length_bucketed_batches(docs.repartition(7), "doc_id", batch_size=8)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
