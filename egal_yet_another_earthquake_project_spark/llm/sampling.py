@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def hash_bucket(key: Column | str, buckets: int = 100, salt: str = "") -> Column:
@@ -255,3 +256,44 @@ def leakage_safe_split(
         .withColumn("split", split_of(rep, weights, salt))
         .drop("component")
     )
+
+
+def stratified_split(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    weights: dict[str, int] | None = None,
+    salt: str = "strat",
+) -> DataFrame:
+    """EXACT per-stratum splits: within every stratum the split sizes
+    hit their quotas to the row (±1 from integer flooring), unlike the
+    hash split whose per-stratum ratios only hold in expectation (a
+    small source can land 70/30 by chance at 80/10/10 weights).
+
+    Per stratum: md5-rank rows, cut at exact cumulative quota
+    boundaries (⌊w·n⌋, computed from the stratum's own count window).
+    One shuffle (the stratum window) — the alpha_resample plan shape.
+    Output: df + ``split``; deterministic across engines/partitionings.
+    """
+    weights = weights or {"train": 80, "val": 10, "test": 10}
+    assert sum(weights.values()) == 100, "split weights must sum to 100"
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))).asc(),
+        F.col(id_col).asc(),
+    )
+    wc = Window.partitionBy(strata_col)
+    ranked = df.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_ns", F.count("*").over(wc)
+    )
+    expr = None
+    cum = 0
+    names = list(weights.items())
+    for name, pct in names[:-1]:
+        cum += pct
+        bound = F.floor(F.col("_ns") * cum / 100)
+        cond = F.col("_rn") <= bound
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        expr.otherwise(names[-1][0]) if expr is not None else F.lit(names[-1][0])
+    )
+    return ranked.withColumn("split", expr).drop("_rn", "_ns")

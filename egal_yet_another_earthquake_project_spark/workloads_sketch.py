@@ -690,6 +690,40 @@ FROM pb GROUP BY bucket ORDER BY bucket
 """
 
 
+def q_stratified_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact stratified train/val/test (llm.sampling.stratified_split):
+    per-source quotas hit to the row — the per-(source, split) counts
+    prove it (hash splits only match in expectation)."""
+    docs = read_table(spark, sf_dir, "documents")
+    out = lsamp.stratified_split(docs.select("doc_id", "source"), "source", "doc_id")
+    return (
+        out.groupBy("source", "split")
+        .agg(F.count("*").alias("n"))
+        .orderBy("source", "split")
+    )
+
+
+_STRAT_SPLIT_ORACLE = """
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+             ORDER BY md5('strat' || CAST(doc_id AS VARCHAR)) ASC,
+                      doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY source) AS ns
+  FROM documents
+),
+s AS (
+  SELECT source,
+         CASE WHEN rn <= floor(ns * 80 / 100) THEN 'train'
+              WHEN rn <= floor(ns * 90 / 100) THEN 'val'
+              ELSE 'test' END AS split
+  FROM r
+)
+SELECT source, split, count(*) AS n FROM s
+GROUP BY source, split ORDER BY source, split
+"""
+
+
 QUERIES = {
     "global_row_ids": q_global_row_ids,
     "kmv_distinct_users": q_kmv_distinct_users,
@@ -698,6 +732,7 @@ QUERIES = {
     "mixture_epochs": q_mixture_epochs,
     "pack_append": q_pack_append,
     "length_batches": q_length_batches,
+    "stratified_split_counts": q_stratified_split_counts,
     "cms_token_counts": q_cms_token_counts,
     "alpha_resample": q_alpha_resample,
     "sequence_packing": q_sequence_packing,
@@ -717,6 +752,7 @@ ORACLES = {
     "mixture_epochs": _mixture_oracle(),
     "pack_append": _PACK_APPEND_ORACLE,
     "length_batches": _LENGTH_BATCHES_ORACLE,
+    "stratified_split_counts": _STRAT_SPLIT_ORACLE,
     "cms_token_counts": _CMS_ORACLE,
     "alpha_resample": _ALPHA_ORACLE,
     "sequence_packing": _PACKING_ORACLE,

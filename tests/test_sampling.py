@@ -115,3 +115,27 @@ def test_leakage_safe_split_never_straddles_pairs(spark):
     }
     for i in range(50, 100):
         assert split[i] == plain[i]
+
+
+def test_stratified_split_hits_exact_quotas(spark):
+    """Within every stratum the split sizes are exactly ⌊w·n⌋-based —
+    even a tiny stratum gets its proportional shares, where a hash
+    split would wander."""
+    from egal_yet_another_earthquake_project_spark.llm import sampling as lsamp
+
+    rows = [(i, "big") for i in range(100)] + [(1000 + i, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = lsamp.stratified_split(df, "source", "doc_id")
+    counts = {
+        (r.source, r.split): r.n
+        for r in out.groupBy("source", "split").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts[("big", "train")] == 80
+    assert counts[("big", "val")] == 10
+    assert counts[("big", "test")] == 10
+    assert counts[("small", "train")] == 8
+    assert counts[("small", "val")] == 1
+    assert counts[("small", "test")] == 1
+    # invariance
+    again = lsamp.stratified_split(df.repartition(7), "source", "doc_id")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
