@@ -112,6 +112,9 @@ HEADLINE = [
     "bpe_encoded_vocab",
     "corpus_diff",
     "embedding_project",
+    "leakage_safe_split",
+    "length_batches",
+    "stratified_split_counts",
 ]
 
 
