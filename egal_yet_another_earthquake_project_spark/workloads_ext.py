@@ -771,6 +771,86 @@ SELECT CAST((SELECT count(*) FROM v WHERE tv IS NOT NULL) AS BIGINT) AS n_view,
 """
 
 
+def q_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch conversion credit: every purchase splits one unit of
+    credit LINEARLY across that user's clicks in the preceding hour
+    (plus a last-touch column for the attribution-model comparison) —
+    the batch complement of the streaming attribution join.
+
+    Plan shape: purchases ⋈ clicks on the user key with a range
+    predicate — an equi-join whose range residual filters post-join, so
+    it shuffles once on user_id, never a cross product. Credit math is
+    exact: per-conversion touch counts are integers, the linear share
+    1/n routes through DECIMAL division at fixed scale so per-user sums
+    are partition-order-free.
+    """
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("buy_ts"),
+        F.col("event_id").alias("buy_id"),
+    )
+    touches = buys.join(clicks, "u").filter(
+        (F.col("click_ts") <= F.col("buy_ts"))
+        & (F.col("click_ts") >= F.col("buy_ts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    per_buy = touches.groupBy("u", "buy_id").agg(
+        F.count("*").alias("n_touches"),
+        F.max(F.struct("click_ts", "click_id")).alias("_last"),
+    )
+    credited = per_buy.select(
+        "u",
+        "buy_id",
+        "n_touches",
+        F.col("_last.click_id").alias("last_touch_click"),
+        (F.lit(1).cast("decimal(18,9)") / F.col("n_touches")).alias("_share"),
+    )
+    return (
+        credited.groupBy("u")
+        .agg(
+            F.count("*").alias("n_attributed"),
+            F.sum("n_touches").alias("total_touches"),
+            F.sum("_share").cast("double").alias("linear_credit"),
+            F.max("last_touch_click").alias("max_last_touch"),
+        )
+        .orderBy("u")
+    )
+
+
+_MULTITOUCH_ORACLE = """
+WITH clicks AS (
+  SELECT user_id AS u, ts AS click_ts, event_id AS click_id
+  FROM events WHERE event_type = 'click'
+),
+buys AS (
+  SELECT user_id AS u, ts AS buy_ts, event_id AS buy_id
+  FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT b.u, b.buy_id, c.click_ts, c.click_id
+  FROM buys b JOIN clicks c ON c.u = b.u
+  WHERE c.click_ts <= b.buy_ts
+    AND c.click_ts >= b.buy_ts - INTERVAL 1 HOUR
+),
+per_buy AS (
+  SELECT u, buy_id, count(*) AS n_touches,
+         max(struct_pack(click_ts := click_ts, click_id := click_id)) AS last
+  FROM touches GROUP BY u, buy_id
+)
+SELECT u, CAST(count(*) AS BIGINT) AS n_attributed,
+       CAST(sum(n_touches) AS BIGINT) AS total_touches,
+       CAST(sum(CAST(1 AS DECIMAL(18,9)) / n_touches) AS DOUBLE)
+         AS linear_credit,
+       CAST(max(last.click_id) AS BIGINT) AS max_last_touch
+FROM per_buy GROUP BY u ORDER BY u
+"""
+
+
 def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q14 shape: conditional aggregation (CASE inside SUM) over
     lineitem ⋈ part — promo revenue share per ship month. part is
@@ -1061,6 +1141,7 @@ QUERIES = {
     "replicated_dim_join": q_replicated_dim_join,
     "bloom_pruned_join": q_bloom_pruned_join,
     "funnel_conversion": q_funnel_conversion,
+    "multitouch_attribution": q_multitouch_attribution,
     "promo_revenue": q_promo_revenue,
     "supplier_nation_revenue": q_supplier_nation_revenue,
     "trailing_hour_stats": q_trailing_hour_stats,
@@ -1095,6 +1176,7 @@ ORACLES = {
     "replicated_dim_join": _REPLICATED_JOIN_ORACLE,
     "bloom_pruned_join": _BLOOM_JOIN_ORACLE,
     "funnel_conversion": _FUNNEL_ORACLE,
+    "multitouch_attribution": _MULTITOUCH_ORACLE,
     "promo_revenue": _PROMO_REVENUE_ORACLE,
     "supplier_nation_revenue": _SUPPLIER_NATION_ORACLE,
     "trailing_hour_stats": _TRAILING_HOUR_ORACLE,
