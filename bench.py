@@ -115,6 +115,8 @@ HEADLINE = [
     "leakage_safe_split",
     "length_batches",
     "stratified_split_counts",
+    "multitouch_attribution",
+    "source_quality",
 ]
 
 

@@ -138,6 +138,50 @@ FROM feat
 """
 
 
+def q_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health dashboard: doc counts, mean quality and
+    token length, English share — the table a curation operator watches
+    per crawl drop. Per-doc quality is rounded to 4dp then summed
+    through DECIMAL, so the means are partition-order-free."""
+    prof = ltx.text_profile(_docs(spark, sf_dir))
+    return (
+        prof.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.sum(F.col("quality").cast("decimal(8,4)")).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("mean_quality"),
+            F.round(
+                F.sum("n_tokens").cast("double") / F.count("*"), 2
+            ).alias("mean_tokens"),
+            F.round(
+                F.sum((F.col("lang_guess") == "en").cast("long")).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("pct_en"),
+        )
+        .orderBy("source")
+    )
+
+
+def _source_quality_oracle() -> str:
+    inner = _TEXT_PROFILE_ORACLE.strip()
+    return f"""
+WITH prof AS ({inner}),
+j AS (SELECT d.source, p.quality, p.n_tokens, p.lang_guess
+      FROM documents d JOIN prof p USING (doc_id))
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(sum(CAST(quality AS DECIMAL(8,4))) AS DOUBLE) / count(*), 4)
+         AS mean_quality,
+       round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 2) AS mean_tokens,
+       round(CAST(sum(CASE WHEN lang_guess = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS pct_en
+FROM j GROUP BY source ORDER BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # Dedup
 # --------------------------------------------------------------------------
@@ -1459,6 +1503,7 @@ ORDER BY label, dim
 
 QUERIES = {
     "text_profile": q_text_profile,
+    "source_quality": q_source_quality,
     "winnow_fingerprints": q_winnow_fingerprints,
     "curation_pipeline": q_curation_pipeline,
     "dedup_clusters": q_dedup_clusters,
@@ -1495,6 +1540,7 @@ QUERIES = {
 
 ORACLES = {
     "text_profile": _TEXT_PROFILE_ORACLE,
+    "source_quality": _source_quality_oracle(),
     "winnow_fingerprints": _WINNOW_ORACLE,
     "curation_pipeline": _CURATION_ORACLE,
     "dedup_clusters": _DEDUP_CLUSTERS_ORACLE,
