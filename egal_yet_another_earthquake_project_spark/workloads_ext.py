@@ -851,6 +851,49 @@ FROM per_buy GROUP BY u ORDER BY u
 """
 
 
+def q_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC-style time bars: per hour per event type, the opening value
+    (at the window's first event), closing value (at its last), high,
+    low, and volume — the time-series rollup shape monitoring and
+    finance pipelines run constantly. Open/close ride struct min/max
+    ((ts, event_id, value) — total order, engine-portable), so the
+    whole bar is ONE aggregation pass, no window functions.
+    """
+    ev = _t(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    return (
+        ev.withColumn(
+            "hour", F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH")
+        )
+        .groupBy("hour", "event_type")
+        .agg(
+            F.min(key).getField("value").alias("open"),
+            F.max(key).getField("value").alias("close"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.count("*").alias("volume"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+_HOURLY_BARS_ORACLE = """
+WITH e AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+         event_type, ts, event_id, value
+  FROM events
+)
+SELECT hour, event_type,
+       min(struct_pack(ts := ts, event_id := event_id, value := value)).value
+         AS open,
+       max(struct_pack(ts := ts, event_id := event_id, value := value)).value
+         AS close,
+       max(value) AS high, min(value) AS low,
+       CAST(count(*) AS BIGINT) AS volume
+FROM e GROUP BY hour, event_type ORDER BY hour, event_type
+"""
+
+
 def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q14 shape: conditional aggregation (CASE inside SUM) over
     lineitem ⋈ part — promo revenue share per ship month. part is
@@ -1142,6 +1185,7 @@ QUERIES = {
     "bloom_pruned_join": q_bloom_pruned_join,
     "funnel_conversion": q_funnel_conversion,
     "multitouch_attribution": q_multitouch_attribution,
+    "hourly_bars": q_hourly_bars,
     "promo_revenue": q_promo_revenue,
     "supplier_nation_revenue": q_supplier_nation_revenue,
     "trailing_hour_stats": q_trailing_hour_stats,
@@ -1177,6 +1221,7 @@ ORACLES = {
     "bloom_pruned_join": _BLOOM_JOIN_ORACLE,
     "funnel_conversion": _FUNNEL_ORACLE,
     "multitouch_attribution": _MULTITOUCH_ORACLE,
+    "hourly_bars": _HOURLY_BARS_ORACLE,
     "promo_revenue": _PROMO_REVENUE_ORACLE,
     "supplier_nation_revenue": _SUPPLIER_NATION_ORACLE,
     "trailing_hour_stats": _TRAILING_HOUR_ORACLE,

@@ -724,10 +724,34 @@ GROUP BY source, split ORDER BY source, split
 """
 
 
+def q_hourly_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series cardinality monitoring: per-hour distinct users by
+    HLL registers next to the exact count — the sketch in its native
+    dashboard use (per-window uniques at bounded state; windows merge
+    into coarser grains by per-bucket max)."""
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "hour", F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH")
+    )
+    return lsk.hll_distinct(ev, ["hour"], "user_id", p=HLL_P).orderBy("hour")
+
+
+def _hourly_hll_oracle() -> str:
+    base = _hll_oracle()
+    return (
+        base.replace("event_type", "hour")
+        .replace(
+            "FROM events",
+            "FROM (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, "
+            "user_id FROM events)",
+        )
+    )
+
+
 QUERIES = {
     "global_row_ids": q_global_row_ids,
     "kmv_distinct_users": q_kmv_distinct_users,
     "hll_distinct_users": q_hll_distinct_users,
+    "hourly_distinct_users": q_hourly_distinct_users,
     "frequent_tokens": q_frequent_tokens,
     "mixture_epochs": q_mixture_epochs,
     "pack_append": q_pack_append,
@@ -748,6 +772,7 @@ ORACLES = {
     "global_row_ids": _ROW_IDS_ORACLE,
     "kmv_distinct_users": _KMV_ORACLE,
     "hll_distinct_users": _hll_oracle(),
+    "hourly_distinct_users": _hourly_hll_oracle(),
     "frequent_tokens": _HH_ORACLE,
     "mixture_epochs": _mixture_oracle(),
     "pack_append": _PACK_APPEND_ORACLE,
