@@ -117,6 +117,8 @@ HEADLINE = [
     "stratified_split_counts",
     "multitouch_attribution",
     "source_quality",
+    "hourly_distinct_users",
+    "hourly_bars",
 ]
 
 
