@@ -119,6 +119,7 @@ HEADLINE = [
     "source_quality",
     "hourly_distinct_users",
     "hourly_bars",
+    "event_transitions",
 ]
 
 

@@ -894,6 +894,51 @@ FROM e GROUP BY hour, event_type ORDER BY hour, event_type
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition counts: per (current → next) event-type pair
+    within each user's time-ordered stream, with the row-normalized
+    probability — the path-analysis complement of the funnel (which
+    only tracks one fixed sequence). One user-partitioned lag window +
+    one pair aggregate; probabilities are exact integer ratios rounded
+    at the end."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.withColumn("next_type", F.lead("event_type").over(w)).filter(
+        F.col("next_type").isNotNull()
+    )
+    counts = steps.groupBy("event_type", "next_type").agg(
+        F.count("*").alias("n")
+    )
+    wrow = Window.partitionBy("event_type")
+    return (
+        counts.withColumn(
+            "p", F.round(F.col("n") / F.sum("n").over(wrow), 4)
+        )
+        .orderBy("event_type", "next_type")
+    )
+
+
+_TRANSITIONS_ORACLE = """
+WITH steps AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+c AS (
+  SELECT event_type, next_type, count(*) AS n
+  FROM steps WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+)
+SELECT event_type, next_type, n,
+       round(CAST(n AS DOUBLE)
+             / sum(n) OVER (PARTITION BY event_type), 4) AS p
+FROM c ORDER BY event_type, next_type
+"""
+
+
 def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q14 shape: conditional aggregation (CASE inside SUM) over
     lineitem ⋈ part — promo revenue share per ship month. part is
@@ -1186,6 +1231,7 @@ QUERIES = {
     "funnel_conversion": q_funnel_conversion,
     "multitouch_attribution": q_multitouch_attribution,
     "hourly_bars": q_hourly_bars,
+    "event_transitions": q_event_transitions,
     "promo_revenue": q_promo_revenue,
     "supplier_nation_revenue": q_supplier_nation_revenue,
     "trailing_hour_stats": q_trailing_hour_stats,
@@ -1222,6 +1268,7 @@ ORACLES = {
     "funnel_conversion": _FUNNEL_ORACLE,
     "multitouch_attribution": _MULTITOUCH_ORACLE,
     "hourly_bars": _HOURLY_BARS_ORACLE,
+    "event_transitions": _TRANSITIONS_ORACLE,
     "promo_revenue": _PROMO_REVENUE_ORACLE,
     "supplier_nation_revenue": _SUPPLIER_NATION_ORACLE,
     "trailing_hour_stats": _TRAILING_HOUR_ORACLE,
