@@ -60,47 +60,94 @@ def _pair_counts(w: DataFrame, cnt_col: str) -> DataFrame:
     )
 
 
+#: How many ranked candidate pairs each round examines when selecting a
+#: batch of independent merges: ``CANDIDATE_FACTOR * batch_merges``.
+#: Part of the algorithm definition — the SQL oracle scans the same
+#: bounded prefix of the ranking, so both engines pick identical batches.
+CANDIDATE_FACTOR = 8
+
+
+def _independent(p: str, q: str) -> bool:
+    """True iff merges ``p`` and ``q`` (each ``"a b"``) commute: their
+    member symbols are disjoint AND neither's merged product equals a
+    member of the other. Under this condition each pair's match set in
+    the pre-round table is untouched by applying the other, so a batch
+    applies in any order with the same result as sequential."""
+    pa, pb = p.split(" ")
+    qa, qb = q.split(" ")
+    if {pa, pb} & {qa, qb}:
+        return False
+    if pa + pb in (qa, qb) or qa + qb in (pa, pb):
+        return False
+    return True
+
+
 def bpe_train(
     spark: SparkSession,
     words: DataFrame,
     word_col: str = "word",
     cnt_col: str = "cnt",
     num_merges: int = 3,
+    batch_merges: int = 1,
 ) -> DataFrame:
-    """Learn ``num_merges`` BPE merges from a (word, count) table.
+    """Learn up to ``num_merges`` BPE merges from a (word, count) table.
 
-    Returns (step, pair, cnt): the merge learned at each round and the
-    weighted occurrence count that won it. Each round: pair explode →
-    partial-agg sum → deterministic top-1 to the driver → literal
-    replace, with the vocabulary-scale word table localCheckpointed so
-    the per-round lineage stays flat.
+    Returns (step, pair, cnt): the merges in learned order with the
+    weighted occurrence count (from the round's pre-merge table) that
+    won each. Each ROUND: pair explode → partial-agg sum → deterministic
+    top-K to the driver (K = ``CANDIDATE_FACTOR * batch_merges`` rows,
+    bounded) → greedy selection of up to ``batch_merges`` mutually
+    INDEPENDENT pairs in rank order (``_independent``: disjoint symbols,
+    no product/member collision — the condition under which the batch
+    commutes) → the batch's literal replaces applied together, with the
+    vocabulary-scale word table localCheckpointed so per-round lineage
+    stays flat.
+
+    Scale contract: driver round trips are ``ceil(num_merges /
+    batch_merges)``, not ``num_merges`` — a 30k-merge tokenizer at
+    ``batch_merges=64`` is ~470 Spark jobs, each moving ≤ K tiny rows to
+    the driver. ``batch_merges=1`` is EXACTLY classic BPE (Sennrich et
+    al. 2016). ``batch_merges>1`` is the standard batched approximation:
+    picks 2..m of a round rank against the round's pre-merge counts
+    rather than recounting after each pick, so the learned sequence can
+    differ from classic BPE's (it equals classic whenever the round's
+    top pairs are independent, the common case on natural text). Rounds
+    whose candidate prefix yields fewer than ``batch_merges``
+    independent pairs learn fewer merges (never more rounds), so the
+    result can have < ``num_merges`` rows; the structure is static and
+    replays identically in the unrolled SQL oracle.
     """
+    if num_merges < 0 or batch_merges < 1:
+        raise ValueError("num_merges must be >= 0 and batch_merges >= 1")
     w = word_symbols(
         words.select(word_col, cnt_col), word_col
     ).localCheckpoint(eager=True)
     merges: list[tuple[int, str, int]] = []
-    for step in range(1, num_merges + 1):
-        top = (
+    k = CANDIDATE_FACTOR * batch_merges
+    n_rounds = (num_merges + batch_merges - 1) // batch_merges
+    for r in range(n_rounds):
+        cap = min(batch_merges, num_merges - r * batch_merges)
+        topk = (
             _pair_counts(w, cnt_col)
             .orderBy(F.col("cnt").desc(), F.col("pair").asc())
-            .limit(1)
+            .limit(k)
             .collect()
         )
-        if not top:
+        if not topk:
             break
-        pair, cnt = top[0].pair, int(top[0].cnt)
-        merges.append((step, pair, cnt))
-        a, b = pair.split(" ")
-        w = w.withColumn(
-            "sym",
-            F.trim(
-                F.replace(
-                    F.concat(F.lit(" "), F.col("sym"), F.lit(" ")),
-                    F.lit(f" {a}  {b} "),
-                    F.lit(f" {a}{b} "),
-                )
-            ),
-        ).localCheckpoint(eager=True)
+        picks: list[tuple[str, int]] = []
+        for row in topk:
+            if len(picks) == cap:
+                break
+            if all(_independent(row.pair, p) for p, _ in picks):
+                picks.append((row.pair, int(row.cnt)))
+        for pair, cnt in picks:
+            merges.append((len(merges) + 1, pair, cnt))
+        sym = F.concat(F.lit(" "), F.col("sym"), F.lit(" "))
+        for pair, _ in picks:
+            a, b = pair.split(" ")
+            sym = F.replace(sym, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+        w = w.withColumn("sym", F.trim(sym)).localCheckpoint(eager=True)
     return spark.createDataFrame(merges, "step int, pair string, cnt long")
 
 

@@ -215,15 +215,17 @@ ORDER BY doc_id
 """.replace("REDACTED", _PII_REDACTED)
 
 
-BPE_MERGES = 3
+BPE_MERGES = 20
+BPE_BATCH = 4  # driver round trips = ceil(20/4) = 5, not 20
 
 
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed BPE tokenizer training (llm.bpe): the first 3 merge
-    rules learned from the corpus's word-frequency table — per round one
-    weighted pair aggregate, a deterministic global top-1, and a
-    boundary-safe literal merge; the oracle replays the unrolled
-    iterations exactly."""
+    """Distributed BPE tokenizer training (llm.bpe): the first 20 merge
+    rules learned from the corpus's word-frequency table in batches of 4
+    — per ROUND one weighted pair aggregate, a deterministic bounded
+    top-K to the driver, greedy selection of mutually-independent pairs,
+    and the batch's boundary-safe literal merges applied together; the
+    oracle replays the unrolled batched rounds exactly."""
     from egal_yet_another_earthquake_project_spark.llm import bpe as lbpe
 
     docs = read_table(spark, sf_dir, "documents")
@@ -233,44 +235,81 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
     )
-    return lbpe.bpe_train(spark, words, num_merges=BPE_MERGES).orderBy("step")
+    return lbpe.bpe_train(
+        spark, words, num_merges=BPE_MERGES, batch_merges=BPE_BATCH
+    ).orderBy("step")
+
+
+def _bpe_conflict(t: str, s: str) -> str:
+    """SQL CONFLICT predicate between candidate alias ``t`` and selected
+    alias ``s`` — the negation of llm.bpe._independent."""
+    return (
+        f"split_part({t}.pair,' ',1) IN (split_part({s}.pair,' ',1), split_part({s}.pair,' ',2))\n"
+        f"       OR split_part({t}.pair,' ',2) IN (split_part({s}.pair,' ',1), split_part({s}.pair,' ',2))\n"
+        f"       OR replace({t}.pair,' ','') IN (split_part({s}.pair,' ',1), split_part({s}.pair,' ',2))\n"
+        f"       OR replace({s}.pair,' ','') IN (split_part({t}.pair,' ',1), split_part({t}.pair,' ',2))"
+    )
+
+
+def _bpe_cte_chain() -> tuple[str, int, list[tuple[int, int]]]:
+    """CTE chain replaying llm.bpe.bpe_train's batched rounds: per round
+    pair counts → ranked top-K → greedy independent picks (one CTE per
+    static pick slot: the i-th pick is the lowest-ranked candidate not
+    conflicting with picks 1..i-1, which equals the sequential greedy
+    scan) → all picks applied in one nested-replace projection. Returns
+    (ctes_sql, n_rounds, [(round, pick_slot), ...])."""
+    from egal_yet_another_earthquake_project_spark.llm.bpe import CANDIDATE_FACTOR
+
+    k = CANDIDATE_FACTOR * BPE_BATCH
+    n_rounds = (BPE_MERGES + BPE_BATCH - 1) // BPE_BATCH
+    ctes: list[str] = []
+    slots: list[tuple[int, int]] = []
+    for r in range(1, n_rounds + 1):
+        cap = min(BPE_BATCH, BPE_MERGES - (r - 1) * BPE_BATCH)
+        ctes.append(f"""p{r} AS MATERIALIZED (
+  SELECT s[i] || ' ' || s[i + 1] AS pair, sum(cnt) AS cnt
+  FROM (SELECT cnt, string_split(sym, '  ') AS s FROM w{r - 1}),
+       unnest(range(1, len(s))) AS t(i)
+  GROUP BY 1
+)""")
+        ctes.append(f"""t{r} AS MATERIALIZED (
+  SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rk
+  FROM p{r} QUALIFY rk <= {k}
+)""")
+        for i in range(1, cap + 1):
+            slots.append((r, i))
+            if i == 1:
+                ctes.append(
+                    f"s{r}_1 AS MATERIALIZED (\n  SELECT pair, cnt, rk FROM t{r} ORDER BY rk LIMIT 1\n)"
+                )
+            else:
+                prev = "\n      UNION ALL ".join(
+                    f"SELECT pair FROM s{r}_{j}" for j in range(1, i)
+                )
+                ctes.append(f"""s{r}_{i} AS MATERIALIZED (
+  SELECT t.pair, t.cnt, t.rk FROM t{r} t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ({prev}) s
+    WHERE {_bpe_conflict('t', 's')})
+  ORDER BY t.rk LIMIT 1
+)""")
+        rep = "' ' || sym || ' '"
+        for i in range(1, cap + 1):
+            pat = (
+                f"coalesce((SELECT ' ' || split_part(pair,' ',1) || '  ' "
+                f"|| split_part(pair,' ',2) || ' ' FROM s{r}_{i}), chr(1))"
+            )
+            rpl = f"coalesce((SELECT ' ' || replace(pair,' ','') || ' ' FROM s{r}_{i}), chr(1))"
+            rep = f"replace({rep},\n      {pat},\n      {rpl})"
+        ctes.append(f"w{r} AS MATERIALIZED (\n  SELECT word, cnt, trim({rep}) AS sym FROM w{r - 1}\n)")
+    return ",\n".join(ctes), n_rounds, slots
 
 
 def _bpe_oracle() -> str:
-    def pair_cte(wi: str, pi: str) -> str:
-        return f"""{pi} AS (
-  SELECT s[i] || ' ' || s[i + 1] AS pair, sum(cnt) AS cnt
-  FROM (SELECT cnt, string_split(sym, '  ') AS s FROM {wi}),
-       unnest(range(1, len(s))) AS t(i)
-  GROUP BY 1
-)"""
-
-    def top_cte(pi: str, mi: str) -> str:
-        return f"""{mi} AS (
-  SELECT pair, cnt FROM {pi} ORDER BY cnt DESC, pair ASC LIMIT 1
-)"""
-
-    def apply_cte(wi: str, mi: str, wo: str) -> str:
-        return f"""{wo} AS (
-  SELECT word, {wi}.cnt,
-         trim(replace(' ' || sym || ' ',
-              ' ' || split_part({mi}.pair, ' ', 1) || '  '
-                  || split_part({mi}.pair, ' ', 2) || ' ',
-              ' ' || replace({mi}.pair, ' ', '') || ' ')) AS sym
-  FROM {wi} CROSS JOIN {mi}
-)"""
-
-    rounds = []
-    for k in range(1, BPE_MERGES + 1):
-        rounds.append(pair_cte(f"w{k - 1}", f"p{k}"))
-        rounds.append(top_cte(f"p{k}", f"m{k}"))
-        if k < BPE_MERGES:
-            rounds.append(apply_cte(f"w{k - 1}", f"m{k}", f"w{k}"))
-    selects = "\nUNION ALL\n".join(
-        f"SELECT {k} AS step, pair, CAST(cnt AS BIGINT) AS cnt FROM m{k}"
-        for k in range(1, BPE_MERGES + 1)
+    ctes, _n_rounds, slots = _bpe_cte_chain()
+    union = "\nUNION ALL\n".join(
+        f"SELECT {r} AS r, {i} AS i, pair, cnt FROM s{r}_{i}" for r, i in slots
     )
-    rounds_sql = ",\n".join(rounds)
     return f"""
 WITH toks AS (SELECT unnest({_TOKS}) AS word FROM documents),
 words AS (SELECT word, count(*) AS cnt FROM toks GROUP BY word),
@@ -279,17 +318,21 @@ w0 AS (
          array_to_string(list_append(string_split(word, ''), '$'), '  ') AS sym
   FROM words
 ),
-{rounds_sql}
-{selects}
+{ctes}
+SELECT CAST(row_number() OVER (ORDER BY r, i) AS INTEGER) AS step,
+       pair, CAST(cnt AS BIGINT) AS cnt
+FROM ({union})
 ORDER BY step
 """
 
 
 def q_bpe_encoded_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-then-apply round trip: segment the whole vocabulary with
-    the 3 learned merges (llm.bpe.bpe_apply — a pure k-replace
+    the 20 learned merges (llm.bpe.bpe_apply — a pure k-replace
     projection, no shuffle beyond the word count). The oracle replays
-    training AND encoding in one unrolled statement."""
+    batched training AND encoding in one unrolled statement; the two
+    agree because independent in-round merges commute, so sequential
+    apply of the learned list equals the per-round batch application."""
     from egal_yet_another_earthquake_project_spark.llm import bpe as lbpe
 
     docs = read_table(spark, sf_dir, "documents")
@@ -301,7 +344,9 @@ def q_bpe_encoded_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merges = [
         r.pair
-        for r in lbpe.bpe_train(spark, words, num_merges=BPE_MERGES)
+        for r in lbpe.bpe_train(
+            spark, words, num_merges=BPE_MERGES, batch_merges=BPE_BATCH
+        )
         .orderBy("step")
         .collect()
     ]
@@ -313,35 +358,7 @@ def q_bpe_encoded_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_encode_oracle() -> str:
-    def pair_cte(wi: str, pi: str) -> str:
-        return f"""{pi} AS (
-  SELECT s[i] || ' ' || s[i + 1] AS pair, sum(cnt) AS cnt
-  FROM (SELECT cnt, string_split(sym, '  ') AS s FROM {wi}),
-       unnest(range(1, len(s))) AS t(i)
-  GROUP BY 1
-)"""
-
-    def top_cte(pi: str, mi: str) -> str:
-        return f"""{mi} AS (
-  SELECT pair, cnt FROM {pi} ORDER BY cnt DESC, pair ASC LIMIT 1
-)"""
-
-    def apply_cte(wi: str, mi: str, wo: str) -> str:
-        return f"""{wo} AS (
-  SELECT word, {wi}.cnt,
-         trim(replace(' ' || sym || ' ',
-              ' ' || split_part({mi}.pair, ' ', 1) || '  '
-                  || split_part({mi}.pair, ' ', 2) || ' ',
-              ' ' || replace({mi}.pair, ' ', '') || ' ')) AS sym
-  FROM {wi} CROSS JOIN {mi}
-)"""
-
-    rounds = []
-    for k in range(1, BPE_MERGES + 1):
-        rounds.append(pair_cte(f"w{k - 1}", f"p{k}"))
-        rounds.append(top_cte(f"p{k}", f"m{k}"))
-        rounds.append(apply_cte(f"w{k - 1}", f"m{k}", f"w{k}"))
-    rounds_sql = ",\n".join(rounds)
+    ctes, n_rounds, _slots = _bpe_cte_chain()
     return f"""
 WITH toks AS (SELECT unnest({_TOKS}) AS word FROM documents),
 words AS (SELECT word, count(*) AS cnt FROM toks GROUP BY word),
@@ -350,11 +367,11 @@ w0 AS (
          array_to_string(list_append(string_split(word, ''), '$'), '  ') AS sym
   FROM words
 ),
-{rounds_sql}
+{ctes}
 SELECT word, CAST(cnt AS BIGINT) AS cnt,
        array_to_string(string_split(sym, '  '), ' ') AS pieces,
        CAST(len(string_split(sym, '  ')) AS INTEGER) AS n_pieces
-FROM w{BPE_MERGES}
+FROM w{n_rounds}
 ORDER BY word
 """
 

@@ -236,6 +236,59 @@ def test_bpe_merges_hand_computed_and_greedy(spark):
     assert merges[3] == ("aa aa$", 10), f"round 3 got {merges[3]}"
 
 
+def test_bpe_independence_predicate():
+    from egal_yet_another_earthquake_project_spark.llm.bpe import _independent
+
+    assert _independent("a b", "c d")
+    assert not _independent("a b", "b c")  # shared member
+    assert not _independent("a b", "a c")  # shared member
+    assert not _independent("a b", "ab c")  # product of p is member of q
+    assert not _independent("th e", "t h")  # product of q is member of p
+    assert _independent("a bc", "ab c")  # equal products are fine
+
+
+def test_bpe_batched_hand_computed(spark):
+    """Batched rounds on disjoint alphabets, hand-replayed:
+    'aab'×10, 'ccd'×9, 'eef'×8. Round-1 ranking: 'a a'10,'a b'10,'b $'10,
+    'c c'9,'c d'9,'d $'9,'e e'8,'e f'8,'f $'8 — greedy batch of 4 skips
+    'a b' (shares a), picks 'b $' (independent of 'a a'), 'c c', 'e e'.
+    Applying gives 'aa b$', 'cc d $', 'ee f $'. Round-2 ranking:
+    'aa b$'10,'cc d'9,'d $'9,'ee f'8,'f $'8 — greedy picks only THREE
+    independent pairs, so num_merges=8 learns 7 (documented behavior)."""
+    from egal_yet_another_earthquake_project_spark.llm import bpe as lbpe
+
+    words = spark.createDataFrame(
+        [("aab", 10), ("ccd", 9), ("eef", 8)], "word string, cnt long"
+    )
+    got = [
+        (r.step, r.pair, r.cnt)
+        for r in lbpe.bpe_train(spark, words, num_merges=8, batch_merges=4)
+        .orderBy("step")
+        .collect()
+    ]
+    assert got == [
+        (1, "a a", 10),
+        (2, "b $", 10),
+        (3, "c c", 9),
+        (4, "e e", 8),
+        (5, "aa b$", 10),
+        (6, "cc d", 9),
+        (7, "ee f", 8),
+    ], got
+
+
+def test_bpe_batch_one_is_classic(spark):
+    """batch_merges=1 must reproduce the classic per-merge sequence."""
+    from egal_yet_another_earthquake_project_spark.llm import bpe as lbpe
+
+    words = spark.createDataFrame(
+        [("low", 5), ("lower", 2), ("aaaa", 10)], "word string, cnt long"
+    )
+    a = lbpe.bpe_train(spark, words, num_merges=3, batch_merges=1).collect()
+    b = lbpe.bpe_train(spark, words, num_merges=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
 def test_bpe_partition_invariant(spark):
     from pyspark.sql import functions as F
 

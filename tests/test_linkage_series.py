@@ -151,6 +151,72 @@ def test_interpolation_edges_clamp(spark):
     assert len(rows) == 1 and rows[0].v == 8.0 and not rows[0].was_gap
 
 
+def test_interpolation_stitches_month_boundary(spark):
+    # Present samples in January and March only: the February bucket is
+    # ENTIRELY empty and the gap spans two month edges — the per-bucket
+    # carry must stitch the January tail to the March head.
+    a = dt.datetime(2024, 1, 31, 23, 58)
+    b = dt.datetime(2024, 3, 1, 0, 2)
+    ev = spark.createDataFrame([(a, 10.0), (b, 20.0)], ["ts", "value"])
+    rows = interpolate_minute_series(ev, partition_grain="month").collect()
+    out = {r.minute: (r.v, r.was_gap) for r in rows}
+    total = int((b - a).total_seconds() // 60)
+    assert len(rows) == total + 1
+    # Linear between the endpoints, including the bucket-edge minutes.
+    assert out["2024-01-31 23:58"] == (10.0, False)
+    assert out["2024-03-01 00:02"] == (20.0, False)
+    mid_k = total // 2
+    mid_minute = (a + dt.timedelta(minutes=mid_k)).strftime("%Y-%m-%d %H:%M")
+    expect = round(10.0 + 10.0 * mid_k / total, 4)
+    assert out[mid_minute] == (expect, True)
+    # First minute of February interpolates across the empty bucket.
+    feb1 = dt.datetime(2024, 2, 1, 0, 0)
+    k = int((feb1 - a).total_seconds() // 60)
+    assert out["2024-02-01 00:00"] == (round(10.0 + 10.0 * k / total, 4), True)
+
+
+def test_interpolation_month_grain_equals_global(spark):
+    # Deterministic multi-month series with gaps placed to cross both
+    # month edges; the bucketed path must be bit-identical to the
+    # global-window path.
+    base = dt.datetime(2024, 1, 15, 0, 0)
+    ev = spark.createDataFrame(
+        [
+            (base + dt.timedelta(minutes=m * 997), float((m * 37) % 100) / 7.0)
+            for m in range(120)
+        ],
+        ["ts", "value"],
+    )
+    got_b = interpolate_minute_series(ev, partition_grain="month").collect()
+    got_g = interpolate_minute_series(ev, partition_grain=None).collect()
+    assert sorted(map(tuple, got_b)) == sorted(map(tuple, got_g))
+
+
+def test_interpolation_grid_windows_are_partitioned(spark):
+    """The neighbor-carry windows over the minute grid must be
+    partitioned by the month bucket — only the bucket-summary carry
+    (month-cardinality frame) may be a single-partition window."""
+    from egal_yet_another_earthquake_project_spark.plans import inspect
+
+    ev = read_table(spark, SF, "events")
+    plan = inspect.formatted_plan(interpolate_minute_series(ev))
+    import re
+
+    for m in re.finditer(r"Arguments: \[([^\]]*_pv[^\]]*)\], \[([^\]]*)\]", plan):
+        part_spec = m.group(2)
+        assert "_bkt" in m.group(1) or "_bkt" in part_spec or "minute" not in part_spec
+    # The grid-sized windows (they compute _pv/_nv) must name _bkt in
+    # their partition spec; formatted plans render Window as
+    # "Arguments: [exprs], [partition spec], [order spec]".
+    win_args = re.findall(
+        r"Window[\s\S]*?Arguments: (\[[^\n]*)", plan
+    )
+    grid_wins = [a for a in win_args if "_pv" in a or "_nv" in a]
+    assert grid_wins, plan
+    for a in grid_wins:
+        assert "_bkt" in a, a
+
+
 # ---------- trailing z-score ----------
 
 
