@@ -521,3 +521,83 @@ def funnel_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TRANSITION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("next_type", T.StringType(), False),
+        T.StructField("n", T.LongType(), False),
+    ]
+)
+
+#: State per user: the last seen event (epoch-micros ts, event_id, type)
+#: — one row of bounded state regardless of stream volume.
+TRANSITION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_ts", T.LongType(), True),
+        T.StructField("last_eid", T.LongType(), True),
+        T.StructField("last_type", T.StringType(), True),
+    ]
+)
+
+
+def _transition_fn(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    last_ts, last_eid, last_type = (
+        state.get if state.exists else (None, None, None)
+    )
+    pairs: dict[tuple[str, str], int] = {}
+    chunks = [pdf for pdf in batches if len(pdf)]
+    if chunks:
+        merged = pd.concat(chunks).sort_values(["ts", "event_id"])
+        for et, ts, eid in zip(
+            merged["event_type"], merged["ts"], merged["event_id"]
+        ):
+            if last_type is not None:
+                k = (last_type, et)
+                pairs[k] = pairs.get(k, 0) + 1
+            last_ts, last_eid, last_type = int(ts.value // 1000), int(eid), et
+    state.update((last_ts, last_eid, last_type))
+    if pairs:
+        yield pd.DataFrame(
+            {
+                "event_type": [k[0] for k in pairs],
+                "next_type": [k[1] for k in pairs],
+                "n": list(pairs.values()),
+            }
+        )
+
+
+def transition_stream(stream: DataFrame) -> DataFrame:
+    """Per-user Markov transition DELTAS over an events stream — the
+    streaming twin of the batch ``event_transitions`` matrix
+    (workloads_ext.q_event_transitions).
+
+    State per user is the single last-seen event (ts, id, type); each
+    trigger sorts its arrivals, chains them onto the remembered tail,
+    and APPENDS the within-group transition pair counts observed this
+    trigger. The global matrix is then a plain rolling aggregate over
+    the appended deltas (``SUM(n) GROUP BY event_type, next_type``) —
+    counts are additive, so drained deltas aggregate to exactly the
+    batch matrix under the time-ordered feed contract shared by
+    ``funnel_stream``/``zscore_stream`` (asserted drained≡batch in
+    tests/test_stateful_streaming.py). Bounded state, append mode, no
+    watermark needed: deltas are emitted once and never retracted.
+    """
+    prepared = stream.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("event_type").cast("string").alias("event_type"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _transition_fn,
+        outputStructType=TRANSITION_OUT_SCHEMA,
+        stateStructType=TRANSITION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
