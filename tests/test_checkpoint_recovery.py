@@ -86,3 +86,172 @@ def test_dedup_state_survives_restart(spark, tmp_path: Path):
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 1, rows
     assert rows[0].eventID == int(e["eventID"])
+
+
+def _restart_sketch_roundtrip(spark, tmp_path, build_query, queryname):
+    """Drive a stateful sketch stream through a kill-and-restart: batch 1
+    → drain → STOP (query object discarded), batch 2 lands while the
+    stream is down → a NEW query from the SAME checkpoint drains it.
+    Sink is foreachBatch→parquet (the memory sink is not fault-tolerant
+    and refuses checkpoint recovery). Returns (events, rows) where rows
+    carry a batch_id for last-write-wins ordering."""
+    from pyspark.sql import functions as F
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "event_type", "user_id"
+    )
+    src = tmp_path / "in"
+    ckpt = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    events.filter(F.col("user_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+
+    def sink(df, batch_id):
+        df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out)
+
+    def start():
+        stream = stream_parquet_dir(spark, str(src) + "/*", events.schema)
+        return (
+            build_query(stream)
+            .writeStream.foreachBatch(sink)
+            .queryName(queryname)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q1 = start()
+    q1.processAllAvailable()
+    q1.stop()  # killed between micro-batches
+
+    events.filter(F.col("user_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    q2 = start()  # restarted from checkpoint — state store must restore
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    rows = spark.read.parquet(out).orderBy("batch_id").collect()
+    return events, rows
+
+
+def test_kmv_stream_state_survives_restart(spark, tmp_path: Path):
+    """applyInPandasWithState KMV: the (hash, value) multiset state must
+    restore from the checkpoint so the post-restart drain lands on the
+    batch estimator exactly (no double-merge, no state loss)."""
+    from egal_yet_another_earthquake_project_spark.llm import sketches as lsk
+    from egal_yet_another_earthquake_project_spark.streaming.stateful import (
+        kmv_stream,
+    )
+
+    events, rows = _restart_sketch_roundtrip(
+        spark, tmp_path, lambda s: kmv_stream(s, "event_type", "user_id", k=32),
+        "kmv_recover",
+    )
+    live = {}
+    for r in rows:  # update mode: last row per group wins
+        live[r.g] = r.est_distinct
+    batch = {
+        r.event_type: r.est_distinct
+        for r in lsk.kmv_distinct(
+            events, ["event_type"], "user_id", k=32
+        ).collect()
+    }
+    assert live == batch and len(batch) > 0
+
+
+def test_hll_stream_state_survives_restart(spark, tmp_path: Path):
+    """applyInPandasWithState HLL: the register state must restore from
+    the checkpoint so the post-restart drain equals the batch estimator."""
+    from egal_yet_another_earthquake_project_spark.llm import sketches as lsk
+    from egal_yet_another_earthquake_project_spark.streaming.stateful import (
+        hll_stream,
+    )
+
+    events, rows = _restart_sketch_roundtrip(
+        spark, tmp_path, lambda s: hll_stream(s, "event_type", "event_id", p=8),
+        "hll_recover",
+    )
+    live = {}
+    for r in rows:
+        live[r.g] = r.est_distinct
+    batch = {
+        r.event_type: r.est_distinct
+        for r in lsk.hll_distinct(
+            events, ["event_type"], "event_id", p=8
+        ).collect()
+    }
+    assert live == batch and len(batch) > 0
+
+
+def test_funnel_stream_state_survives_restart(spark, tmp_path: Path):
+    """applyInPandasWithState funnel: per-user stage latches must restore
+    from the checkpoint; a click whose view arrived before the restart
+    must still advance the stage."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from egal_yet_another_earthquake_project_spark.streaming.stateful import (
+        funnel_stream,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("ts", T.TimestampType(), False),
+            T.StructField("event_type", T.StringType(), False),
+        ]
+    )
+
+    def _df(rows):
+        return spark.createDataFrame(
+            [(i, u, dt.datetime(2024, 1, 1, 0, m), et) for i, u, m, et in rows],
+            schema,
+        )
+
+    src = tmp_path / "f_in"
+    ckpt = str(tmp_path / "f_ck")
+    out = str(tmp_path / "f_out")
+    _df([(1, 7, 0, "view"), (2, 8, 1, "view")]).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+
+    def sink(df, batch_id):
+        df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            out
+        )
+
+    def start():
+        stream = stream_parquet_dir(spark, str(src) + "/*", schema)
+        return (
+            funnel_stream(stream)
+            .writeStream.foreachBatch(sink)
+            .queryName("funnel_recover")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+
+    # while down: user 7 clicks then purchases; user 8 does nothing more
+    _df(
+        [(3, 7, 2, "click"), (4, 7, 3, "purchase")]
+    ).coalesce(1).write.parquet(str(src / "b2"))
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    live = {}
+    for r in spark.read.parquet(out).orderBy("batch_id").collect():
+        live[r.user_id] = r.stage
+    assert live == {7: 3, 8: 1}
