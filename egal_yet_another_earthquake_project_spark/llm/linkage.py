@@ -78,6 +78,7 @@ def tfidf_keywords(
     id_col: str = "doc_id",
     text_col: str = "text",
     top_n: int = 3,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Top-``top_n`` TF-IDF terms per document — the classic keyword /
     salient-term extraction pass.
@@ -87,12 +88,21 @@ def tfidf_keywords(
     partitionings (same discipline as the BM25 query); ties break on
     term ascending.
 
+    ``max_df_frac`` (scikit-learn's ``max_df``): drop terms appearing
+    in more than that fraction of documents BEFORE the tf⋈df join.
+    These Zipf-head terms carry near-zero IDF (they are stopwords by
+    definition of the corpus) yet account for most of the join's row
+    mass; capping removes the skew fan at its source. Documents whose
+    every term is capped simply emit fewer than ``top_n`` rows.
+
     Plan shape: one explode + two hash aggregates (per-(doc,term) tf,
     then per-term df); the document count is a broadcast scalar; the
     rank window partitions by document — no global window, no driver
-    state. The df-side join key is vocabulary-scale, Zipf-headed; at
-    100 TB the head terms are exactly the low-information ones, so skew
-    on the tf⋈df join is bounded by the tf collapse that precedes it.
+    state. The df-side join key is vocabulary-scale, Zipf-headed; even
+    UNCAPPED the tf⋈df join is linear in the collapsed tf table (skew
+    bounded by the tf collapse that precedes it — re-measured at 10×
+    pair mass: 1.25× wall, see SCALE.md), and ``max_df_frac`` bounds
+    the head fan outright where keyword quality allows it.
     """
     toks = tokenized(df, text_col).select(
         F.col(id_col).alias("doc"), F.explode("_toks").alias("term")
@@ -100,6 +110,12 @@ def tfidf_keywords(
     tf = toks.groupBy("doc", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
     ndocs = df.select(F.count_distinct(F.col(id_col)).alias("ndocs"))
+    if max_df_frac is not None:
+        dfreq = (
+            dfreq.crossJoin(F.broadcast(ndocs))
+            .filter(F.col("df_t") <= F.lit(max_df_frac) * F.col("ndocs"))
+            .drop("ndocs")
+        )
     scored = (
         tf.join(dfreq, "term")
         .crossJoin(F.broadcast(ndocs))

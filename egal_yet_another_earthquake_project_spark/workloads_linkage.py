@@ -99,6 +99,49 @@ ORDER BY doc_id, rank
 """
 
 
+#: max_df cap for the capped keyword variant: terms in more than half
+#: the corpus are stopwords-by-construction and never surface.
+TFIDF_MAX_DF = 0.5
+
+
+def q_tfidf_keywords_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tfidf_keywords with the Zipf-head cap on (max_df_frac=0.5):
+    corpus-stopword terms are dropped before the tf⋈df join, removing
+    the head fan at its source — the 100 TB-default configuration."""
+    return llk.tfidf_keywords(
+        _docs(spark, sf_dir), top_n=TFIDF_TOP_N, max_df_frac=TFIDF_MAX_DF
+    ).orderBy("doc_id", "rank")
+
+
+_TFIDF_CAPPED_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id AS doc, unnest(string_split({_NORM}, ' ')) AS term
+  FROM documents
+  WHERE length({_NORM}) > 0
+),
+tf AS (SELECT doc, term, count(*) AS tf FROM toks GROUP BY doc, term),
+stats AS (SELECT count(DISTINCT doc_id) AS ndocs FROM documents),
+dfreq AS (
+  SELECT term, count(*) AS df_t FROM tf GROUP BY term
+  HAVING count(*) <= (SELECT {TFIDF_MAX_DF} * ndocs FROM stats)
+),
+scored AS (
+  SELECT doc, term,
+         round(tf * ln((ndocs + 1.0) / (df_t + 1.0)), 4) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+),
+ranked AS (
+  SELECT doc, term, score,
+         row_number() OVER (PARTITION BY doc
+                            ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc AS doc_id, term, score, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TFIDF_TOP_N}
+ORDER BY doc_id, rank
+"""
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement (A-Res priorities,
     md5-deterministic): the 100 documents with the largest u^(1/w) for
@@ -213,6 +256,7 @@ QUERIES = {
     "trade_pagerank": q_trade_pagerank,
     "fuzzy_matches": q_fuzzy_matches,
     "tfidf_keywords": q_tfidf_keywords,
+    "tfidf_keywords_capped": q_tfidf_keywords_capped,
     "weighted_sample": q_weighted_sample,
 }
 
@@ -220,5 +264,6 @@ ORACLES = {
     "trade_pagerank": _PAGERANK_ORACLE,
     "fuzzy_matches": _FUZZY_ORACLE,
     "tfidf_keywords": _TFIDF_ORACLE,
+    "tfidf_keywords_capped": _TFIDF_CAPPED_ORACLE,
     "weighted_sample": _WRS_ORACLE,
 }

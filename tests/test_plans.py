@@ -443,3 +443,24 @@ def test_funnel_conversion_is_single_exchange(spark):
 
     df = q_funnel_conversion(spark, TESTDATA_SMOKE)
     assert inspect.exchange_count(df) == 1
+
+
+def test_tfidf_term_join_never_hint_broadcast(spark):
+    """The tf⋈df join key is vocabulary-scale on BOTH sides (Zipf-headed
+    term frequencies): neither side may be hint-broadcast — at 100 TB the
+    vocabulary is far beyond broadcast size. Only the one-row ndocs
+    scalar broadcasts. Applies to both the plain and max_df-capped
+    variants (the cap filters dfreq BEFORE the join, under the same
+    shuffle)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for qname in ("tfidf_keywords", "tfidf_keywords_capped"):
+            nodes = inspect.join_key_nodes(_q(spark, qname))
+            term = [n for n, keys in nodes if "term" in keys]
+            assert term, f"{qname}: no term join found in plan"
+            assert all(
+                n in ("SortMergeJoin", "ShuffledHashJoin") for n in term
+            ), f"{qname}: term join planned as {term}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
