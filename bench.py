@@ -120,6 +120,11 @@ HEADLINE = [
     "hourly_distinct_users",
     "hourly_bars",
     "event_transitions",
+    # round-5 wave: Z-order layout round trip (write + pruned band scan),
+    # the max_df-capped keyword variant, and the month-stitched
+    # interpolation now that the carry windows are bucket-partitioned.
+    "zordered_band_scan",
+    "tfidf_keywords_capped",
 ]
 
 

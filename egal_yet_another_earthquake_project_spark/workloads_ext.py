@@ -1201,7 +1201,66 @@ ORDER BY cohort, week_offset
 """
 
 
+#: Fixed two-dimensional band for the Z-ordered scan (literals so the
+#: filter reaches the parquet scan as static PushedFilters and the
+#: oracle can replay it; chosen to select a stable non-empty subset at
+#: every test SF).
+ZBAND_USER = (0, 9)
+ZBAND_VALUE = (10.0, 50.0)
+
+
+def _zorder_cache(sf_dir: str) -> str:
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent / "spark-warehouse"
+    return str(root / f"zorder_events_{Path(sf_dir).name}")
+
+
+def q_zordered_band_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Z-order layout round trip: rewrite events Morton-
+    clustered on (user_id, value) — the sinks/layout.py OPTIMIZE ZORDER
+    path — then answer a two-dimensional band query from the rewritten
+    layout. Both band predicates are literals, so they reach the scan as
+    PushedFilters and the range-partitioned layout prunes FILES on both
+    dimensions via parquet min/max (asserted with file-touch counts in
+    tests/test_layout.py). The result is layout-invariant, so the oracle
+    runs the same filter+aggregate over the original table."""
+    from egal_yet_another_earthquake_project_spark.sinks.layout import (
+        write_zordered,
+    )
+
+    path = _zorder_cache(sf_dir)
+    write_zordered(
+        _t(spark, sf_dir, "events"), path, ["user_id", "value"], num_files=8
+    )
+    z = spark.read.parquet(path)
+    return (
+        z.filter(
+            F.col("user_id").between(*ZBAND_USER)
+            & F.col("value").between(*ZBAND_VALUE)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ZORDER_ORACLE = f"""
+SELECT event_type, count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events
+WHERE user_id BETWEEN {ZBAND_USER[0]} AND {ZBAND_USER[1]}
+  AND value BETWEEN {ZBAND_VALUE[0]} AND {ZBAND_VALUE[1]}
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "zordered_band_scan": q_zordered_band_scan,
     "running_sum": q_running_sum,
     "sessionize": q_sessionize,
     "rollup_counts": q_rollup_counts,
@@ -1239,6 +1298,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "zordered_band_scan": _ZORDER_ORACLE,
     "running_sum": _RUNNING_SUM_ORACLE,
     "sessionize": _SESSIONIZE_ORACLE,
     "rollup_counts": _ROLLUP_ORACLE,

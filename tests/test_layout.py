@@ -117,3 +117,39 @@ def test_zordered_files_have_disjoint_key_ranges(spark, tmp_path):
         # Boundary keys may repeat across adjacent files (ties in the
         # range partitioner); strict interleaving may not.
         assert nxt.lo >= prev.hi, (prev, nxt)
+
+
+def test_zordered_band_scan_prunes_files_and_pushes_filters(spark):
+    """The declared zordered_band_scan query must (a) push both band
+    predicates to the parquet scan and (b) touch fewer files than the
+    layout wrote — i.e. the Z-order rewrite actually buys file skipping
+    for the two-dimensional band."""
+    from egal_yet_another_earthquake_project_spark.plans import inspect
+    from egal_yet_another_earthquake_project_spark.workloads_ext import (
+        ZBAND_USER,
+        ZBAND_VALUE,
+        _zorder_cache,
+        q_zordered_band_scan,
+    )
+
+    df = q_zordered_band_scan(spark, TESTDATA_SMOKE)
+    df.collect()  # materialize (also writes the layout)
+    pushed = " ".join(inspect.pushed_filters(df))
+    assert "user_id" in pushed and "value" in pushed, pushed
+
+    zpath = _zorder_cache(TESTDATA_SMOKE)
+    total = (
+        spark.read.parquet(zpath).select(F.input_file_name()).distinct().count()
+    )
+    touched = (
+        spark.read.parquet(zpath)
+        .filter(
+            F.col("user_id").between(*ZBAND_USER)
+            & F.col("value").between(*ZBAND_VALUE)
+        )
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    assert total >= 6, f"layout produced only {total} files"
+    assert touched < total, f"band touched all {total} files — no skipping"
