@@ -324,3 +324,75 @@ def cms_heavy_hitters(
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= min_count)
     )
+
+
+def hist_bins(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    bin_width: float = 0.5,
+) -> DataFrame:
+    """Fixed-width histogram bins per group: ``(group..., bin, cnt)``
+    with ``bin = floor(value / bin_width)``.
+
+    The quantile-sketch member of the family (KMV=cardinality,
+    CMS=frequency, HLL=registers, histogram=quantiles): state per group
+    is the occupied-bin set — bounded by value-range/bin_width
+    regardless of row count — and MERGEABLE by plain per-bin addition,
+    which is what lets shards (or stream micro-batches) combine with no
+    accuracy loss beyond the fixed grid. One map-side-combined shuffle.
+    Bin assignment is exact integer math on the fixed grid, so estimates
+    replay bit-identically in any SQL engine (unlike t-digest/GK whose
+    merge order is engine-private).
+    """
+    bin_col = F.floor(F.col(value_col) / F.lit(bin_width)).cast("long")
+    return (
+        df.groupBy(*group_cols, bin_col.alias("bin"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def hist_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    bin_width: float = 0.5,
+) -> DataFrame:
+    """Per-group quantile estimates from the fixed-width histogram.
+
+    The q-quantile estimate is the UPPER EDGE ``(bin+1)·bin_width`` of
+    the first bin (ascending) whose running count reaches
+    ``ceil(q·n)`` — a conservative, deterministic rule: the true
+    quantile lies within one bin_width below the estimate, and every
+    engine lands on the same bin because the rule is pure integer
+    arithmetic on the grid.
+
+    Plan: bins (one shuffle) → per-group cumulative window over the
+    OCCUPIED bins only (range/bin_width rows per group, dimension-scale
+    — never the input rows) → one row per group. Output columns:
+    ``group..., n, p<q> for each q`` (e.g. p50, p90, p99), estimates
+    rounded to 4.
+    """
+    bins = hist_bins(df, group_cols, value_col, bin_width)
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = bins.select(
+        *group_cols,
+        "bin",
+        F.sum("cnt").over(w).alias("_cum"),
+        F.sum("cnt").over(Window.partitionBy(*group_cols)).alias("_n"),
+    )
+    aggs = [F.max("_n").alias("n")]
+    for q in qs:
+        name = f"p{int(q * 100)}"
+        # target rank ceil(q*n) in pure integer math: ceil(a/b) = -floor(-a/b)
+        target = -F.floor(F.lit(-q) * F.col("_n"))
+        hit_bin = F.min(F.when(F.col("_cum") >= target, F.col("bin")))
+        aggs.append(
+            F.round((hit_bin + 1) * F.lit(bin_width), 4).alias(name)
+        )
+    return cum.groupBy(*group_cols).agg(*aggs)

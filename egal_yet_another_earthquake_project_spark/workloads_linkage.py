@@ -252,7 +252,70 @@ _PAGERANK_ORACLE = (
 )
 
 
+def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the part co-purchase graph (parts sharing an
+    order are connected) via degree-ordered edge orientation — the
+    O(m^1.5) community-density census (llm/graph.py:triangle_count).
+    The per-order self-join fan is bounded by items-per-order (≤7 in
+    this schema); orientation bounds every wedge-join key at O(√m) even
+    for hub parts. The oracle replays the identical orientation (string
+    comparisons mirrored) so all three counts hash-match."""
+    from pyspark.sql import functions as F
+
+    from egal_yet_another_earthquake_project_spark.llm.graph import triangle_count
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    x = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1"))
+    y = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2"))
+    edges = (
+        x.join(y, "o")
+        .filter(F.col("p1") != F.col("p2"))
+        .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+    )
+    return triangle_count(edges)
+
+
+# String comparisons mirror triangle_count's cast-to-string
+# canonicalization exactly (lexicographic on both engines).
+_TRIANGLE_ORACLE = """
+WITH raw AS (
+  SELECT CAST(a.l_partkey AS VARCHAR) AS p1, CAST(b.l_partkey AS VARCHAR) AS p2
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(p1, p2) AS u, greatest(p1, p2) AS v FROM raw
+),
+deg AS MATERIALIZED (
+  SELECT x, count(*) AS d
+  FROM (SELECT u AS x FROM und UNION ALL SELECT v FROM und)
+  GROUP BY x
+),
+o AS MATERIALIZED (
+  SELECT CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND u < v) THEN u ELSE v END AS lo,
+         CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND u < v) THEN v ELSE u END AS hi
+  FROM und JOIN deg d1 ON d1.x = und.u JOIN deg d2 ON d2.x = und.v
+),
+w AS MATERIALIZED (
+  SELECT e1.lo AS a, e2.hi AS c
+  FROM o e1 JOIN o e2 ON e1.hi = e2.lo
+  WHERE e1.lo <> e2.hi
+),
+t AS (
+  SELECT count(*) AS n_triangles
+  FROM w WHERE EXISTS (
+    SELECT 1 FROM und
+    WHERE und.u = least(w.a, w.c) AND und.v = greatest(w.a, w.c))
+)
+SELECT CAST(n_triangles AS BIGINT) AS n_triangles,
+       CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges,
+       CAST((SELECT count(*) FROM w) AS BIGINT) AS n_wedges
+FROM t
+"""
+
+
 QUERIES = {
+    "copurchase_triangles": q_copurchase_triangles,
     "trade_pagerank": q_trade_pagerank,
     "fuzzy_matches": q_fuzzy_matches,
     "tfidf_keywords": q_tfidf_keywords,
@@ -261,6 +324,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "copurchase_triangles": _TRIANGLE_ORACLE,
     "trade_pagerank": _PAGERANK_ORACLE,
     "fuzzy_matches": _FUZZY_ORACLE,
     "tfidf_keywords": _TFIDF_ORACLE,

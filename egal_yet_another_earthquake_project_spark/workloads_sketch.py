@@ -747,7 +747,60 @@ def _hourly_hll_oracle() -> str:
     )
 
 
+HIST_BIN = 0.5
+HIST_QS = (0.5, 0.9, 0.99)
+
+
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type quantile estimates (p50/p90/p99 of value) from the
+    fixed-width mergeable histogram sketch — the quantile member of the
+    sketch quartet (KMV/CMS/HLL/histogram). State per group is the
+    occupied-bin set, mergeable by per-bin addition; the grid rule is
+    pure integer math so the ESTIMATES hash-match the oracle (unlike
+    t-digest/GK, whose merge order is engine-private)."""
+    ev = read_table(spark, sf_dir, "events")
+    return lsk.hist_quantiles(
+        ev, ["event_type"], "value", qs=HIST_QS, bin_width=HIST_BIN
+    ).orderBy("event_type")
+
+
+def _hist_oracle() -> str:
+    # every fractional literal cast to DOUBLE: DuckDB parses 0.9 as
+    # DECIMAL, whose exact arithmetic disagrees with Spark's IEEE-double
+    # ceil(q·n) on ties (0.9·20 = 18 exactly in decimal but
+    # 18.000000000000004 in binary) — both engines must do double math.
+    cols = []
+    for q in HIST_QS:
+        name = f"p{int(q * 100)}"
+        cols.append(
+            f"round(CAST((min(CASE WHEN cum >= -floor(-CAST({q} AS DOUBLE) * n)"
+            f" THEN bin END) + 1) * CAST({HIST_BIN} AS DOUBLE) AS DOUBLE), 4)"
+            f" AS {name}"
+        )
+    cols_sql = ",\n       ".join(cols)
+    return f"""
+WITH bins AS (
+  SELECT event_type, CAST(floor(value / {HIST_BIN}) AS BIGINT) AS bin,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bin,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM bins
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       {cols_sql}
+FROM cum GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "hist_quantiles": q_hist_quantiles,
     "global_row_ids": q_global_row_ids,
     "kmv_distinct_users": q_kmv_distinct_users,
     "hll_distinct_users": q_hll_distinct_users,
@@ -769,6 +822,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "hist_quantiles": _hist_oracle(),
     "global_row_ids": _ROW_IDS_ORACLE,
     "kmv_distinct_users": _KMV_ORACLE,
     "hll_distinct_users": _hll_oracle(),

@@ -134,3 +134,37 @@ def test_components_distributed_loop_still_converges(spark):
     )
     out = connected_components(df, driver_threshold=0).collect()
     assert {r.component for r in out} == {0}
+
+
+def test_triangle_count_hand_computed(spark):
+    """K4 minus one edge = 2 triangles (abc, abd); plus a disjoint edge
+    = still 2. Edges fed in mixed orientation with a duplicate —
+    canonicalization dedupes to 6 distinct undirected edges."""
+    from egal_yet_another_earthquake_project_spark.llm.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "a"),  # duplicate, reversed
+            ("a", "c"), ("a", "d"),
+            ("b", "c"), ("b", "d"),
+            # c-d missing from the K4 → triangles: abc, abd
+            ("x", "y"),
+        ],
+        "src string, dst string",
+    )
+    row = triangle_count(edges).collect()[0]
+    assert (row.n_triangles, row.n_edges) == (2, 6)
+
+
+def test_triangle_orientation_bounds_hub_fanout(spark):
+    """A star (one hub, 40 leaves) has 0 triangles; with degree
+    orientation every leaf points AT the hub, so the wedge join over the
+    hub produces zero rows — n_wedges must be 0, not deg² ≈ 1600."""
+    from egal_yet_another_earthquake_project_spark.llm.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [("hub", f"leaf{i}") for i in range(40)], "src string, dst string"
+    )
+    row = triangle_count(edges).collect()[0]
+    assert row.n_triangles == 0
+    assert row.n_wedges == 0, "orientation failed: hub has out-wedges"

@@ -145,8 +145,13 @@ _ALLOWED_NESTED_LOOP = {
     # distinct-token frame — bounded 1×n broadcast.
     "vocab_coverage",
     # TF-IDF joins the one-row document count into the per-(doc,term)
-    # frequency frame — bounded 1×n broadcast.
+    # frequency frame — bounded 1×n broadcast (the capped variant also
+    # joins it into the vocabulary-scale df filter).
     "tfidf_keywords",
+    "tfidf_keywords_capped",
+    # Triangle counting returns (n_triangles, n_edges, n_wedges) as a
+    # cross of three ONE-ROW aggregate frames — bounded 1×1 broadcasts.
+    "copurchase_triangles",
     # The LSH recall audit crosses three ONE-ROW aggregate frames —
     # bounded 1×1 broadcasts.
     "lsh_recall",

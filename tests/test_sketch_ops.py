@@ -322,3 +322,130 @@ def test_length_batches_are_full_and_partition_invariant(spark, docs):
             assert n == 8, f"bucket {b} batch {bid} has {n}"
     again = lpack.length_bucketed_batches(docs.repartition(7), "doc_id", batch_size=8)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+# ---------- histogram quantile sketch ----------
+
+
+def test_hist_quantiles_hand_computed(spark):
+    """bin_width=1: values 0..9 in one group. n=10; p50 target rank
+    ceil(0.5·10)=5 → bin 4 (cum 5) → upper edge 5.0; p90: the double
+    product 0.9·10 rounds to exactly 9.0 (error below half-ulp), so the
+    rank is 9 → bin 8 → upper edge 9.0."""
+    from egal_yet_another_earthquake_project_spark.llm.sketches import (
+        hist_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [("g", float(i)) for i in range(10)], "grp string, value double"
+    )
+    row = hist_quantiles(
+        df, ["grp"], "value", qs=(0.5, 0.9), bin_width=1.0
+    ).collect()[0]
+    assert row.n == 10
+    assert row.p50 == 5.0
+    assert row.p90 == 9.0
+
+
+def test_hist_bins_merge_across_shards(spark):
+    """Mergeability: bins of (A ∪ B) == per-bin sum of bins(A), bins(B)
+    — the property that lets shards and micro-batches combine."""
+    from pyspark.sql import functions as F
+
+    from egal_yet_another_earthquake_project_spark.llm.sketches import hist_bins
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    a = ev.filter(F.col("user_id") % 2 == 0)
+    b = ev.filter(F.col("user_id") % 2 == 1)
+    merged = (
+        hist_bins(a, ["event_type"], "value")
+        .unionAll(hist_bins(b, ["event_type"], "value"))
+        .groupBy("event_type", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = hist_bins(ev, ["event_type"], "value")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_hist_streaming_bins_drain_to_batch_quantiles(spark, tmp_path):
+    """Streaming twin: bins are additive, so a plain streaming
+    aggregation over (group, bin) drained in update mode — Spark's own
+    stateful agg, no custom operator needed — yields bin counts whose
+    quantile rollup equals the batch sketch exactly."""
+    from pyspark.sql import functions as F
+
+    from egal_yet_another_earthquake_project_spark.llm.sketches import (
+        hist_quantiles,
+    )
+    from egal_yet_another_earthquake_project_spark.sources.files import (
+        stream_parquet_dir,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_type", "value", "user_id"
+    )
+    src = tmp_path / "h_in"
+    ev.filter(F.col("user_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    stream = stream_parquet_dir(
+        spark, str(src) + "/*", ev.schema, max_files_per_trigger=1
+    )
+    binned = stream.groupBy(
+        "event_type",
+        F.floor(F.col("value") / F.lit(0.5)).cast("long").alias("bin"),
+    ).agg(F.count("*").alias("cnt"))
+    q = (
+        binned.writeStream.format("memory")
+        .queryName("hist_live")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "h_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        ev.filter(F.col("user_id") % 2 == 1).coalesce(1).write.parquet(
+            str(src / "b2")
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # update mode appends refreshed rows; last write per (group, bin) wins
+    from pyspark.sql.window import Window
+
+    live = spark.table("hist_live").withColumn(
+        "_r", F.monotonically_increasing_id()
+    )
+    w = Window.partitionBy("event_type", "bin").orderBy(F.col("_r").desc())
+    final_bins = (
+        live.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("event_type", "bin", "cnt")
+    )
+    # quantile rollup over drained bins == batch sketch end to end
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = final_bins.select(
+        "event_type",
+        "bin",
+        F.sum("cnt").over(wcum).alias("_cum"),
+        F.sum("cnt").over(Window.partitionBy("event_type")).alias("_n"),
+    )
+    aggs = [F.max("_n").alias("n")]
+    for qq in (0.5, 0.9, 0.99):
+        target = -F.floor(F.lit(-qq) * F.col("_n"))
+        hit = F.min(F.when(F.col("_cum") >= target, F.col("bin")))
+        aggs.append(F.round((hit + 1) * F.lit(0.5), 4).alias(f"p{int(qq*100)}"))
+    streamed = cum.groupBy("event_type").agg(*aggs)
+    batch = hist_quantiles(
+        ev, ["event_type"], "value", qs=(0.5, 0.9, 0.99), bin_width=0.5
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
