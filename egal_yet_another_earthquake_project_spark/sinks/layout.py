@@ -93,8 +93,17 @@ def write_zordered(
     mode: str = "overwrite",
 ) -> None:
     """Rewrite ``df`` Z-ordered on two columns: bucket → interleave →
-    range-partition on the key → sort within files → drop the key."""
-    keyed = with_rank_buckets(df, cols, bits).withColumn(
+    range-partition on the key → sort within files → drop the key.
+
+    The bucket assignment (a 2^bits-element boundary scan per row per
+    dimension) is the rewrite's compute; it must not inherit the
+    source's file parallelism (a table read from few large files would
+    evaluate it on few tasks — measured 4.3 s → 1.3 s at sf0.1 from
+    exactly that). The pre-shuffle spreads rows across the cluster
+    FIRST, so the scan runs map-side at full width before the range
+    exchange."""
+    spread = df.repartition(max(4 * num_files, 32))
+    keyed = with_rank_buckets(spread, cols, bits).withColumn(
         "_zkey", zorder_key([f"_rb_{c}" for c in cols])
     )
     (
