@@ -601,3 +601,83 @@ def transition_stream(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def transition_stream_tws(stream: DataFrame) -> DataFrame:
+    """``transition_stream`` on Spark 4's transformWithState API — the
+    successor to applyInPandasWithState (SPARK-49564): typed named state
+    (ValueState/ListState/MapState), per-key timers, and state TTL,
+    backed by the same RocksDB-checkpointed store.
+
+    Identical semantics to :func:`transition_stream` (one last-seen-event
+    ValueState row per user; append-mode additive deltas; drained deltas
+    roll up to the batch matrix — asserted drained≡batch in
+    tests/test_stateful_streaming.py wherever the runtime supports the
+    API). Kept alongside the v1 operator so the engine exercises both
+    stateful APIs; new operators should prefer this one — a production
+    tracker can attach ``ttlDurationMs`` to the state so dormant users
+    age out of the store without a manual timer loop, which the v1 API
+    cannot express.
+
+    Environment gate (same class as the Kafka broker): the
+    transformWithState state-server protocol needs ``google.protobuf``
+    on the Python workers; containers without it get an ImportError at
+    query start, and the drained-equality test skips itself. The v1
+    twin (:func:`transition_stream`) has no such dependency and is the
+    one exercised everywhere.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _TransitionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._last = handle.getValueState(
+                "last", "last_ts long, last_eid long, last_type string"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            last_ts, last_eid, last_type = (
+                self._last.get() if self._last.exists() else (None, None, None)
+            )
+            pairs: dict[tuple[str, str], int] = {}
+            chunks = [pdf for pdf in rows if len(pdf)]
+            if chunks:
+                merged = pd.concat(chunks).sort_values(["ts", "event_id"])
+                for et, ts, eid in zip(
+                    merged["event_type"], merged["ts"], merged["event_id"]
+                ):
+                    if last_type is not None:
+                        k = (last_type, et)
+                        pairs[k] = pairs.get(k, 0) + 1
+                    last_ts, last_eid, last_type = (
+                        int(ts.value // 1000),
+                        int(eid),
+                        et,
+                    )
+            self._last.update((last_ts, last_eid, last_type))
+            if pairs:
+                yield pd.DataFrame(
+                    {
+                        "event_type": [k[0] for k in pairs],
+                        "next_type": [k[1] for k in pairs],
+                        "n": list(pairs.values()),
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    prepared = stream.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("event_type").cast("string").alias("event_type"),
+    )
+    return prepared.groupBy("user_id").transformWithStateInPandas(
+        _TransitionProcessor(),
+        outputStructType=TRANSITION_OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )

@@ -297,3 +297,65 @@ def test_streaming_transitions_equal_batch(spark, tmp_path: Path):
     }
     assert rolled == batch
     assert len(batch) > 0
+
+
+def test_transform_with_state_transitions_equal_batch(spark, tmp_path: Path):
+    """The transformWithState (Spark 4 API) twin must drain to the same
+    matrix as the batch query — same harness as the v1 twin. Skips where
+    the runtime lacks google.protobuf (the state-server protocol dep),
+    mirroring the broker gate on the Kafka tests."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState state server needs protobuf",
+    )
+    from egal_yet_another_earthquake_project_spark.sources.files import read_table
+    from egal_yet_another_earthquake_project_spark.streaming.stateful import (
+        transition_stream_tws,
+    )
+    from egal_yet_another_earthquake_project_spark.workloads_ext import (
+        q_event_transitions,
+    )
+
+    events = read_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    cut = events.agg(F.percentile_approx("ts", 0.5).alias("c")).collect()[0].c
+
+    src = tmp_path / "tw_in"
+    events.filter(F.col("ts") < F.lit(cut)).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    stream = stream_parquet_dir(
+        spark, str(src) + "/*", events.schema, max_files_per_trigger=1
+    )
+    q = (
+        transition_stream_tws(stream)
+        .writeStream.format("memory")
+        .queryName("trans_tws_live")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "tw_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        events.filter(F.col("ts") >= F.lit(cut)).coalesce(1).write.parquet(
+            str(src / "b2")
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rolled = {
+        (r.event_type, r.next_type): r.total
+        for r in spark.table("trans_tws_live")
+        .groupBy("event_type", "next_type")
+        .agg(F.sum("n").alias("total"))
+        .collect()
+    }
+    batch = {
+        (r.event_type, r.next_type): r.n
+        for r in q_event_transitions(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert rolled == batch and len(batch) > 0
