@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""Reproducible 1×/10× scaling probe — regenerates SCALE.md's measured
+ratios as a committed artifact instead of an ad-hoc session.
+
+For each probed operator family the same plan runs over a 1× and a 10×
+input built from $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1):
+
+* events ×10 — rows replicated with shifted event ids (same key
+  distribution, 10× volume);
+* documents ×10 — each copy a near-duplicate with a distinct suffix
+  token, so the candidate-PAIR mass of the dedup family grows
+  super-linearly by construction (45 verify pairs per 10-copy cluster)
+  — deliberately harsher than 10× rows.
+
+A wall ratio ≈ the WORK growth is linear scaling; ≪ means fixed
+overhead still dominates at 1× (idle parallelism); ≫ the per-family
+allowance (10× rows ⇒ 12; pair-mass families grow 45-100× by the
+near-dup construction ⇒ proportionally higher) is the signature of an
+accidental quadratic and fails the probe. Each op runs once untimed
+first (codegen warmup, same policy as bench.py).
+
+Writes SCALE_PROBE.json and prints the markdown rows for SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+#: default allowance: 10× rows should cost at most ~12× wall
+ROW_RATIO = 12.0
+
+
+def _events(spark, k: int):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    if k == 1:
+        return ev
+    reps = spark.range(k).withColumnRenamed("id", "_c")
+    return (
+        ev.crossJoin(reps)
+        .withColumn("event_id", F.col("event_id") * k + F.col("_c"))
+        .drop("_c")
+    )
+
+
+def _documents(spark, k: int):
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    if k == 1:
+        return d
+    reps = spark.range(k).withColumnRenamed("id", "_c")
+    did = F.col("doc_id") * k + F.col("_c")
+    return (
+        d.crossJoin(reps)
+        .withColumn("doc_id", did)
+        .withColumn(
+            "text",
+            F.concat_ws(" ", "text", F.concat(F.lit("uniq"), did.cast("string"))),
+        )
+        .drop("_c")
+    )
+
+
+def probes():
+    """(name, input builder, operator) triples. Each operator returns a
+    DataFrame; the probe forces it with count()."""
+    from egal_yet_another_earthquake_project_spark.llm import dedup as ldd
+    from egal_yet_another_earthquake_project_spark.llm import linkage as llk
+    from egal_yet_another_earthquake_project_spark.llm import text as ltx
+    from egal_yet_another_earthquake_project_spark.operators import (
+        analytics,
+        dedup,
+        joins,
+        series,
+    )
+
+    def flagship(spark, ev):
+        return analytics.threshold_counts_by_group(
+            ev, group_col="event_type", measure_col="value", threshold=100.0
+        )
+
+    def latest(spark, ev):
+        return dedup.latest_by_key(ev, ["user_id"], "ts", tiebreak=["event_id"])
+
+    def asof(spark, ev):
+        series_df = ev.groupBy(
+            F.date_trunc("minute", "ts").alias("sts")
+        ).agg(F.avg("value").alias("sv"))
+        return joins.asof_join(
+            ev.select("event_id", "ts"), series_df, "ts", "sts", ["sv"]
+        )
+
+    def interp(spark, ev):
+        return series.interpolate_minute_series(ev)
+
+    def profile(spark, docs):
+        return ltx.text_profile(docs)
+
+    def exact(spark, docs):
+        return ldd.exact_dedup(docs, "doc_id")
+
+    def lsh(spark, docs):
+        return ldd.minhash_lsh_dedup_pairs(docs, "doc_id", verify_threshold=0.7)
+
+    def fuzzy(spark, docs):
+        return llk.blocked_fuzzy_pairs(docs)
+
+    def tfidf(spark, docs):
+        return llk.tfidf_keywords(docs)
+
+    # (name, input, op, allowed wall ratio). The near-dup construction
+    # multiplies candidate-PAIR mass ~45-100× (every 10-copy cluster is
+    # 45 pairs; same-prefix blocks grow 10× → up to 100× in-block
+    # pairs under the max_block cap), so the pair-bound families carry
+    # proportionally higher allowances — sub-linear per unit of work.
+    return [
+        ("flagship filter+group", _events, flagship, ROW_RATIO),
+        ("latest_by_key window dedup", _events, latest, ROW_RATIO),
+        ("keyless bucketed ASOF", _events, asof, ROW_RATIO),
+        ("minute interpolation (month-stitched)", _events, interp, ROW_RATIO),
+        ("text_profile", _documents, profile, ROW_RATIO),
+        ("exact dedup", _documents, exact, ROW_RATIO),
+        ("MinHash-LSH pairs (verify 0.7)", _documents, lsh, 20.0),
+        ("blocked fuzzy linkage", _documents, fuzzy, 30.0),
+        ("TF-IDF keywords", _documents, tfidf, ROW_RATIO),
+    ]
+
+
+def main() -> int:
+    from egal_yet_another_earthquake_project_spark.session import get_spark
+
+    spark = get_spark("egal-scale-probe", shuffle_partitions=32)
+    rows = []
+    failed = []
+    for name, builder, op, allowed in probes():
+        times = {}
+        warm = builder(spark, 1).localCheckpoint(eager=True)
+        op(spark, warm).count()  # codegen warmup, untimed
+        warm.unpersist()
+        for k in (1, 10):
+            df_in = builder(spark, k).localCheckpoint(eager=True)
+            t0 = time.time()
+            op(spark, df_in).count()
+            times[k] = round(time.time() - t0, 2)
+            df_in.unpersist()
+            spark.catalog.clearCache()
+        ratio = round(times[10] / max(times[1], 1e-9), 1)
+        if ratio > allowed:
+            failed.append(name)
+        rows.append(
+            {
+                "operator": name,
+                "t1": times[1],
+                "t10": times[10],
+                "ratio": ratio,
+                "allowed": allowed,
+            }
+        )
+        print(f"| {name} | {times[1]} s | {times[10]} s | {ratio}× |", flush=True)
+    out = {
+        "sf_dir": SF_DIR,
+        "failed": failed,
+        "rows": rows,
+    }
+    with open("SCALE_PROBE.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"failed": failed, "n": len(rows)}))
+    spark.stop()
+    return 0 if not failed else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
