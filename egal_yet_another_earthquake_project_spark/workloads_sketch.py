@@ -747,6 +747,67 @@ def _hourly_hll_oracle() -> str:
     )
 
 
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise user-set overlap between event types from KMV sketch
+    ALGEBRA (union closure → Jaccard → intersection estimate): the
+    corpus is hashed once, every pair is ≤ k-element array math — the
+    set-operation counterpart of kmv_distinct_users
+    (llm/sketches.py:kmv_overlap). exact_intersection carried as the
+    estimator-quality audit column."""
+    ev = read_table(spark, sf_dir, "events")
+    return lsk.kmv_overlap(ev, "event_type", "user_id", k=KMV_K).orderBy(
+        "ga", "gb"
+    )
+
+
+_KMV_OVERLAP_ORACLE = f"""
+WITH d AS (SELECT DISTINCT event_type AS g, user_id FROM events),
+h AS (
+  SELECT DISTINCT g,
+         CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) + 1
+           AS hv
+  FROM d
+),
+r AS (
+  SELECT g, hv, row_number() OVER (PARTITION BY g ORDER BY hv) AS rn FROM h
+),
+arr AS (
+  SELECT g, list_sort(list(hv)) AS a FROM r WHERE rn <= {KMV_K} GROUP BY g
+),
+pairs AS (
+  SELECT x.g AS ga, y.g AS gb, x.a AS aa, y.a AS ab
+  FROM arr x JOIN arr y ON x.g < y.g
+),
+calc AS (
+  SELECT ga, gb, aa, ab,
+         list_sort(list_distinct(list_concat(aa, ab))) AS mu
+  FROM pairs
+),
+est AS (
+  SELECT ga, gb,
+         CAST(len(list_intersect(mu[1:{KMV_K}], list_intersect(aa, ab)))
+              AS DOUBLE) / len(mu[1:{KMV_K}]) AS j,
+         CASE WHEN len(mu) < {KMV_K} THEN CAST(len(mu) AS DOUBLE)
+              ELSE {KMV_K - 1}.0 * 4294967296.0
+                   / CAST(mu[LEAST({KMV_K}, len(mu))] AS DOUBLE)
+         END AS u
+  FROM calc
+),
+exact AS (
+  SELECT a.g AS ga, b.g AS gb, count(*) AS exact_intersection
+  FROM d a JOIN d b ON a.user_id = b.user_id AND a.g < b.g
+  GROUP BY 1, 2
+)
+SELECT est.ga AS ga, est.gb AS gb,
+       round(j, 4) AS est_jaccard,
+       round(j * u, 2) AS est_intersection,
+       CAST(coalesce(exact.exact_intersection, 0) AS BIGINT)
+         AS exact_intersection
+FROM est LEFT JOIN exact ON est.ga = exact.ga AND est.gb = exact.gb
+ORDER BY est.ga, est.gb
+"""
+
+
 HIST_BIN = 0.5
 HIST_QS = (0.5, 0.9, 0.99)
 
@@ -801,6 +862,7 @@ ORDER BY event_type
 
 QUERIES = {
     "hist_quantiles": q_hist_quantiles,
+    "kmv_overlap": q_kmv_overlap,
     "global_row_ids": q_global_row_ids,
     "kmv_distinct_users": q_kmv_distinct_users,
     "hll_distinct_users": q_hll_distinct_users,
@@ -823,6 +885,7 @@ QUERIES = {
 
 ORACLES = {
     "hist_quantiles": _hist_oracle(),
+    "kmv_overlap": _KMV_OVERLAP_ORACLE,
     "global_row_ids": _ROW_IDS_ORACLE,
     "kmv_distinct_users": _KMV_ORACLE,
     "hll_distinct_users": _hll_oracle(),

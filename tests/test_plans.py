@@ -152,6 +152,10 @@ _ALLOWED_NESTED_LOOP = {
     # Triangle counting returns (n_triangles, n_edges, n_wedges) as a
     # cross of three ONE-ROW aggregate frames — bounded 1×1 broadcasts.
     "copurchase_triangles",
+    # KMV set algebra crosses the #groups-row sketch table with itself
+    # (≤ a few dozen rows, each a ≤k-element array) — bounded by the
+    # group-key cardinality, never the corpus.
+    "kmv_overlap",
     # The LSH recall audit crosses three ONE-ROW aggregate frames —
     # bounded 1×1 broadcasts.
     "lsh_recall",

@@ -449,3 +449,30 @@ def test_hist_streaming_bins_drain_to_batch_quantiles(spark, tmp_path):
     assert sorted(map(tuple, streamed.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_kmv_overlap_estimates_partial_overlap(spark):
+    """Two groups with a known 50% overlap (A = 0..999, B = 500..1499):
+    true J = 1/3, |A∩B| = 500. The k=256 sketch estimate must land
+    within ~3 standard errors (RSE ≈ 1/√(k−2) ≈ 6.3%)."""
+    from egal_yet_another_earthquake_project_spark.llm.sketches import kmv_overlap
+
+    rows = [("A", v) for v in range(1000)] + [("B", v) for v in range(500, 1500)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = kmv_overlap(df, "g", "v", k=256).collect()[0]
+    assert r.exact_intersection == 500
+    assert abs(r.est_jaccard - 1 / 3) < 0.1, r
+    assert abs(r.est_intersection - 500) < 150, r
+
+
+def test_kmv_overlap_exact_below_k(spark):
+    """Unfilled sketches (|A ∪ B| < k) must report EXACT overlap — KMV
+    degrades gracefully, same convention as kmv_distinct."""
+    from egal_yet_another_earthquake_project_spark.llm.sketches import kmv_overlap
+
+    rows = [("A", v) for v in range(20)] + [("B", v) for v in range(10, 30)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = kmv_overlap(df, "g", "v", k=64).collect()[0]
+    assert r.exact_intersection == 10
+    assert r.est_intersection == 10.0
+    assert r.est_jaccard == round(10 / 30, 4)
