@@ -14,6 +14,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from egal_yet_another_earthquake_project_spark.operators.dedup import latest_by_key
 
@@ -73,3 +74,40 @@ def scd2_merge(
         .drop("_new_eff")
     )
     return closed.unionByName(new_rows.select(*closed.columns))
+
+
+def scd2_from_log(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    attr_cols: Sequence[str],
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Reconstruct the full SCD2 history from a change LOG in one pass —
+    the batch complement of :func:`scd2_merge` (which applies one
+    incremental batch): collapse consecutive rows whose tracked
+    attributes didn't change, then close each surviving version with the
+    next version's effective time.
+
+    Two windows on the same (keys) partitioning — one shuffle, reused.
+    Null-safe change detection (``<=>``), deterministic under ties via
+    ``tiebreak``. Output: keys + attrs + ``valid_from``/``valid_to``
+    (+``is_current``); the open version has a null ``valid_to``.
+    """
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    changed = F.lag(ts_col).over(w).isNull()
+    for c in attr_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    vers = (
+        df.select(*keys, ts_col, *attr_cols, *[c for c in tiebreak if c not in attr_cols])
+        .withColumn("_chg", changed)
+        .filter(F.col("_chg"))
+    )
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return vers.select(
+        *keys,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())

@@ -1259,7 +1259,56 @@ ORDER BY event_type
 """
 
 
+def q_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history reconstruction (operators/upsert.py:scd2_from_log):
+    each customer's order-priority timeline as validity intervals —
+    consecutive same-priority orders collapse into one version, each
+    version closed by the next one's effective date, open version
+    flagged current. One shuffle on the customer key, both windows
+    reusing it."""
+    from egal_yet_another_earthquake_project_spark.operators.upsert import (
+        scd2_from_log,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderpriority", "o_orderkey"
+    )
+    return scd2_from_log(
+        orders,
+        ["o_custkey"],
+        "o_orderdate",
+        ["o_orderpriority"],
+        tiebreak=["o_orderkey"],
+    ).orderBy("o_custkey", "valid_from", "o_orderpriority")
+
+
+_SCD2_ORACLE = """
+WITH s AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+         lag(o_orderdate) OVER w AS pts,
+         lag(o_orderpriority) OVER w AS pp
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+v AS (
+  SELECT * FROM s
+  WHERE pts IS NULL OR pp IS DISTINCT FROM o_orderpriority
+),
+h AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate AS valid_from,
+         lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS valid_to
+  FROM v
+)
+SELECT o_custkey, o_orderpriority, valid_from, valid_to,
+       valid_to IS NULL AS is_current
+FROM h
+ORDER BY o_custkey, valid_from, o_orderpriority
+"""
+
+
 QUERIES = {
+    "priority_history": q_priority_history,
     "zordered_band_scan": q_zordered_band_scan,
     "running_sum": q_running_sum,
     "sessionize": q_sessionize,
@@ -1298,6 +1347,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "priority_history": _SCD2_ORACLE,
     "zordered_band_scan": _ZORDER_ORACLE,
     "running_sum": _RUNNING_SUM_ORACLE,
     "sessionize": _SESSIONIZE_ORACLE,

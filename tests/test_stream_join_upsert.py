@@ -99,3 +99,41 @@ def test_scd2_merge_closes_current_versions(spark):
     assert old.payload == "v1" and old.is_current is False
     assert old.valid_to == new.eff
     assert new.payload == "v2" and new.is_current is True and new.valid_to is None
+
+
+def test_scd2_from_log_collapses_and_closes(spark):
+    """Hand-checkable change log: key 1 goes A→A→B→A (A-runs collapse;
+    the later A is a NEW version, not a merge with the first), key 2
+    never changes (one open version)."""
+    import datetime as dt
+
+    from egal_yet_another_earthquake_project_spark.operators.upsert import (
+        scd2_from_log,
+    )
+
+    def d(day):
+        return dt.date(2024, 1, day)
+
+    log = spark.createDataFrame(
+        [
+            (1, d(1), "A", 10),
+            (1, d(2), "A", 11),
+            (1, d(3), "B", 12),
+            (1, d(5), "A", 13),
+            (2, d(2), "X", 14),
+            (2, d(9), "X", 15),
+        ],
+        "k int, ts date, attr string, seq int",
+    )
+    rows = sorted(
+        map(
+            tuple,
+            scd2_from_log(log, ["k"], "ts", ["attr"], tiebreak=["seq"]).collect(),
+        )
+    )
+    assert rows == [
+        (1, "A", d(1), d(3), False),
+        (1, "A", d(5), None, True),
+        (1, "B", d(3), d(5), False),
+        (2, "X", d(2), None, True),
+    ], rows
