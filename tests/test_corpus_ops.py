@@ -331,3 +331,35 @@ def test_bpe_apply_segments_with_learned_merges(spark):
     assert got["aaaa"] == "aaaa$"
     assert got["low"] == "l o w $"
     assert got["lower"] == "l o w e r $"
+
+
+def test_compression_profile_separates_template_from_prose(spark):
+    """Repeated boilerplate must compress far better than varied prose,
+    and the plan must stay a shuffle-free Arrow projection."""
+    from egal_yet_another_earthquake_project_spark.llm.text import (
+        compression_profile,
+    )
+    from egal_yet_another_earthquake_project_spark.plans import inspect
+
+    template = "click here to subscribe now " * 60
+    prose = (
+        "the quarterly report outlines revenue shifts across distinct "
+        "regional markets while noting unusual churn among recently "
+        "acquired enterprise customers and proposing several remedies "
+        "grounded in pricing experiments from adjacent product lines "
+    ) * 3
+    df = spark.createDataFrame(
+        [(1, template), (2, prose), (3, "")], "doc_id long, text string"
+    )
+    out = compression_profile(df)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].ratio > 2 * rows[2].ratio, (rows[1], rows[2])
+    assert rows[2].ratio > 1.5
+    assert rows[3].ratio == 0.0 and rows[3].n_bytes == 0
+    assert inspect.exchange_count(out) == 0, inspect.formatted_plan(out)
+    # deterministic across partitionings
+    again = {
+        r.doc_id: r.ratio
+        for r in compression_profile(df.repartition(5)).collect()
+    }
+    assert again == {k: v.ratio for k, v in rows.items()}
