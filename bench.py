@@ -125,6 +125,13 @@ HEADLINE = [
     # interpolation now that the carry windows are bucket-partitioned.
     "zordered_band_scan",
     "tfidf_keywords_capped",
+    # round-5 wave 2: the histogram quantile sketch, KMV set algebra,
+    # and SCD2 history reconstruction. (copurchase_triangles is
+    # declared+oracle-checked at sf0.01 but stays out of the headline:
+    # its wedge mass at sf0.1 is a ~10^8-row join by design.)
+    "hist_quantiles",
+    "kmv_overlap",
+    "priority_history",
 ]
 
 
