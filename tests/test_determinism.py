@@ -59,6 +59,18 @@ CHECKED = [
     "lsh_recall",
     "interpolate_gaps",
     "zscore_outliers",
+    # round-5 wave: grid-rule quantiles, sketch set algebra (hash-rank
+    # arrays), batched BPE (top-K tie-breaks), SCD2 window collapse,
+    # Z-order rewrite round trip (approxQuantile boundaries vary with
+    # partitioning but the band RESULT must not), degree-ordered
+    # triangles, capped TF-IDF.
+    "hist_quantiles",
+    "kmv_overlap",
+    "bpe_merges",
+    "priority_history",
+    "zordered_band_scan",
+    "copurchase_triangles",
+    "tfidf_keywords_capped",
 ]
 
 
