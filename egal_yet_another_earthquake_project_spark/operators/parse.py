@@ -89,3 +89,55 @@ def parse_json_props(df: DataFrame, json_col: str, schema, prefix: str = "") -> 
     for field in schema.fields:
         parsed = parsed.withColumn(prefix + field.name, F.col(f"_parsed.{field.name}"))
     return parsed.drop("_parsed")
+
+
+def quarantine_split(
+    df: DataFrame, json_col: str = "ascii_value"
+) -> tuple[DataFrame, DataFrame]:
+    """Route malformed payloads to a quarantine side instead of silently
+    nulling them — the dead-letter discipline the reference's pipeline
+    lacks entirely (a bad Kafka record there becomes an all-null row or
+    a crashed executor).
+
+    ``from_json`` is PERMISSIVE: an unparseable document yields an
+    all-NULL struct — indistinguishable from a legitimately empty one.
+    The split therefore parses with ``columnNameOfCorruptRecord``, which
+    captures the offending text in a ``_corrupt`` field only when the
+    parse failed; branching on it gives two frames off ONE shared parse
+    subplan:
+
+    * ok — the parsed ``EARTHQUAKE_RAW`` columns (same shape as
+      :func:`parse_events_raw`);
+    * quarantine — the ORIGINAL payload plus a ``reason`` column
+      (``null_payload`` / ``unparseable_json``), so the record can be
+      replayed after a parser fix — data is never destroyed by a schema
+      mismatch.
+
+    Pure column logic — both sides stay co-partitioned with the input
+    and the filters push into the shared scan. In streaming, drive both
+    sides from one ``foreachBatch`` (write ok to silver, quarantine to
+    the dead-letter path) so the batch is read once.
+    """
+    from pyspark.sql import types as T
+
+    with_corrupt = T.StructType(
+        [*EARTHQUAKE_RAW.fields, T.StructField("_corrupt", T.StringType(), True)]
+    )
+    parsed = df.withColumn(
+        "_e",
+        F.from_json(
+            F.col(json_col),
+            with_corrupt,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ),
+    )
+    null_in = F.col(json_col).isNull() | (F.trim(F.col(json_col)) == "")
+    is_bad = null_in | F.col("_e").isNull() | F.col("_e._corrupt").isNotNull()
+    ok = parsed.filter(~is_bad).select("_e.*").drop("_corrupt")
+    bad = parsed.filter(is_bad).select(
+        F.col(json_col).alias("payload"),
+        F.when(null_in, F.lit("null_payload"))
+        .otherwise(F.lit("unparseable_json"))
+        .alias("reason"),
+    )
+    return ok, bad

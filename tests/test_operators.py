@@ -155,3 +155,28 @@ def test_range_join_matches_naive(spark):
         (1, "10:00"), (1, "10:04"),
         (2, "12:00"), (2, "12:04"),
     ]
+
+
+def test_quarantine_split_routes_malformed_payloads(spark):
+    """Valid docs parse; garbage and empty payloads land in quarantine
+    with the original payload intact (replayable) and a typed reason."""
+    from egal_yet_another_earthquake_project_spark.operators.parse import (
+        quarantine_split,
+    )
+
+    rows = [
+        ('{"eventID": "1", "province": "Izmir"}',),
+        ("not json at all {",),
+        ("",),
+        (None,),
+        ('{"eventID": "2"}',),
+    ]
+    df = spark.createDataFrame(rows, "ascii_value string")
+    ok, bad = quarantine_split(df)
+    assert sorted(r.eventID for r in ok.collect()) == ["1", "2"]
+    got = {(r.payload, r.reason) for r in bad.collect()}
+    assert got == {
+        ("not json at all {", "unparseable_json"),
+        ("", "null_payload"),
+        (None, "null_payload"),
+    }
