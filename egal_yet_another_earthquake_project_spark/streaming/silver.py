@@ -108,3 +108,44 @@ def trailing_view(df: DataFrame, event_time: str, horizon: str) -> DataFrame:
     return df.filter(
         F.col(event_time) >= F.current_timestamp() - F.expr(f"INTERVAL {horizon}")
     )
+
+
+def silver_with_quarantine(
+    envelope: DataFrame,
+    silver_path: str,
+    quarantine_path: str,
+    checkpoint: str,
+):
+    """Streaming silver write with a dead-letter branch: each micro-batch
+    is split ONCE by :func:`operators.parse.quarantine_split` — valid
+    documents continue through the typed/enriched silver transform to
+    ``silver_path``, malformed payloads land at ``quarantine_path`` with
+    the original bytes and a reason, replayable after a parser fix.
+
+    ``foreachBatch`` is the right shape here (not two writeStreams): one
+    source read and one checkpoint cover BOTH sinks, so recovery
+    replays a batch into the same split — neither side can run ahead of
+    the other. Returns the started query.
+    """
+    from egal_yet_another_earthquake_project_spark.operators.parse import (
+        decode_envelope,
+        quarantine_split,
+        typed_events,
+    )
+    from egal_yet_another_earthquake_project_spark.operators.enrich import (
+        with_fault_line_expr,
+    )
+
+    def _sink(batch: DataFrame, _batch_id: int) -> None:
+        decoded = decode_envelope(batch)
+        ok, bad = quarantine_split(decoded)
+        with_fault_line_expr(typed_events(ok)).write.mode("append").parquet(
+            silver_path
+        )
+        bad.write.mode("append").parquet(quarantine_path)
+
+    return (
+        envelope.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

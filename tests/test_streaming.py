@@ -270,3 +270,54 @@ def test_stream_static_enrichment_broadcasts_dim(spark, tmp_path: Path):
     assert len(rows) == 3
     assert rows[1].n_name is not None and rows[2].n_name is not None
     assert rows[3].n_name is None  # unmatched key kept, null-extended
+
+
+def test_silver_with_quarantine_splits_batches(spark, tmp_path):
+    """A micro-batch mixing valid envelopes and garbage payloads must
+    land valid rows in silver and garbage (payload + reason) in the
+    dead-letter path — one source read, one checkpoint, both sinks."""
+    import json as _json
+
+    from egal_yet_another_earthquake_project_spark.schemas import KAFKA_ENVELOPE
+    from egal_yet_another_earthquake_project_spark.sources.files import (
+        stream_parquet_dir,
+    )
+    from egal_yet_another_earthquake_project_spark.streaming.silver import (
+        silver_with_quarantine,
+    )
+    from egal_yet_another_earthquake_project_spark.testing import fixtures
+
+    good = fixtures.kafka_envelopes(
+        fixtures.earthquake_events(
+            n=5, seed=3, dup_rate=0.0, update_rate=0.0, bad_date_rate=0.0
+        )
+    )
+    # envelope rows are (key, value, topic, partition, offset, ts, tsType)
+    garbage = [
+        (None, bytearray(b"{broken json"), "earthquakeRaw", 0, 100, None, 0),
+        (None, bytearray(b""), "earthquakeRaw", 0, 101, None, 0),
+    ]
+    src = tmp_path / "in"
+    spark.createDataFrame(good + garbage, KAFKA_ENVELOPE).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    q = silver_with_quarantine(
+        stream_parquet_dir(spark, str(src) + "/*", KAFKA_ENVELOPE),
+        str(tmp_path / "silver"),
+        str(tmp_path / "dead"),
+        str(tmp_path / "ck"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    silver = spark.read.parquet(str(tmp_path / "silver"))
+    assert silver.count() == 5
+    assert "fault_line" in silver.columns
+    dead = spark.read.parquet(str(tmp_path / "dead")).collect()
+    got = {(r.payload, r.reason) for r in dead}
+    assert got == {
+        ("{broken json", "unparseable_json"),
+        ("", "null_payload"),
+    }
