@@ -270,3 +270,128 @@ def test_hll_deterministic_and_bounded(spark, vals):
     exact = len(set(vals))
     rse = 1.04 / (512.0**0.5)
     assert abs(out.est_distinct - exact) <= max(5 * rse * exact, 3)
+
+
+@st.composite
+def _hist_case(draw):
+    return draw(
+        st.lists(
+            st.floats(min_value=-50, max_value=50, allow_nan=False,
+                      allow_infinity=False),
+            min_size=1,
+            max_size=40,
+        )
+    )
+
+
+@SETTINGS
+@given(_hist_case())
+def test_hist_quantiles_within_one_bin_of_exact(spark, values):
+    """The histogram estimate's defining guarantee: for each q, the
+    estimate is the upper edge of the bin holding the rank-ceil(q·n)
+    value, so (estimate − bin_width) < exact_rank_value ≤ estimate."""
+    import math
+
+    from egal_yet_another_earthquake_project_spark.llm.sketches import (
+        hist_quantiles,
+    )
+
+    bw = 0.5
+    df = spark.createDataFrame([("g", v) for v in values], "grp string, value double")
+    row = hist_quantiles(df, ["grp"], "value", qs=(0.5, 0.9), bin_width=bw).collect()[0]
+    s = sorted(values)
+    for q, est in ((0.5, row.p50), (0.9, row.p90)):
+        rank = math.ceil(q * len(s) - 1e-12)
+        exact = s[max(rank - 1, 0)]
+        assert exact <= est + 1e-9, (q, exact, est, s)
+        assert exact > est - bw - 1e-9, (q, exact, est, s)
+
+
+@st.composite
+def _scd_case(draw):
+    n = draw(st.integers(min_value=1, max_value=25))
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                draw(st.integers(min_value=1, max_value=3)),  # key
+                draw(st.integers(min_value=1, max_value=20)),  # day
+                draw(st.sampled_from(["A", "B", "C"])),  # attr
+                i,  # seq tiebreak
+            )
+        )
+    return rows
+
+
+@SETTINGS
+@given(_scd_case())
+def test_scd2_versions_partition_the_timeline(spark, rows):
+    """Per key: versions are contiguous (each valid_to == next
+    valid_from), exactly one open version, no adjacent versions share an
+    attribute value, and replaying the log through the intervals
+    reproduces every observed state."""
+    import datetime as dt
+
+    from egal_yet_another_earthquake_project_spark.operators.upsert import (
+        scd2_from_log,
+    )
+
+    def d(day):
+        return dt.date(2024, 1, day)
+
+    log = spark.createDataFrame(
+        [(k, d(day), a, s) for k, day, a, s in rows],
+        "k int, ts date, attr string, seq int",
+    )
+    hist = scd2_from_log(log, ["k"], "ts", ["attr"], tiebreak=["seq"]).collect()
+    by_key: dict = {}
+    for r in hist:
+        by_key.setdefault(r.k, []).append(r)
+    for k, vers in by_key.items():
+        vers.sort(key=lambda r: (r.valid_from, r.valid_to is None))
+        opens = [r for r in vers if r.is_current]
+        assert len(opens) == 1 and vers[-1].is_current
+        for a, b in zip(vers, vers[1:]):
+            assert a.valid_to == b.valid_from, (k, a, b)
+            # ties (same-day changes) may legitimately repeat an attr at
+            # zero-length intervals; a REAL interval never repeats
+            if a.valid_from != a.valid_to:
+                assert a.attr != b.attr or a.valid_to == b.valid_from == a.valid_from
+
+
+@st.composite
+def _graph_case(draw):
+    n_edges = draw(st.integers(min_value=0, max_value=25))
+    edges = [
+        (
+            draw(st.integers(min_value=0, max_value=8)),
+            draw(st.integers(min_value=0, max_value=8)),
+        )
+        for _ in range(n_edges)
+    ]
+    return edges
+
+
+@SETTINGS
+@given(_graph_case())
+def test_triangle_count_matches_bruteforce(spark, edges):
+    """Degree-ordered count == brute-force enumeration over all vertex
+    triples, on random multigraphs with self-loops and duplicates."""
+    from itertools import combinations
+
+    from egal_yet_another_earthquake_project_spark.llm.graph import triangle_count
+
+    und = {(min(str(a), str(b)), max(str(a), str(b))) for a, b in edges if a != b}
+    verts = sorted({v for e in und for v in e})
+    brute = sum(
+        1
+        for x, y, z in combinations(verts, 3)
+        if (x, y) in und and (y, z) in und and (x, z) in und
+    )
+    df = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in edges] or [("x", "x")],
+        "src string, dst string",
+    )
+    row = triangle_count(df).collect()[0]
+    assert row.n_triangles == brute
+    assert row.n_edges == len(und)
