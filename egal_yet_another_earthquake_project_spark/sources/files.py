@@ -20,6 +20,34 @@ def read_parquet(spark: SparkSession, path: str, columns: list[str] | None = Non
     return df.select(*columns) if columns else df
 
 
+def read_parquet_evolved(
+    spark: SparkSession,
+    path: str,
+    target_schema: StructType,
+) -> DataFrame:
+    """Batch scan of a dataset whose FILES span schema versions — the
+    normal state of a 100 TB table that has been ingesting for years
+    (columns get added; old files are never rewritten).
+
+    ``mergeSchema`` unions the per-file footers so adds are visible, and
+    the explicit projection conforms every file to ``target_schema``:
+    columns a file predates come back as typed nulls, extra historical
+    columns are pruned at the scan, and column ORDER is normalized —
+    readers never break because one partition was written last year.
+    (Type CHANGES are not papered over: an int→string flip still fails
+    loudly, which is correct — that needs a migration, not a read
+    option.)
+    """
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    cols = []
+    for f in target_schema.fields:
+        if f.name in df.columns:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
 def stream_parquet_dir(
     spark: SparkSession,
     path: str,

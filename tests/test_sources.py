@@ -88,3 +88,33 @@ def test_read_table_normalizes_both_events_ts_layouts(spark, tmp_path):
     b = {r.event_id: r.ts for r in read_table(spark, str(tmp_path / "micros"), "events").collect()}
     assert a == b and len(a) == 2
     assert read_table(spark, str(tmp_path / "micros"), "events").schema["ts"].dataType.typeName() == "timestamp"
+
+
+def test_read_parquet_evolved_conforms_mixed_schema_files(spark, tmp_path):
+    """Files written before a column existed read back as typed nulls;
+    files with extra historical columns prune; order/type conform to the
+    target schema."""
+    from pyspark.sql import types as T
+
+    from egal_yet_another_earthquake_project_spark.sources.files import (
+        read_parquet_evolved,
+    )
+
+    old = spark.createDataFrame([(1, "a")], "id long, name string")
+    new = spark.createDataFrame(
+        [(2, "b", 9.5, "junk")], "id long, name string, score double, legacy string"
+    )
+    old.write.parquet(str(tmp_path / "d"), mode="append")
+    new.write.parquet(str(tmp_path / "d"), mode="append")
+
+    target = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    out = read_parquet_evolved(spark, str(tmp_path / "d"), target)
+    assert out.columns == ["id", "name", "score"]
+    rows = {r.id: (r.name, r.score) for r in out.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
