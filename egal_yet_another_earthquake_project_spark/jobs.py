@@ -118,6 +118,15 @@ def _parser() -> argparse.ArgumentParser:
     g.add_argument("--dst", required=True)
     g.add_argument("--partition-col", action="append", default=None)
     g.add_argument("--target-rows", type=int, default=1_000_000)
+
+    x = sub.add_parser(
+        "explain",
+        help="plan-property audit of a declared query (shuffles, joins, "
+        "pushdown, codegen) — the test suite's scale assertions as a tool",
+    )
+    x.add_argument("--query", required=True, help="name from workloads.QUERIES")
+    x.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    x.add_argument("--full-plan", action="store_true")
     return p
 
 
@@ -239,6 +248,19 @@ def main(argv: list[str] | None = None) -> int:
                 target_rows_per_file=args.target_rows,
             )
             print(json.dumps({"dst": args.dst, "files": n}))
+        elif args.cmd == "explain":
+            import json
+
+            from egal_yet_another_earthquake_project_spark import workloads
+            from egal_yet_another_earthquake_project_spark.plans import inspect
+
+            if args.query not in workloads.QUERIES:
+                print(f"unknown query {args.query!r}", file=sys.stderr)
+                return 2
+            df = workloads.QUERIES[args.query](spark, args.sf_dir)
+            print(json.dumps(inspect.plan_audit(df), indent=1))
+            if args.full_plan:
+                print(inspect.formatted_plan(df))
         return 0
     finally:
         spark.stop()

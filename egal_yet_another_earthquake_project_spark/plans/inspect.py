@@ -111,3 +111,25 @@ def codegen_stage_count(df: DataFrame) -> int:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
     m = re.search(r"Found (\d+) WholeStageCodegen subtrees", buf.getvalue())
     return int(m.group(1)) if m else 0
+
+
+def plan_audit(df: DataFrame) -> dict:
+    """One-call plan-property report — the assertions the test suite
+    makes, as a user-facing dict (surfaced by the CLI ``explain``
+    command): shuffle count, join strategies with their keys, pushed
+    filters, scan schemas, top-k/codegen flags, and nested-loop
+    presence (the 100 TB red flag unless the query is a declared
+    baseline)."""
+    plan = formatted_plan(df)
+    return {
+        "exchanges": exchange_count(df),
+        "joins": [
+            {"node": n, "keys": sorted(k)} for n, k in join_key_nodes(df)
+        ],
+        "pushed_filters": pushed_filters(df),
+        "read_schemas": read_schemas(df),
+        "take_ordered_topk": "TakeOrderedAndProject" in plan,
+        "whole_stage_codegen_stages": codegen_stage_count(df),
+        "nested_loop_join": "BroadcastNestedLoopJoin" in plan
+        or "CartesianProduct" in plan,
+    }

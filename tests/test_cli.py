@@ -211,3 +211,22 @@ def test_cli_curate_with_mixture_materializes_repeats(spark, tmp_path: Path, cap
     for src, (rows, docs) in per_src.items():
         if src != "src0":
             assert rows == docs, f"default-weight source {src} duplicated"
+
+
+def test_cli_explain_audits_declared_query(capsys):
+    import json
+
+    from egal_yet_another_earthquake_project_spark.jobs import main
+
+    rc = main(["explain", "--query", "region_dim_join"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    audit = json.loads(out[out.index("{"):])
+    assert audit["nested_loop_join"] is False
+    assert any(j["node"] == "BroadcastHashJoin" for j in audit["joins"])
+
+
+def test_cli_explain_rejects_unknown_query():
+    from egal_yet_another_earthquake_project_spark.jobs import main
+
+    assert main(["explain", "--query", "no_such_query"]) == 2
