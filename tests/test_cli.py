@@ -213,12 +213,18 @@ def test_cli_curate_with_mixture_materializes_repeats(spark, tmp_path: Path, cap
             assert rows == docs, f"default-weight source {src} duplicated"
 
 
-def test_cli_explain_audits_declared_query(capsys):
+def test_cli_explain_audits_declared_query(spark, capsys):
     import json
 
     from egal_yet_another_earthquake_project_spark.jobs import main
 
-    rc = main(["explain", "--query", "region_dim_join"])
+    # main() shares the test session via getOrCreate; guard its stop().
+    real_stop = spark.stop
+    spark.stop = lambda: None
+    try:
+        rc = main(["explain", "--query", "region_dim_join"])
+    finally:
+        spark.stop = real_stop
     assert rc == 0
     out = capsys.readouterr().out
     audit = json.loads(out[out.index("{"):])
@@ -226,7 +232,12 @@ def test_cli_explain_audits_declared_query(capsys):
     assert any(j["node"] == "BroadcastHashJoin" for j in audit["joins"])
 
 
-def test_cli_explain_rejects_unknown_query():
+def test_cli_explain_rejects_unknown_query(spark):
     from egal_yet_another_earthquake_project_spark.jobs import main
 
-    assert main(["explain", "--query", "no_such_query"]) == 2
+    real_stop = spark.stop
+    spark.stop = lambda: None
+    try:
+        assert main(["explain", "--query", "no_such_query"]) == 2
+    finally:
+        spark.stop = real_stop
