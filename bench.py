@@ -132,6 +132,7 @@ HEADLINE = [
     "hist_quantiles",
     "kmv_overlap",
     "priority_history",
+    "span_corruption",
 ]
 
 

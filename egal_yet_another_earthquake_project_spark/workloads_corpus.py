@@ -376,6 +376,76 @@ ORDER BY word
 """
 
 
+SPAN_BLOCK = 20
+SPAN_LEN = 3
+
+
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption pairs (llm/masking.py): deterministic
+    block-grid spans (one md5-placed 3-token span per 20-token block ≈
+    15% corruption), sentinel inputs + span targets — a pure per-row
+    projection at scan speed; the corrupted strings themselves
+    hash-verify against the oracle."""
+    from egal_yet_another_earthquake_project_spark.llm.masking import span_corrupt
+
+    docs = read_table(spark, sf_dir, "documents")
+    return span_corrupt(
+        docs, block=SPAN_BLOCK, span_len=SPAN_LEN
+    ).orderBy("doc_id")
+
+
+_SPAN_ORACLE = f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+p AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CAST(ceil(len(toks) / {SPAN_BLOCK}.0) AS INT) AS nb
+  FROM base
+),
+blocks AS (
+  SELECT doc_id, toks, n, unnest(range(0, nb)) AS b FROM p WHERE nb > 0
+),
+m AS (
+  SELECT doc_id, toks, n, b,
+         b * {SPAN_BLOCK} AS start,
+         LEAST({SPAN_BLOCK}, n - b * {SPAN_BLOCK}) AS blen,
+         (LEAST({SPAN_BLOCK}, n - b * {SPAN_BLOCK}) >= {SPAN_LEN + 1}) AS maskable,
+         CASE WHEN LEAST({SPAN_BLOCK}, n - b * {SPAN_BLOCK}) >= {SPAN_LEN + 1}
+              THEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|'
+                       || CAST(b AS VARCHAR)), 1, 8) AS BIGINT)
+                   % (LEAST({SPAN_BLOCK}, n - b * {SPAN_BLOCK}) - {SPAN_LEN})
+              ELSE 0 END AS s
+  FROM blocks
+),
+pieces AS (
+  SELECT doc_id, n, b,
+         CASE WHEN maskable THEN
+           list_concat(list_concat(
+             toks[start + 1 : start + s],
+             ['<extra_id_' || CAST(b AS VARCHAR) || '>']),
+             toks[start + s + {SPAN_LEN} + 1 : start + blen])
+         ELSE toks[start + 1 : start + blen] END AS inp,
+         CASE WHEN maskable THEN
+           list_concat(['<extra_id_' || CAST(b AS VARCHAR) || '>'],
+                       toks[start + s + 1 : start + s + {SPAN_LEN}])
+         ELSE [] END AS tgt
+  FROM m
+),
+agg AS (
+  SELECT doc_id, max(n) AS n,
+         flatten(list(inp ORDER BY b)) AS inp_l,
+         flatten(list(tgt ORDER BY b)) AS tgt_l
+  FROM pieces GROUP BY doc_id
+)
+SELECT base.doc_id,
+       CAST(coalesce(agg.n, 0) AS INTEGER) AS n_tokens,
+       coalesce(array_to_string(inp_l, ' '), '') AS inputs,
+       coalesce(array_to_string(list_append(tgt_l, '</s>'), ' '), '</s>')
+         AS targets
+FROM base LEFT JOIN agg USING (doc_id)
+ORDER BY base.doc_id
+"""
+
+
 QUERIES = {
     "doc_chunks": q_doc_chunks,
     "repetition_profile": q_repetition_profile,
@@ -383,6 +453,7 @@ QUERIES = {
     "unigram_nll": q_unigram_nll,
     "pii_profile": q_pii_profile,
     "bpe_merges": q_bpe_merges,
+    "span_corruption": q_span_corruption,
     "bpe_encoded_vocab": q_bpe_encoded_vocab,
 }
 
@@ -393,5 +464,6 @@ ORACLES = {
     "unigram_nll": _UNIGRAM_NLL_ORACLE,
     "pii_profile": _PII_ORACLE,
     "bpe_merges": _bpe_oracle(),
+    "span_corruption": _SPAN_ORACLE,
     "bpe_encoded_vocab": _bpe_encode_oracle(),
 }

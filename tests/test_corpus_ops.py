@@ -363,3 +363,56 @@ def test_compression_profile_separates_template_from_prose(spark):
         for r in compression_profile(df.repartition(5)).collect()
     }
     assert again == {k: v.ratio for k, v in rows.items()}
+
+
+def test_span_corruption_grid_semantics(spark):
+    """25 tokens at block=20/span=3: block 0 masks one 3-run at an
+    md5-determined offset, block 1 (5 tokens) masks one too; sentinel
+    ids are block indices; inputs+targets reconstruct the original."""
+    from egal_yet_another_earthquake_project_spark.llm.masking import span_corrupt
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(25))), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in span_corrupt(df).collect()}
+    r1 = rows[1]
+    assert r1.n_tokens == 25
+    inp, tgt = r1.inputs.split(), r1.targets.split()
+    assert inp.count("<extra_id_0>") == 1 and inp.count("<extra_id_1>") == 1
+    assert tgt[0] == "<extra_id_0>" and tgt[-1] == "</s>"
+    # reconstruct: splice each target span back over its sentinel
+    spans = {}
+    cur = None
+    for t in tgt[:-1]:
+        if t.startswith("<extra_id_"):
+            cur = t
+            spans[cur] = []
+        else:
+            spans[cur].append(t)
+    rebuilt = []
+    for t in inp:
+        rebuilt.extend(spans[t] if t in spans else [t])
+    assert rebuilt == [f"t{i}" for i in range(25)]
+    assert all(len(v) == 3 for v in spans.values())
+    # too-short and empty docs pass through
+    assert rows[2].inputs == "a b" and rows[2].targets == "</s>"
+    assert rows[3].inputs == "" and rows[3].targets == "</s>"
+
+
+def test_span_corruption_is_shuffle_free(spark):
+    from egal_yet_another_earthquake_project_spark.llm.masking import span_corrupt
+    from egal_yet_another_earthquake_project_spark.plans import inspect
+    from egal_yet_another_earthquake_project_spark.sources.files import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    df = span_corrupt(docs)
+    assert inspect.exchange_count(df) == 0, inspect.formatted_plan(df)
+
+
+def test_span_corruption_rejects_bad_grid(spark):
+    from egal_yet_another_earthquake_project_spark.llm.masking import span_corrupt
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        span_corrupt(df, block=3, span_len=3)

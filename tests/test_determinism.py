@@ -71,6 +71,7 @@ CHECKED = [
     "zordered_band_scan",
     "copurchase_triangles",
     "tfidf_keywords_capped",
+    "span_corruption",
 ]
 
 
