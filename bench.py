@@ -133,6 +133,8 @@ HEADLINE = [
     "kmv_overlap",
     "priority_history",
     "span_corruption",
+    "line_dedup",
+    "corpus_report",
 ]
 
 

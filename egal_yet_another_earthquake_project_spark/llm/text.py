@@ -549,3 +549,33 @@ def compression_profile(
             )
 
     return df.select(id_col, text_col).mapInPandas(fn, out_schema)
+
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = ". ",
+) -> DataFrame:
+    """Strip repeated sentences/lines WITHIN each document, keeping the
+    first occurrence in order — the intra-document half of deduplication
+    (RefinedWeb's line-dedup pass; boilerplate headers/footers and
+    crawler echo repeat inside a page long before they repeat across
+    pages).
+
+    ``array_distinct`` preserves first-occurrence order in Spark, so the
+    whole pass is one per-row array expression — no explode, no
+    shuffle, scan-speed. Output: ``id_col, n_units, n_kept,
+    cleaned_text``.
+    """
+    import re as _re
+
+    # Spark's split() takes a REGEX; the separator is a literal.
+    units = F.split(F.col(text_col), _re.escape(sep), -1)
+    kept = F.array_distinct(units)
+    return df.select(
+        id_col,
+        F.size(units).alias("n_units"),
+        F.size(kept).alias("n_kept"),
+        F.array_join(kept, sep).alias("cleaned_text"),
+    )

@@ -446,6 +446,89 @@ ORDER BY base.doc_id
 """
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document sentence dedup (llm/text.py:dedup_lines): repeated
+    '. '-separated units stripped keeping first occurrence in order —
+    RefinedWeb's line-dedup pass as one per-row array expression,
+    shuffle-free."""
+    from egal_yet_another_earthquake_project_spark.llm.text import dedup_lines
+
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup_lines(docs).orderBy("doc_id")
+
+
+# list_position returns the FIRST 1-based index, so filtering positions
+# to those equal to their own first index reproduces array_distinct's
+# first-occurrence-order semantics.
+_LINE_DEDUP_ORACLE = """
+WITH l AS (
+  SELECT doc_id, string_split(text, '. ') AS u FROM documents
+),
+k AS (
+  SELECT doc_id, u,
+         list_transform(
+           list_filter(range(1, len(u) + 1), i -> list_position(u, u[i]) = i),
+           i -> u[i]) AS kept
+  FROM l
+)
+SELECT doc_id,
+       CAST(len(u) AS INTEGER) AS n_units,
+       CAST(len(kept) AS INTEGER) AS n_kept,
+       array_to_string(kept, '. ') AS cleaned_text
+FROM k
+ORDER BY doc_id
+"""
+
+
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus report card — the dataset-datasheet numbers a
+    pipeline operator checks before training: volume, source mix,
+    token mass, median document length, exact-duplicate rate. Two
+    one-row aggregates crossed (bounded 1×1); everything else is
+    map-side partial aggregation."""
+    docs = ltx.tokenized(read_table(spark, sf_dir, "documents")).withColumn(
+        "_n", F.size("_toks")
+    )
+    per_source = docs.groupBy("source").agg(
+        F.count("*").alias("_c"), F.sum("_n").alias("_t")
+    )
+    source_side = per_source.agg(
+        F.count("*").cast("long").alias("n_sources"),
+        F.sum("_c").cast("long").alias("n_docs"),
+        F.sum("_t").cast("long").alias("total_tokens"),
+        F.round(F.max("_c") / F.sum("_c"), 4).alias("top_source_share"),
+    )
+    doc_side = docs.agg(
+        F.round(F.expr("percentile(_n, 0.5)"), 4).alias("p50_doc_tokens"),
+        F.round(
+            1 - F.count_distinct(F.md5("text")) / F.count("*"), 4
+        ).alias("exact_dup_rate"),
+    )
+    return source_side.crossJoin(F.broadcast(doc_side))
+
+
+_CORPUS_REPORT_ORACLE = f"""
+WITH d AS (SELECT source, text, len({_TOKS}) AS n FROM documents),
+per_source AS (
+  SELECT source, count(*) AS c, sum(n) AS t FROM d GROUP BY source
+),
+src AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_sources,
+         CAST(sum(c) AS BIGINT) AS n_docs,
+         CAST(sum(t) AS BIGINT) AS total_tokens,
+         round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_source_share
+  FROM per_source
+),
+doc AS (
+  SELECT round(CAST(quantile_cont(n, 0.5) AS DOUBLE), 4) AS p50_doc_tokens,
+         round(1 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*), 4)
+           AS exact_dup_rate
+  FROM d
+)
+SELECT * FROM src CROSS JOIN doc
+"""
+
+
 QUERIES = {
     "doc_chunks": q_doc_chunks,
     "repetition_profile": q_repetition_profile,
@@ -454,6 +537,8 @@ QUERIES = {
     "pii_profile": q_pii_profile,
     "bpe_merges": q_bpe_merges,
     "span_corruption": q_span_corruption,
+    "line_dedup": q_line_dedup,
+    "corpus_report": q_corpus_report,
     "bpe_encoded_vocab": q_bpe_encoded_vocab,
 }
 
@@ -465,5 +550,7 @@ ORACLES = {
     "pii_profile": _PII_ORACLE,
     "bpe_merges": _bpe_oracle(),
     "span_corruption": _SPAN_ORACLE,
+    "line_dedup": _LINE_DEDUP_ORACLE,
+    "corpus_report": _CORPUS_REPORT_ORACLE,
     "bpe_encoded_vocab": _bpe_encode_oracle(),
 }

@@ -416,3 +416,22 @@ def test_span_corruption_rejects_bad_grid(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         span_corrupt(df, block=3, span_len=3)
+
+
+def test_dedup_lines_keeps_first_occurrence_order(spark):
+    from egal_yet_another_earthquake_project_spark.llm.text import dedup_lines
+    from egal_yet_another_earthquake_project_spark.plans import inspect
+
+    df = spark.createDataFrame(
+        [
+            (1, "buy now. great product. buy now. call us. great product. done"),
+            (2, "no repeats here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup_lines(df)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].cleaned_text == "buy now. great product. call us. done"
+    assert (rows[1].n_units, rows[1].n_kept) == (6, 4)
+    assert rows[2].cleaned_text == "no repeats here"
+    assert inspect.exchange_count(out) == 0

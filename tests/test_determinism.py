@@ -72,6 +72,8 @@ CHECKED = [
     "copurchase_triangles",
     "tfidf_keywords_capped",
     "span_corruption",
+    "line_dedup",
+    "corpus_report",
 ]
 
 

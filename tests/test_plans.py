@@ -152,6 +152,9 @@ _ALLOWED_NESTED_LOOP = {
     # Triangle counting returns (n_triangles, n_edges, n_wedges) as a
     # cross of three ONE-ROW aggregate frames — bounded 1×1 broadcasts.
     "copurchase_triangles",
+    # The corpus report card crosses TWO one-row aggregate frames —
+    # bounded 1×1 broadcast.
+    "corpus_report",
     # KMV set algebra crosses the #groups-row sketch table with itself
     # (≤ a few dozen rows, each a ≤k-element array) — bounded by the
     # group-key cardinality, never the corpus.
