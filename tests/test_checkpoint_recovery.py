@@ -255,3 +255,66 @@ def test_funnel_stream_state_survives_restart(spark, tmp_path: Path):
     for r in spark.read.parquet(out).orderBy("batch_id").collect():
         live[r.user_id] = r.stage
     assert live == {7: 3, 8: 1}
+
+
+def test_transition_stream_state_survives_restart(spark, tmp_path: Path):
+    """The per-user last-seen-event state must restore from the
+    checkpoint: a transition whose first half arrived before the restart
+    and second half after must be counted exactly once."""
+    from pyspark.sql import functions as F
+
+    from egal_yet_another_earthquake_project_spark.streaming.stateful import (
+        transition_stream,
+    )
+    from egal_yet_another_earthquake_project_spark.workloads_ext import (
+        q_event_transitions,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    cut = events.agg(F.percentile_approx("ts", 0.5).alias("c")).collect()[0].c
+    src = tmp_path / "in"
+    ckpt = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    events.filter(F.col("ts") < F.lit(cut)).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+
+    def sink(df, batch_id):
+        df.write.mode("append").parquet(out)
+
+    def start():
+        stream = stream_parquet_dir(spark, str(src) + "/*", events.schema)
+        return (
+            transition_stream(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    events.filter(F.col("ts") >= F.lit(cut)).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    rolled = {
+        (r.event_type, r.next_type): r.total
+        for r in spark.read.parquet(out)
+        .groupBy("event_type", "next_type")
+        .agg(F.sum("n").alias("total"))
+        .collect()
+    }
+    batch = {
+        (r.event_type, r.next_type): r.n
+        for r in q_event_transitions(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert rolled == batch and len(batch) > 0
