@@ -135,6 +135,7 @@ HEADLINE = [
     "span_corruption",
     "line_dedup",
     "corpus_report",
+    "bigram_nll",
 ]
 
 

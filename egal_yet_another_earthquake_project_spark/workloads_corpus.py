@@ -529,6 +529,52 @@ SELECT * FROM src CROSS JOIN doc
 """
 
 
+BIGRAM_LAMBDA = 0.7
+
+
+def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram surprisal per document (llm/lm.py:
+    doc_bigram_nll, lambda=0.7): one order of context beyond unigram_nll
+    — catches locally-scrambled spam that a bag-of-frequent-words model
+    scores as fluent. TF-collapsed joins; one-row totals broadcast."""
+    from egal_yet_another_earthquake_project_spark.llm.lm import doc_bigram_nll
+
+    docs = read_table(spark, sf_dir, "documents")
+    return doc_bigram_nll(docs, lam=BIGRAM_LAMBDA)
+
+
+_BIGRAM_NLL_ORACLE = f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+bg AS (
+  SELECT doc_id, t[i] AS a, t[i + 1] AS b
+  FROM base, unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+),
+bf AS (SELECT doc_id, a, b, count(*) AS bf FROM bg GROUP BY 1, 2, 3),
+c2 AS (SELECT a, b, sum(bf) AS c2 FROM bf GROUP BY a, b),
+tok AS (SELECT doc_id, unnest(t) AS tok FROM base),
+vocab AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+stats AS (SELECT sum(cnt) AS n, count(*) AS v FROM vocab)
+SELECT doc_id,
+       CAST(sum(bf) AS BIGINT) AS n_bigrams,
+       round(sum(CAST(bf AS DOUBLE) * -ln(
+           CAST({BIGRAM_LAMBDA} AS DOUBLE)
+             * (CAST(c2 AS DOUBLE) + 1.0)
+             / (CAST(va.cnt AS DOUBLE) + CAST(v AS DOUBLE))
+         + CAST({1.0 - BIGRAM_LAMBDA} AS DOUBLE)
+             * (CAST(vb.cnt AS DOUBLE) + 1.0)
+             / (CAST(n AS DOUBLE) + CAST(v AS DOUBLE))))
+         / sum(CAST(bf AS DOUBLE)), 4) AS nll
+FROM bf
+JOIN c2 USING (a, b)
+JOIN vocab va ON va.tok = bf.a
+JOIN vocab vb ON vb.tok = bf.b
+CROSS JOIN stats
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "doc_chunks": q_doc_chunks,
     "repetition_profile": q_repetition_profile,
@@ -539,6 +585,7 @@ QUERIES = {
     "span_corruption": q_span_corruption,
     "line_dedup": q_line_dedup,
     "corpus_report": q_corpus_report,
+    "bigram_nll": q_bigram_nll,
     "bpe_encoded_vocab": q_bpe_encoded_vocab,
 }
 
@@ -552,5 +599,6 @@ ORACLES = {
     "span_corruption": _SPAN_ORACLE,
     "line_dedup": _LINE_DEDUP_ORACLE,
     "corpus_report": _CORPUS_REPORT_ORACLE,
+    "bigram_nll": _BIGRAM_NLL_ORACLE,
     "bpe_encoded_vocab": _bpe_encode_oracle(),
 }

@@ -435,3 +435,27 @@ def test_dedup_lines_keeps_first_occurrence_order(spark):
     assert (rows[1].n_units, rows[1].n_kept) == (6, 4)
     assert rows[2].cleaned_text == "no repeats here"
     assert inspect.exchange_count(out) == 0
+
+
+def test_bigram_nll_penalizes_scrambled_text(spark):
+    """The bigram model's reason to exist: a doc of frequent tokens in a
+    NEVER-SEEN order must score worse than the same tokens in the
+    corpus-attested order; sub-2-token docs drop out."""
+    from egal_yet_another_earthquake_project_spark.llm.lm import doc_bigram_nll
+
+    fluent = "the quick brown fox jumps over the lazy dog"
+    docs = _docs(
+        spark,
+        [
+            (1, fluent),
+            (2, fluent),
+            (3, fluent),
+            (4, "dog the over quick lazy jumps fox brown the"),  # scrambled
+            (5, "solo"),
+        ],
+    )
+    out = {r.doc_id: r for r in doc_bigram_nll(docs).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1].nll == out[2].nll == out[3].nll
+    assert out[4].nll > out[1].nll
+    assert out[1].n_bigrams == 8

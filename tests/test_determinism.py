@@ -74,6 +74,7 @@ CHECKED = [
     "span_corruption",
     "line_dedup",
     "corpus_report",
+    "bigram_nll",
 ]
 
 

@@ -131,8 +131,10 @@ _ALLOWED_NESTED_LOOP = {
     # query-term postings — 1×n broadcast, bounded by construction.
     "bm25_search",
     # Unigram LM joins the one-row (N, V) corpus totals into the
-    # term-frequency frame — same bounded 1×n broadcast shape.
+    # term-frequency frame — same bounded 1×n broadcast shape (the
+    # bigram model shares it).
     "unigram_nll",
+    "bigram_nll",
     # The bloom probe filter joins the ONE-ROW broadcast word-array
     # frame into the probe scan (deliberately data-side, not a plan
     # literal) — bounded 1×n, and the whole point is to shrink the real
