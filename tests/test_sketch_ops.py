@@ -476,3 +476,29 @@ def test_kmv_overlap_exact_below_k(spark):
     assert r.exact_intersection == 10
     assert r.est_intersection == 10.0
     assert r.est_jaccard == round(10 / 30, 4)
+
+
+def test_hll_hourly_registers_merge_to_daily(spark):
+    """The documented window-merge law, pinned: per-day estimates
+    obtained by max-merging the HOURLY registers equal a direct daily
+    HLL build exactly (register max is associative over any bucketing
+    of the input)."""
+    from pyspark.sql import functions as F
+
+    from egal_yet_another_earthquake_project_spark.llm import sketches as lsk
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    hourly = ev.withColumn("hour", F.date_trunc("hour", "ts")).withColumn(
+        "day", F.date_trunc("day", "ts")
+    )
+    h_regs = lsk.hll_registers(hourly, ["day", "hour"], "user_id", p=8)
+    merged = h_regs.groupBy("day", "bucket").agg(F.max("M").alias("M"))
+    via_merge = {
+        r.day: r.est_distinct
+        for r in lsk.hll_estimate(merged, ["day"], p=8).collect()
+    }
+    direct = {
+        r.day: r.est_distinct
+        for r in lsk.hll_distinct(hourly, ["day"], "user_id", p=8).collect()
+    }
+    assert via_merge == direct and len(direct) > 0
