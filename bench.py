@@ -136,6 +136,7 @@ HEADLINE = [
     "line_dedup",
     "corpus_report",
     "bigram_nll",
+    "source_drift",
 ]
 
 

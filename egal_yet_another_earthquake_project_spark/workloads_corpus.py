@@ -575,6 +575,77 @@ ORDER BY doc_id
 """
 
 
+DRIFT_TOPK = 50
+
+
+def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift: add-one-smoothed KL
+    divergence of each source's distribution vs the corpus over the
+    top-50 corpus tokens — the distribution-shift monitor a curation
+    pipeline watches per crawl drop (a source whose head vocabulary
+    diverges is template spam, wrong language, or a parser break).
+    Plan: one (source, tok) aggregate filtered to the broadcast top-K
+    vocabulary (fixed size by construction), then one per-source fold —
+    the corpus is exploded once."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = ltx.tokenized(docs).select("source", F.explode("_toks").alias("tok"))
+    corpus = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    # global top-K via orderBy+limit = TakeOrderedAndProject (per-
+    # partition heaps), never a vocabulary-wide single-partition window
+    topk = corpus.orderBy(F.col("cnt").desc(), F.col("tok").asc()).limit(
+        DRIFT_TOPK
+    )
+    nk = topk.agg(F.sum("cnt").alias("_nk"))
+    st = (
+        toks.join(F.broadcast(topk.select("tok")), "tok")
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    ns = st.groupBy("source").agg(F.sum("c").alias("_ns"))
+    k = float(DRIFT_TOPK)
+    joined = (
+        st.join(F.broadcast(topk), "tok")
+        .join(ns, "source")
+        .join(F.broadcast(nk))
+    )
+    p = (F.col("c").cast("double") + 1.0) / (F.col("_ns").cast("double") + k)
+    q = (F.col("cnt").cast("double") + 1.0) / (F.col("_nk").cast("double") + k)
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_topk_tokens"),
+            F.round(F.sum(p * F.log(p / q)), 4).alias("kl"),
+        )
+        .orderBy("source")
+    )
+
+
+_SOURCE_DRIFT_ORACLE = f"""
+WITH toks AS (SELECT source, unnest({_TOKS}) AS tok FROM documents),
+corpus AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+topk AS (
+  SELECT tok, cnt FROM corpus ORDER BY cnt DESC, tok ASC LIMIT {DRIFT_TOPK}
+),
+nk AS (SELECT sum(cnt) AS nk FROM topk),
+st AS (
+  SELECT source, tok, count(*) AS c
+  FROM toks JOIN topk USING (tok)
+  GROUP BY source, tok
+),
+ns AS (SELECT source, sum(c) AS ns FROM st GROUP BY source)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS n_topk_tokens,
+       round(sum(
+         ((CAST(c AS DOUBLE) + 1.0) / (CAST(ns AS DOUBLE) + {DRIFT_TOPK}.0))
+         * ln(((CAST(c AS DOUBLE) + 1.0) / (CAST(ns AS DOUBLE) + {DRIFT_TOPK}.0))
+              / ((CAST(cnt AS DOUBLE) + 1.0) / (CAST(nk AS DOUBLE) + {DRIFT_TOPK}.0)))
+       ), 4) AS kl
+FROM st JOIN topk USING (tok) JOIN ns USING (source) CROSS JOIN nk
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "doc_chunks": q_doc_chunks,
     "repetition_profile": q_repetition_profile,
@@ -586,6 +657,7 @@ QUERIES = {
     "line_dedup": q_line_dedup,
     "corpus_report": q_corpus_report,
     "bigram_nll": q_bigram_nll,
+    "source_drift": q_source_drift,
     "bpe_encoded_vocab": q_bpe_encoded_vocab,
 }
 
@@ -600,5 +672,6 @@ ORACLES = {
     "line_dedup": _LINE_DEDUP_ORACLE,
     "corpus_report": _CORPUS_REPORT_ORACLE,
     "bigram_nll": _BIGRAM_NLL_ORACLE,
+    "source_drift": _SOURCE_DRIFT_ORACLE,
     "bpe_encoded_vocab": _bpe_encode_oracle(),
 }

@@ -75,6 +75,7 @@ CHECKED = [
     "line_dedup",
     "corpus_report",
     "bigram_nll",
+    "source_drift",
 ]
 
 
