@@ -135,6 +135,9 @@ _ALLOWED_NESTED_LOOP = {
     # bigram model shares it).
     "unigram_nll",
     "bigram_nll",
+    # Source drift joins the one-row top-K token total into the
+    # per-(source, token) frame — same bounded 1×n broadcast shape.
+    "source_drift",
     # The bloom probe filter joins the ONE-ROW broadcast word-array
     # frame into the probe scan (deliberately data-side, not a plan
     # literal) — bounded 1×n, and the whole point is to shrink the real
