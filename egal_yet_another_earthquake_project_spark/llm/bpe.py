@@ -45,8 +45,15 @@ def word_symbols(words: DataFrame, word_col: str = "word") -> DataFrame:
 
 def _pair_counts(w: DataFrame, cnt_col: str) -> DataFrame:
     ss = F.split("sym", "  ")
+    # A fully-merged word (one symbol — common at realistic merge
+    # counts) must contribute an EMPTY pair list: sequence(0, -1) is
+    # DESCENDING in Spark, so the unguarded form would index
+    # element_at(ss, 2) on a 1-element array and kill the stage.
+    idx = F.when(
+        F.size(ss) >= 2, F.sequence(F.lit(0), F.size(ss) - 2)
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
     pairs = F.transform(
-        F.sequence(F.lit(0), F.size(ss) - 2),
+        idx,
         lambda i: F.concat(
             F.element_at(ss, (i + 1).cast("int")),
             F.lit(" "),

@@ -388,7 +388,9 @@ def hist_quantiles(
     )
     aggs = [F.max("_n").alias("n")]
     for q in qs:
-        name = f"p{int(q * 100)}"
+        # round, not int: int() truncates IEEE error (0.29*100 ->
+        # 28.999… -> "p28"); round lands on the requested label for any q
+        name = f"p{round(q * 100)}"
         # target rank ceil(q*n) in pure integer math: ceil(a/b) = -floor(-a/b)
         target = -F.floor(F.lit(-q) * F.col("_n"))
         hit_bin = F.min(F.when(F.col("_cum") >= target, F.col("bin")))
@@ -429,6 +431,7 @@ def kmv_overlap(
     group_col: str,
     value_col: str,
     k: int = 64,
+    audit: bool = False,
 ) -> DataFrame:
     """Pairwise set-overlap estimates between groups from their KMV
     sketches — the sketch ALGEBRA that replaces pairwise
@@ -447,15 +450,40 @@ def kmv_overlap(
 
     All array math on ≤ k-element arrays over a #groups² pair frame —
     the corpus is touched ONCE (sketch build); pairs cost nothing more.
-    ``exact_intersection`` is carried for estimator-quality visibility
-    (an audit column computed by a value self-join; drop it at true
-    scale — it is the thing the sketch replaces). md5-deterministic, so
-    the estimates themselves hash-verify against the oracle.
+    md5-deterministic, so the estimates themselves hash-verify against
+    the oracle.
+
+    ``audit=True`` additionally carries ``exact_intersection`` computed
+    by a value self-equi-join — the corpus-scale pass the sketch exists
+    to replace. It is GATED OFF by default so the production plan scans
+    the corpus exactly once (asserted in
+    tests/test_sketch_ops.py::test_kmv_overlap_default_scans_corpus_once);
+    turn it on only for estimator-quality validation at test scale.
     """
     sk = kmv_sketches(df, group_col, value_col, k)
-    a = sk.select(F.col(group_col).alias("ga"), F.col("_arr").alias("_aa"))
-    b = sk.select(F.col(group_col).alias("gb"), F.col("_arr").alias("_ab"))
-    pairs = a.crossJoin(b).filter(F.col("ga") < F.col("gb"))
+    # Pair generation WITHOUT a sketch self-join: a self-join would plan
+    # two independent corpus scans (one per join side). Instead the
+    # #groups sketch rows — bounded state, ≤ #groups·k longs — collapse
+    # into ONE row and double-explode into the |G|² pair frame, so the
+    # corpus scan appears exactly once in the physical plan (pinned by
+    # the plan test). Pairwise overlap is inherently O(|G|²) output;
+    # the single-task explode is the same mass the join would shuffle.
+    one = sk.agg(
+        F.collect_list(
+            F.struct(F.col(group_col).alias("g"), F.col("_arr").alias("arr"))
+        ).alias("_all")
+    )
+    pairs = (
+        one.select(F.explode("_all").alias("_x"), "_all")
+        .select("_x", F.explode("_all").alias("_y"))
+        .filter(F.col("_x.g") < F.col("_y.g"))
+        .select(
+            F.col("_x.g").alias("ga"),
+            F.col("_y.g").alias("gb"),
+            F.col("_x.arr").alias("_aa"),
+            F.col("_y.arr").alias("_ab"),
+        )
+    )
     merged = F.array_sort(F.array_union("_aa", "_ab"))
     s_arr = F.slice(merged, 1, k)
     s_size = F.size(s_arr)
@@ -466,6 +494,15 @@ def kmv_overlap(
     ).otherwise(F.lit(float(k - 1)) * F.lit(_HASH_SPACE) / kth.cast("double"))
     j_num = F.size(F.array_intersect(s_arr, F.array_intersect("_aa", "_ab")))
     j_est = j_num.cast("double") / s_size.cast("double")
+
+    est = pairs.select(
+        "ga",
+        "gb",
+        F.round(j_est, 4).alias("est_jaccard"),
+        F.round(j_est * u_est, 2).alias("est_intersection"),
+    )
+    if not audit:
+        return est
 
     exact = (
         df.select(group_col, value_col)
@@ -479,16 +516,7 @@ def kmv_overlap(
         .groupBy("ga", "gb")
         .agg(F.count("*").alias("exact_intersection"))
     )
-    return (
-        pairs.select(
-            "ga",
-            "gb",
-            F.round(j_est, 4).alias("est_jaccard"),
-            F.round(j_est * u_est, 2).alias("est_intersection"),
-        )
-        .join(exact_pairs, ["ga", "gb"], "left")
-        .withColumn(
-            "exact_intersection",
-            F.coalesce(F.col("exact_intersection"), F.lit(0)).cast("long"),
-        )
+    return est.join(exact_pairs, ["ga", "gb"], "left").withColumn(
+        "exact_intersection",
+        F.coalesce(F.col("exact_intersection"), F.lit(0)).cast("long"),
     )

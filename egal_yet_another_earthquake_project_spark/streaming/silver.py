@@ -123,9 +123,17 @@ def silver_with_quarantine(
     the original bytes and a reason, replayable after a parser fix.
 
     ``foreachBatch`` is the right shape here (not two writeStreams): one
-    source read and one checkpoint cover BOTH sinks, so recovery
-    replays a batch into the same split — neither side can run ahead of
-    the other. Returns the started query.
+    source read and one checkpoint cover BOTH sinks, so a replayed batch
+    re-enters the same split — neither side can run ahead of the other.
+
+    Replay idempotence: foreachBatch is at-least-once (a crash after one
+    sink's write but before the checkpoint commit replays the batch), so
+    each sink write is keyed by ``_batch_id`` partition and uses DYNAMIC
+    partition overwrite — the replay overwrites exactly its own
+    partition instead of appending a duplicate, making the pair of sinks
+    effectively exactly-once without cross-sink coordination. Readers
+    see the ``_batch_id`` column; drop it if lineage isn't wanted.
+    Returns the started query.
     """
     from egal_yet_another_earthquake_project_spark.operators.parse import (
         decode_envelope,
@@ -136,13 +144,20 @@ def silver_with_quarantine(
         with_fault_line_expr,
     )
 
-    def _sink(batch: DataFrame, _batch_id: int) -> None:
+    def _sink(batch: DataFrame, batch_id: int) -> None:
         decoded = decode_envelope(batch)
         ok, bad = quarantine_split(decoded)
-        with_fault_line_expr(typed_events(ok)).write.mode("append").parquet(
-            silver_path
-        )
-        bad.write.mode("append").parquet(quarantine_path)
+        for frame, path in (
+            (with_fault_line_expr(typed_events(ok)), silver_path),
+            (bad, quarantine_path),
+        ):
+            (
+                frame.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(path)
+            )
 
     return (
         envelope.writeStream.foreachBatch(_sink)

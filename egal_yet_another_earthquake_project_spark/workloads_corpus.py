@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from egal_yet_another_earthquake_project_spark.llm import lm as llm
 from egal_yet_another_earthquake_project_spark.llm import pii as lpii
@@ -578,40 +579,41 @@ ORDER BY doc_id
 DRIFT_TOPK = 50
 
 
-def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source token-distribution drift: add-one-smoothed KL
-    divergence of each source's distribution vs the corpus over the
-    top-50 corpus tokens — the distribution-shift monitor a curation
-    pipeline watches per crawl drop (a source whose head vocabulary
-    diverges is template spam, wrong language, or a parser break).
-    Plan: one (source, tok) aggregate filtered to the broadcast top-K
-    vocabulary (fixed size by construction), then one per-source fold —
-    the corpus is exploded once."""
-    docs = read_table(spark, sf_dir, "documents")
+def source_drift_kl(docs: DataFrame, topk_n: int = DRIFT_TOPK) -> DataFrame:
+    """Core of q_source_drift on an injectable documents frame — see
+    that docstring for the full plan/semantics story. Split out so the
+    Gibbs-nonnegativity and drift-sensitivity properties are testable
+    on synthetic corpora (tests/test_corpus_ops.py)."""
     toks = ltx.tokenized(docs).select("source", F.explode("_toks").alias("tok"))
     corpus = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
     # global top-K via orderBy+limit = TakeOrderedAndProject (per-
     # partition heaps), never a vocabulary-wide single-partition window
     topk = corpus.orderBy(F.col("cnt").desc(), F.col("tok").asc()).limit(
-        DRIFT_TOPK
+        topk_n
     )
-    nk = topk.agg(F.sum("cnt").alias("_nk"))
+    nk = topk.agg(
+        F.sum("cnt").alias("_nk"), F.count("*").cast("double").alias("_kk")
+    )
     st = (
         toks.join(F.broadcast(topk.select("tok")), "tok")
         .groupBy("source", "tok")
         .agg(F.count("*").alias("c"))
     )
-    ns = st.groupBy("source").agg(F.sum("c").alias("_ns"))
-    k = float(DRIFT_TOPK)
-    joined = (
-        st.join(F.broadcast(topk), "tok")
-        .join(ns, "source")
-        .join(F.broadcast(nk))
+    grid = (
+        docs.select("source")
+        .distinct()
+        .crossJoin(F.broadcast(topk))
+        .join(st, ["source", "tok"], "left")
+        .withColumn("c", F.coalesce("c", F.lit(0)))
     )
+    full = grid.withColumn(
+        "_ns", F.sum("c").over(Window.partitionBy("source"))
+    ).join(F.broadcast(nk))
+    k = F.col("_kk")
     p = (F.col("c").cast("double") + 1.0) / (F.col("_ns").cast("double") + k)
     q = (F.col("cnt").cast("double") + 1.0) / (F.col("_nk").cast("double") + k)
     return (
-        joined.groupBy("source")
+        full.groupBy("source")
         .agg(
             F.sum("c").cast("long").alias("n_topk_tokens"),
             F.round(F.sum(p * F.log(p / q)), 4).alias("kl"),
@@ -620,27 +622,59 @@ def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift: add-one-smoothed KL
+    divergence of each source's distribution vs the corpus over the
+    top-50 corpus tokens — the distribution-shift monitor a curation
+    pipeline watches per crawl drop (a source whose head vocabulary
+    diverges is template spam, wrong language, or a parser break).
+    Plan: one (source, tok) aggregate filtered to the broadcast top-K
+    vocabulary (fixed size by construction), LEFT-joined against the
+    full #sources × K grid so a head token a source is MISSING still
+    contributes its smoothing term (c=0, p=1/(ns+K)) — dropping those
+    terms would deflate KL exactly for the drifted sources the monitor
+    exists to flag, and the per-source p would no longer sum to 1. The
+    smoothing constant is the ACTUAL vocabulary-cut size |topk| (which
+    can be < DRIFT_TOPK on a small vocabulary), so p and q each sum to
+    exactly 1 and KL ≥ 0 by Gibbs' inequality (property-tested). The
+    corpus is exploded once; the grid is dimension-scale (#sources·K
+    rows, sources crossed with the broadcast K-row vocabulary)."""
+    return source_drift_kl(read_table(spark, sf_dir, "documents"))
+
+
 _SOURCE_DRIFT_ORACLE = f"""
 WITH toks AS (SELECT source, unnest({_TOKS}) AS tok FROM documents),
 corpus AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
 topk AS (
   SELECT tok, cnt FROM corpus ORDER BY cnt DESC, tok ASC LIMIT {DRIFT_TOPK}
 ),
-nk AS (SELECT sum(cnt) AS nk FROM topk),
+nk AS (SELECT sum(cnt) AS nk, CAST(count(*) AS DOUBLE) AS kk FROM topk),
 st AS (
   SELECT source, tok, count(*) AS c
   FROM toks JOIN topk USING (tok)
   GROUP BY source, tok
 ),
-ns AS (SELECT source, sum(c) AS ns FROM st GROUP BY source)
+-- full #sources × K grid: head tokens a source is missing keep their
+-- smoothing terms (c=0), mirroring the Spark plan
+grid AS (
+  SELECT s.source, topk.tok, topk.cnt, coalesce(st.c, 0) AS c
+  FROM (SELECT DISTINCT source FROM documents) s
+  CROSS JOIN topk
+  LEFT JOIN st ON st.source = s.source AND st.tok = topk.tok
+),
+full_g AS (
+  SELECT source, tok, cnt, c,
+         sum(c) OVER (PARTITION BY source) AS ns
+  FROM grid
+)
 SELECT source,
        CAST(sum(c) AS BIGINT) AS n_topk_tokens,
        round(sum(
-         ((CAST(c AS DOUBLE) + 1.0) / (CAST(ns AS DOUBLE) + {DRIFT_TOPK}.0))
-         * ln(((CAST(c AS DOUBLE) + 1.0) / (CAST(ns AS DOUBLE) + {DRIFT_TOPK}.0))
-              / ((CAST(cnt AS DOUBLE) + 1.0) / (CAST(nk AS DOUBLE) + {DRIFT_TOPK}.0)))
+         ((CAST(c AS DOUBLE) + 1.0) / (CAST(ns AS DOUBLE) + kk))
+         * ln(((CAST(c AS DOUBLE) + 1.0) / (CAST(ns AS DOUBLE) + kk))
+              / ((CAST(cnt AS DOUBLE) + 1.0) / (CAST(nk AS DOUBLE) + kk)))
        ), 4) AS kl
-FROM st JOIN topk USING (tok) JOIN ns USING (source) CROSS JOIN nk
+FROM full_g CROSS JOIN nk
 GROUP BY source
 ORDER BY source
 """

@@ -1210,10 +1210,24 @@ ZBAND_VALUE = (10.0, 50.0)
 
 
 def _zorder_cache(sf_dir: str) -> str:
+    """Cache path for the Z-ordered rewrite of ``sf_dir``'s events table,
+    keyed by an input FINGERPRINT (file names + sizes + mtimes of the
+    source parquet): same input → same path → the rewrite is skipped;
+    changed input → new path → a fresh layout is built. This is what
+    makes the declared query re-entrant — bench double-runs, the
+    `explain` CLI, and concurrent parity sessions share a read-only
+    cache instead of racing an overwrite-while-reading."""
+    import hashlib
     from pathlib import Path
 
+    src = Path(sf_dir) / "events.parquet"
+    h = hashlib.md5()
+    for f in sorted(src.rglob("*")) if src.is_dir() else [src]:
+        st = f.stat()
+        h.update(f"{f.name}:{st.st_size}:{st.st_mtime_ns}".encode())
+    fp = h.hexdigest()[:10]
     root = Path(__file__).resolve().parent.parent / "spark-warehouse"
-    return str(root / f"zorder_events_{Path(sf_dir).name}")
+    return str(root / f"zorder_events_{Path(sf_dir).name}_{fp}")
 
 
 def q_zordered_band_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1224,15 +1238,32 @@ def q_zordered_band_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     PushedFilters and the range-partitioned layout prunes FILES on both
     dimensions via parquet min/max (asserted with file-touch counts in
     tests/test_layout.py). The result is layout-invariant, so the oracle
-    runs the same filter+aggregate over the original table."""
+    runs the same filter+aggregate over the original table.
+
+    The rewrite targets a per-input-fingerprint cache dir and is built
+    AT MOST ONCE, through a temp dir + atomic rename (a lost race just
+    discards the temp build): repeated/concurrent invocations are
+    read-only, so a previously returned DataFrame can never be broken
+    by a later invocation's overwrite."""
+    import os
+    import shutil
+    import uuid
+    from pathlib import Path
+
     from egal_yet_another_earthquake_project_spark.sinks.layout import (
         write_zordered,
     )
 
     path = _zorder_cache(sf_dir)
-    write_zordered(
-        _t(spark, sf_dir, "events"), path, ["user_id", "value"], num_files=8
-    )
+    if not (Path(path) / "_SUCCESS").exists():
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        write_zordered(
+            _t(spark, sf_dir, "events"), tmp, ["user_id", "value"], num_files=8
+        )
+        try:
+            os.rename(tmp, path)
+        except OSError:  # concurrent builder won the rename; use theirs
+            shutil.rmtree(tmp, ignore_errors=True)
     z = spark.read.parquet(path)
     return (
         z.filter(

@@ -752,15 +752,29 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ALGEBRA (union closure → Jaccard → intersection estimate): the
     corpus is hashed once, every pair is ≤ k-element array math — the
     set-operation counterpart of kmv_distinct_users
-    (llm/sketches.py:kmv_overlap). exact_intersection carried as the
-    estimator-quality audit column."""
+    (llm/sketches.py:kmv_overlap). audit=False (the default): the plan
+    touches the corpus exactly once — no exact-intersection pass
+    (that's the thing the sketch replaces; see q_kmv_overlap_audited
+    for the estimator-quality check at test scale)."""
     ev = read_table(spark, sf_dir, "events")
     return lsk.kmv_overlap(ev, "event_type", "user_id", k=KMV_K).orderBy(
         "ga", "gb"
     )
 
 
-_KMV_OVERLAP_ORACLE = f"""
+def q_kmv_overlap_audited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality audit twin of kmv_overlap: audit=True carries
+    exact_intersection from a value self-equi-join beside the sketch
+    estimates. Test-scale only — the exact pass is the corpus-scale
+    join the sketch exists to avoid, which is why it is gated off in
+    the production query rather than merely documented away."""
+    ev = read_table(spark, sf_dir, "events")
+    return lsk.kmv_overlap(
+        ev, "event_type", "user_id", k=KMV_K, audit=True
+    ).orderBy("ga", "gb")
+
+
+_KMV_OVERLAP_AUDITED_ORACLE = f"""
 WITH d AS (SELECT DISTINCT event_type AS g, user_id FROM events),
 h AS (
   SELECT DISTINCT g,
@@ -807,6 +821,46 @@ FROM est LEFT JOIN exact ON est.ga = exact.ga AND est.gb = exact.gb
 ORDER BY est.ga, est.gb
 """
 
+_KMV_OVERLAP_ORACLE = f"""
+WITH d AS (SELECT DISTINCT event_type AS g, user_id FROM events),
+h AS (
+  SELECT DISTINCT g,
+         CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) + 1
+           AS hv
+  FROM d
+),
+r AS (
+  SELECT g, hv, row_number() OVER (PARTITION BY g ORDER BY hv) AS rn FROM h
+),
+arr AS (
+  SELECT g, list_sort(list(hv)) AS a FROM r WHERE rn <= {KMV_K} GROUP BY g
+),
+pairs AS (
+  SELECT x.g AS ga, y.g AS gb, x.a AS aa, y.a AS ab
+  FROM arr x JOIN arr y ON x.g < y.g
+),
+calc AS (
+  SELECT ga, gb, aa, ab,
+         list_sort(list_distinct(list_concat(aa, ab))) AS mu
+  FROM pairs
+),
+est AS (
+  SELECT ga, gb,
+         CAST(len(list_intersect(mu[1:{KMV_K}], list_intersect(aa, ab)))
+              AS DOUBLE) / len(mu[1:{KMV_K}]) AS j,
+         CASE WHEN len(mu) < {KMV_K} THEN CAST(len(mu) AS DOUBLE)
+              ELSE {KMV_K - 1}.0 * 4294967296.0
+                   / CAST(mu[LEAST({KMV_K}, len(mu))] AS DOUBLE)
+         END AS u
+  FROM calc
+)
+SELECT ga, gb,
+       round(j, 4) AS est_jaccard,
+       round(j * u, 2) AS est_intersection
+FROM est
+ORDER BY ga, gb
+"""
+
 
 HIST_BIN = 0.5
 HIST_QS = (0.5, 0.9, 0.99)
@@ -832,7 +886,8 @@ def _hist_oracle() -> str:
     # 18.000000000000004 in binary) — both engines must do double math.
     cols = []
     for q in HIST_QS:
-        name = f"p{int(q * 100)}"
+        # mirror llm/sketches.hist_quantiles: round, not int (truncation)
+        name = f"p{round(q * 100)}"
         cols.append(
             f"round(CAST((min(CASE WHEN cum >= -floor(-CAST({q} AS DOUBLE) * n)"
             f" THEN bin END) + 1) * CAST({HIST_BIN} AS DOUBLE) AS DOUBLE), 4)"
@@ -863,6 +918,7 @@ ORDER BY event_type
 QUERIES = {
     "hist_quantiles": q_hist_quantiles,
     "kmv_overlap": q_kmv_overlap,
+    "kmv_overlap_audited": q_kmv_overlap_audited,
     "global_row_ids": q_global_row_ids,
     "kmv_distinct_users": q_kmv_distinct_users,
     "hll_distinct_users": q_hll_distinct_users,
@@ -886,6 +942,7 @@ QUERIES = {
 ORACLES = {
     "hist_quantiles": _hist_oracle(),
     "kmv_overlap": _KMV_OVERLAP_ORACLE,
+    "kmv_overlap_audited": _KMV_OVERLAP_AUDITED_ORACLE,
     "global_row_ids": _ROW_IDS_ORACLE,
     "kmv_distinct_users": _KMV_ORACLE,
     "hll_distinct_users": _hll_oracle(),

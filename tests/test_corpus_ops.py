@@ -459,3 +459,75 @@ def test_bigram_nll_penalizes_scrambled_text(spark):
     assert out[1].nll == out[2].nll == out[3].nll
     assert out[4].nll > out[1].nll
     assert out[1].n_bigrams == 8
+
+
+def test_source_drift_nonnegative_and_flags_drifted_source(spark):
+    """KL over the full source × top-K grid with the ACTUAL cut size as
+    the smoothing constant: p and q each sum to exactly 1, so KL ≥ 0 by
+    Gibbs' inequality for EVERY source, and a source missing the shared
+    head vocabulary (template spam / parser break) must score strictly
+    above sources that match the corpus. Before the grid fix, missing
+    head tokens silently dropped their smoothing terms and deflated KL
+    exactly for the drifted sources."""
+    from egal_yet_another_earthquake_project_spark.workloads_corpus import (
+        source_drift_kl,
+    )
+
+    common = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, common, f"src{i % 3}") for i in range(30)] + [
+        (100 + i, "zzz yyy xxx www vvv uuu ttt sss", "drifted") for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r.kl for r in source_drift_kl(docs, topk_n=10).collect()}
+    assert set(out) == {"src0", "src1", "src2", "drifted"}
+    assert all(v >= 0 for v in out.values()), out
+    assert out["drifted"] > max(out["src0"], out["src1"], out["src2"]), out
+
+
+def test_bpe_train_roundtrips_match_contract(spark, monkeypatch):
+    """The batched-training scale contract, asserted: driver round trips
+    (pair-count top-K collects) = ceil(num_merges / batch_merges) — at
+    200 merges / batch 32 that is 7, the shape bench.py times as
+    bpe_train_200 (a 30k-merge tokenizer at batch 64 is ~470, never
+    30k). Counted by patching DataFrame.collect, so a regression that
+    quietly de-batches the loop fails here, not in a wall-clock graph."""
+    import math
+
+    # Spark 4: instances are pyspark.sql.classic.dataframe.DataFrame,
+    # whose collect overrides the pyspark.sql.DataFrame base — patch the
+    # concrete class or the counter never fires
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from egal_yet_another_earthquake_project_spark.llm import bpe as lbpe
+
+    # deterministic 300-word / 10-char vocabulary — rich enough that no
+    # round's candidate pool runs dry before the 7th round trip
+    vocab = sorted(
+        {
+            "".join(chr(97 + (i * 7 + j * 13 + i * j) % 26) for j in range(10))
+            for i in range(300)
+        }
+    )
+    words = spark.createDataFrame(
+        [(w, 10 + i) for i, w in enumerate(vocab)], "word string, cnt long"
+    )
+
+    calls = {"n": 0}
+    orig = DataFrame.collect
+
+    def counting_collect(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "collect", counting_collect)
+    num_merges, batch = 200, 32
+    merges = lbpe.bpe_train(
+        spark, words, num_merges=num_merges, batch_merges=batch
+    )
+    rounds = calls["n"]
+    expected = math.ceil(num_merges / batch)
+    # every round is exactly one bounded top-K collect; training may
+    # stop early only if a round finds no pairs at all (not the case on
+    # this vocabulary)
+    assert rounds == expected, (rounds, expected)
+    assert merges.count() > 0

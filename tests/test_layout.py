@@ -153,3 +153,29 @@ def test_zordered_band_scan_prunes_files_and_pushes_filters(spark):
     )
     assert total >= 6, f"layout produced only {total} files"
     assert touched < total, f"band touched all {total} files — no skipping"
+
+
+def test_zordered_band_scan_is_reentrant(spark):
+    """The declared query must be read-only after the first build: a
+    second invocation reuses the fingerprint-keyed cache (no rewrite —
+    _SUCCESS mtime unchanged), and a DataFrame returned by the FIRST
+    invocation still collects correctly after the second runs (nothing
+    overwrote the files out from under it)."""
+    import os
+
+    from egal_yet_another_earthquake_project_spark.workloads_ext import (
+        _zorder_cache,
+        q_zordered_band_scan,
+    )
+
+    df1 = q_zordered_band_scan(spark, TESTDATA_SMOKE)
+    rows1 = df1.collect()
+    marker = os.path.join(_zorder_cache(TESTDATA_SMOKE), "_SUCCESS")
+    mtime1 = os.stat(marker).st_mtime_ns
+
+    df2 = q_zordered_band_scan(spark, TESTDATA_SMOKE)
+    rows2 = df2.collect()
+    assert os.stat(marker).st_mtime_ns == mtime1, "cache was rewritten"
+    assert rows1 == rows2
+    # the first DataFrame survives the second invocation
+    assert df1.collect() == rows1

@@ -164,6 +164,7 @@ _ALLOWED_NESTED_LOOP = {
     # (≤ a few dozen rows, each a ≤k-element array) — bounded by the
     # group-key cardinality, never the corpus.
     "kmv_overlap",
+    "kmv_overlap_audited",
     # The LSH recall audit crosses three ONE-ROW aggregate frames —
     # bounded 1×1 broadcasts.
     "lsh_recall",

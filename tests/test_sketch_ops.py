@@ -441,7 +441,7 @@ def test_hist_streaming_bins_drain_to_batch_quantiles(spark, tmp_path):
     for qq in (0.5, 0.9, 0.99):
         target = -F.floor(F.lit(-qq) * F.col("_n"))
         hit = F.min(F.when(F.col("_cum") >= target, F.col("bin")))
-        aggs.append(F.round((hit + 1) * F.lit(0.5), 4).alias(f"p{int(qq*100)}"))
+        aggs.append(F.round((hit + 1) * F.lit(0.5), 4).alias(f"p{round(qq*100)}"))
     streamed = cum.groupBy("event_type").agg(*aggs)
     batch = hist_quantiles(
         ev, ["event_type"], "value", qs=(0.5, 0.9, 0.99), bin_width=0.5
@@ -459,7 +459,7 @@ def test_kmv_overlap_estimates_partial_overlap(spark):
 
     rows = [("A", v) for v in range(1000)] + [("B", v) for v in range(500, 1500)]
     df = spark.createDataFrame(rows, "g string, v long")
-    r = kmv_overlap(df, "g", "v", k=256).collect()[0]
+    r = kmv_overlap(df, "g", "v", k=256, audit=True).collect()[0]
     assert r.exact_intersection == 500
     assert abs(r.est_jaccard - 1 / 3) < 0.1, r
     assert abs(r.est_intersection - 500) < 150, r
@@ -472,7 +472,7 @@ def test_kmv_overlap_exact_below_k(spark):
 
     rows = [("A", v) for v in range(20)] + [("B", v) for v in range(10, 30)]
     df = spark.createDataFrame(rows, "g string, v long")
-    r = kmv_overlap(df, "g", "v", k=64).collect()[0]
+    r = kmv_overlap(df, "g", "v", k=64, audit=True).collect()[0]
     assert r.exact_intersection == 10
     assert r.est_intersection == 10.0
     assert r.est_jaccard == round(10 / 30, 4)
@@ -502,3 +502,45 @@ def test_hll_hourly_registers_merge_to_daily(spark):
         for r in lsk.hll_distinct(hourly, ["day"], "user_id", p=8).collect()
     }
     assert via_merge == direct and len(direct) > 0
+
+
+def test_kmv_overlap_default_scans_corpus_once(spark):
+    """The declared kmv_overlap query (audit=False) must plan EXACTLY ONE
+    scan of the events corpus — the sketch build. The exact-intersection
+    self-equi-join (a second corpus-scale pass, the very thing the
+    sketch replaces) is gated behind audit=True; this pins the gate so
+    it can never silently come back into the hot path."""
+    from egal_yet_another_earthquake_project_spark import workloads
+    from egal_yet_another_earthquake_project_spark.plans import inspect
+
+    import re
+
+    # other tests in this module cache the events frame; a cached input
+    # would make the scan an InMemoryTableScan and skew the node count
+    spark.catalog.clearCache()
+
+    def scan_nodes(plan):
+        # formatted explain prints each node twice (tree + detail);
+        # count distinct "(n) Scan parquet" node ids
+        return set(re.findall(r"\((\d+)\) Scan parquet", plan))
+
+    plan = inspect.formatted_plan(
+        workloads.QUERIES["kmv_overlap"](spark, SF)
+    )
+    assert len(scan_nodes(plan)) == 1, plan
+    assert "exact_intersection" not in plan
+    # the audited twin keeps the estimator-quality column and pays the
+    # extra corpus pass for it — by declaration, not by default
+    audited = inspect.formatted_plan(
+        workloads.QUERIES["kmv_overlap_audited"](spark, SF)
+    )
+    assert len(scan_nodes(audited)) >= 2, audited
+
+
+def test_hist_quantile_labels_round_not_truncate(spark, events):
+    """Column labels must round q*100, not truncate it: 0.29*100 is
+    28.999… in IEEE doubles, and int() would label it p28."""
+    cols = lsk.hist_quantiles(
+        events, ["event_type"], "value", qs=(0.29, 0.58, 0.9), bin_width=0.5
+    ).columns
+    assert cols == ["event_type", "n", "p29", "p58", "p90"], cols

@@ -321,3 +321,61 @@ def test_silver_with_quarantine_splits_batches(spark, tmp_path):
         ("{broken json", "unparseable_json"),
         ("", "null_payload"),
     }
+
+
+def test_silver_with_quarantine_replay_is_idempotent(spark, tmp_path):
+    """A crash between the silver write and the checkpoint commit makes
+    foreachBatch REPLAY the batch — the dynamic _batch_id-partition
+    overwrite must absorb the replay instead of appending duplicates in
+    either sink. Simulated by invoking the sink function twice with the
+    same batch_id, exactly what recovery does."""
+    from egal_yet_another_earthquake_project_spark.schemas import KAFKA_ENVELOPE
+    from egal_yet_another_earthquake_project_spark.sources.files import (
+        stream_parquet_dir,
+    )
+    from egal_yet_another_earthquake_project_spark.streaming.silver import (
+        silver_with_quarantine,
+    )
+    from egal_yet_another_earthquake_project_spark.testing import fixtures
+
+    good = fixtures.kafka_envelopes(
+        fixtures.earthquake_events(
+            n=4, seed=7, dup_rate=0.0, update_rate=0.0, bad_date_rate=0.0
+        )
+    )
+    garbage = [(None, bytearray(b"not json"), "earthquakeRaw", 0, 9, None, 0)]
+    src = tmp_path / "in"
+    spark.createDataFrame(good + garbage, KAFKA_ENVELOPE).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    q = silver_with_quarantine(
+        stream_parquet_dir(spark, str(src) + "/*", KAFKA_ENVELOPE),
+        str(tmp_path / "silver"),
+        str(tmp_path / "dead"),
+        str(tmp_path / "ck"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    silver_once = spark.read.parquet(str(tmp_path / "silver")).count()
+    dead_once = spark.read.parquet(str(tmp_path / "dead")).count()
+    assert silver_once == 4 and dead_once == 1
+
+    # replay batch 0: a second stream over the same input with a FRESH
+    # checkpoint re-delivers batch 0 into the same sink paths — the
+    # at-least-once retry shape recovery performs
+    q2 = silver_with_quarantine(
+        stream_parquet_dir(spark, str(src) + "/*", KAFKA_ENVELOPE),
+        str(tmp_path / "silver"),
+        str(tmp_path / "dead"),
+        str(tmp_path / "ck2"),  # fresh checkpoint => batch 0 replays
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    assert spark.read.parquet(str(tmp_path / "silver")).count() == silver_once
+    assert spark.read.parquet(str(tmp_path / "dead")).count() == dead_once
