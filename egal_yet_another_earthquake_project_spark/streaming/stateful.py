@@ -681,3 +681,99 @@ def transition_stream_tws(stream: DataFrame) -> DataFrame:
         outputMode="Append",
         timeMode="None",
     )
+
+
+#: Streaming drift output: the per-source KL row, refreshed per trigger.
+DRIFT_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType(), False),
+        T.StructField("n_topk_tokens", T.LongType(), False),
+        T.StructField("kl", T.DoubleType(), False),
+    ]
+)
+
+#: State: per-source counts aligned to the FROZEN top-K vocabulary order
+#: — bounded at K longs per source regardless of stream volume.
+DRIFT_STATE_SCHEMA = T.StructType(
+    [T.StructField("counts", T.ArrayType(T.LongType()), True)]
+)
+
+
+def _drift_fn_factory(vocab: list[str], ref_cnt: list[int]):
+    import math
+
+    nk = float(sum(ref_cnt))
+    kk = float(len(vocab))
+    idx = {t: i for i, t in enumerate(vocab)}
+
+    def fn(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        counts = list(state.get[0]) if state.exists else [0] * len(vocab)
+        for pdf in batches:
+            for tok, n in pdf["tok"].value_counts().items():
+                counts[idx[tok]] += int(n)
+        state.update((counts,))
+        ns = sum(counts)
+        kl = 0.0
+        # fold in frozen-vocab order — deterministic sum order, and the
+        # same full-grid smoothing as the batch fold (a missing head
+        # token contributes its c=0 term; p and q each sum to 1)
+        for j, cnt in enumerate(ref_cnt):
+            p = (counts[j] + 1.0) / (ns + kk)
+            q = (cnt + 1.0) / (nk + kk)
+            kl += p * math.log(p / q)
+        yield pd.DataFrame(
+            {
+                "source": [key[0]],
+                "n_topk_tokens": [ns],
+                "kl": [round(kl, 4)],
+            }
+        )
+
+    return fn
+
+
+def drift_stream(
+    stream: DataFrame, vocab_ref: list[tuple[str, int]]
+) -> DataFrame:
+    """Per-crawl-drop distribution-drift monitor: the streaming twin of
+    the batch ``source_drift`` query (workloads_corpus.source_drift_kl).
+
+    ``vocab_ref`` is the FROZEN reference: the top-K corpus tokens with
+    their reference counts, computed once from the trusted corpus (the
+    thing new crawl drops are compared against) and closed over as plan
+    literals — at K=50 that is a trivially broadcastable constant, so
+    the stream never recomputes a corpus-wide vocabulary. Each trigger:
+    tokenize (stateless), FILTER to the frozen vocabulary before the
+    shuffle (the mass reduction — off-vocab tokens never leave the map
+    side), then per-source ``applyInPandasWithState`` merges the batch's
+    token counts into the bounded K-long state vector and emits the
+    source's refreshed add-one-smoothed KL against the reference
+    (update mode: last row per source is current). Merging counts is
+    associative and commutative, so a drained stream lands on the batch
+    fold exactly (asserted drained≡batch in
+    tests/test_stateful_streaming.py — same grid smoothing, same
+    round(·,4)).
+    """
+    from egal_yet_another_earthquake_project_spark.llm import text as ltx
+
+    vocab = [t for t, _ in vocab_ref]
+    ref_cnt = [int(c) for _, c in vocab_ref]
+    toks = (
+        ltx.tokenized(stream)
+        .select(
+            F.col("source").cast("string").alias("source"),
+            F.explode("_toks").alias("tok"),
+        )
+        .filter(F.col("tok").isin(vocab))
+    )
+    return toks.groupBy("source").applyInPandasWithState(
+        _drift_fn_factory(vocab, ref_cnt),
+        outputStructType=DRIFT_OUT_SCHEMA,
+        stateStructType=DRIFT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -303,7 +303,19 @@ def test_transform_with_state_transitions_equal_batch(spark, tmp_path: Path):
     """The transformWithState (Spark 4 API) twin must drain to the same
     matrix as the batch query — same harness as the v1 twin. Skips where
     the runtime lacks google.protobuf (the state-server protocol dep),
-    mirroring the broker gate on the Kafka tests."""
+    mirroring the broker gate on the Kafka tests.
+
+    Unskip probe (2026-08, round 6): (a) google.protobuf is absent from
+    site-packages (importlib.util.find_spec("google") -> None); (b) the
+    sandbox has no package index — `pip download protobuf --no-deps`
+    fails with "No matching distribution found" (and installs are
+    disallowed here regardless); (c) pyspark 4.1.2 ships only JVM-side
+    protobuf jars (netty/orc shaded) and pyspark.sql.protobuf bindings —
+    no Python runtime to vendor from; (d) re-implementing the protobuf
+    wire runtime to satisfy pyspark/sql/streaming/proto/*_pb2 is out of
+    scope by any measure. The applyInPandasWithState v1 twin above runs
+    the identical drained≡batch harness unskipped, so the capability is
+    tested; this remains evidence polish blocked on the environment."""
     import pytest
 
     pytest.importorskip(
@@ -359,3 +371,75 @@ def test_transform_with_state_transitions_equal_batch(spark, tmp_path: Path):
         for r in q_event_transitions(spark, "/root/testdata/sf0.001").collect()
     }
     assert rolled == batch and len(batch) > 0
+
+
+def test_drift_stream_drained_equals_batch(spark, tmp_path: Path):
+    """Drained per-source KL drift == the batch source_drift query, row
+    for row (source, n_topk_tokens, kl). The frozen reference vocabulary
+    is the full-corpus top-50 (what a production monitor snapshots from
+    the trusted corpus); count-merging is associative+commutative so the
+    split point can't matter — docs are split in half across two
+    triggers and the LAST emitted row per source (update mode; counts
+    only grow, so max n_topk_tokens identifies it) must equal the batch
+    fold exactly, including the grid smoothing terms for head tokens a
+    source never produced."""
+    from pyspark.sql.window import Window
+
+    from egal_yet_another_earthquake_project_spark.llm import text as ltx
+    from egal_yet_another_earthquake_project_spark.sources.files import read_table
+    from egal_yet_another_earthquake_project_spark.streaming.stateful import drift_stream
+    from egal_yet_another_earthquake_project_spark.workloads_corpus import (
+        DRIFT_TOPK,
+        source_drift_kl,
+    )
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    vocab_ref = [
+        (r.tok, r.cnt)
+        for r in ltx.tokenized(docs)
+        .select(F.explode("_toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(DRIFT_TOPK)
+        .collect()
+    ]
+
+    cut = docs.agg(F.percentile_approx("doc_id", 0.5).alias("c")).collect()[0].c
+    src = tmp_path / "d_in"
+    docs.filter(F.col("doc_id") < F.lit(cut)).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    stream = stream_parquet_dir(
+        spark, str(src) + "/*", docs.schema, max_files_per_trigger=1
+    )
+    q = (
+        drift_stream(stream, vocab_ref)
+        .writeStream.format("memory")
+        .queryName("drift_live")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "d_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        docs.filter(F.col("doc_id") >= F.lit(cut)).coalesce(1).write.parquet(
+            str(src / "b2")
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    w = Window.partitionBy("source").orderBy(F.col("n_topk_tokens").desc())
+    live = {
+        (r.source, r.n_topk_tokens): r.kl
+        for r in spark.table("drift_live")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .collect()
+    }
+    batch = {
+        (r.source, r.n_topk_tokens): r.kl
+        for r in source_drift_kl(docs).collect()
+    }
+    assert live == batch and len(batch) > 0
