@@ -23,8 +23,9 @@ gold tables; ``curate`` runs the full training-corpus pipeline
 (gates → dedup → resample → packing → shards, see ``curate.py``);
 ``index``/``index-append``/``search`` build, incrementally extend, and
 probe the cell-partitioned IVF ANN index (``llm/ann_index.py``);
-``index-append`` reports the post-append cell imbalance (the rebuild
-trigger metric).
+``index-append`` reports the post-append cell imbalance and, with
+``--rebuild-if-imbalance N``, acts on it — rebuilding the index from its
+own unit vectors when the max/mean cell occupancy exceeds ``N``.
 Kafka variants use the same code paths with the gated reader
 (sources/kafka.py) once a broker and the connector jar are present.
 """
@@ -104,6 +105,13 @@ def _parser() -> argparse.ArgumentParser:
     )
     ap.add_argument("--index", required=True, help="index directory")
     ap.add_argument("--vectors", required=True, help="parquet of new vectors")
+    ap.add_argument(
+        "--rebuild-if-imbalance",
+        type=float,
+        default=None,
+        metavar="N",
+        help="rebuild the index when post-append max/mean cell occupancy exceeds N",
+    )
 
     s = sub.add_parser("search", help="top-k ANN against a persisted IVF index")
     s.add_argument("--index", required=True, help="index directory")
@@ -220,10 +228,20 @@ def main(argv: list[str] | None = None) -> int:
 
             new_vecs = spark.read.parquet(args.vectors)
             append_ivf_index(spark, args.index, new_vecs)
-            imb = ivf_cell_stats(spark, args.index).agg(
-                {"imbalance": "max"}
-            ).collect()[0][0]
-            print(json.dumps({"index": args.index, "imbalance": imb}))
+            if args.rebuild_if_imbalance is not None:
+                from egal_yet_another_earthquake_project_spark.llm.ann_index import (
+                    maybe_rebuild_ivf_index,
+                )
+
+                res = maybe_rebuild_ivf_index(
+                    spark, args.index, threshold=args.rebuild_if_imbalance
+                )
+                print(json.dumps({"index": args.index, **res}))
+            else:
+                imb = ivf_cell_stats(spark, args.index).agg(
+                    {"imbalance": "max"}
+                ).collect()[0][0]
+                print(json.dumps({"index": args.index, "imbalance": imb}))
         elif args.cmd == "search":
             from egal_yet_another_earthquake_project_spark.llm.ann_index import (
                 search_ivf_index,

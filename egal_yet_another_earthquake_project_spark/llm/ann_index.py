@@ -143,6 +143,62 @@ def append_ivf_index(
     )
 
 
+def maybe_rebuild_ivf_index(
+    spark: SparkSession,
+    index_dir: str,
+    threshold: float,
+    num_cells: int | None = None,
+    refine_iters: int = 1,
+) -> dict:
+    """Act on the imbalance metric: rebuild the index iff the max/mean
+    cell-occupancy ratio exceeds ``threshold`` (append_ivf_index's
+    documented maintenance trigger, now automated — the CLI exposes it
+    as ``index-append --rebuild-if-imbalance N``).
+
+    The rebuild re-trains ON THE INDEX'S OWN unit vectors (one index
+    scan; the original corpus is never re-read — at 10^10 vectors the
+    index IS the only copy you want to touch), with a Lloyd refinement
+    pass so the new centroids actually track the drifted distribution
+    rather than re-sampling it. Unit vectors are the right training
+    input for a cosine quantizer: assignment is argmax cosine, which is
+    norm-invariant, and re-unit-ing a unit vector is the identity, so
+    the rebuilt cells hold byte-identical ``uv`` rows — search results
+    are unchanged by construction (recall re-asserted in
+    tests/test_ann_index.py), only the partitioning improves.
+
+    Staged write + atomic rename keeps a concurrent reader safe: the
+    new cells+centroids land in a temp dir and replace the live index
+    in two directory renames (the same lost-race-is-benign pattern as
+    the z-order layout cache, workloads_ext.py:1259).
+
+    Returns ``{"imbalance": float, "rebuilt": bool}``.
+    """
+    import os
+    import shutil
+    import uuid
+
+    imb = float(
+        ivf_cell_stats(spark, index_dir).select("imbalance").first().imbalance
+    )
+    if imb <= threshold:
+        return {"imbalance": imb, "rebuilt": False}
+
+    cent = spark.read.parquet(f"{index_dir}/centroids")
+    k = num_cells or cent.count()
+    corpus = spark.read.parquet(f"{index_dir}/cells").select(
+        F.col("neighbor_id").alias("vec_id"), F.col("uv").alias("embedding")
+    )
+    stage = f"{index_dir}/.rebuild-{uuid.uuid4().hex[:8]}"
+    build_ivf_index(corpus, stage, num_cells=k, refine_iters=refine_iters)
+    for part in ("centroids", "cells"):
+        old = f"{index_dir}/.old-{part}-{uuid.uuid4().hex[:8]}"
+        os.rename(f"{index_dir}/{part}", old)
+        os.rename(f"{stage}/{part}", f"{index_dir}/{part}")
+        shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(stage, ignore_errors=True)
+    return {"imbalance": imb, "rebuilt": True}
+
+
 def ivf_cell_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     """Per-cell vector counts + the max/mean imbalance ratio — the
     rebuild trigger metric for :func:`append_ivf_index` (a cell at many

@@ -140,6 +140,32 @@ def test_cli_index_and_search(spark, tmp_path: Path, capsys):
         assert "imbalance" in capsys.readouterr().out
         n_after = spark.read.parquet(str(tmp_path / "ivf" / "cells")).count()
         assert n_after == n_before + 10
+
+        # --rebuild-if-imbalance: a hot-cell append batch (one embedding,
+        # many ids) pushes max/mean past the threshold; the CLI must act
+        # on the metric, not just print it
+        hot = emb.orderBy("vec_id").first()
+        spark.range(300).select(
+            (F.col("id") + 200000).alias("vec_id"),
+            F.lit(hot.embedding).alias("embedding"),
+        ).write.parquet(str(tmp_path / "hot_vecs"))
+        rc = jobs.main(
+            [
+                "index-append",
+                "--index", str(tmp_path / "ivf"),
+                "--vectors", str(tmp_path / "hot_vecs"),
+                "--rebuild-if-imbalance", "2.0",
+            ]
+        )
+        assert rc == 0
+        import json
+
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["rebuilt"] is True and rep["imbalance"] > 2.0
+        assert (
+            spark.read.parquet(str(tmp_path / "ivf" / "cells")).count()
+            == n_after + 300
+        )
     finally:
         spark.stop = real_stop
 
