@@ -217,3 +217,75 @@ def doc_bigram_nll(
         )
         .orderBy(id_col)
     )
+
+
+def train_bigram_lm(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.7,
+) -> dict:
+    """Freeze the interpolated-bigram model from a trusted corpus so it
+    can score OTHER data (an incoming crawl drop, a stream) without
+    retraining: :func:`doc_bigram_nll` trains and scores in one plan,
+    which is right for the oracle-paired batch query but wrong for a
+    monitor — the model must not drift with the data it judges.
+
+    Returns ``{"c2", "vocab", "n", "v", "lam"}``: the corpus bigram and
+    unigram count frames (vocabulary-scale — cache or persist them; at
+    100 TB they are the trained artifact you'd write once per corpus
+    version) plus the (N, V) totals collected as two bounded scalars.
+    """
+    tf = term_frequencies(df, id_col, text_col)
+    vocab = unigram_vocab(tf)
+    c2 = (
+        bigram_frequencies(df, id_col, text_col)
+        .groupBy("a", "b")
+        .agg(F.sum("bf").alias("c2"))
+    )
+    row = vocab.agg(F.sum("cnt").alias("n"), F.count("*").alias("v")).first()
+    return {"c2": c2, "vocab": vocab, "n": int(row.n), "v": int(row.v), "lam": lam}
+
+
+def score_bigram_frozen(
+    df: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document interpolated-bigram NLL against a FROZEN model.
+
+    Same formula as :func:`doc_bigram_nll`, but the counts come from the
+    trained model via LEFT joins (an unseen bigram or token scores at
+    its smoothing floor instead of dropping the row — exactly what
+    out-of-corpus text should do) and the (N, V) totals are plan
+    literals. Scoring the training corpus itself reproduces
+    ``doc_bigram_nll`` row for row (every pair hits the model), which is
+    what pins the streaming twin to the batch query. Stateless per
+    document, so it streams with zero state — see
+    ``streaming/scoring.py``.
+    """
+    bf = bigram_frequencies(df, id_col, text_col)
+    ca = model["vocab"].select(F.col("tok").alias("a"), F.col("cnt").alias("c1a"))
+    cb = model["vocab"].select(F.col("tok").alias("b"), F.col("cnt").alias("c1b"))
+    n, v = float(model["n"]), float(model["v"])
+    p_bi = (F.coalesce(F.col("c2"), F.lit(0)).cast("double") + 1.0) / (
+        F.coalesce(F.col("c1a"), F.lit(0)).cast("double") + v
+    )
+    p_uni = (F.coalesce(F.col("c1b"), F.lit(0)).cast("double") + 1.0) / (n + v)
+    p = F.lit(model["lam"]) * p_bi + F.lit(1.0 - model["lam"]) * p_uni
+    return (
+        bf.join(model["c2"], ["a", "b"], "left")
+        .join(ca, "a", "left")
+        .join(cb, "b", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("bf").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("bf").cast("double") * -F.log(p))
+                / F.sum(F.col("bf").cast("double")),
+                4,
+            ).alias("nll"),
+        )
+        .orderBy(id_col)
+    )

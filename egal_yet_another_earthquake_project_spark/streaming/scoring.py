@@ -1,0 +1,61 @@
+"""Streaming LM scoring: a frozen model judges each micro-batch.
+
+The batch query ``bigram_nll`` trains and scores in one plan; the
+per-crawl-drop monitor needs the OPPOSITE split — train once on the
+trusted corpus (``llm.lm.train_bigram_lm``), then score every incoming
+batch against that frozen artifact. Scoring is stateless per document
+(a document arrives whole in one row), so the streaming form carries
+ZERO streaming state: ``foreachBatch`` applies the batch scorer —
+vocabulary-scale model joins, (N, V) as plan literals — and lands each
+batch's scores in a ``_batch_id``-keyed partition, the same
+replay-idempotent shape as ``silver_with_quarantine`` (a restarted
+batch overwrites its own partition instead of duplicating rows).
+
+Contrast with ``stateful.drift_stream``: drift is a running PER-SOURCE
+aggregate (needs bounded per-key state); NLL is a per-document score
+(needs none). Picking the stateless form when state isn't required is
+the scale decision — no state store, no checkpointed growth, and the
+micro-batch plan is exactly the batch plan.
+
+No counterpart in the reference (structured sensor data, no text
+scoring); part of the LLM-pipeline layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter
+
+from egal_yet_another_earthquake_project_spark.llm.lm import score_bigram_frozen
+
+
+def lm_score_sink(
+    stream: DataFrame,
+    model: dict,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataStreamWriter:
+    """``writeStream`` writer scoring each micro-batch with the frozen
+    bigram model into ``{out_dir}/_batch_id=N/`` partitions.
+
+    Replay-idempotent: dynamic partition overwrite scoped to the
+    batch's own ``_batch_id`` partition, so checkpoint recovery that
+    re-runs a batch replaces its output instead of appending twice.
+    Reading ``out_dir`` yields the running scored corpus; a drained
+    stream equals the batch scorer on the union of batches
+    (drained≡batch test in tests/test_streaming_scoring.py).
+    """
+
+    def _score(batch: DataFrame, batch_id: int) -> None:
+        scored = score_bigram_frozen(batch, model, id_col, text_col)
+        (
+            scored.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_dir)
+        )
+
+    return stream.writeStream.foreachBatch(_score)

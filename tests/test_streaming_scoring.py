@@ -1,0 +1,100 @@
+"""Frozen-LM streaming scoring: drained micro-batch scores must equal
+the batch bigram-NLL query, and out-of-corpus text must score at its
+smoothing floor instead of dropping."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from egal_yet_another_earthquake_project_spark.llm.lm import (
+    doc_bigram_nll,
+    score_bigram_frozen,
+    train_bigram_lm,
+)
+from egal_yet_another_earthquake_project_spark.sources.files import (
+    read_table,
+    stream_parquet_dir,
+)
+from egal_yet_another_earthquake_project_spark.streaming.scoring import lm_score_sink
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_frozen_scorer_on_training_corpus_equals_batch_query(spark):
+    """score_bigram_frozen(train corpus) == doc_bigram_nll: every pair
+    hits the model, so the left joins reduce to the batch query's inner
+    joins — the equality that pins the streaming twin."""
+    docs = read_table(spark, SF, "documents")
+    model = train_bigram_lm(docs)
+    frozen = {
+        (r.doc_id, r.n_bigrams): r.nll
+        for r in score_bigram_frozen(docs, model).collect()
+    }
+    batch = {
+        (r.doc_id, r.n_bigrams): r.nll for r in doc_bigram_nll(docs).collect()
+    }
+    assert frozen == batch and len(batch) > 0
+
+
+def test_frozen_scorer_floors_unseen_text(spark):
+    """A document of tokens the model has never seen must still score —
+    at the smoothing floor −ln(λ/V + (1−λ)/(N+V)) per bigram (c2, c1a,
+    c1b all coalesce to 0) — not drop out (the monitor exists to flag
+    exactly this text)."""
+    import math
+
+    docs = read_table(spark, SF, "documents")
+    model = train_bigram_lm(docs)
+    alien = spark.createDataFrame(
+        [(1, "zzqx zzqy zzqz")], "doc_id long, text string"
+    )
+    row = score_bigram_frozen(alien, model).collect()
+    assert len(row) == 1 and row[0].n_bigrams == 2
+    floor = -math.log(
+        model["lam"] / model["v"]
+        + (1.0 - model["lam"]) / (model["n"] + model["v"])
+    )
+    assert abs(row[0].nll - round(floor, 4)) < 1e-3
+
+
+def test_lm_score_stream_drained_equals_batch(spark, tmp_path: Path):
+    """Two triggers of documents through lm_score_sink, drained, must
+    score identically to the batch scorer over the whole corpus — the
+    stateless foreachBatch plan IS the batch plan, so the split point
+    can't matter."""
+    docs = read_table(spark, SF, "documents")
+    model = train_bigram_lm(docs)
+    cut = docs.agg(F.percentile_approx("doc_id", 0.5).alias("c")).collect()[0].c
+
+    src = tmp_path / "s_in"
+    out = tmp_path / "scored"
+    docs.filter(F.col("doc_id") < F.lit(cut)).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    docs.filter(F.col("doc_id") >= F.lit(cut)).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    stream = stream_parquet_dir(
+        spark, str(src) + "/*", docs.schema, max_files_per_trigger=1
+    )
+    q = (
+        lm_score_sink(stream, model, str(out))
+        .option("checkpointLocation", str(tmp_path / "s_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    live = {
+        (r.doc_id, r.n_bigrams): r.nll
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    batch = {
+        (r.doc_id, r.n_bigrams): r.nll
+        for r in score_bigram_frozen(docs, model).collect()
+    }
+    assert live == batch and len(batch) > 0
