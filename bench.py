@@ -153,6 +153,8 @@ HEADLINE = [
     "corpus_report",
     "bigram_nll",
     "source_drift",
+    # round-6: held-out frozen-LM scoring (train 90% / score 10%).
+    "frozen_lm_score",
 ]
 
 
@@ -360,7 +362,12 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     rnd = _round_number(here)
     local = dict(payload, queries_runs=runs_detail)
-    with open(os.path.join(here, f"BENCH_LOCAL_r{rnd:02d}.json"), "w") as f:
+    # sf tag in the filename for non-default SFs, so a fast sf0.001
+    # probe can't clobber the round's committed sf0.1 artifact
+    tag = "" if abs(float(sf) - 0.1) < 1e-9 else f"_sf{sf}"
+    with open(
+        os.path.join(here, f"BENCH_LOCAL_r{rnd:02d}{tag}.json"), "w"
+    ) as f:
         json.dump(local, f, indent=1, sort_keys=True)
     spark.stop()
 

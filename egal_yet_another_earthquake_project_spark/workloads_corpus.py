@@ -680,6 +680,69 @@ ORDER BY source
 """
 
 
+def q_frozen_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out perplexity filtering: freeze the interpolated-bigram
+    model on the 90% train slice (doc_id % 10 != 0) and score the
+    held-out 10% against it — the production split `bigram_nll` cannot
+    express (it trains on the data it judges; a monitor's model must
+    not drift with the batch it scores). Unseen bigrams/tokens land at
+    the smoothing floor via LEFT joins + coalesce(0) instead of
+    dropping (llm/lm.py:train_bigram_lm/score_bigram_frozen; the
+    streaming form is streaming/scoring.py:lm_score_sink). Scale shape
+    inherits doc_bigram_nll's: per-doc TF-collapse under the (a,b)
+    composite key before the model joins, (N, V) as plan literals."""
+    from egal_yet_another_earthquake_project_spark.llm.lm import (
+        score_bigram_frozen,
+        train_bigram_lm,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    model = train_bigram_lm(
+        docs.filter(F.col("doc_id") % 10 != 0), lam=BIGRAM_LAMBDA
+    )
+    return score_bigram_frozen(docs.filter(F.col("doc_id") % 10 == 0), model)
+
+
+_FROZEN_LM_ORACLE = f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+tr AS (SELECT * FROM base WHERE doc_id % 10 <> 0),
+bg_tr AS (
+  SELECT t[i] AS a, t[i + 1] AS b
+  FROM tr, unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+),
+c2 AS (SELECT a, b, count(*) AS c2 FROM bg_tr GROUP BY a, b),
+vocab AS (
+  SELECT tok, count(*) AS cnt
+  FROM (SELECT unnest(t) AS tok FROM tr) GROUP BY tok
+),
+stats AS (SELECT sum(cnt) AS n, count(*) AS v FROM vocab),
+bg_ev AS (
+  SELECT doc_id, t[i] AS a, t[i + 1] AS b
+  FROM base, unnest(range(1, len(t))) AS u(i)
+  WHERE doc_id % 10 = 0 AND len(t) >= 2
+),
+bf AS (SELECT doc_id, a, b, count(*) AS bf FROM bg_ev GROUP BY 1, 2, 3)
+SELECT doc_id,
+       CAST(sum(bf) AS BIGINT) AS n_bigrams,
+       round(sum(CAST(bf AS DOUBLE) * -ln(
+           CAST({BIGRAM_LAMBDA} AS DOUBLE)
+             * (CAST(coalesce(c2, 0) AS DOUBLE) + 1.0)
+             / (CAST(coalesce(va.cnt, 0) AS DOUBLE) + CAST(v AS DOUBLE))
+         + CAST({1.0 - BIGRAM_LAMBDA} AS DOUBLE)
+             * (CAST(coalesce(vb.cnt, 0) AS DOUBLE) + 1.0)
+             / (CAST(n AS DOUBLE) + CAST(v AS DOUBLE))))
+         / sum(CAST(bf AS DOUBLE)), 4) AS nll
+FROM bf
+LEFT JOIN c2 USING (a, b)
+LEFT JOIN vocab va ON va.tok = bf.a
+LEFT JOIN vocab vb ON vb.tok = bf.b
+CROSS JOIN stats
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "doc_chunks": q_doc_chunks,
     "repetition_profile": q_repetition_profile,
@@ -693,6 +756,7 @@ QUERIES = {
     "bigram_nll": q_bigram_nll,
     "source_drift": q_source_drift,
     "bpe_encoded_vocab": q_bpe_encoded_vocab,
+    "frozen_lm_score": q_frozen_lm_score,
 }
 
 ORACLES = {
@@ -708,4 +772,5 @@ ORACLES = {
     "bigram_nll": _BIGRAM_NLL_ORACLE,
     "source_drift": _SOURCE_DRIFT_ORACLE,
     "bpe_encoded_vocab": _bpe_encode_oracle(),
+    "frozen_lm_score": _FROZEN_LM_ORACLE,
 }

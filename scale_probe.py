@@ -114,6 +114,18 @@ def probes():
     def tfidf(spark, docs):
         return llk.tfidf_keywords(docs)
 
+    def bigram(spark, docs):
+        from egal_yet_another_earthquake_project_spark.llm import lm
+
+        return lm.doc_bigram_nll(docs)
+
+    def drift(spark, docs):
+        from egal_yet_another_earthquake_project_spark.workloads_corpus import (
+            source_drift_kl,
+        )
+
+        return source_drift_kl(docs)
+
     # (name, input, op, allowed wall ratio). The near-dup construction
     # multiplies candidate-PAIR mass ~45-100× (every 10-copy cluster is
     # 45 pairs; same-prefix blocks grow 10× → up to 100× in-block
@@ -129,6 +141,11 @@ def probes():
         ("MinHash-LSH pairs (verify 0.7)", _documents, lsh, 20.0),
         ("blocked fuzzy linkage", _documents, fuzzy, 30.0),
         ("TF-IDF keywords", _documents, tfidf, ROW_RATIO),
+        # round-6 additions: the two corpus-pass-heaviest r5 analytics.
+        # Both are join/agg-linear in distinct (doc, gram) mass — the
+        # near-dup ×10 construction grows that ~10×, so ROW_RATIO binds.
+        ("interpolated bigram NLL", _documents, bigram, ROW_RATIO),
+        ("per-source KL drift", _documents, drift, ROW_RATIO),
     ]
 
 

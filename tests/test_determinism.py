@@ -76,6 +76,9 @@ CHECKED = [
     "corpus_report",
     "bigram_nll",
     "source_drift",
+    # round-6: frozen-model scoring (model scalars collected via first()
+    # — must not vary with partitioning).
+    "frozen_lm_score",
 ]
 
 
