@@ -318,3 +318,80 @@ def test_transition_stream_state_survives_restart(spark, tmp_path: Path):
         for r in q_event_transitions(spark, "/root/testdata/sf0.001").collect()
     }
     assert rolled == batch and len(batch) > 0
+
+
+def test_drift_stream_state_survives_restart(spark, tmp_path: Path):
+    """The KL-drift monitor's per-source count vector must restore from
+    the checkpoint: batch 1 → drain → STOP, batch 2 lands while the
+    stream is down, a NEW query from the SAME checkpoint drains it —
+    the final per-source KL must equal the batch source_drift fold over
+    ALL documents (state loss would under-count batch-1 tokens; replay
+    would double-count them)."""
+    from pyspark.sql import functions as F
+
+    from egal_yet_another_earthquake_project_spark.llm import text as ltx
+    from egal_yet_another_earthquake_project_spark.sources.files import read_table
+    from egal_yet_another_earthquake_project_spark.streaming.stateful import (
+        drift_stream,
+    )
+    from egal_yet_another_earthquake_project_spark.workloads_corpus import (
+        DRIFT_TOPK,
+        source_drift_kl,
+    )
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    vocab_ref = [
+        (r.tok, r.cnt)
+        for r in ltx.tokenized(docs)
+        .select(F.explode("_toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(DRIFT_TOPK)
+        .collect()
+    ]
+
+    src = tmp_path / "in"
+    ckpt = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+
+    def sink(df, batch_id):
+        df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            out
+        )
+
+    def start():
+        stream = stream_parquet_dir(spark, str(src) + "/*", docs.schema)
+        return (
+            drift_stream(stream, vocab_ref)
+            .writeStream.foreachBatch(sink)
+            .queryName("drift_recover")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q1 = start()
+    q1.processAllAvailable()
+    q1.stop()  # killed between micro-batches
+
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    q2 = start()  # state vector must restore, not reset or double
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    live = {}
+    for r in spark.read.parquet(out).orderBy("batch_id").collect():
+        live[r.source] = (r.n_topk_tokens, r.kl)  # last batch wins
+    batch = {
+        r.source: (r.n_topk_tokens, r.kl)
+        for r in source_drift_kl(docs).collect()
+    }
+    assert live == batch and len(batch) > 0
