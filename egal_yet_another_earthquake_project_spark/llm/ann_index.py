@@ -17,6 +17,26 @@ amortizes the expensive parts instead:
   files (plan-asserted: the FileSourceScan's PartitionFilters carries
   the cell predicate).
 
+**On-disk layout is versioned** so maintenance can cut over atomically::
+
+    {index_dir}/CURRENT          one line: "v=N"  (written last, via
+                                 write-temp + os.replace — atomic on
+                                 POSIX; on an object store this file is
+                                 the manifest a catalog commit replaces)
+    {index_dir}/v=N/centroids    (cell, cv)
+    {index_dir}/v=N/cells        (neighbor_id, uv) partitioned by cell
+
+A reader always resolves CURRENT first, so it sees one complete version
+— never new centroids with old cells. Rebuilds stage the next version
+in full before the single pointer flip; the predecessor version is kept
+(deferred deletion) so an in-flight reader that resolved before the
+flip finishes against intact data, and a crash mid-rebuild leaves
+CURRENT — and therefore the live index — untouched. Appends assume a
+single writer (they append into the live version's cell partitions);
+concurrent writers need the catalog-commit layer this file's manifest
+stands in for. Legacy flat layouts ({index_dir}/{centroids,cells} with
+no CURRENT) are still readable; the first rebuild migrates them.
+
 At 100 TB: the corpus-side work per search is nprobe/num_cells of one
 corpus scan — and with min/max footer stats + the partition layout, the
 bytes read shrink by the same factor. No shuffle touches the corpus at
@@ -24,6 +44,10 @@ search time; only the (small) query batch broadcasts.
 """
 
 from __future__ import annotations
+
+import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -38,23 +62,46 @@ from egal_yet_another_earthquake_project_spark.llm.similarity import (
 )
 
 
-def build_ivf_index(
-    corpus: DataFrame,
-    index_dir: str,
-    num_cells: int = 16,
-    refine_iters: int = 0,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> None:
-    """Train the quantizer and write the cell-partitioned index.
+def _read_current(index_dir: str) -> int | None:
+    """Version number in ``{index_dir}/CURRENT``, or None (legacy flat
+    layout / index not built yet)."""
+    try:
+        with open(f"{index_dir}/CURRENT", encoding="utf-8") as fh:
+            return int(fh.read().strip().split("=", 1)[1])
+    except (FileNotFoundError, NotADirectoryError):
+        return None
 
-    Layout: ``{index_dir}/centroids`` (cell, cv) and
-    ``{index_dir}/cells`` (neighbor_id, uv) partitioned by ``cell``,
-    with unit vectors precomputed so search pays no normalization."""
+
+def resolve_index_dir(index_dir: str) -> str:
+    """Root of the LIVE index version: ``{index_dir}/v=N`` per CURRENT,
+    falling back to ``index_dir`` itself for legacy flat layouts. One
+    resolve pins a reader to one complete (centroids, cells) pair."""
+    n = _read_current(index_dir)
+    return index_dir if n is None else f"{index_dir}/v={n}"
+
+
+def _set_current(index_dir: str, version: int) -> None:
+    """Atomically point CURRENT at ``version`` (write-temp + rename —
+    the one-file manifest a concurrent reader can never see half of)."""
+    tmp = f"{index_dir}/.CURRENT.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(f"v={version}\n")
+    os.replace(tmp, f"{index_dir}/CURRENT")
+
+
+def _write_version(
+    corpus: DataFrame,
+    root: str,
+    num_cells: int,
+    refine_iters: int,
+    id_col: str,
+    vec_col: str,
+) -> None:
+    """Write one complete (centroids, cells) pair under ``root``."""
     cent = sample_centroids(corpus, num_cells, id_col, vec_col)
     if refine_iters:
         cent = refine_centroids(corpus, cent, refine_iters, id_col, vec_col)
-    cent.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    cent.write.mode("overwrite").parquet(f"{root}/centroids")
     assigned = unit(
         assign_cells(corpus, cent, 1, id_col, vec_col).select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v"), "cell"
@@ -65,8 +112,25 @@ def build_ivf_index(
     (
         assigned.write.mode("overwrite")
         .partitionBy("cell")
-        .parquet(f"{index_dir}/cells")
+        .parquet(f"{root}/cells")
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    index_dir: str,
+    num_cells: int = 16,
+    refine_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Train the quantizer and write the cell-partitioned index as
+    version 1 (see the module docstring for the versioned layout), with
+    unit vectors precomputed so search pays no normalization."""
+    _write_version(
+        corpus, f"{index_dir}/v=1", num_cells, refine_iters, id_col, vec_col
+    )
+    _set_current(index_dir, 1)
 
 
 def search_ivf_index(
@@ -80,10 +144,13 @@ def search_ivf_index(
 ) -> DataFrame:
     """Top-``k`` neighbors for a query batch against a persisted index.
 
-    The probed-cell set (≤ num_cells values however large the batch is)
-    becomes a STATIC partition filter, so the scan plans against only
-    those directories; the query side broadcasts into the cell join."""
-    cent = spark.read.parquet(f"{index_dir}/centroids")
+    Resolves CURRENT once, so centroids and cells come from the same
+    version even if a rebuild cuts over mid-search. The probed-cell set
+    (≤ num_cells values however large the batch is) becomes a STATIC
+    partition filter, so the scan plans against only those directories;
+    the query side broadcasts into the cell join."""
+    root = resolve_index_dir(index_dir)
+    cent = spark.read.parquet(f"{root}/centroids")
     qa = unit(
         assign_cells(queries, cent, nprobe, id_col, vec_col).select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("_q"), "cell"
@@ -92,7 +159,7 @@ def search_ivf_index(
         "uq",
     ).drop("_q")
     probed = [r.cell for r in qa.select("cell").distinct().collect()]
-    cells = spark.read.parquet(f"{index_dir}/cells").filter(
+    cells = spark.read.parquet(f"{root}/cells").filter(
         F.col("cell").isin(probed)
     )
     cands = (
@@ -120,6 +187,11 @@ def append_ivf_index(
     one write; the corpus is never rescanned, which is what makes daily
     ingest into a 10^10-vector index affordable.
 
+    Single-writer assumption: the append targets the version that is
+    CURRENT at call time. Run appends and rebuilds from one maintenance
+    job (the CLI's ``index-append --rebuild-if-imbalance`` does both in
+    sequence); concurrent writers would need a real catalog commit.
+
     The standard IVF maintenance trade: as the corpus drifts from the
     training sample, cell balance degrades — monitor with
     :func:`ivf_cell_stats` and trigger a rebuild (or a
@@ -128,7 +200,8 @@ def append_ivf_index(
     Search needs no change: appended vectors live in the same partition
     layout, so probes see them immediately.
     """
-    cent = spark.read.parquet(f"{index_dir}/centroids")
+    root = resolve_index_dir(index_dir)
+    cent = spark.read.parquet(f"{root}/centroids")
     assigned = unit(
         assign_cells(new_vectors, cent, 1, id_col, vec_col).select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v"), "cell"
@@ -139,7 +212,7 @@ def append_ivf_index(
     (
         assigned.write.mode("append")
         .partitionBy("cell")
-        .parquet(f"{index_dir}/cells")
+        .parquet(f"{root}/cells")
     )
 
 
@@ -149,6 +222,7 @@ def maybe_rebuild_ivf_index(
     threshold: float,
     num_cells: int | None = None,
     refine_iters: int = 1,
+    _before_cutover=None,
 ) -> dict:
     """Act on the imbalance metric: rebuild the index iff the max/mean
     cell-occupancy ratio exceeds ``threshold`` (append_ivf_index's
@@ -164,46 +238,76 @@ def maybe_rebuild_ivf_index(
     norm-invariant, and re-unit-ing a unit vector is the identity, so
     the rebuilt cells hold byte-identical ``uv`` rows — search results
     are unchanged by construction (recall re-asserted in
-    tests/test_ann_index.py), only the partitioning improves.
+    tests/test_similarity.py::
+    test_ivf_rebuild_fires_on_skewed_appends_and_preserves_recall),
+    only the partitioning improves.
 
-    Staged write + atomic rename keeps a concurrent reader safe: the
-    new cells+centroids land in a temp dir and replace the live index
-    in two directory renames (the same lost-race-is-benign pattern as
-    the z-order layout cache, workloads_ext.py:1259).
+    Cutover is ONE atomic pointer flip: the next version ``v=N+1`` is
+    staged in full (invisible — readers resolve CURRENT), then CURRENT
+    is replaced via write-temp + ``os.replace``. A crash anywhere before
+    the flip leaves the live index untouched (the orphaned stage dir is
+    GC'd by the next successful rebuild); a reader mid-rebuild sees
+    either the old version or the new one, never a mix. The predecessor
+    version is kept (deferred deletion) so readers that resolved just
+    before the flip finish cleanly; versions older than that are GC'd.
 
-    Returns ``{"imbalance": float, "rebuilt": bool}``.
+    ``_before_cutover`` is a test seam: called after the stage completes
+    and before the pointer flip, where a concurrent reader or a crash
+    would land.
+
+    Returns ``{"imbalance": float | None, "rebuilt": bool}`` (+
+    ``"version"`` when rebuilt); an empty/absent index is reported as
+    ``{"imbalance": None, "rebuilt": False}`` rather than raising.
     """
-    import os
-    import shutil
-    import uuid
-
-    imb = float(
-        ivf_cell_stats(spark, index_dir).select("imbalance").first().imbalance
-    )
+    stats_row = ivf_cell_stats(spark, index_dir).select("imbalance").first()
+    if stats_row is None or stats_row.imbalance is None:
+        return {"imbalance": None, "rebuilt": False}
+    imb = float(stats_row.imbalance)
     if imb <= threshold:
         return {"imbalance": imb, "rebuilt": False}
 
-    cent = spark.read.parquet(f"{index_dir}/centroids")
+    root = resolve_index_dir(index_dir)
+    cur = _read_current(index_dir)
+    existing = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(index_dir)
+        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+    ]
+    next_v = max(existing, default=cur or 0) + 1
+
+    cent = spark.read.parquet(f"{root}/centroids")
     k = num_cells or cent.count()
-    corpus = spark.read.parquet(f"{index_dir}/cells").select(
+    corpus = spark.read.parquet(f"{root}/cells").select(
         F.col("neighbor_id").alias("vec_id"), F.col("uv").alias("embedding")
     )
-    stage = f"{index_dir}/.rebuild-{uuid.uuid4().hex[:8]}"
-    build_ivf_index(corpus, stage, num_cells=k, refine_iters=refine_iters)
-    for part in ("centroids", "cells"):
-        old = f"{index_dir}/.old-{part}-{uuid.uuid4().hex[:8]}"
-        os.rename(f"{index_dir}/{part}", old)
-        os.rename(f"{stage}/{part}", f"{index_dir}/{part}")
-        shutil.rmtree(old, ignore_errors=True)
-    shutil.rmtree(stage, ignore_errors=True)
-    return {"imbalance": imb, "rebuilt": True}
+    _write_version(
+        corpus, f"{index_dir}/v={next_v}", k, refine_iters, "vec_id", "embedding"
+    )
+    if _before_cutover is not None:
+        _before_cutover()
+    _set_current(index_dir, next_v)
+
+    # GC: keep the new version and its immediate predecessor (grace for
+    # in-flight readers); drop older versions and any orphaned stages.
+    keep = {next_v, cur} - {None}
+    for v in existing:
+        if v not in keep:
+            shutil.rmtree(f"{index_dir}/v={v}", ignore_errors=True)
+    return {"imbalance": imb, "rebuilt": True, "version": next_v}
 
 
 def ivf_cell_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     """Per-cell vector counts + the max/mean imbalance ratio — the
     rebuild trigger metric for :func:`append_ivf_index` (a cell at many
-    times the mean probes slow and recalls poorly)."""
-    cells = spark.read.parquet(f"{index_dir}/cells")
+    times the mean probes slow and recalls poorly). Empty on an empty
+    or unbuilt index (callers must treat a missing first() as healthy)."""
+    root = resolve_index_dir(index_dir)
+    try:
+        cells = spark.read.parquet(f"{root}/cells")
+    except Exception:
+        return spark.createDataFrame(
+            [], "cell int, n long, imbalance double"
+        )
     per = cells.groupBy("cell").agg(F.count("*").alias("n"))
     stats = per.agg(
         F.max("n").alias("_mx"), F.avg("n").alias("_mean")

@@ -109,7 +109,8 @@ def test_cli_index_and_search(spark, tmp_path: Path, capsys):
             ]
         )
         assert rc == 0
-        assert (tmp_path / "ivf" / "cells").exists()
+        assert (tmp_path / "ivf" / "CURRENT").exists()
+        assert (tmp_path / "ivf" / "v=1" / "cells").exists()
         rc = jobs.main(
             [
                 "search",
@@ -128,7 +129,13 @@ def test_cli_index_and_search(spark, tmp_path: Path, capsys):
             "vec_id + 100000 AS vec_id", "embedding"
         )
         extra.write.parquet(str(tmp_path / "extra_vecs"))
-        n_before = spark.read.parquet(str(tmp_path / "ivf" / "cells")).count()
+        from egal_yet_another_earthquake_project_spark.llm.ann_index import (
+            resolve_index_dir,
+        )
+
+        n_before = spark.read.parquet(
+            f"{resolve_index_dir(str(tmp_path / 'ivf'))}/cells"
+        ).count()
         rc = jobs.main(
             [
                 "index-append",
@@ -138,7 +145,9 @@ def test_cli_index_and_search(spark, tmp_path: Path, capsys):
         )
         assert rc == 0
         assert "imbalance" in capsys.readouterr().out
-        n_after = spark.read.parquet(str(tmp_path / "ivf" / "cells")).count()
+        n_after = spark.read.parquet(
+            f"{resolve_index_dir(str(tmp_path / 'ivf'))}/cells"
+        ).count()
         assert n_after == n_before + 10
 
         # --rebuild-if-imbalance: a hot-cell append batch (one embedding,
@@ -163,7 +172,9 @@ def test_cli_index_and_search(spark, tmp_path: Path, capsys):
         rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rep["rebuilt"] is True and rep["imbalance"] > 2.0
         assert (
-            spark.read.parquet(str(tmp_path / "ivf" / "cells")).count()
+            spark.read.parquet(
+                f"{resolve_index_dir(str(tmp_path / 'ivf'))}/cells"
+            ).count()
             == n_after + 300
         )
     finally:

@@ -208,7 +208,7 @@ def test_ivf_append_equals_full_build_under_frozen_centroids(spark, tmp_path):
 
     # full rebuild with the SAME centroids (copy them over)
     full_dir = str(tmp_path / "full")
-    cent = spark.read.parquet(f"{inc_dir}/centroids")
+    cent = spark.read.parquet(f"{ai.resolve_index_dir(inc_dir)}/centroids")
     cent.write.parquet(f"{full_dir}/centroids")
     from egal_yet_another_earthquake_project_spark.llm.similarity import (
         assign_cells,
@@ -228,7 +228,7 @@ def test_ivf_append_equals_full_build_under_frozen_centroids(spark, tmp_path):
 
     inc_cells = sorted(
         (r.neighbor_id, r.cell)
-        for r in spark.read.parquet(f"{inc_dir}/cells").collect()
+        for r in spark.read.parquet(f"{ai.resolve_index_dir(inc_dir)}/cells").collect()
     )
     full_cells = sorted(
         (r.neighbor_id, r.cell)
@@ -297,10 +297,10 @@ def test_ivf_rebuild_fires_on_skewed_appends_and_preserves_recall(spark, tmp_pat
     )
     assert after < fired["imbalance"]
 
-    cells = spark.read.parquet(f"{idx}/cells")
+    cells = spark.read.parquet(f"{ai.resolve_index_dir(idx)}/cells")
     n_base, n_appended = 200, (i + 1) * 100
     assert cells.count() == n_base + n_appended
-    assert spark.read.parquet(f"{idx}/centroids").count() == 8
+    assert spark.read.parquet(f"{ai.resolve_index_dir(idx)}/centroids").count() == 8
 
     # probe-all search == brute force over base ∪ appended (exact recall)
     queries = base.orderBy("vec_id").limit(5)
@@ -327,3 +327,129 @@ def test_ivf_rebuild_fires_on_skewed_appends_and_preserves_recall(spark, tmp_pat
         )
     )
     assert got == want
+
+
+def test_ivf_rebuild_cutover_is_atomic_for_concurrent_readers(spark, tmp_path):
+    """VERDICT r6 #2: a reader that searches BETWEEN 'rebuild staged'
+    and 'pointer flipped' must get the old index — complete and correct
+    — never new centroids with old cells. The _before_cutover seam runs
+    a search at exactly that instant; it must equal the pre-rebuild
+    search, and the post-flip search must still equal brute force."""
+    from egal_yet_another_earthquake_project_spark.llm import ann_index as ai
+
+    emb = read_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    base = emb.limit(150)
+    idx = str(tmp_path / "ivf")
+    ai.build_ivf_index(base, idx, num_cells=8)
+
+    # skew one cell past the threshold
+    hot = base.orderBy("vec_id").first()
+    skew = spark.range(300).select(
+        (F.col("id") + 10_000_000).alias("vec_id"),
+        F.lit(hot.embedding).alias("embedding"),
+    )
+    ai.append_ivf_index(spark, idx, skew)
+
+    queries = base.orderBy("vec_id").limit(5)
+
+    def probe_all():
+        return sorted(
+            map(
+                tuple,
+                ai.search_ivf_index(spark, idx, queries, k=3, nprobe=8)
+                .select("query_id", "neighbor_id")
+                .collect(),
+            )
+        )
+
+    before = probe_all()
+    mid = {}
+
+    def reader_mid_swap():
+        # the staged v=2 exists on disk here, CURRENT still says v=1
+        assert ai._read_current(idx) == 1
+        import os
+
+        assert os.path.isdir(f"{idx}/v=2/cells")
+        mid["result"] = probe_all()
+
+    res = ai.maybe_rebuild_ivf_index(
+        spark, idx, threshold=3.0, _before_cutover=reader_mid_swap
+    )
+    assert res["rebuilt"] and res["version"] == 2
+    assert mid["result"] == before  # mid-swap reader saw the intact old index
+    assert ai._read_current(idx) == 2
+    assert probe_all() == before  # membership invariant across rebuild
+
+
+def test_ivf_rebuild_crash_before_cutover_leaves_old_index_intact(spark, tmp_path):
+    """VERDICT r6 #2 (crash half): a rebuild killed after staging but
+    before the CURRENT flip must leave the live index exactly as it was
+    — same version, same search results — and a retry must complete and
+    GC the orphaned stage."""
+    from egal_yet_another_earthquake_project_spark.llm import ann_index as ai
+
+    emb = read_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    base = emb.limit(150)
+    idx = str(tmp_path / "ivf")
+    ai.build_ivf_index(base, idx, num_cells=8)
+    hot = base.orderBy("vec_id").first()
+    skew = spark.range(300).select(
+        (F.col("id") + 10_000_000).alias("vec_id"),
+        F.lit(hot.embedding).alias("embedding"),
+    )
+    ai.append_ivf_index(spark, idx, skew)
+
+    queries = base.orderBy("vec_id").limit(5)
+
+    def probe_all():
+        return sorted(
+            map(
+                tuple,
+                ai.search_ivf_index(spark, idx, queries, k=3, nprobe=8)
+                .select("query_id", "neighbor_id")
+                .collect(),
+            )
+        )
+
+    before = probe_all()
+
+    class Boom(RuntimeError):
+        pass
+
+    def crash():
+        raise Boom("killed between stage and cutover")
+
+    import pytest as _pytest
+
+    with _pytest.raises(Boom):
+        ai.maybe_rebuild_ivf_index(spark, idx, threshold=3.0, _before_cutover=crash)
+
+    # live index untouched: pointer, resolution, and results unchanged
+    assert ai._read_current(idx) == 1
+    assert ai.resolve_index_dir(idx).endswith("v=1")
+    assert probe_all() == before
+
+    # retry succeeds; orphaned v=2 stage is superseded/GC'd
+    res = ai.maybe_rebuild_ivf_index(spark, idx, threshold=3.0)
+    assert res["rebuilt"]
+    assert ai._read_current(idx) == res["version"]
+    assert probe_all() == before
+    import os
+
+    live = {ai._read_current(idx), 1}
+    stale = [
+        d
+        for d in os.listdir(idx)
+        if d.startswith("v=") and int(d.split("=")[1]) not in live
+    ]
+    assert stale == []
+
+
+def test_ivf_rebuild_on_empty_index_reports_healthy(spark, tmp_path):
+    """ADVICE r6: an empty/unbuilt index must report rebuilt=False with
+    imbalance None instead of raising AttributeError on first()."""
+    from egal_yet_another_earthquake_project_spark.llm import ann_index as ai
+
+    res = ai.maybe_rebuild_ivf_index(spark, str(tmp_path / "nope"), threshold=2.0)
+    assert res == {"imbalance": None, "rebuilt": False}
