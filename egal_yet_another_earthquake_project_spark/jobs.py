@@ -127,6 +127,23 @@ def _parser() -> argparse.ArgumentParser:
     g.add_argument("--partition-col", action="append", default=None)
     g.add_argument("--target-rows", type=int, default=1_000_000)
 
+    lt = sub.add_parser(
+        "lm-train",
+        help="freeze an interpolated-bigram LM from a trusted corpus "
+        "and write it as a parquet artifact (c2/vocab/meta)",
+    )
+    lt.add_argument("--source-dir", required=True, help="dir holding documents.parquet")
+    lt.add_argument("--out", required=True, help="model artifact directory")
+    lt.add_argument("--lam", type=float, default=0.7)
+
+    ls = sub.add_parser(
+        "lm-score",
+        help="score a parquet of documents against a frozen lm-train artifact",
+    )
+    ls.add_argument("--model", required=True, help="lm-train artifact directory")
+    ls.add_argument("--docs", required=True, help="parquet of (doc_id, text) rows")
+    ls.add_argument("--out", default=None, help="write scores here (default: show)")
+
     x = sub.add_parser(
         "explain",
         help="plan-property audit of a declared query (shuffles, joins, "
@@ -266,6 +283,36 @@ def main(argv: list[str] | None = None) -> int:
                 target_rows_per_file=args.target_rows,
             )
             print(json.dumps({"dst": args.dst, "files": n}))
+        elif args.cmd == "lm-train":
+            import json
+
+            from egal_yet_another_earthquake_project_spark.llm.lm import (
+                train_bigram_lm,
+                write_lm_model,
+            )
+
+            docs = spark.read.parquet(f"{args.source_dir}/documents.parquet")
+            model = train_bigram_lm(docs, lam=args.lam)
+            write_lm_model(model, args.out)
+            print(
+                json.dumps(
+                    {"out": args.out, "n": model["n"], "v": model["v"],
+                     "lam": model["lam"]}
+                )
+            )
+        elif args.cmd == "lm-score":
+            from egal_yet_another_earthquake_project_spark.llm.lm import (
+                read_lm_model,
+                score_bigram_frozen,
+            )
+
+            model = read_lm_model(spark, args.model)
+            scored = score_bigram_frozen(spark.read.parquet(args.docs), model)
+            if args.out:
+                scored.write.mode("overwrite").parquet(args.out)
+                print(f"scored to {args.out}")
+            else:
+                scored.show(50, truncate=False)
         elif args.cmd == "explain":
             import json
 

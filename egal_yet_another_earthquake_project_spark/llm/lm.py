@@ -232,19 +232,59 @@ def train_bigram_lm(
     monitor — the model must not drift with the data it judges.
 
     Returns ``{"c2", "vocab", "n", "v", "lam"}``: the corpus bigram and
-    unigram count frames (vocabulary-scale — cache or persist them; at
-    100 TB they are the trained artifact you'd write once per corpus
-    version) plus the (N, V) totals collected as two bounded scalars.
+    unigram count frames plus the (N, V) totals collected as two bounded
+    scalars. The count frames are PERSISTED here (vocabulary-scale, they
+    fit — and a scorer that joins them repeatedly, e.g. a streaming sink
+    touching the model every micro-batch, must not re-run the training
+    lineage each time). For a model that outlives the session, write it
+    once per corpus version with :func:`write_lm_model` and score from
+    :func:`read_lm_model` — then the joins scan a parquet artifact, not
+    a lineage.
     """
     tf = term_frequencies(df, id_col, text_col)
-    vocab = unigram_vocab(tf)
+    vocab = unigram_vocab(tf).persist()
     c2 = (
         bigram_frequencies(df, id_col, text_col)
         .groupBy("a", "b")
         .agg(F.sum("bf").alias("c2"))
+        .persist()
     )
     row = vocab.agg(F.sum("cnt").alias("n"), F.count("*").alias("v")).first()
+    c2.count()  # materialize both frames; scoring never re-tokenizes
     return {"c2": c2, "vocab": vocab, "n": int(row.n), "v": int(row.v), "lam": lam}
+
+
+def write_lm_model(model: dict, model_dir: str) -> None:
+    """Persist a trained frozen-bigram model as a durable artifact:
+    ``{model_dir}/c2`` and ``{model_dir}/vocab`` parquet plus a one-row
+    ``{model_dir}/meta`` parquet carrying (n, v, lam). This is the
+    "write once per corpus version" form: at 100 TB the counts are
+    vocabulary-scale (Heaps' law — millions of rows, not corpus-scale),
+    so the artifact is small, mergeable, and scanned — never retrained —
+    by every scorer that loads it."""
+    spark = model["c2"].sparkSession
+    model["c2"].write.mode("overwrite").parquet(f"{model_dir}/c2")
+    model["vocab"].write.mode("overwrite").parquet(f"{model_dir}/vocab")
+    meta = spark.createDataFrame(
+        [(int(model["n"]), int(model["v"]), float(model["lam"]))],
+        "n long, v long, lam double",
+    )
+    meta.write.mode("overwrite").parquet(f"{model_dir}/meta")
+
+
+def read_lm_model(spark, model_dir: str) -> dict:
+    """Load a :func:`write_lm_model` artifact in any session. The count
+    frames come straight off parquet, so a scorer's model joins are
+    artifact scans with pushdown — no training lineage, no dependency on
+    the corpus that produced them."""
+    row = spark.read.parquet(f"{model_dir}/meta").first()
+    return {
+        "c2": spark.read.parquet(f"{model_dir}/c2"),
+        "vocab": spark.read.parquet(f"{model_dir}/vocab"),
+        "n": int(row.n),
+        "v": int(row.v),
+        "lam": float(row.lam),
+    }
 
 
 def score_bigram_frozen(

@@ -46,6 +46,11 @@ def lm_score_sink(
     Reading ``out_dir`` yields the running scored corpus; a drained
     stream equals the batch scorer on the union of batches
     (drained≡batch test in tests/test_streaming_scoring.py).
+
+    "Train once" is enforced, not advisory: ``train_bigram_lm`` persists
+    the count frames (and ``read_lm_model`` serves them off parquet), so
+    the per-micro-batch model joins scan a materialized artifact — the
+    training lineage never re-runs inside the stream.
     """
 
     def _score(batch: DataFrame, batch_id: int) -> None:

@@ -278,3 +278,58 @@ def test_cli_explain_rejects_unknown_query(spark):
         assert main(["explain", "--query", "no_such_query"]) == 2
     finally:
         spark.stop = real_stop
+
+
+def test_cli_lm_train_and_score(spark, tmp_path: Path, capsys):
+    """lm-train writes the c2/vocab/meta artifact + one JSON stats line;
+    lm-score loads it and writes per-doc NLL that matches the library
+    scorer run on the same frozen model."""
+    import json
+
+    from egal_yet_another_earthquake_project_spark import jobs
+    from egal_yet_another_earthquake_project_spark.llm.lm import (
+        read_lm_model,
+        score_bigram_frozen,
+    )
+
+    mdir = str(tmp_path / "lm")
+    real_stop = spark.stop
+    spark.stop = lambda: None
+    try:
+        rc = jobs.main(
+            ["lm-train", "--source-dir", "/root/testdata/sf0.001", "--out", mdir]
+        )
+        assert rc == 0
+        stats = json.loads(
+            [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+        )
+        assert stats["n"] > 0 and stats["v"] > 0 and stats["lam"] == 0.7
+        for part in ("c2", "vocab", "meta"):
+            assert (tmp_path / "lm" / part).exists()
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        docs.limit(50).write.parquet(str(tmp_path / "docs_in"))
+        rc = jobs.main(
+            [
+                "lm-score",
+                "--model", mdir,
+                "--docs", str(tmp_path / "docs_in"),
+                "--out", str(tmp_path / "scores"),
+            ]
+        )
+        assert rc == 0
+    finally:
+        spark.stop = real_stop
+
+    got = {
+        (r.doc_id, r.n_bigrams): r.nll
+        for r in spark.read.parquet(str(tmp_path / "scores")).collect()
+    }
+    model = read_lm_model(spark, mdir)
+    want = {
+        (r.doc_id, r.n_bigrams): r.nll
+        for r in score_bigram_frozen(
+            spark.read.parquet(str(tmp_path / "docs_in")), model
+        ).collect()
+    }
+    assert got == want and len(want) > 0

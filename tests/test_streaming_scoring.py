@@ -98,3 +98,60 @@ def test_lm_score_stream_drained_equals_batch(spark, tmp_path: Path):
         for r in score_bigram_frozen(docs, model).collect()
     }
     assert live == batch and len(batch) > 0
+
+
+def test_lm_model_artifact_roundtrip_scores_in_fresh_session(spark, tmp_path: Path):
+    """VERDICT r6 #3: the frozen model must survive as a REAL artifact —
+    write_lm_model → read_lm_model in a fresh session (no shared temp
+    views, no cached lineage from training) must reproduce the
+    in-memory model's scores exactly, batch and streaming."""
+    from egal_yet_another_earthquake_project_spark.llm.lm import (
+        read_lm_model,
+        write_lm_model,
+    )
+
+    docs = read_table(spark, SF, "documents")
+    model = train_bigram_lm(docs)
+    mdir = str(tmp_path / "lm_model")
+    write_lm_model(model, mdir)
+
+    fresh = spark.newSession()
+    loaded = read_lm_model(fresh, mdir)
+    assert (loaded["n"], loaded["v"], loaded["lam"]) == (
+        model["n"],
+        model["v"],
+        model["lam"],
+    )
+
+    docs_fresh = read_table(fresh, SF, "documents")
+    from_artifact = {
+        (r.doc_id, r.n_bigrams): r.nll
+        for r in score_bigram_frozen(docs_fresh, loaded).collect()
+    }
+    in_memory = {
+        (r.doc_id, r.n_bigrams): r.nll
+        for r in score_bigram_frozen(docs, model).collect()
+    }
+    assert from_artifact == in_memory and len(in_memory) > 0
+
+    # and the streaming sink scores off the artifact, not the lineage
+    src = tmp_path / "a_in"
+    out = tmp_path / "a_scored"
+    docs_fresh.coalesce(1).write.parquet(str(src / "b1"))
+    stream = stream_parquet_dir(
+        fresh, str(src) + "/*", docs_fresh.schema, max_files_per_trigger=1
+    )
+    q = (
+        lm_score_sink(stream, loaded, str(out))
+        .option("checkpointLocation", str(tmp_path / "a_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        (r.doc_id, r.n_bigrams): r.nll
+        for r in fresh.read.parquet(str(out)).collect()
+    }
+    assert streamed == in_memory
