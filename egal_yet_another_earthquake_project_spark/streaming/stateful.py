@@ -713,8 +713,14 @@ def _drift_fn_factory(vocab: list[str], ref_cnt: list[int]):
     ) -> Iterator[pd.DataFrame]:
         counts = list(state.get[0]) if state.exists else [0] * len(vocab)
         for pdf in batches:
+            # null tok = the per-document presence sentinel (see
+            # drift_stream): it forces the group to exist but carries no
+            # count; value_counts drops it (dropna), and any token that
+            # somehow bypassed the vocab filter is ignored rather than
+            # KeyError-ing the stream.
             for tok, n in pdf["tok"].value_counts().items():
-                counts[idx[tok]] += int(n)
+                if tok in idx:
+                    counts[idx[tok]] += int(n)
         state.update((counts,))
         ns = sum(counts)
         kl = 0.0
@@ -757,6 +763,18 @@ def drift_stream(
     fold exactly (asserted drained≡batch in
     tests/test_stateful_streaming.py — same grid smoothing, same
     round(·,4)).
+
+    The vocab filter alone would make a FULLY drifted source invisible
+    — a batch whose tokens are all off-vocab (wrong language, template
+    spam: the monitor's headline case) leaves no rows, so no group, no
+    state, no KL row, while the batch query's #sources × K grid emits a
+    near-max-KL row for it. So one null-token PRESENCE SENTINEL per
+    document rides past the filter (one row per doc — noise next to the
+    token stream): it forces the source's group to exist every trigger
+    it appears in, contributes zero counts, and the c=0 grid terms then
+    price the divergence exactly as the batch fold does. A source of
+    EMPTY documents registers the same way, matching the batch grid's
+    ``docs.select("source").distinct()``.
     """
     from egal_yet_another_earthquake_project_spark.llm import text as ltx
 
@@ -769,6 +787,12 @@ def drift_stream(
             F.explode("_toks").alias("tok"),
         )
         .filter(F.col("tok").isin(vocab))
+        .unionByName(
+            stream.select(
+                F.col("source").cast("string").alias("source"),
+                F.lit(None).cast("string").alias("tok"),
+            )
+        )
     )
     return toks.groupBy("source").applyInPandasWithState(
         _drift_fn_factory(vocab, ref_cnt),

@@ -443,3 +443,95 @@ def test_drift_stream_drained_equals_batch(spark, tmp_path: Path):
         for r in source_drift_kl(docs).collect()
     }
     assert live == batch and len(batch) > 0
+
+
+def test_drift_stream_sees_fully_offvocab_source(spark, tmp_path: Path):
+    """ADVICE r6: a source whose tokens are ENTIRELY off the frozen
+    vocabulary (wrong language / template spam — the monitor's headline
+    case) must still emit its near-max-KL row: the presence sentinel
+    carries the source past the vocab filter, and the c=0 grid terms
+    price it exactly like the batch query's #sources × K grid. An
+    empty-document source must register too (batch grid counts distinct
+    sources over docs, not tokens)."""
+    from egal_yet_another_earthquake_project_spark.llm import text as ltx
+    from egal_yet_another_earthquake_project_spark.sources.files import read_table
+    from egal_yet_another_earthquake_project_spark.streaming.stateful import (
+        drift_stream,
+    )
+    from egal_yet_another_earthquake_project_spark.workloads_corpus import (
+        DRIFT_TOPK,
+        source_drift_kl,
+    )
+
+    base = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "source", "text"
+    )
+    # frozen reference = trusted-corpus top-K (no alien sources in it)
+    vocab_ref = [
+        (r.tok, r.cnt)
+        for r in ltx.tokenized(base)
+        .select(F.explode("_toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(DRIFT_TOPK)
+        .collect()
+    ]
+    vocab = {t for t, _ in vocab_ref}
+    assert "zzqx" not in vocab and "zzqy" not in vocab
+
+    alien = spark.createDataFrame(
+        [
+            (900001, "alien_spam", "zzqx zzqy zzqx zzqy zzqx"),
+            (900002, "alien_spam", "zzqy zzqx zzqy"),
+            (900003, "alien_empty", ""),
+        ],
+        "doc_id long, source string, text string",
+    )
+    drop = base.limit(40).unionByName(alien)
+
+    src = tmp_path / "ov_in"
+    drop.coalesce(1).write.parquet(str(src / "b1"))
+    stream = stream_parquet_dir(
+        spark, str(src) + "/*", drop.schema, max_files_per_trigger=1
+    )
+    q = (
+        drift_stream(stream, vocab_ref)
+        .writeStream.format("memory")
+        .queryName("drift_offvocab")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ov_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    live = {
+        r.source: (r.n_topk_tokens, r.kl)
+        for r in spark.table("drift_offvocab").collect()
+    }
+    assert "alien_spam" in live and "alien_empty" in live
+    assert live["alien_spam"][0] == 0 and live["alien_empty"][0] == 0
+
+    # the zero-count KL must equal the batch grid's c=0-everywhere fold
+    # against the SAME frozen reference
+    import math
+
+    nk = float(sum(c for _, c in vocab_ref))
+    kk = float(len(vocab_ref))
+    want = round(
+        sum(
+            (1.0 / kk) * math.log((1.0 / kk) / ((c + 1.0) / (nk + kk)))
+            for _, c in vocab_ref
+        ),
+        4,
+    )
+    assert live["alien_spam"][1] == want == live["alien_empty"][1]
+    assert want > 0.0  # Gibbs: a zero-overlap source is strictly drifted
+    # (no ordering claim vs in-corpus sources: small-sample in-corpus
+    # KLs can exceed the uniform ns=0 fold — what flags the alien source
+    # is n_topk_tokens == 0 at nonzero volume, plus its KL)
+    in_corpus = [v[1] for s, v in live.items() if not s.startswith("alien")]
+    assert in_corpus
