@@ -127,6 +127,21 @@ def _parser() -> argparse.ArgumentParser:
     g.add_argument("--partition-col", action="append", default=None)
     g.add_argument("--target-rows", type=int, default=1_000_000)
 
+    cs = sub.add_parser(
+        "curate-stream",
+        help="drain a drop directory through the streaming curation "
+        "pipeline (gate → exact/near dedup → LM score → pack)",
+    )
+    cs.add_argument("--source-dir", required=True, help="parquet drop directory")
+    cs.add_argument("--corpus", default=None, help="trusted corpus parquet (optional)")
+    cs.add_argument("--lm-model", default=None, help="lm-train artifact dir (optional)")
+    cs.add_argument("--out", required=True, help="pipeline output root")
+    cs.add_argument("--checkpoint", required=True)
+    cs.add_argument("--min-quality", type=float, default=0.5)
+    cs.add_argument("--lang", default="en")
+    cs.add_argument("--jaccard-threshold", type=float, default=0.8)
+    cs.add_argument("--ctx", type=int, default=256)
+
     lt = sub.add_parser(
         "lm-train",
         help="freeze an interpolated-bigram LM from a trusted corpus "
@@ -283,6 +298,38 @@ def main(argv: list[str] | None = None) -> int:
                 target_rows_per_file=args.target_rows,
             )
             print(json.dumps({"dst": args.dst, "files": n}))
+        elif args.cmd == "curate-stream":
+            import json
+
+            from egal_yet_another_earthquake_project_spark.streaming.curate import (
+                drain_curate_stream,
+            )
+
+            corpus = (
+                spark.read.parquet(args.corpus) if args.corpus else None
+            )
+            model = None
+            if args.lm_model:
+                from egal_yet_another_earthquake_project_spark.llm.lm import (
+                    read_lm_model,
+                )
+
+                model = read_lm_model(spark, args.lm_model)
+            schema = spark.read.parquet(args.source_dir).schema
+            stats = drain_curate_stream(
+                spark,
+                args.source_dir,
+                schema,
+                corpus=corpus,
+                out_dir=args.out,
+                checkpoint_dir=args.checkpoint,
+                model=model,
+                min_quality=args.min_quality,
+                lang=None if args.lang == "any" else args.lang,
+                jaccard_threshold=args.jaccard_threshold,
+                ctx=args.ctx,
+            )
+            print(json.dumps({"out": args.out, **stats}))
         elif args.cmd == "lm-train":
             import json
 

@@ -333,3 +333,40 @@ def test_cli_lm_train_and_score(spark, tmp_path: Path, capsys):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_cli_curate_stream(spark, tmp_path: Path, capsys):
+    """curate-stream drains a drop dir through the three-hop streaming
+    pipeline and reports per-hop counts; shards carry the pack layout."""
+    import json
+
+    from egal_yet_another_earthquake_project_spark import jobs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    drop = docs.selectExpr(
+        "doc_id", "source", "text", "TIMESTAMP'2024-01-01' AS ingest_ts"
+    ).limit(80)
+    drop.coalesce(1).write.parquet(str(tmp_path / "drop"))
+
+    real_stop = spark.stop
+    spark.stop = lambda: None
+    try:
+        rc = jobs.main(
+            [
+                "curate-stream",
+                "--source-dir", str(tmp_path / "drop"),
+                "--out", str(tmp_path / "out"),
+                "--checkpoint", str(tmp_path / "ck"),
+            ]
+        )
+    finally:
+        spark.stop = real_stop
+    assert rc == 0
+    stats = json.loads(
+        [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    )
+    assert stats["admitted"] >= stats["scored"] == stats["shards"] > 0
+    shards = spark.read.parquet(str(tmp_path / "out" / "shards"))
+    assert {"doc_id", "source", "text", "n_tokens", "start_tok", "pack_id"} <= set(
+        shards.columns
+    )
