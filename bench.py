@@ -311,6 +311,11 @@ def main() -> None:
                 thunk()
             except Exception as exc:  # a bad query must not cost the run
                 print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+                # release on the failure path too: a query that died
+                # mid-plan may already have pinned blocks, and leaking
+                # them re-creates the 1.9s->27.8s drift this release
+                # exists to prevent — for every query after it
+                _release_storage(spark)
                 return
             samples.append(time.perf_counter() - t0)
             _release_storage(spark)
