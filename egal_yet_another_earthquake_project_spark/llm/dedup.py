@@ -116,23 +116,35 @@ def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
     ]
 
 
-def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+def exact_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    fp_col: str | None = None,
+) -> DataFrame:
     """Keep exactly one doc (min id) per identical normalized text.
 
     min-over-window on the md5 fingerprint: ONE shuffle on a uniformly
     distributed key and one pass over the input — a groupBy+self-join
     formulation evaluates the (possibly expensive) upstream plan twice.
     At 100 TB this is the cheapest possible full-corpus dedup.
+
+    ``fp_col`` names an ALREADY-COMPUTED fingerprint column to key on
+    (kept in the output) instead of re-normalizing + re-hashing the
+    text — when the caller's profiling pass emitted one
+    (``text_profile``'s ``fingerprint``), recomputing it is a second
+    full-corpus md5-of-normalized-text scan for nothing.
     """
     from pyspark.sql.window import Window
 
-    keyed = df.withColumn("_fp", fingerprint(text_col))
-    w = Window.partitionBy("_fp")
-    return (
+    keyed = df if fp_col else df.withColumn("_fp", fingerprint(text_col))
+    w = Window.partitionBy(fp_col or "_fp")
+    out = (
         keyed.withColumn("_min_id", F.min(id_col).over(w))
         .filter(F.col(id_col) == F.col("_min_id"))
-        .drop("_fp", "_min_id")
+        .drop("_min_id")
     )
+    return out if fp_col else out.drop("_fp")
 
 
 def gate_against_fps(
@@ -787,6 +799,13 @@ def verify_candidate_pairs(
         sh_sets = sh_sets.select(
             "doc", F.size("_sh").alias("_sz"), F.col("_sh").alias("_shj")
         )
+    # Cache + materialize: the frame feeds BOTH pair-join sides, and
+    # nothing between it and the joins is a reusable exchange — without
+    # this the candidate-doc tokenize→shingle→hash pipeline runs twice
+    # (measured ~2× on the verify stage at sf0.1). Candidate-doc scale
+    # by construction, same justification as the cands cache above.
+    sh_sets = sh_sets.cache()
+    sh_sets.count()
     a = sh_sets.select(
         F.col("doc").alias("doc_a"), F.col("_sz").alias("sz_a"), F.col("_shj").alias("_ja")
     )
