@@ -395,3 +395,189 @@ def test_drift_stream_state_survives_restart(spark, tmp_path: Path):
         for r in source_drift_kl(docs).collect()
     }
     assert live == batch and len(batch) > 0
+
+
+def test_zscore_stream_state_survives_restart(spark, tmp_path: Path):
+    """applyInPandasWithState trailing z-score: the per-key rolling
+    window (last `lookback` values) must restore from the checkpoint so
+    the post-restart drain emits exactly the batch operator's anomaly
+    rows — a lost window would mis-score every early post-restart event."""
+    from pyspark.sql import functions as F
+
+    from egal_yet_another_earthquake_project_spark.operators.series import (
+        trailing_zscore,
+    )
+    from egal_yet_another_earthquake_project_spark.sources.files import read_table
+    from egal_yet_another_earthquake_project_spark.streaming.stateful import (
+        zscore_stream,
+    )
+
+    events = read_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    cut = events.agg(F.percentile_approx("ts", 0.5).alias("c")).collect()[0].c
+    src, ckpt, out = tmp_path / "in", str(tmp_path / "ck"), str(tmp_path / "out")
+    events.filter(F.col("ts") < F.lit(cut)).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+
+    kw = dict(lookback=20, min_points=10, threshold=2.0)
+
+    def sink(df, batch_id):
+        df.write.mode("append").parquet(out)
+
+    def start():
+        stream = stream_parquet_dir(
+            spark, str(src) + "/*", events.schema, max_files_per_trigger=1
+        )
+        return (
+            zscore_stream(stream, **kw)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q1 = start()
+    q1.processAllAvailable()
+    q1.stop()  # killed; later half lands while the stream is down
+    events.filter(F.col("ts") >= F.lit(cut)).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    streamed = {
+        (r.event_id, r.user_id, r.value, r.z)
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        (r.event_id, r.user_id, r.value, r.z)
+        for r in trailing_zscore(events, **kw).collect()
+    }
+    assert streamed == batch and len(batch) > 0
+
+
+def test_gap_tracker_state_survives_restart(spark, tmp_path: Path):
+    """applyInPandasWithState gap tracker: a 0.0 run still OPEN when the
+    stream dies must close correctly after restart — the open-gap state
+    (start epoch + run length) restores from the checkpoint."""
+    from pyspark.sql import functions as F
+
+    from egal_yet_another_earthquake_project_spark.streaming.stateful import (
+        track_series_gaps,
+    )
+
+    def _minute(i):
+        return f"2024-01-01 00:{i:02d}:00"
+
+    TICKS = "series string, time timestamp, data double"
+    # b1: gap at 3-4 closes at 5 (emitted pre-kill); 6-7 run still open
+    b1 = [("el", _minute(i), 0.0 if i in (3, 4, 6, 7) else 1.0) for i in range(8)]
+    b2 = [("el", _minute(8), 2.5)]  # closes the open gap AFTER restart
+    src, ckpt, out = tmp_path / "ticks", str(tmp_path / "ck"), str(tmp_path / "out")
+    spark.createDataFrame(
+        b1, "series string, time string, data double"
+    ).withColumn("time", F.to_timestamp("time")).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+
+    def sink(df, batch_id):
+        df.write.mode("append").parquet(out)
+
+    def start():
+        stream = stream_parquet_dir(
+            spark, str(src) + "/*", TICKS, max_files_per_trigger=1
+        )
+        return (
+            track_series_gaps(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    spark.createDataFrame(
+        b2, "series string, time string, data double"
+    ).withColumn("time", F.to_timestamp("time")).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    got = sorted(
+        (r.series, r.gap_start.strftime("%M"), r.gap_end.strftime("%M"), r.n_missing)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [("el", "03", "05", 2), ("el", "06", "08", 2)], got
+
+
+def test_session_window_state_survives_restart(spark, tmp_path: Path):
+    """Built-in session_window aggregation: a session OPEN across the
+    kill must come back as ONE session after restart (events 10 minutes
+    apart on both sides of the restart merge; a later event starts a
+    fresh session). foreachBatch complete-mode sink: the last batch's
+    snapshot is the final state."""
+    from pyspark.sql import functions as F
+
+    from egal_yet_another_earthquake_project_spark.schemas import EVENTS
+    from egal_yet_another_earthquake_project_spark.streaming.stateful import (
+        session_counts,
+    )
+
+    def rows_df(rows):
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    b1 = [(1, "2024-01-01 00:00:00", 7, "click", 1.0, None)]
+    b2 = [
+        (2, "2024-01-01 00:10:00", 7, "click", 2.0, None),  # same session
+        (3, "2024-01-01 02:00:00", 7, "view", 4.0, None),  # new session
+    ]
+    src, ckpt, out = tmp_path / "in", str(tmp_path / "ck"), str(tmp_path / "out")
+    rows_df(b1).coalesce(1).write.parquet(str(src / "b1"))
+
+    def sink(df, batch_id):
+        df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out)
+
+    def start():
+        stream = stream_parquet_dir(
+            spark, str(src) + "/*", EVENTS, max_files_per_trigger=1
+        )
+        return (
+            session_counts(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    rows_df(b2).coalesce(1).write.parquet(str(src / "b2"))
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    all_rows = spark.read.parquet(out)
+    last = all_rows.agg(F.max("batch_id").alias("m")).first().m
+    got = sorted(
+        (r.user_id, r.session_window.start.strftime("%H:%M"), r.n, r.total_value)
+        for r in all_rows.filter(F.col("batch_id") == last).collect()
+    )
+    assert got == [(7, "00:00", 2, 3.0), (7, "02:00", 1, 4.0)], got
