@@ -15,6 +15,13 @@ each relaunched every minute by NiFi (SURVEY E1 step 5). Here:
         --source-dir /data/raw --out /data/ivf --num-cells 64
     python -m egal_yet_another_earthquake_project_spark search \
         --index /data/ivf --queries /data/queries.parquet --k 5
+    python -m egal_yet_another_earthquake_project_spark curate-stream \
+        --source-dir /data/drops --out /data/curated --checkpoint ck \
+        [--corpus /data/corpus --lm-model /data/lm]
+    python -m egal_yet_another_earthquake_project_spark lm-train \
+        --source-dir /data/raw --out /data/lm
+    python -m egal_yet_another_earthquake_project_spark lm-score \
+        --model /data/lm --docs /data/drop.parquet --out /data/scores
 
 ``archive`` drains (or follows) an envelope directory into a partitioned
 parquet archive; ``batch-load`` runs bronze→silver→gold and ships ES
@@ -25,7 +32,11 @@ gold tables; ``curate`` runs the full training-corpus pipeline
 probe the cell-partitioned IVF ANN index (``llm/ann_index.py``);
 ``index-append`` reports the post-append cell imbalance and, with
 ``--rebuild-if-imbalance N``, acts on it — rebuilding the index from its
-own unit vectors when the max/mean cell occupancy exceeds ``N``.
+own unit vectors when the max/mean cell occupancy exceeds ``N``;
+``curate-stream`` drains a drop directory through the checkpointed
+three-hop streaming curation pipeline (``streaming/curate.py``);
+``lm-train``/``lm-score`` freeze an interpolated-bigram LM as a parquet
+artifact and score documents against it (``llm/lm.py``).
 Kafka variants use the same code paths with the gated reader
 (sources/kafka.py) once a broker and the connector jar are present.
 """
