@@ -56,6 +56,7 @@ HEADLINE = [
     "region_dim_join",
     "top10_orders",
     "text_profile",
+    "gopher_quality_flags",
     "minhash_lsh_pairs",
     # the ANN path you'd run at scale (trained-quantizer IVF); the
     # brute-force embedding_topk stays declared as the recall reference
@@ -155,6 +156,7 @@ HEADLINE = [
     "source_drift",
     # round-6: held-out frozen-LM scoring (train 90% / score 10%).
     "frozen_lm_score",
+    "perplexity_buckets",
 ]
 
 

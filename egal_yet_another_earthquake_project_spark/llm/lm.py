@@ -329,3 +329,89 @@ def score_bigram_frozen(
         )
         .orderBy(id_col)
     )
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    nll_col: str = "nll",
+    bin_width: float = 0.02,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): split a
+    scored corpus into head / middle / tail terciles of language-model
+    NLL, the partition CCNet uses to keep fluent text and down-sample
+    the gibberish tail.
+
+    The tercile cutoffs deliberately do NOT come from an exact global
+    percentile (a sort or a memory-unbounded collect at corpus scale) —
+    they come from the same fixed-width mergeable histogram the sketch
+    layer uses (:func:`llm.sketches.hist_quantiles`): bin counts are a
+    tiny aggregate (range/bin_width rows), the cumulative walk runs over
+    occupied bins only, and the cutoff rule is pure integer arithmetic
+    on the grid, so every engine lands on the same bucket boundaries and
+    the result hash-matches the DuckDB oracle. The one-row cutoff frame
+    is broadcast back onto the scored corpus — no second shuffle of the
+    data, no global sort, state O(distinct bins) at any corpus size.
+
+    Input: a frame from :func:`score_bigram_frozen` (or any per-doc
+    score); output: one row per non-empty bucket with ``n_docs``,
+    ``mean_nll`` (decimal-summed, partition-order-free), ``min_nll``,
+    ``max_nll``.
+    """
+    from pyspark.sql import Window
+
+    nll = F.col(nll_col)
+    # The scored frame feeds TWO branches (the histogram that derives the
+    # cutoffs, then the bucket assignment) and Catalyst does not reuse the
+    # scoring subtree across them — without a persist the whole corpus is
+    # scored twice (the bigram explode is token-stream-scale; verified in
+    # the physical plan). The persisted frame is one short row per
+    # document — the cheapest possible branch point.
+    scored = scored.persist()
+    bins = (
+        scored.select(F.floor(nll / F.lit(bin_width)).cast("long").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        "bin",
+        F.sum("cnt").over(w).alias("_cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("_n"),
+    )
+    cuts = cum.agg(
+        *[
+            (
+                (
+                    F.min(
+                        F.when(
+                            F.col("_cum")
+                            >= -F.floor(F.lit(-q) * F.col("_n")),
+                            F.col("bin"),
+                        )
+                    )
+                    + 1
+                ).cast("double")
+                * F.lit(bin_width)
+            ).alias(name)
+            for name, q in (("c33", 1.0 / 3.0), ("c67", 2.0 / 3.0))
+        ]
+    )
+    bucketed = scored.crossJoin(F.broadcast(cuts)).withColumn(
+        "bucket",
+        F.when(nll <= F.col("c33"), "head")
+        .when(nll <= F.col("c67"), "middle")
+        .otherwise("tail"),
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.sum(nll.cast("decimal(12,4)")).cast("double") / F.count("*"),
+                4,
+            ).alias("mean_nll"),
+            F.min(nll).alias("min_nll"),
+            F.max(nll).alias("max_nll"),
+        )
+        .orderBy("bucket")
+    )

@@ -132,6 +132,79 @@ def quality_score(text: Column | str) -> Column:
     return _quality_of(normalize(text), tokens(text))
 
 
+#: Gopher rule-filter stopword set (Rae et al. 2021, appendix A1.1): a doc
+#: must contain at least two DISTINCT words from this list to pass.
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+) -> DataFrame:
+    """Per-document Gopher rule-filter flags (Rae et al. 2021, A1.1).
+
+    Unlike :func:`quality_score`'s blended scalar, this keeps each rule as
+    its own boolean so a curation run can report WHICH gate rejects — the
+    shape the published pipeline uses. Rules (adapted to the whitespace
+    tokenizer shared with the oracles):
+
+    - ``ok_wc``    token count in [min_tokens, max_tokens]
+    - ``ok_mwl``   mean token length in [3, 10]
+    - ``ok_sym``   symbol-to-token ratio ('#' chars + '...' runs) <= 0.1
+    - ``ok_alpha`` >= 80% of tokens contain an alphabetic character
+    - ``ok_stop``  >= 2 distinct :data:`GOPHER_STOPWORDS` present
+    - ``passes``   conjunction of the above
+
+    All flags are single-pass Catalyst expressions over one materialized
+    tokens column — no shuffle, no Python; at 100 TB this is a map-only
+    stage fused into the scan. Every count is integer and every ratio is
+    an IEEE-double of integer operands, so flags are bit-identical across
+    engines (the oracle mirrors each rule in DuckDB list functions).
+    """
+    base = tokenized(df, text_col)
+    toks, norm = F.col("_toks"), F.col("_norm")
+    n = F.size(toks)
+    nd = n.cast("double")
+    mwl = _mean_token_length_of(toks)
+    hash_chars = F.length(norm) - F.length(F.replace(norm, F.lit("#"), F.lit("")))
+    ellipses = (
+        F.length(norm) - F.length(F.replace(norm, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+            lambda w: F.array_contains(toks, w),
+        )
+    )
+    return base.select(
+        id_col,
+        n.alias("n_tokens"),
+        ((n >= min_tokens) & (n <= max_tokens)).alias("ok_wc"),
+        ((mwl >= 3.0) & (mwl <= 10.0)).alias("ok_mwl"),
+        F.when(n == 0, F.lit(False))
+        .otherwise((hash_chars + ellipses).cast("double") / nd <= 0.1)
+        .alias("ok_sym"),
+        F.when(n == 0, F.lit(False))
+        .otherwise(alpha.cast("double") / nd >= 0.8)
+        .alias("ok_alpha"),
+        (stop_hits >= 2).alias("ok_stop"),
+        *[c for c in df.columns if c not in (id_col, text_col)],
+    ).withColumn(
+        "passes",
+        F.col("ok_wc")
+        & F.col("ok_mwl")
+        & F.col("ok_sym")
+        & F.col("ok_alpha")
+        & F.col("ok_stop"),
+    )
+
+
 def _lang_id_of(toks: Column) -> Column:
     scores = {lang: _count_in(toks, markers) for lang, markers in LANG_MARKERS.items()}
     langs = list(scores)

@@ -743,6 +743,108 @@ ORDER BY doc_id
 """
 
 
+PPL_BIN_WIDTH = 0.02
+
+
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail perplexity partition (llm.lm.
+    perplexity_buckets; Wenzek et al. 2020): freeze the bigram LM on the
+    90% train slice, score the WHOLE corpus against it, and split docs
+    into NLL terciles — the bucketing CCNet uses to keep fluent text and
+    down-sample the gibberish tail. The tercile cutoffs come from the
+    mergeable fixed-width histogram (integer grid rule), not an exact
+    global percentile, so the plan has no sort and no unbounded collect:
+    score (vocab joins) → tiny bin agg → one-row broadcast cutoffs →
+    per-bucket partial aggregate."""
+    from egal_yet_another_earthquake_project_spark.llm.lm import (
+        perplexity_buckets,
+        score_bigram_frozen,
+        train_bigram_lm,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    model = train_bigram_lm(
+        docs.filter(F.col("doc_id") % 10 != 0), lam=BIGRAM_LAMBDA
+    )
+    return perplexity_buckets(
+        score_bigram_frozen(docs, model), bin_width=PPL_BIN_WIDTH
+    )
+
+
+_PPL_BUCKETS_ORACLE = f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+tr AS (SELECT * FROM base WHERE doc_id % 10 <> 0),
+bg_tr AS (
+  SELECT t[i] AS a, t[i + 1] AS b
+  FROM tr, unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+),
+c2 AS (SELECT a, b, count(*) AS c2 FROM bg_tr GROUP BY a, b),
+vocab AS (
+  SELECT tok, count(*) AS cnt
+  FROM (SELECT unnest(t) AS tok FROM tr) GROUP BY tok
+),
+stats AS (SELECT sum(cnt) AS n, count(*) AS v FROM vocab),
+bg_ev AS (
+  SELECT doc_id, t[i] AS a, t[i + 1] AS b
+  FROM base, unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+),
+bf AS (SELECT doc_id, a, b, count(*) AS bf FROM bg_ev GROUP BY 1, 2, 3),
+scored AS (
+  SELECT doc_id,
+         round(sum(CAST(bf AS DOUBLE) * -ln(
+             CAST({BIGRAM_LAMBDA} AS DOUBLE)
+               * (CAST(coalesce(c2, 0) AS DOUBLE) + 1.0)
+               / (CAST(coalesce(va.cnt, 0) AS DOUBLE) + CAST(v AS DOUBLE))
+           + CAST({1.0 - BIGRAM_LAMBDA} AS DOUBLE)
+               * (CAST(coalesce(vb.cnt, 0) AS DOUBLE) + 1.0)
+               / (CAST(n AS DOUBLE) + CAST(v AS DOUBLE))))
+           / sum(CAST(bf AS DOUBLE)), 4) AS nll
+  FROM bf
+  LEFT JOIN c2 USING (a, b)
+  LEFT JOIN vocab va ON va.tok = bf.a
+  LEFT JOIN vocab vb ON vb.tok = bf.b
+  CROSS JOIN stats
+  GROUP BY doc_id
+),
+bins AS (
+  SELECT CAST(floor(nll / CAST({PPL_BIN_WIDTH} AS DOUBLE)) AS BIGINT) AS bin,
+         count(*) AS cnt
+  FROM scored GROUP BY 1
+),
+cum AS (
+  SELECT bin,
+         sum(cnt) OVER (ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         sum(cnt) OVER () AS n
+  FROM bins
+),
+cuts AS (
+  SELECT
+    (min(CASE WHEN cum >= -floor(-(CAST(1 AS DOUBLE) / 3) * n)
+         THEN bin END) + 1) * CAST({PPL_BIN_WIDTH} AS DOUBLE) AS c33,
+    (min(CASE WHEN cum >= -floor(-(CAST(2 AS DOUBLE) / 3) * n)
+         THEN bin END) + 1) * CAST({PPL_BIN_WIDTH} AS DOUBLE) AS c67
+  FROM cum
+),
+bk AS (
+  SELECT CASE WHEN nll <= c33 THEN 'head'
+              WHEN nll <= c67 THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         nll
+  FROM scored CROSS JOIN cuts
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(sum(CAST(nll AS DECIMAL(12,4))) AS DOUBLE) / count(*), 4)
+         AS mean_nll,
+       min(nll) AS min_nll,
+       max(nll) AS max_nll
+FROM bk GROUP BY bucket ORDER BY bucket
+"""
+
+
 QUERIES = {
     "doc_chunks": q_doc_chunks,
     "repetition_profile": q_repetition_profile,
@@ -757,6 +859,7 @@ QUERIES = {
     "source_drift": q_source_drift,
     "bpe_encoded_vocab": q_bpe_encoded_vocab,
     "frozen_lm_score": q_frozen_lm_score,
+    "perplexity_buckets": q_perplexity_buckets,
 }
 
 ORACLES = {
@@ -773,4 +876,5 @@ ORACLES = {
     "source_drift": _SOURCE_DRIFT_ORACLE,
     "bpe_encoded_vocab": _bpe_encode_oracle(),
     "frozen_lm_score": _FROZEN_LM_ORACLE,
+    "perplexity_buckets": _PPL_BUCKETS_ORACLE,
 }

@@ -182,6 +182,71 @@ FROM j GROUP BY source ORDER BY source
 """
 
 
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-filter report (llm.text.gopher_flags; Rae et al. 2021
+    A1.1): per-source counts of documents failing each published rule —
+    word-count bounds, mean-word-length bounds, symbol ratio, alphabetic
+    fraction, stopword presence — plus the all-rules pass count. The
+    per-doc flags are a map-only pass fused into the scan (no UDF, no
+    shuffle before the per-source partial aggregate), so the report's
+    shuffle carries one row per (source, rule-vector) partial — KBs at
+    any corpus size."""
+    flags = ltx.gopher_flags(_docs(spark, sf_dir))
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((~F.col("ok_wc")).cast("long")).alias("fail_wc"),
+            F.sum((~F.col("ok_mwl")).cast("long")).alias("fail_mwl"),
+            F.sum((~F.col("ok_sym")).cast("long")).alias("fail_sym"),
+            F.sum((~F.col("ok_alpha")).cast("long")).alias("fail_alpha"),
+            F.sum((~F.col("ok_stop")).cast("long")).alias("fail_stop"),
+            F.sum(F.col("passes").cast("long")).alias("n_pass"),
+        )
+        .orderBy("source")
+    )
+
+
+_GOPHER_FLAGS_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, source, {_NORM} AS norm, {_TOKS} AS toks FROM documents
+),
+feat AS (
+  SELECT source,
+    len(toks) AS n,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+              / len(toks) END AS mwl,
+    (length(norm) - length(replace(norm, '#', ''))) AS hashes,
+    (length(norm) - length(replace(norm, '...', ''))) / 3 AS ell,
+    len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS alpha,
+    len(list_filter({list(ltx.GOPHER_STOPWORDS)},
+                    w -> list_contains(toks, w))) AS stop_hits
+  FROM base
+),
+fl AS (
+  SELECT source,
+    (n >= 50 AND n <= 100000) AS ok_wc,
+    (mwl >= 3.0 AND mwl <= 10.0) AS ok_mwl,
+    CASE WHEN n = 0 THEN FALSE
+         ELSE CAST(hashes + ell AS DOUBLE) / n <= 0.1 END AS ok_sym,
+    CASE WHEN n = 0 THEN FALSE
+         ELSE CAST(alpha AS DOUBLE) / n >= 0.8 END AS ok_alpha,
+    (stop_hits >= 2) AS ok_stop
+  FROM feat
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN NOT ok_wc THEN 1 ELSE 0 END) AS BIGINT) AS fail_wc,
+  CAST(sum(CASE WHEN NOT ok_mwl THEN 1 ELSE 0 END) AS BIGINT) AS fail_mwl,
+  CAST(sum(CASE WHEN NOT ok_sym THEN 1 ELSE 0 END) AS BIGINT) AS fail_sym,
+  CAST(sum(CASE WHEN NOT ok_alpha THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha,
+  CAST(sum(CASE WHEN NOT ok_stop THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop,
+  CAST(sum(CASE WHEN ok_wc AND ok_mwl AND ok_sym AND ok_alpha AND ok_stop
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+FROM fl GROUP BY source ORDER BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # Dedup
 # --------------------------------------------------------------------------
@@ -1503,6 +1568,7 @@ ORDER BY label, dim
 
 QUERIES = {
     "text_profile": q_text_profile,
+    "gopher_quality_flags": q_gopher_quality_flags,
     "source_quality": q_source_quality,
     "winnow_fingerprints": q_winnow_fingerprints,
     "curation_pipeline": q_curation_pipeline,
@@ -1540,6 +1606,7 @@ QUERIES = {
 
 ORACLES = {
     "text_profile": _TEXT_PROFILE_ORACLE,
+    "gopher_quality_flags": _GOPHER_FLAGS_ORACLE,
     "source_quality": _source_quality_oracle(),
     "winnow_fingerprints": _WINNOW_ORACLE,
     "curation_pipeline": _CURATION_ORACLE,

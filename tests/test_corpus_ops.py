@@ -531,3 +531,109 @@ def test_bpe_train_roundtrips_match_contract(spark, monkeypatch):
     # this vocabulary)
     assert rounds == expected, (rounds, expected)
     assert merges.count() > 0
+
+
+# --------------------------------------------------------------------------
+# Gopher rule filters (llm.text.gopher_flags)
+# --------------------------------------------------------------------------
+
+
+def test_gopher_flags_rule_edges(spark):
+    """Each published rule trips on its own handcrafted violator and the
+    clean doc passes all five."""
+    good = " ".join(
+        ["the quick brown fox jumps over lazy dogs that have fun with it"] * 5
+    )  # 60 tokens, mwl in range, 'the'/'that'/'have'/'with'/'of'... >=2 stopwords
+    short = "the cat sat with me"  # fails word count only
+    symbols = " ".join(["woo ###"] * 30)  # '#' heavy -> fails sym (and stop)
+    longwords = " ".join(["pneumonoultramicroscopic expialidocious"] * 30)
+    numeric = " ".join(["12345 67890 11111 22222 33333"] * 12)  # fails alpha
+    df = spark.createDataFrame(
+        [
+            (1, good, "s"),
+            (2, short, "s"),
+            (3, symbols, "s"),
+            (4, longwords, "s"),
+            (5, numeric, "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in ltx.gopher_flags(df).collect()
+    }
+    assert rows[1].passes
+    assert not rows[2].ok_wc and rows[2].ok_mwl and rows[2].ok_sym
+    assert not rows[3].ok_sym
+    assert not rows[4].ok_mwl
+    assert not rows[5].ok_alpha
+    assert all(not rows[i].passes for i in (2, 3, 4, 5))
+
+
+def test_gopher_flags_stopword_rule_needs_two_distinct(spark):
+    one_stop = " ".join(["the"] + ["word"] * 60)  # only 'the' -> fail
+    two_stop = " ".join(["the", "and"] + ["word"] * 60)
+    df = spark.createDataFrame(
+        [(1, one_stop), (2, two_stop)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in ltx.gopher_flags(df).collect()}
+    assert not rows[1].ok_stop
+    assert rows[2].ok_stop
+
+
+def test_gopher_flags_plan_is_map_only(spark):
+    """The per-doc flag pass must fuse into the scan: no exchange, no
+    Python eval in the plan."""
+    df = spark.createDataFrame([(1, "the and word", "s")],
+                               "doc_id long, text string, source string")
+    plan = ltx.gopher_flags(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+# --------------------------------------------------------------------------
+# Perplexity buckets (llm.lm.perplexity_buckets)
+# --------------------------------------------------------------------------
+
+
+def test_perplexity_buckets_partition_and_order(spark):
+    from egal_yet_another_earthquake_project_spark.llm.lm import (
+        perplexity_buckets,
+        score_bigram_frozen,
+        train_bigram_lm,
+    )
+
+    rows = [
+        (i, "the cat sat on the mat and the dog ran to the cat", )
+        for i in range(20)
+    ] + [(100 + i, "zx qv jkl pqr zx qv stw uvx yz qqq", ) for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    model = train_bigram_lm(docs.filter("doc_id < 20"))
+    scored = score_bigram_frozen(docs, model)
+    out = perplexity_buckets(scored).collect()
+    by = {r.bucket: r for r in out}
+    # buckets partition the scored docs
+    assert sum(r.n_docs for r in out) == scored.count()
+    # bucket stats are internally ordered: head <= middle <= tail means
+    assert list(sorted(by)) == sorted(b for b in ("head", "middle", "tail") if b in by)
+    means = [by[b].mean_nll for b in ("head", "middle", "tail") if b in by]
+    assert means == sorted(means)
+    # the gibberish docs (unseen bigrams, smoothing floor) land in the tail
+    assert by["tail"].min_nll > by["head"].max_nll
+
+
+def test_perplexity_buckets_partition_invariant(spark):
+    from egal_yet_another_earthquake_project_spark.llm.lm import (
+        perplexity_buckets,
+        score_bigram_frozen,
+        train_bigram_lm,
+    )
+
+    rows = [(i, f"the cat {i % 7} sat on mat {i % 3} and dog") for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    model = train_bigram_lm(docs)
+    a = perplexity_buckets(score_bigram_frozen(docs, model)).collect()
+    b = perplexity_buckets(
+        score_bigram_frozen(docs.repartition(7), model)
+    ).collect()
+    assert a == b
