@@ -331,42 +331,23 @@ def score_bigram_frozen(
     )
 
 
-def perplexity_buckets(
+def ppl_cuts_frame(
     scored: DataFrame,
     nll_col: str = "nll",
     bin_width: float = 0.02,
 ) -> DataFrame:
-    """CCNet-style perplexity bucketing (Wenzek et al. 2020): split a
-    scored corpus into head / middle / tail terciles of language-model
-    NLL, the partition CCNet uses to keep fluent text and down-sample
-    the gibberish tail.
-
-    The tercile cutoffs deliberately do NOT come from an exact global
-    percentile (a sort or a memory-unbounded collect at corpus scale) —
-    they come from the same fixed-width mergeable histogram the sketch
-    layer uses (:func:`llm.sketches.hist_quantiles`): bin counts are a
-    tiny aggregate (range/bin_width rows), the cumulative walk runs over
-    occupied bins only, and the cutoff rule is pure integer arithmetic
-    on the grid, so every engine lands on the same bucket boundaries and
-    the result hash-matches the DuckDB oracle. The one-row cutoff frame
-    is broadcast back onto the scored corpus — no second shuffle of the
-    data, no global sort, state O(distinct bins) at any corpus size.
-
-    Input: a frame from :func:`score_bigram_frozen` (or any per-doc
-    score); output: one row per non-empty bucket with ``n_docs``,
-    ``mean_nll`` (decimal-summed, partition-order-free), ``min_nll``,
-    ``max_nll``.
-    """
+    """One-row ``(c33, c67)`` tercile-cutoff frame for a scored corpus,
+    derived from the fixed-width mergeable histogram grid (same rule as
+    :func:`llm.sketches.hist_quantiles`): bin counts are a tiny
+    aggregate, the cumulative walk runs over OCCUPIED bins only, and the
+    cutoff is pure integer arithmetic on the grid — no sort, no exact
+    global percentile, state O(distinct bins) at any corpus size. The
+    single source of truth for bucket boundaries: the batch summary
+    broadcasts this frame; a streaming scorer freezes its two scalars
+    via :func:`ppl_cutoffs`."""
     from pyspark.sql import Window
 
     nll = F.col(nll_col)
-    # The scored frame feeds TWO branches (the histogram that derives the
-    # cutoffs, then the bucket assignment) and Catalyst does not reuse the
-    # scoring subtree across them — without a persist the whole corpus is
-    # scored twice (the bigram explode is token-stream-scale; verified in
-    # the physical plan). The persisted frame is one short row per
-    # document — the cheapest possible branch point.
-    scored = scored.persist()
     bins = (
         scored.select(F.floor(nll / F.lit(bin_width)).cast("long").alias("bin"))
         .groupBy("bin")
@@ -378,7 +359,7 @@ def perplexity_buckets(
         F.sum("cnt").over(w).alias("_cum"),
         F.sum("cnt").over(Window.partitionBy()).alias("_n"),
     )
-    cuts = cum.agg(
+    return cum.agg(
         *[
             (
                 (
@@ -396,11 +377,64 @@ def perplexity_buckets(
             for name, q in (("c33", 1.0 / 3.0), ("c67", 2.0 / 3.0))
         ]
     )
+
+
+def ppl_cutoffs(
+    scored: DataFrame,
+    nll_col: str = "nll",
+    bin_width: float = 0.02,
+) -> tuple[float, float]:
+    """Collect the ``(c33, c67)`` cutoffs as two frozen scalars — a
+    bounded one-row collect, the "train-time" half of the streaming
+    bucketing twin (cutoffs come from the reference corpus once; every
+    micro-batch then buckets against plan literals, exactly the
+    frozen-vocabulary pattern of ``stateful.drift_stream``)."""
+    row = ppl_cuts_frame(scored, nll_col, bin_width).first()
+    return float(row.c33), float(row.c67)
+
+
+def bucket_expr(nll, c33, c67):
+    """head/middle/tail bucket label for an NLL value given the two
+    cutoffs — shared by the batch summary (cutoffs as broadcast columns)
+    and the streaming sink (cutoffs as frozen literals), so the two
+    paths cannot diverge."""
+    return (
+        F.when(nll <= c33, "head").when(nll <= c67, "middle").otherwise("tail")
+    )
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    nll_col: str = "nll",
+    bin_width: float = 0.02,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): split a
+    scored corpus into head / middle / tail terciles of language-model
+    NLL, the partition CCNet uses to keep fluent text and down-sample
+    the gibberish tail.
+
+    The tercile cutoffs deliberately do NOT come from an exact global
+    percentile (a sort or a memory-unbounded collect at corpus scale) —
+    see :func:`ppl_cuts_frame`. The one-row cutoff frame is broadcast
+    back onto the scored corpus — no second shuffle of the data, no
+    global sort.
+
+    Input: a frame from :func:`score_bigram_frozen` (or any per-doc
+    score); output: one row per non-empty bucket with ``n_docs``,
+    ``mean_nll`` (decimal-summed, partition-order-free), ``min_nll``,
+    ``max_nll``.
+    """
+    nll = F.col(nll_col)
+    # The scored frame feeds TWO branches (the histogram that derives the
+    # cutoffs, then the bucket assignment) and Catalyst does not reuse the
+    # scoring subtree across them — without a persist the whole corpus is
+    # scored twice (the bigram explode is token-stream-scale; verified in
+    # the physical plan). The persisted frame is one short row per
+    # document — the cheapest possible branch point.
+    scored = scored.persist()
+    cuts = ppl_cuts_frame(scored, nll_col, bin_width)
     bucketed = scored.crossJoin(F.broadcast(cuts)).withColumn(
-        "bucket",
-        F.when(nll <= F.col("c33"), "head")
-        .when(nll <= F.col("c67"), "middle")
-        .otherwise("tail"),
+        "bucket", bucket_expr(nll, F.col("c33"), F.col("c67"))
     )
     return (
         bucketed.groupBy("bucket")

@@ -27,7 +27,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter
 
-from egal_yet_another_earthquake_project_spark.llm.lm import score_bigram_frozen
+from egal_yet_another_earthquake_project_spark.llm.lm import (
+    bucket_expr,
+    score_bigram_frozen,
+)
 
 
 def lm_score_sink(
@@ -57,6 +60,49 @@ def lm_score_sink(
         scored = score_bigram_frozen(batch, model, id_col, text_col)
         (
             scored.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_dir)
+        )
+
+    return stream.writeStream.foreachBatch(_score)
+
+
+def ppl_bucket_sink(
+    stream: DataFrame,
+    model: dict,
+    cutoffs: tuple[float, float],
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataStreamWriter:
+    """``writeStream`` writer scoring each micro-batch with the frozen
+    bigram model AND labeling it head/middle/tail against FROZEN tercile
+    cutoffs (``llm.lm.ppl_cutoffs`` on the reference corpus at train
+    time) — the streaming half of the CCNet bucketing pass
+    (``llm.lm.perplexity_buckets``).
+
+    The cutoffs are plan literals, the same frozen-artifact pattern as
+    ``stateful.drift_stream``'s vocabulary: a monitor's bucket
+    boundaries must come from the trusted reference distribution, not
+    drift with whatever batch arrives (recomputing terciles per
+    micro-batch would relabel history). Bucketing is therefore stateless
+    per document — zero streaming state — and the micro-batch plan is
+    exactly the batch plan, so drained ≡ batch assignment with the same
+    cutoffs (tested). Output partitions are ``_batch_id``-keyed with
+    dynamic partition overwrite: replay-idempotent like
+    :func:`lm_score_sink`.
+    """
+    c33, c67 = float(cutoffs[0]), float(cutoffs[1])
+
+    def _score(batch: DataFrame, batch_id: int) -> None:
+        scored = score_bigram_frozen(batch, model, id_col, text_col)
+        (
+            scored.withColumn(
+                "bucket", bucket_expr(F.col("nll"), F.lit(c33), F.lit(c67))
+            )
+            .withColumn("_batch_id", F.lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_batch_id")

@@ -155,3 +155,62 @@ def test_lm_model_artifact_roundtrip_scores_in_fresh_session(spark, tmp_path: Pa
         for r in fresh.read.parquet(str(out)).collect()
     }
     assert streamed == in_memory
+
+
+def test_ppl_bucket_stream_drained_equals_batch(spark, tmp_path: Path):
+    """Frozen-cutoff bucketing: two triggers through ppl_bucket_sink,
+    drained, must label every doc exactly as the batch assignment with
+    the same frozen (c33, c67) — and the frozen cutoffs must equal the
+    ones the batch summary derives (same histogram grid)."""
+    from egal_yet_another_earthquake_project_spark.llm.lm import (
+        bucket_expr,
+        perplexity_buckets,
+        ppl_cutoffs,
+    )
+    from egal_yet_another_earthquake_project_spark.streaming.scoring import (
+        ppl_bucket_sink,
+    )
+
+    docs = read_table(spark, SF, "documents")
+    model = train_bigram_lm(docs.filter("doc_id % 10 != 0"))
+    scored_all = score_bigram_frozen(docs, model)
+    cuts = ppl_cutoffs(scored_all)
+
+    src = tmp_path / "p_in"
+    out = tmp_path / "bucketed"
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(str(src / "b1"))
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.parquet(str(src / "b2"))
+    stream = stream_parquet_dir(
+        spark, str(src) + "/*", docs.schema, max_files_per_trigger=1
+    )
+    q = (
+        ppl_bucket_sink(stream, model, cuts, str(out))
+        .option("checkpointLocation", str(tmp_path / "p_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = {
+        r.doc_id: (r.nll, r.bucket)
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    batch = {
+        r.doc_id: (r.nll, r.bucket)
+        for r in scored_all.withColumn(
+            "bucket", bucket_expr(F.col("nll"), F.lit(cuts[0]), F.lit(cuts[1]))
+        ).collect()
+    }
+    assert streamed == batch and len(batch) > 0
+    # both triggers actually landed, and all three labels exist somewhere
+    assert {r._batch_id for r in spark.read.parquet(str(out)).collect()} == {0, 1}
+    assert {b for _, b in streamed.values()} == {"head", "middle", "tail"}
+    # the summary's per-bucket counts agree with the drained labels
+    summary = {
+        r.bucket: r.n_docs for r in perplexity_buckets(scored_all).collect()
+    }
+    from collections import Counter
+
+    assert summary == Counter(b for _, b in streamed.values())
