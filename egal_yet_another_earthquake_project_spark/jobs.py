@@ -36,7 +36,11 @@ own unit vectors when the max/mean cell occupancy exceeds ``N``;
 ``curate-stream`` drains a drop directory through the checkpointed
 three-hop streaming curation pipeline (``streaming/curate.py``);
 ``lm-train``/``lm-score`` freeze an interpolated-bigram LM as a parquet
-artifact and score documents against it (``llm/lm.py``).
+artifact and score documents against it (``llm/lm.py``); ``lm-train
+--cutoffs`` additionally freezes the CCNet tercile bucket boundaries
+into the artifact so ``lm-score --bucket`` (and the streaming
+``ppl_bucket_sink``) label drops head/middle/tail against the trusted
+reference distribution.
 Kafka variants use the same code paths with the gated reader
 (sources/kafka.py) once a broker and the connector jar are present.
 """
@@ -161,6 +165,13 @@ def _parser() -> argparse.ArgumentParser:
     lt.add_argument("--source-dir", required=True, help="dir holding documents.parquet")
     lt.add_argument("--out", required=True, help="model artifact directory")
     lt.add_argument("--lam", type=float, default=0.7)
+    lt.add_argument(
+        "--cutoffs",
+        action="store_true",
+        help="also freeze CCNet tercile bucket cutoffs (c33/c67) from the "
+        "training corpus's NLL distribution into the artifact meta",
+    )
+    lt.add_argument("--bin-width", type=float, default=0.02)
 
     ls = sub.add_parser(
         "lm-score",
@@ -169,6 +180,12 @@ def _parser() -> argparse.ArgumentParser:
     ls.add_argument("--model", required=True, help="lm-train artifact directory")
     ls.add_argument("--docs", required=True, help="parquet of (doc_id, text) rows")
     ls.add_argument("--out", default=None, help="write scores here (default: show)")
+    ls.add_argument(
+        "--bucket",
+        action="store_true",
+        help="label each doc head/middle/tail against the artifact's frozen "
+        "cutoffs (requires lm-train --cutoffs)",
+    )
 
     x = sub.add_parser(
         "explain",
@@ -351,21 +368,51 @@ def main(argv: list[str] | None = None) -> int:
 
             docs = spark.read.parquet(f"{args.source_dir}/documents.parquet")
             model = train_bigram_lm(docs, lam=args.lam)
+            if args.cutoffs:
+                from egal_yet_another_earthquake_project_spark.llm.lm import (
+                    ppl_cutoffs,
+                    score_bigram_frozen,
+                )
+
+                model["c33"], model["c67"] = ppl_cutoffs(
+                    score_bigram_frozen(docs, model), bin_width=args.bin_width
+                )
             write_lm_model(model, args.out)
             print(
                 json.dumps(
                     {"out": args.out, "n": model["n"], "v": model["v"],
-                     "lam": model["lam"]}
+                     "lam": model["lam"],
+                     **({"c33": model["c33"], "c67": model["c67"]}
+                        if args.cutoffs else {})}
                 )
             )
         elif args.cmd == "lm-score":
+            from pyspark.sql import functions as SF
+
             from egal_yet_another_earthquake_project_spark.llm.lm import (
+                bucket_expr,
                 read_lm_model,
                 score_bigram_frozen,
             )
 
             model = read_lm_model(spark, args.model)
             scored = score_bigram_frozen(spark.read.parquet(args.docs), model)
+            if args.bucket:
+                if model.get("c33") is None:
+                    print(
+                        "artifact has no frozen cutoffs; re-train with "
+                        "lm-train --cutoffs",
+                        file=sys.stderr,
+                    )
+                    return 2
+                scored = scored.withColumn(
+                    "bucket",
+                    bucket_expr(
+                        SF.col("nll"),
+                        SF.lit(model["c33"]),
+                        SF.lit(model["c67"]),
+                    ),
+                )
             if args.out:
                 scored.write.mode("overwrite").parquet(args.out)
                 print(f"scored to {args.out}")

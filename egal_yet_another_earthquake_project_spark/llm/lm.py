@@ -265,9 +265,19 @@ def write_lm_model(model: dict, model_dir: str) -> None:
     spark = model["c2"].sparkSession
     model["c2"].write.mode("overwrite").parquet(f"{model_dir}/c2")
     model["vocab"].write.mode("overwrite").parquet(f"{model_dir}/vocab")
+    c33 = model.get("c33")
+    c67 = model.get("c67")
     meta = spark.createDataFrame(
-        [(int(model["n"]), int(model["v"]), float(model["lam"]))],
-        "n long, v long, lam double",
+        [
+            (
+                int(model["n"]),
+                int(model["v"]),
+                float(model["lam"]),
+                None if c33 is None else float(c33),
+                None if c67 is None else float(c67),
+            )
+        ],
+        "n long, v long, lam double, c33 double, c67 double",
     )
     meta.write.mode("overwrite").parquet(f"{model_dir}/meta")
 
@@ -277,14 +287,20 @@ def read_lm_model(spark, model_dir: str) -> dict:
     frames come straight off parquet, so a scorer's model joins are
     artifact scans with pushdown — no training lineage, no dependency on
     the corpus that produced them."""
-    row = spark.read.parquet(f"{model_dir}/meta").first()
-    return {
+    row = spark.read.parquet(f"{model_dir}/meta").first().asDict()
+    model = {
         "c2": spark.read.parquet(f"{model_dir}/c2"),
         "vocab": spark.read.parquet(f"{model_dir}/vocab"),
-        "n": int(row.n),
-        "v": int(row.v),
-        "lam": float(row.lam),
+        "n": int(row["n"]),
+        "v": int(row["v"]),
+        "lam": float(row["lam"]),
     }
+    # Bucket cutoffs are an optional artifact extension (lm-train
+    # --cutoffs); pre-extension artifacts simply lack the columns.
+    for key in ("c33", "c67"):
+        if row.get(key) is not None:
+            model[key] = float(row[key])
+    return model
 
 
 def score_bigram_frozen(

@@ -370,3 +370,56 @@ def test_cli_curate_stream(spark, tmp_path: Path, capsys):
     assert {"doc_id", "source", "text", "n_tokens", "start_tok", "pack_id"} <= set(
         shards.columns
     )
+
+
+def test_cli_lm_train_cutoffs_and_bucket_score(spark, tmp_path: Path, capsys):
+    """lm-train --cutoffs freezes (c33, c67) into the artifact meta;
+    lm-score --bucket labels docs against them, matching the library
+    bucket assignment; a cutoff-less artifact refuses --bucket."""
+    import json
+
+    from egal_yet_another_earthquake_project_spark import jobs
+    from egal_yet_another_earthquake_project_spark.llm.lm import read_lm_model
+
+    mdir = str(tmp_path / "lmc")
+    bare = str(tmp_path / "lm_bare")
+    real_stop = spark.stop
+    spark.stop = lambda: None
+    try:
+        rc = jobs.main(
+            ["lm-train", "--source-dir", "/root/testdata/sf0.001",
+             "--out", mdir, "--cutoffs"]
+        )
+        assert rc == 0
+        stats = json.loads(
+            [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+        )
+        assert stats["c33"] < stats["c67"]
+
+        model = read_lm_model(spark, mdir)
+        assert (model["c33"], model["c67"]) == (stats["c33"], stats["c67"])
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        docs.limit(60).write.parquet(str(tmp_path / "bdocs"))
+        rc = jobs.main(
+            ["lm-score", "--model", mdir, "--docs", str(tmp_path / "bdocs"),
+             "--out", str(tmp_path / "bucketed"), "--bucket"]
+        )
+        assert rc == 0
+        out = spark.read.parquet(str(tmp_path / "bucketed"))
+        assert "bucket" in out.columns
+        labels = {r.bucket for r in out.collect()}
+        assert labels <= {"head", "middle", "tail"} and labels
+
+        # artifact without cutoffs refuses --bucket (old artifacts keep working)
+        rc = jobs.main(
+            ["lm-train", "--source-dir", "/root/testdata/sf0.001", "--out", bare]
+        )
+        assert rc == 0
+        rc = jobs.main(
+            ["lm-score", "--model", bare, "--docs", str(tmp_path / "bdocs"),
+             "--out", str(tmp_path / "nope"), "--bucket"]
+        )
+        assert rc == 2
+    finally:
+        spark.stop = real_stop
