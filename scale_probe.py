@@ -126,6 +126,15 @@ def probes():
 
         return source_drift_kl(docs)
 
+    def gopher(spark, docs):
+        return ltx.gopher_flags(docs)
+
+    def pplb(spark, docs):
+        from egal_yet_another_earthquake_project_spark.llm import lm
+
+        model = lm.train_bigram_lm(docs)
+        return lm.perplexity_buckets(lm.score_bigram_frozen(docs, model))
+
     # (name, input, op, allowed wall ratio). The near-dup construction
     # multiplies candidate-PAIR mass ~45-100× (every 10-copy cluster is
     # 45 pairs; same-prefix blocks grow 10× → up to 100× in-block
@@ -146,6 +155,12 @@ def probes():
         # near-dup ×10 construction grows that ~10×, so ROW_RATIO binds.
         ("interpolated bigram NLL", _documents, bigram, ROW_RATIO),
         ("per-source KL drift", _documents, drift, ROW_RATIO),
+        # round-7 additions: the Gopher gate is a map-only scan pass;
+        # the full perplexity pass (train + frozen-score + histogram
+        # bucket) is join/agg-linear in distinct (doc, gram) mass like
+        # the bigram NLL it builds on.
+        ("Gopher rule flags", _documents, gopher, ROW_RATIO),
+        ("perplexity bucket pass (train+score+bucket)", _documents, pplb, ROW_RATIO),
     ]
 
 

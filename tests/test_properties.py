@@ -395,3 +395,54 @@ def test_triangle_count_matches_bruteforce(spark, edges):
     row = triangle_count(df).collect()[0]
     assert row.n_triangles == brute
     assert row.n_edges == len(und)
+
+
+@SETTINGS
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.5, max_value=12.0, allow_nan=False),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_ppl_bucket_grid_rule_properties(spark, vals):
+    """Histogram-grid tercile cutoffs vs a python reference on random
+    NLL multisets: buckets partition the input; the head holds at least
+    ceil(n/3) docs and head+middle at least ceil(2n/3) (the grid rule
+    is conservative — cutoffs are bin UPPER edges, so each prefix can
+    only overshoot its rank target); and cutoffs match a reference walk
+    of the same integer grid."""
+    import math
+
+    from egal_yet_another_earthquake_project_spark.llm.lm import (
+        perplexity_buckets,
+        ppl_cutoffs,
+    )
+
+    W = 0.02
+    rounded = [round(v, 4) for v in vals]
+    scored = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rounded)], "doc_id long, nll double"
+    )
+    out = {r.bucket: r for r in perplexity_buckets(scored, bin_width=W).collect()}
+    n = len(rounded)
+    assert sum(r.n_docs for r in out.values()) == n
+    n_head = out["head"].n_docs if "head" in out else 0
+    n_mid = out["middle"].n_docs if "middle" in out else 0
+    assert n_head >= math.ceil(n / 3)
+    assert n_head + n_mid >= math.ceil(2 * n / 3)
+
+    # reference cutoffs: cumulative walk over the occupied integer bins
+    c33, c67 = ppl_cutoffs(scored, bin_width=W)
+    bins: dict[int, int] = {}
+    for v in rounded:
+        b = math.floor(v / W)
+        bins[b] = bins.get(b, 0) + 1
+    cum = 0
+    ref = {}
+    for b in sorted(bins):
+        cum += bins[b]
+        for name, q in (("c33", 1.0 / 3.0), ("c67", 2.0 / 3.0)):
+            if name not in ref and cum >= -math.floor(-q * n):
+                ref[name] = (b + 1) * W
+    assert (c33, c67) == (ref["c33"], ref["c67"])
