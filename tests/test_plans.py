@@ -482,3 +482,34 @@ def test_tfidf_term_join_never_hint_broadcast(spark):
             ), f"{qname}: term join planned as {term}"
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_gopher_flags_report_is_one_exchange(spark):
+    """The Gopher rule pass is map-only (flags fused into the scan); the
+    per-source report's only shuffle carries (source, rule-vector)
+    partial aggregates — one exchange before the output sort."""
+    df = _q(spark, "gopher_quality_flags")
+    plan = inspect.formatted_plan(df)
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    # partial agg -> one hash exchange on source -> final agg -> sort
+    assert inspect.exchange_count(df) <= 2, inspect.exchange_count(df)
+
+
+def test_perplexity_buckets_never_sorts_or_cartesians_the_corpus(spark):
+    """The tercile cutoffs must come from the histogram grid, never a
+    global sort/percentile of the scored corpus, and the cutoff join
+    must be the one-row broadcast (the only nested-loop in the plan) —
+    a real cartesian or a corpus-wide Sort here is the scale killer."""
+    df = _q(spark, "perplexity_buckets")
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    # the single BroadcastNestedLoopJoin is the one-row cutoffs frame
+    # (formatted plans print each node twice: tree + detail header)
+    assert plan.count(") BroadcastNestedLoopJoin") == 1
+    # bin-cum window sorts OCCUPIED BINS (dimension-scale) and the output
+    # sorts <=3 bucket rows; the scored corpus itself must never feed a
+    # rangepartitioning exchange
+    import re
+
+    for m in re.finditer(r"Exchange rangepartitioning\(([^)]*)\)", plan):
+        assert "bucket" in m.group(1), m.group(0)
