@@ -168,6 +168,10 @@ _ALLOWED_NESTED_LOOP = {
     # The LSH recall audit crosses three ONE-ROW aggregate frames —
     # bounded 1×1 broadcasts.
     "lsh_recall",
+    # Perplexity bucketing joins the ONE-ROW (c33, c67) cutoff frame
+    # into the scored corpus — bounded 1×n broadcast; its dedicated
+    # plan test additionally asserts it is the plan's ONLY nested loop.
+    "perplexity_buckets",
 }
 
 
