@@ -868,6 +868,7 @@ def incremental_neardup_pairs(
     bands: int = DEFAULT_BANDS,
     verify_threshold: float | None = 0.8,
     existing_bands: DataFrame | None = None,
+    incoming_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs BETWEEN an incoming batch and the existing
     corpus — the continuous-crawl near-dedup gate, the MinHash analogue
@@ -887,15 +888,21 @@ def incremental_neardup_pairs(
     PERSISTED (:func:`band_key_frame` bucketed by sig, exactly like
     :func:`write_fingerprint_index` for the exact gate) so the corpus
     side is a scan, not a recompute; this convenience form derives it
-    from the corpus frame. Verification reuses the per-pair
-    array-intersect arithmetic over the two frames' union, pruned to
-    candidate docs first.
+    from the corpus frame. Callers that already hold band frames for
+    either side (a persisted index, or one signing pass over a corpus
+    that was then split) pass them via ``existing_bands`` /
+    ``incoming_bands`` — banding is per-document, so filtering a
+    whole-corpus band frame is identical to banding the filtered
+    corpus. Verification reuses the per-pair array-intersect arithmetic
+    over the two frames' union, pruned to candidate docs first.
     """
-    inc_bands = band_key_frame(
-        minhash_signatures(incoming, id_col, text_col, n, num_hashes),
-        num_hashes,
-        bands,
-    ).select(F.col("doc").alias("_na"), "band", "sig")
+    if incoming_bands is None:
+        incoming_bands = band_key_frame(
+            minhash_signatures(incoming, id_col, text_col, n, num_hashes),
+            num_hashes,
+            bands,
+        )
+    inc_bands = incoming_bands.select(F.col("doc").alias("_na"), "band", "sig")
     if existing_bands is None:
         existing_bands = band_key_frame(
             minhash_signatures(existing, id_col, text_col, n, num_hashes),

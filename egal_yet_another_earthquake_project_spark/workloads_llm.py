@@ -1325,12 +1325,28 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-in-5 into 'incoming batch' vs 'existing corpus'; candidate pairs
     come only from incoming-bands ⋈ existing-bands (never batch×batch or
     corpus×corpus — per-batch work stays O(batch) + one index join),
-    verified at Jaccard ≥ 0.7."""
+    verified at Jaccard ≥ 0.7. Both sides' band keys come from ONE
+    signing pass over the corpus (banding is per-document, so filtering
+    the band frame ≡ banding the filtered corpus) — the split halves
+    the dominant tokenize+minhash cost; in production the existing side
+    is the persisted band index and only the batch is ever signed."""
     corpus_all = _aug_corpus(_docs(spark, sf_dir))
     incoming = corpus_all.filter(F.col("doc_id") % 5 == 0)
     existing = corpus_all.filter(F.col("doc_id") % 5 != 0)
+    # persisted: the band frame is read by BOTH join sides; without the
+    # pin each filter would re-run the tokenize+minhash lineage and the
+    # one-pass split would buy nothing. (doc, band, sig) is three longs
+    # per (doc, band) — doc-scale, the cheapest possible pin.
+    all_bands = ldd.band_key_frame(
+        ldd.minhash_signatures(corpus_all, "doc_id")
+    ).persist()
     return ldd.incremental_neardup_pairs(
-        incoming, existing, "doc_id", verify_threshold=0.7
+        incoming,
+        existing,
+        "doc_id",
+        verify_threshold=0.7,
+        incoming_bands=all_bands.filter(F.col("doc") % 5 == 0),
+        existing_bands=all_bands.filter(F.col("doc") % 5 != 0),
     ).orderBy("doc_a", "doc_b")
 
 
