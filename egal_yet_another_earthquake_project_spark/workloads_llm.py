@@ -1582,6 +1582,133 @@ ORDER BY label, dim
 """
 
 
+DSIR_BUCKETS = 1024
+DSIR_K = 100
+
+
+def _dsir_weight_frame(spark: SparkSession, sf_dir: str):
+    """Shared head of the two DSIR queries: src0 plays the curated
+    TARGET corpus, every other source is the RAW pool to select from.
+    The raw feature frame is consumed twice inside dsir_log_weights
+    (per-doc scores + the raw bag-of-words model), so it is persisted —
+    (doc, bucket, cnt) is three ints per distinct (doc, bucket), the
+    cheapest possible pin (same discipline as q_incremental_neardup's
+    band frame)."""
+    from egal_yet_another_earthquake_project_spark.llm import dsir as ldsir
+
+    docs = _docs(spark, sf_dir)
+    raw = docs.filter(F.col("source") != "src0")
+    target = docs.filter(F.col("source") == "src0")
+    raw_features = ldsir.hashed_ngram_features(
+        raw, "doc_id", buckets=DSIR_BUCKETS
+    ).persist()
+    return ldsir.dsir_log_weights(
+        raw, target, "doc_id", buckets=DSIR_BUCKETS, raw_features=raw_features
+    )
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023): score every raw
+    doc by how much more likely its hashed uni+bigram bag is under the
+    target (src0) model than under the raw model — the data-selection
+    scorer that upweights target-looking crawl text. Plan: doc-scale
+    feature aggregate, two ≤B-row broadcast models, one groupBy(doc)
+    sum (llm/dsir.py). Output: (doc_id, n_grams, logw)."""
+    w = _dsir_weight_frame(spark, sf_dir)
+    return w.select(
+        F.col("doc").alias("doc_id"),
+        "n_grams",
+        F.round("logw", 4).alias("logw"),
+    ).orderBy("doc_id")
+
+
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection step: Gumbel-top-k over the importance weights —
+    an exact k-doc sample without replacement with P ∝ w(x), made
+    deterministic by hash-derived Gumbel noise (llm/dsir.py:
+    gumbel_topk; the log-space twin of weighted_priority_sample).
+    Top-k is TakeOrderedAndProject — per-partition heaps, no global
+    sort of the weight frame. Output: the selected docs by id."""
+    from egal_yet_another_earthquake_project_spark.llm.dsir import gumbel_topk
+
+    w = _dsir_weight_frame(spark, sf_dir)
+    return (
+        gumbel_topk(w, "doc", "logw", k=DSIR_K)
+        .select(
+            F.col("doc").alias("doc_id"),
+            "n_grams",
+            F.round("logw", 4).alias("logw"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DSIR_GRAMS = f"""
+    list_concat(
+      {_TOKS},
+      CASE WHEN len({_TOKS}) < 2 THEN []
+           ELSE list_transform(range(0, len({_TOKS}) - 1),
+                               i -> array_to_string(({_TOKS})[i+1:i+2], ' '))
+      END)
+"""
+
+_DSIR_W_CTE = f"""
+WITH rg AS (
+  SELECT doc_id AS doc, unnest({_DSIR_GRAMS}) AS gram
+  FROM documents WHERE source <> 'src0'
+),
+tg AS (
+  SELECT doc_id AS doc, unnest({_DSIR_GRAMS}) AS gram
+  FROM documents WHERE source = 'src0'
+),
+rf AS (
+  SELECT doc,
+         CAST('0x' || substring(md5('dsir' || gram), 1, 8) AS BIGINT)
+           % {DSIR_BUCKETS} AS bucket,
+         count(*) AS cnt
+  FROM rg GROUP BY 1, 2
+),
+tf AS (
+  SELECT CAST('0x' || substring(md5('dsir' || gram), 1, 8) AS BIGINT)
+           % {DSIR_BUCKETS} AS bucket,
+         count(*) AS ct
+  FROM tg GROUP BY 1
+),
+rm AS (SELECT bucket, sum(cnt) AS cr FROM rf GROUP BY bucket),
+tt AS (SELECT sum(ct) AS nt FROM tf),
+rt AS (SELECT sum(cr) AS nr FROM rm),
+w AS (
+  SELECT doc, CAST(sum(cnt) AS BIGINT) AS n_grams,
+         sum(CAST(cnt AS DOUBLE) * (
+             ln((CAST(coalesce(ct, 0) AS DOUBLE) + 1.0)
+                / (CAST(nt AS DOUBLE) + {DSIR_BUCKETS}.0))
+           - ln((CAST(coalesce(cr, 0) AS DOUBLE) + 1.0)
+                / (CAST(nr AS DOUBLE) + {DSIR_BUCKETS}.0)))) AS logw
+  FROM rf LEFT JOIN tf USING (bucket) LEFT JOIN rm USING (bucket)
+  CROSS JOIN tt CROSS JOIN rt
+  GROUP BY doc
+)
+"""
+
+_DSIR_WEIGHTS_ORACLE = f"""{_DSIR_W_CTE}
+SELECT doc AS doc_id, n_grams, round(logw, 4) AS logw
+FROM w ORDER BY doc_id
+"""
+
+_DSIR_RESAMPLE_ORACLE = f"""{_DSIR_W_CTE},
+sel AS (
+  SELECT doc, n_grams, logw,
+         logw - ln(-ln(
+           (CAST('0x' || substring(md5('gumbel' || CAST(doc AS VARCHAR)), 1, 8)
+                 AS BIGINT) + 0.5) / 4294967296.0)) AS score
+  FROM w
+  ORDER BY score DESC, doc ASC LIMIT {DSIR_K}
+)
+SELECT doc AS doc_id, n_grams, round(logw, 4) AS logw
+FROM sel ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_profile": q_text_profile,
     "gopher_quality_flags": q_gopher_quality_flags,
@@ -1617,7 +1744,8 @@ QUERIES = {
     "source_overlap": q_source_overlap,
     "split_leakage": q_split_leakage,
     "leakage_safe_split": q_leakage_safe_split,
-    "leakage_safe_split": q_leakage_safe_split,
+    "dsir_weights": q_dsir_weights,
+    "dsir_resample": q_dsir_resample,
 }
 
 ORACLES = {
@@ -1655,4 +1783,6 @@ ORACLES = {
     "source_overlap": _SOURCE_OVERLAP_ORACLE,
     "split_leakage": _split_leakage_sql(),
     "leakage_safe_split": _LEAKAGE_SAFE_SPLIT_ORACLE,
+    "dsir_weights": _DSIR_WEIGHTS_ORACLE,
+    "dsir_resample": _DSIR_RESAMPLE_ORACLE,
 }

@@ -172,6 +172,12 @@ _ALLOWED_NESTED_LOOP = {
     # into the scored corpus — bounded 1×n broadcast; its dedicated
     # plan test additionally asserts it is the plan's ONLY nested loop.
     "perplexity_buckets",
+    # DSIR joins the two ONE-ROW model totals (Nt, Nr) into the
+    # doc-scale feature frame — bounded 1×n broadcasts; the bucket-
+    # keyed model joins themselves are broadcast HASH joins
+    # (test_dsir.py asserts both properties).
+    "dsir_weights",
+    "dsir_resample",
 }
 
 
