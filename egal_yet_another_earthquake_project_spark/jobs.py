@@ -187,6 +187,26 @@ def _parser() -> argparse.ArgumentParser:
         "cutoffs (requires lm-train --cutoffs)",
     )
 
+    dt = sub.add_parser(
+        "dsir-train",
+        help="freeze a DSIR importance model (hashed-ngram target/raw "
+        "bag-of-words) and write it as a parquet artifact (tm/rm/meta)",
+    )
+    dt.add_argument("--raw", required=True, help="parquet of raw-pool docs")
+    dt.add_argument("--target", required=True, help="parquet of target-corpus docs")
+    dt.add_argument("--out", required=True, help="model artifact directory")
+    dt.add_argument("--buckets", type=int, default=10_000)
+
+    ds = sub.add_parser(
+        "dsir-score",
+        help="score docs against a frozen dsir-train artifact; "
+        "--top-k additionally Gumbel-selects that many docs",
+    )
+    ds.add_argument("--model", required=True, help="dsir-train artifact directory")
+    ds.add_argument("--docs", required=True, help="parquet of (doc_id, text) rows")
+    ds.add_argument("--out", default=None, help="write scores here (default: show)")
+    ds.add_argument("--top-k", type=int, default=None)
+
     x = sub.add_parser(
         "explain",
         help="plan-property audit of a declared query (shuffles, joins, "
@@ -413,6 +433,42 @@ def main(argv: list[str] | None = None) -> int:
                         SF.lit(model["c67"]),
                     ),
                 )
+            if args.out:
+                scored.write.mode("overwrite").parquet(args.out)
+                print(f"scored to {args.out}")
+            else:
+                scored.show(50, truncate=False)
+        elif args.cmd == "dsir-train":
+            import json
+
+            from egal_yet_another_earthquake_project_spark.llm.dsir import (
+                train_dsir_model,
+                write_dsir_model,
+            )
+
+            model = train_dsir_model(
+                spark.read.parquet(args.raw),
+                spark.read.parquet(args.target),
+                buckets=args.buckets,
+            )
+            write_dsir_model(model, args.out)
+            print(
+                json.dumps(
+                    {"out": args.out, "nt": model["nt"], "nr": model["nr"],
+                     "buckets": model["buckets"]}
+                )
+            )
+        elif args.cmd == "dsir-score":
+            from egal_yet_another_earthquake_project_spark.llm.dsir import (
+                gumbel_topk,
+                read_dsir_model,
+                score_dsir_frozen,
+            )
+
+            model = read_dsir_model(spark, args.model)
+            scored = score_dsir_frozen(spark.read.parquet(args.docs), model)
+            if args.top_k:
+                scored = gumbel_topk(scored, "doc", "logw", k=args.top_k)
             if args.out:
                 scored.write.mode("overwrite").parquet(args.out)
                 print(f"scored to {args.out}")

@@ -159,6 +159,108 @@ def dsir_log_weights(
     )
 
 
+def train_dsir_model(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = DEFAULT_BUCKETS,
+    salt: str = "dsir",
+) -> dict:
+    """Freeze the DSIR scorer: both hashed bag-of-words count vectors
+    PERSISTED (so no scorer ever re-runs the tokenize+hash lineage) and
+    the two totals collapsed to plan literals. The only driver-side
+    collects are two one-value aggregates over ≤B-row frames — bounded
+    by the bucket parameter, never by data size. "Train once, score
+    every batch": the same contract as :func:`.lm.train_bigram_lm`,
+    with :func:`write_dsir_model` as the durable form."""
+    tm = bow_log_model(
+        hashed_ngram_features(target, id_col, text_col, buckets, salt), "_ct"
+    ).persist()
+    rm = bow_log_model(
+        hashed_ngram_features(raw, id_col, text_col, buckets, salt), "_cr"
+    ).persist()
+    nt = tm.agg(F.sum("_ct")).first()[0] or 0
+    nr = rm.agg(F.sum("_cr")).first()[0] or 0
+    return {
+        "tm": tm,
+        "rm": rm,
+        "nt": int(nt),
+        "nr": int(nr),
+        "buckets": int(buckets),
+        "salt": salt,
+    }
+
+
+def write_dsir_model(model: dict, model_dir: str) -> None:
+    """Persist a trained DSIR model as a durable artifact:
+    ``{model_dir}/tm`` and ``{model_dir}/rm`` parquet (≤B rows each)
+    plus a one-row ``{model_dir}/meta`` carrying (nt, nr, buckets,
+    salt) — the write-once-per-corpus-version form, kilobyte-scale at
+    any corpus size because the feature space is hashed."""
+    spark = model["tm"].sparkSession
+    model["tm"].write.mode("overwrite").parquet(f"{model_dir}/tm")
+    model["rm"].write.mode("overwrite").parquet(f"{model_dir}/rm")
+    meta = spark.createDataFrame(
+        [(int(model["nt"]), int(model["nr"]), int(model["buckets"]), model["salt"])],
+        "nt long, nr long, buckets long, salt string",
+    )
+    meta.write.mode("overwrite").parquet(f"{model_dir}/meta")
+
+
+def read_dsir_model(spark, model_dir: str) -> dict:
+    """Load a :func:`write_dsir_model` artifact in any session — the
+    count frames come straight off parquet, so scoring joins scan the
+    artifact with pushdown; no training lineage travels with them."""
+    row = spark.read.parquet(f"{model_dir}/meta").first().asDict()
+    return {
+        "tm": spark.read.parquet(f"{model_dir}/tm"),
+        "rm": spark.read.parquet(f"{model_dir}/rm"),
+        "nt": int(row["nt"]),
+        "nr": int(row["nr"]),
+        "buckets": int(row["buckets"]),
+        "salt": row["salt"],
+    }
+
+
+def score_dsir_frozen(
+    df: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc, n_grams, logw) against a FROZEN DSIR model.
+
+    Same per-bucket arithmetic as :func:`dsir_log_weights` — add-one
+    smoothing, LEFT joins + coalesce(0) so a bucket the model never saw
+    scores at the smoothing floor instead of dropping or diverging —
+    but the totals are plan LITERALS and the model frames are broadcast
+    artifact scans, so the scoring plan carries no dependency on the
+    training corpus (identical weights to the in-plan form when the
+    model was trained on the same pool; tested)."""
+    feats = hashed_ngram_features(
+        df, id_col, text_col, model["buckets"], model["salt"]
+    )
+    b = F.lit(float(model["buckets"]))
+    nt = F.lit(float(model["nt"]))
+    nr = F.lit(float(model["nr"]))
+    lam = F.log(
+        (F.coalesce(F.col("_ct"), F.lit(0)).cast("double") + 1.0) / (nt + b)
+    ) - F.log(
+        (F.coalesce(F.col("_cr"), F.lit(0)).cast("double") + 1.0) / (nr + b)
+    )
+    return (
+        feats.join(F.broadcast(model["tm"]), "bucket", "left")
+        .join(F.broadcast(model["rm"]), "bucket", "left")
+        .withColumn("_lam", lam)
+        .groupBy("doc")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_grams"),
+            F.sum(F.col("cnt").cast("double") * F.col("_lam")).alias("logw"),
+        )
+    )
+
+
 def gumbel_topk(
     weights: DataFrame,
     id_col: str = "doc",

@@ -69,6 +69,45 @@ def lm_score_sink(
     return stream.writeStream.foreachBatch(_score)
 
 
+def dsir_score_sink(
+    stream: DataFrame,
+    model: dict,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataStreamWriter:
+    """``writeStream`` writer scoring each micro-batch's DSIR
+    importance log-weight against a FROZEN target/raw model
+    (``llm.dsir.train_dsir_model`` / ``read_dsir_model``) into
+    ``{out_dir}/_batch_id=N/`` partitions — the continuous-crawl form
+    of data selection: the curated target distribution is fixed, every
+    incoming drop gets its target-affinity score as it lands.
+
+    Stateless per document (a doc arrives whole in one row), so zero
+    streaming state — the micro-batch plan IS the batch plan: one
+    doc-scale feature aggregate plus two ≤B-row broadcast artifact
+    joins with the totals as plan literals. Replay-idempotent via
+    dynamic partition overwrite on ``_batch_id``, like
+    :func:`lm_score_sink`; drained ≡ batch scoring on the union of
+    batches (tests/test_streaming_scoring.py).
+    """
+    from egal_yet_another_earthquake_project_spark.llm.dsir import (
+        score_dsir_frozen,
+    )
+
+    def _score(batch: DataFrame, batch_id: int) -> None:
+        scored = score_dsir_frozen(batch, model, id_col, text_col)
+        (
+            scored.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_dir)
+        )
+
+    return stream.writeStream.foreachBatch(_score)
+
+
 def ppl_bucket_sink(
     stream: DataFrame,
     model: dict,

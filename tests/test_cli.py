@@ -423,3 +423,68 @@ def test_cli_lm_train_cutoffs_and_bucket_score(spark, tmp_path: Path, capsys):
         assert rc == 2
     finally:
         spark.stop = real_stop
+
+
+def test_cli_dsir_train_and_score(spark, tmp_path: Path, capsys):
+    """dsir-train writes the tm/rm/meta artifact + one JSON stats line;
+    dsir-score loads it and writes per-doc importance weights matching
+    the library scorer; --top-k Gumbel-selects exactly k docs."""
+    import json
+
+    from egal_yet_another_earthquake_project_spark import jobs
+    from egal_yet_another_earthquake_project_spark.llm.dsir import (
+        read_dsir_model,
+        score_dsir_frozen,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    raw_p = str(tmp_path / "raw_in")
+    tgt_p = str(tmp_path / "tgt_in")
+    docs.filter(F.col("source") != "src0").write.parquet(raw_p)
+    docs.filter(F.col("source") == "src0").write.parquet(tgt_p)
+
+    mdir = str(tmp_path / "dsir")
+    real_stop = spark.stop
+    spark.stop = lambda: None
+    try:
+        rc = jobs.main(
+            ["dsir-train", "--raw", raw_p, "--target", tgt_p,
+             "--out", mdir, "--buckets", "1024"]
+        )
+        assert rc == 0
+        stats = json.loads(
+            [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+        )
+        assert stats["nt"] > 0 and stats["nr"] > 0 and stats["buckets"] == 1024
+        for part in ("tm", "rm", "meta"):
+            assert (tmp_path / "dsir" / part).exists()
+
+        rc = jobs.main(
+            ["dsir-score", "--model", mdir, "--docs", raw_p,
+             "--out", str(tmp_path / "w")]
+        )
+        assert rc == 0
+        rc = jobs.main(
+            ["dsir-score", "--model", mdir, "--docs", raw_p,
+             "--top-k", "20", "--out", str(tmp_path / "sel")]
+        )
+        assert rc == 0
+    finally:
+        spark.stop = real_stop
+
+    got = {
+        (r.doc, r.n_grams, round(r.logw, 9))
+        for r in spark.read.parquet(str(tmp_path / "w")).collect()
+    }
+    model = read_dsir_model(spark, mdir)
+    want = {
+        (r.doc, r.n_grams, round(r.logw, 9))
+        for r in score_dsir_frozen(
+            spark.read.parquet(raw_p), model
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+    sel = spark.read.parquet(str(tmp_path / "sel"))
+    assert sel.count() == 20
+    assert {r.doc for r in sel.collect()} <= {t[0] for t in want}

@@ -102,6 +102,30 @@ def test_feature_counts_cap_at_bucket_space(spark):
     assert all(v == 13 for v in per_doc.values()), per_doc
 
 
+def test_frozen_scorer_matches_in_plan_weights(spark):
+    """score_dsir_frozen against a model trained on the same raw pool
+    must reproduce dsir_log_weights exactly — the equality that lets
+    the streaming sink and the CLI score off the frozen artifact."""
+    from egal_yet_another_earthquake_project_spark.llm.dsir import (
+        score_dsir_frozen,
+        train_dsir_model,
+    )
+
+    docs = read_table(spark, SF, "documents")
+    raw = docs.filter(F.col("source") != "src0")
+    target = docs.filter(F.col("source") == "src0")
+    model = train_dsir_model(raw, target)
+    frozen = {
+        (r.doc, r.n_grams, round(r.logw, 9))
+        for r in score_dsir_frozen(raw, model).collect()
+    }
+    in_plan = {
+        (r.doc, r.n_grams, round(r.logw, 9))
+        for r in dsir_log_weights(raw, target).collect()
+    }
+    assert frozen == in_plan and len(in_plan) > 0
+
+
 def test_dsir_weights_plan_broadcasts_models(spark):
     from egal_yet_another_earthquake_project_spark import workloads
 

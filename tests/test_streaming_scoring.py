@@ -214,3 +214,68 @@ def test_ppl_bucket_stream_drained_equals_batch(spark, tmp_path: Path):
     from collections import Counter
 
     assert summary == Counter(b for _, b in streamed.values())
+
+
+def test_dsir_score_stream_drained_equals_batch_from_artifact(
+    spark, tmp_path: Path
+):
+    """DSIR streaming twin: write_dsir_model → read_dsir_model in a
+    FRESH session (no cached training lineage), stream the raw pool
+    through dsir_score_sink in two triggers — the drained scores must
+    equal the batch frozen scorer over the whole pool (stateless
+    foreachBatch: the micro-batch plan IS the batch plan)."""
+    from egal_yet_another_earthquake_project_spark.llm.dsir import (
+        read_dsir_model,
+        score_dsir_frozen,
+        train_dsir_model,
+        write_dsir_model,
+    )
+    from egal_yet_another_earthquake_project_spark.streaming.scoring import (
+        dsir_score_sink,
+    )
+
+    docs = read_table(spark, SF, "documents")
+    raw = docs.filter(F.col("source") != "src0")
+    target = docs.filter(F.col("source") == "src0")
+    mdir = str(tmp_path / "dsir_model")
+    write_dsir_model(train_dsir_model(raw, target), mdir)
+
+    fresh = spark.newSession()
+    loaded = read_dsir_model(fresh, mdir)
+    raw_fresh = read_table(fresh, SF, "documents").filter(
+        F.col("source") != "src0"
+    )
+    cut = raw_fresh.agg(
+        F.percentile_approx("doc_id", 0.5).alias("c")
+    ).collect()[0].c
+
+    src = tmp_path / "d_in"
+    out = tmp_path / "d_scored"
+    raw_fresh.filter(F.col("doc_id") < F.lit(cut)).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    raw_fresh.filter(F.col("doc_id") >= F.lit(cut)).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    stream = stream_parquet_dir(
+        fresh, str(src) + "/*", raw_fresh.schema, max_files_per_trigger=1
+    )
+    q = (
+        dsir_score_sink(stream, loaded, str(out))
+        .option("checkpointLocation", str(tmp_path / "d_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    live = {
+        (r.doc, r.n_grams, round(r.logw, 9))
+        for r in fresh.read.parquet(str(out)).collect()
+    }
+    batch = {
+        (r.doc, r.n_grams, round(r.logw, 9))
+        for r in score_dsir_frozen(raw_fresh, loaded).collect()
+    }
+    assert live == batch and len(batch) > 0
