@@ -135,6 +135,15 @@ def probes():
         model = lm.train_bigram_lm(docs)
         return lm.perplexity_buckets(lm.score_bigram_frozen(docs, model))
 
+    def dsir(spark, docs):
+        from egal_yet_another_earthquake_project_spark.llm import dsir as ldsir
+
+        raw = docs.filter(F.col("source") != "src0")
+        target = docs.filter(F.col("source") == "src0")
+        return ldsir.gumbel_topk(
+            ldsir.dsir_log_weights(raw, target), "doc", "logw", k=100
+        )
+
     # (name, input, op, allowed wall ratio). The near-dup construction
     # multiplies candidate-PAIR mass ~45-100× (every 10-copy cluster is
     # 45 pairs; same-prefix blocks grow 10× → up to 100× in-block
@@ -161,6 +170,10 @@ def probes():
         # the bigram NLL it builds on.
         ("Gopher rule flags", _documents, gopher, ROW_RATIO),
         ("perplexity bucket pass (train+score+bucket)", _documents, pplb, ROW_RATIO),
+        # DSIR is feature-aggregate-linear in distinct (doc, bucket)
+        # mass (bucket space fixed at B); the models stay ≤B rows at
+        # any input size, so ROW_RATIO binds.
+        ("DSIR weights + Gumbel-top-k (train+score+select)", _documents, dsir, ROW_RATIO),
     ]
 
 
