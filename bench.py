@@ -157,9 +157,11 @@ HEADLINE = [
     # round-6: held-out frozen-LM scoring (train 90% / score 10%).
     "frozen_lm_score",
     "perplexity_buckets",
-    # round-7: DSIR importance weights + Gumbel-top-k selection.
+    # round-7: DSIR importance weights + Gumbel-top-k selection, and
+    # the overlap-fraction decontamination scorer.
     "dsir_weights",
     "dsir_resample",
+    "contamination_fraction",
 ]
 
 

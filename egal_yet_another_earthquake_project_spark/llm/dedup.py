@@ -415,6 +415,51 @@ def contaminated_docs(
     )
 
 
+def contamination_fraction(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    dirty_threshold: float = 0.2,
+) -> DataFrame:
+    """Overlap-FRACTION decontamination (the GPT-3/PaLM form: a doc is
+    dirty when ≥ ``dirty_threshold`` of its distinct n-grams appear in
+    the benchmark set). Unlike :func:`contaminated_docs` (any-hit
+    count), the fraction separates incidental phrase reuse from
+    wholesale benchmark inclusion — the decision a pipeline actually
+    makes before dropping a doc. Output: (doc, n_shingles, n_hits,
+    contamination, dirty) for EVERY corpus doc.
+
+    Plan: the eval shingle set (tiny by definition) is broadcast with a
+    hit marker; the raw corpus shingle explode LEFT-joins it map-side
+    (no corpus-wide distinct before the join), and ONE per-doc
+    aggregate computes both distinct counts — a single corpus-scale
+    shuffle carrying (doc, shingle) rows. The fraction is an exact
+    integer ratio, so the flag is engine-portable.
+    """
+    ev = (
+        doc_shingle_sets(eval_docs, id_col, text_col, n)
+        .select("sh")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    corp = exploded_shingles(corpus, id_col, text_col, n)
+    frac = F.col("n_hits").cast("double") / F.col("n_shingles").cast("double")
+    return (
+        corp.join(F.broadcast(ev), "sh", "left")
+        .groupBy("doc")
+        .agg(
+            F.count_distinct("sh").alias("n_shingles"),
+            F.count_distinct(
+                F.when(F.col("_hit") == 1, F.col("sh"))
+            ).alias("n_hits"),
+        )
+        .withColumn("contamination", F.round(frac, 4))
+        .withColumn("dirty", frac >= F.lit(float(dirty_threshold)))
+    )
+
+
 def simhash_neardup_pairs(
     sigs: DataFrame,
     max_hamming: int = 3,

@@ -598,6 +598,49 @@ GROUP BY doc HAVING count(*) >= 1
 """
 
 
+def q_contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap-fraction decontamination (llm.dedup.
+    contamination_fraction — the GPT-3/PaLM form): for EVERY corpus
+    doc, the share of its distinct 3-gram shingles found anywhere in
+    the eval set (doc_id < 3 plays the benchmark), flagged dirty at
+    ≥ 0.2. One broadcast of the eval shingle set, one corpus-scale
+    shuffle; the binary `contamination` query keeps only any-hit docs —
+    this one scores the whole corpus so the clean docs are auditable."""
+    docs = _docs(spark, sf_dir)
+    return ldd.contamination_fraction(
+        docs.filter(F.col("doc_id") >= 3),
+        docs.filter(F.col("doc_id") < 3),
+        "doc_id",
+    ).orderBy("doc")
+
+
+_CONTAMINATION_FRACTION_ORACLE = f"""
+WITH ev AS (
+  SELECT DISTINCT unnest({_SHINGLES}) AS sh FROM documents WHERE doc_id < 3
+),
+corp AS (
+  SELECT doc_id AS doc, unnest({_SHINGLES}) AS sh
+  FROM documents WHERE doc_id >= 3
+),
+m AS (
+  SELECT c.doc, c.sh, CASE WHEN ev.sh IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM corp c LEFT JOIN ev ON c.sh = ev.sh
+),
+agg AS (
+  SELECT doc,
+         CAST(count(DISTINCT sh) AS BIGINT) AS n_shingles,
+         CAST(count(DISTINCT CASE WHEN hit = 1 THEN sh END) AS BIGINT)
+           AS n_hits
+  FROM m GROUP BY doc
+)
+SELECT doc, n_shingles, n_hits,
+       round(CAST(n_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE), 4)
+         AS contamination,
+       CAST(n_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= 0.2 AS dirty
+FROM agg ORDER BY doc
+"""
+
+
 def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary head: token frequencies, top-20 with a total
     order — the vocab-building pass of a tokenizer pipeline. Map-side
@@ -1727,6 +1770,7 @@ QUERIES = {
     "simhash32": q_simhash32,
     "simhash_neardup": q_simhash_neardup,
     "contamination": q_contamination,
+    "contamination_fraction": q_contamination_fraction,
     "top_tokens": q_top_tokens,
     "embedding_topk": q_embedding_topk,
     "embedding_ivf_topk": q_embedding_ivf_topk,
@@ -1766,6 +1810,7 @@ ORACLES = {
     "simhash32": _simhash32_sql(),
     "simhash_neardup": _simhash_neardup_sql(),
     "contamination": _CONTAMINATION_ORACLE,
+    "contamination_fraction": _CONTAMINATION_FRACTION_ORACLE,
     "top_tokens": _TOP_TOKENS_ORACLE,
     "embedding_topk": _TOPK_ORACLE,
     "embedding_ivf_topk": _IVF_TOPK_ORACLE,

@@ -287,3 +287,35 @@ def test_containment_catches_inclusion_jaccard_misses(spark):
     assert (2, 1) not in cont, "big is not contained in small"
     jac = ldd.jaccard_pairs(df, "doc_id", threshold=0.3).collect()
     assert not jac, "jaccard should NOT flag the inclusion pair"
+
+
+def test_contamination_fraction_semantics_and_plan(spark):
+    """Exact benchmark copy → fraction 1.0 dirty; partial phrase reuse
+    below threshold → clean; disjoint → 0.0 clean; every corpus doc
+    gets a row (unlike the any-hit contaminated_docs). The eval shingle
+    set must broadcast."""
+    from egal_yet_another_earthquake_project_spark.llm.dedup import (
+        contamination_fraction,
+    )
+    from egal_yet_another_earthquake_project_spark.plans import inspect
+
+    eval_docs = spark.createDataFrame(
+        [(900, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),   # exact copy
+            (2, "alpha beta gamma north south east west"), # one shared 3-gram
+            (3, "red green blue yellow purple orange"),    # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    out = contamination_fraction(corpus, eval_docs, "doc_id", dirty_threshold=0.5)
+    rows = {r.doc: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].contamination == 1.0 and rows[1].dirty
+    assert 0.0 < rows[2].contamination < 0.5 and not rows[2].dirty
+    assert rows[3].contamination == 0.0 and not rows[3].dirty
+    assert rows[1].n_shingles == 4 and rows[1].n_hits == 4
+    assert inspect.uses_broadcast_join(out)
