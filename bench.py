@@ -162,6 +162,7 @@ HEADLINE = [
     "dsir_weights",
     "dsir_resample",
     "contamination_fraction",
+    "novelty_profile",
 ]
 
 

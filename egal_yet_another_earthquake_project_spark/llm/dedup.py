@@ -460,6 +460,43 @@ def contamination_fraction(
     )
 
 
+def shingle_novelty(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Cross-document novelty profile: per doc, the share of its
+    DISTINCT n-gram shingles that appear in NO other document —
+    the uniqueness signal a curation pipeline reads next to the
+    intra-doc :func:`.text.repetition_profile` (a low-novelty doc is
+    boilerplate/template mass even when no single pair crosses the
+    near-dup threshold; a high-novelty doc is unique content worth
+    keeping). Output: (doc, n_shingles, n_unique, novelty).
+
+    Plan: the distinct (doc, sh) inverted index is built once; shingle
+    document-frequency is ONE vocabulary-scale aggregate off it, joined
+    back on the shingle key — the exact df-join shape TF-IDF uses, with
+    Zipf-head fan-out bounded by docs-per-shingle. No pair join
+    anywhere: novelty needs df, not neighbor identities, so the
+    quadratic the dup family works to avoid never appears.
+    """
+    index = doc_shingle_sets(docs, id_col, text_col, n)
+    df_counts = index.groupBy("sh").agg(F.count("*").alias("_df"))
+    frac = F.col("n_unique").cast("double") / F.col("n_shingles").cast("double")
+    return (
+        index.join(df_counts, "sh")
+        .groupBy("doc")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("_df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unique"),
+        )
+        .withColumn("novelty", F.round(frac, 4))
+    )
+
+
 def simhash_neardup_pairs(
     sigs: DataFrame,
     max_hamming: int = 3,

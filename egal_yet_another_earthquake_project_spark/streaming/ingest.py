@@ -160,3 +160,55 @@ def stream_neardup_flags(
         .dropDuplicatesWithinWatermark(["doc_a", "doc_b"])
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def stream_contamination_flags(
+    incoming: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    dirty_threshold: float = 0.2,
+) -> DataFrame:
+    """Streaming twin of ``llm.dedup.contamination_fraction``: score
+    every stream document's benchmark-overlap fraction as it arrives.
+
+    The batch form counts distinct shingles through an explode +
+    aggregate; an append stream gets the SAME numbers from pure per-row
+    array arithmetic — ``array_distinct`` for the doc's shingle-set
+    size, ``array_intersect`` against the eval shingle set for the hit
+    count — so the operator carries ZERO streaming state (no explode,
+    no aggregation, no watermark). The eval set rides along as a
+    one-row collect_set frame cross-joined with a broadcast hint:
+    benchmarks are KB–MB scale by definition, and the static side is
+    re-resolved per micro-batch, so publishing a new benchmark version
+    is picked up without restarting the stream. Callers persist
+    ``eval_docs``'s source if re-derivation per batch would be costly.
+
+    Output: the input columns + (n_shingles, n_hits, contamination,
+    dirty) — drained ≡ the batch scorer row-for-row
+    (tests/test_streaming_ingest.py).
+    """
+    from egal_yet_another_earthquake_project_spark.llm.text import (
+        shingles_of_tokens,
+        tokenized,
+    )
+
+    ev = (
+        tokenized(eval_docs, text_col)
+        .select(F.explode(shingles_of_tokens(F.col("_toks"), n)).alias("sh"))
+        .agg(F.collect_set("sh").alias("_ev"))
+    )
+    shingled = tokenized(incoming, text_col).withColumn(
+        "_sh", F.array_distinct(shingles_of_tokens(F.col("_toks"), n))
+    )
+    n_sh = F.size("_sh")
+    n_hits = F.size(F.array_intersect("_sh", "_ev"))
+    frac = n_hits.cast("double") / n_sh.cast("double")
+    return (
+        shingled.crossJoin(F.broadcast(ev))
+        .withColumn("n_shingles", n_sh.cast("long"))
+        .withColumn("n_hits", n_hits.cast("long"))
+        .withColumn("contamination", F.round(frac, 4))
+        .withColumn("dirty", frac >= F.lit(float(dirty_threshold)))
+        .drop("_norm", "_toks", "_sh", "_ev")
+    )

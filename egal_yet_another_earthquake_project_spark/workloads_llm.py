@@ -641,6 +641,30 @@ FROM agg ORDER BY doc
 """
 
 
+def q_novelty_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document novelty (llm.dedup.shingle_novelty): per doc, the
+    share of its distinct 3-gram shingles appearing in NO other doc —
+    the uniqueness signal next to the intra-doc repetition profile.
+    One inverted index + one vocabulary-scale df aggregate joined back
+    on the shingle key (the TF-IDF df-join shape); no pair join."""
+    return ldd.shingle_novelty(_docs(spark, sf_dir), "doc_id").orderBy("doc")
+
+
+_NOVELTY_PROFILE_ORACLE = f"""
+WITH idx AS (
+  SELECT DISTINCT doc_id AS doc, unnest({_SHINGLES}) AS sh FROM documents
+),
+dfc AS (SELECT sh, count(*) AS df FROM idx GROUP BY sh)
+SELECT doc,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 4) AS novelty
+FROM idx JOIN dfc USING (sh)
+GROUP BY doc ORDER BY doc
+"""
+
+
 def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary head: token frequencies, top-20 with a total
     order — the vocab-building pass of a tokenizer pipeline. Map-side
@@ -1771,6 +1795,7 @@ QUERIES = {
     "simhash_neardup": q_simhash_neardup,
     "contamination": q_contamination,
     "contamination_fraction": q_contamination_fraction,
+    "novelty_profile": q_novelty_profile,
     "top_tokens": q_top_tokens,
     "embedding_topk": q_embedding_topk,
     "embedding_ivf_topk": q_embedding_ivf_topk,
@@ -1811,6 +1836,7 @@ ORACLES = {
     "simhash_neardup": _simhash_neardup_sql(),
     "contamination": _CONTAMINATION_ORACLE,
     "contamination_fraction": _CONTAMINATION_FRACTION_ORACLE,
+    "novelty_profile": _NOVELTY_PROFILE_ORACLE,
     "top_tokens": _TOP_TOKENS_ORACLE,
     "embedding_topk": _TOPK_ORACLE,
     "embedding_ivf_topk": _IVF_TOPK_ORACLE,

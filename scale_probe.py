@@ -135,6 +135,16 @@ def probes():
         model = lm.train_bigram_lm(docs)
         return lm.perplexity_buckets(lm.score_bigram_frozen(docs, model))
 
+    def contam(spark, docs):
+        return ldd.contamination_fraction(
+            docs.filter(F.col("doc_id") % 50 != 0),
+            docs.filter(F.col("doc_id") % 50 == 0),
+            "doc_id",
+        )
+
+    def novelty(spark, docs):
+        return ldd.shingle_novelty(docs, "doc_id")
+
     def dsir(spark, docs):
         from egal_yet_another_earthquake_project_spark.llm import dsir as ldsir
 
@@ -174,6 +184,12 @@ def probes():
         # mass (bucket space fixed at B); the models stay ≤B rows at
         # any input size, so ROW_RATIO binds.
         ("DSIR weights + Gumbel-top-k (train+score+select)", _documents, dsir, ROW_RATIO),
+        # decontamination is a broadcast-join scan pass; novelty is the
+        # TF-IDF df-join shape on shingles — both row-linear. The ×10
+        # near-dup construction adds a distinct uniq-suffix shingle per
+        # copy, so the shingle-df mass grows ~10×: ROW_RATIO binds.
+        ("overlap-fraction decontamination", _documents, contam, ROW_RATIO),
+        ("cross-doc novelty profile", _documents, novelty, ROW_RATIO),
     ]
 
 

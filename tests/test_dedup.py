@@ -319,3 +319,28 @@ def test_contamination_fraction_semantics_and_plan(spark):
     assert rows[3].contamination == 0.0 and not rows[3].dirty
     assert rows[1].n_shingles == 4 and rows[1].n_hits == 4
     assert inspect.uses_broadcast_join(out)
+
+
+def test_shingle_novelty_bounds_and_duplicates(spark):
+    """An exact duplicate pair shares every shingle → novelty 0.0 for
+    both; a doc sharing nothing with anyone → 1.0; every doc gets a
+    row and n_unique ≤ n_shingles."""
+    from egal_yet_another_earthquake_project_spark.llm.dedup import (
+        shingle_novelty,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),   # exact dup of 1
+            (3, "red green blue yellow purple"),      # fully unique
+            (4, "alpha beta gamma north south"),      # partial overlap w/ 1,2
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc: r for r in shingle_novelty(docs, "doc_id").collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[1].novelty == 0.0 and rows[2].novelty == 0.0
+    assert rows[3].novelty == 1.0
+    assert 0.0 < rows[4].novelty < 1.0
+    assert all(r.n_unique <= r.n_shingles for r in rows.values())

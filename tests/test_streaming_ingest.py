@@ -133,3 +133,60 @@ def test_stream_neardup_flags_match_batch_gate(spark, tmp_path: Path):
     }
     assert streamed == batch
     assert {(a, b) for a, b, _ in streamed} == {(101, 1), (103, 3)}
+
+
+def test_stream_contamination_flags_match_batch_scorer(spark, tmp_path: Path):
+    """Drained streaming decontamination == llm.dedup.
+    contamination_fraction row-for-row: the stream form gets the same
+    distinct-shingle counts from per-row array arithmetic (zero
+    streaming state), so the split into micro-batches cannot matter."""
+    from egal_yet_another_earthquake_project_spark.llm.dedup import (
+        contamination_fraction,
+    )
+    from egal_yet_another_earthquake_project_spark.streaming.ingest import (
+        stream_contamination_flags,
+    )
+
+    eval_docs = spark.createDataFrame(
+        [(900, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),    # exact copy
+            (2, "alpha beta gamma north south east west"),  # partial reuse
+            (3, "red green blue yellow purple orange"),     # disjoint
+        ],
+        "doc_id long, text string",
+    )
+
+    src = tmp_path / "ct_in"
+    incoming.filter(F.col("doc_id") < 3).write.parquet(str(src / "b1"))
+    stream = stream_parquet_dir(spark, str(src) + "/*", incoming.schema)
+    flags = stream_contamination_flags(stream, eval_docs, dirty_threshold=0.5)
+    q = (
+        flags.writeStream.format("memory")
+        .queryName("contamination_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ct_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        incoming.filter(F.col("doc_id") == 3).write.parquet(str(src / "b2"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    live = {
+        (r.doc_id, r.n_shingles, r.n_hits, r.contamination, r.dirty)
+        for r in spark.table("contamination_out").collect()
+    }
+    batch = {
+        (r.doc, r.n_shingles, r.n_hits, r.contamination, r.dirty)
+        for r in contamination_fraction(
+            incoming, eval_docs, "doc_id", dirty_threshold=0.5
+        ).collect()
+    }
+    assert live == batch and len(batch) == 3
+    assert any(r[4] for r in live) and any(not r[4] for r in live)
