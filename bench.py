@@ -163,6 +163,7 @@ HEADLINE = [
     "dsir_resample",
     "contamination_fraction",
     "novelty_profile",
+    "embedding_drift",
 ]
 
 

@@ -1776,6 +1776,88 @@ FROM sel ORDER BY doc_id
 """
 
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor — the vector analog of the token-KL
+    `source_drift`: per label (the embedding table's source key), the
+    cosine between the label's centroid and the GLOBAL corpus centroid.
+    A label whose upstream pipeline broke (wrong encoder version, wrong
+    preprocessing, a poisoned shard) drifts its centroid away from the
+    corpus; cosine catches direction shifts that per-dim means hide.
+
+    Scale shape: one posexplode + (label, dim) integer aggregate (the
+    label_centroids shuffle), a dims-scale global rollup off those
+    partials (labels×dims rows in, dims rows out), one broadcast join
+    back, one labels-scale aggregate. No collect, no pair join, nothing
+    corpus-sized moves twice.
+
+    Determinism: the same 1e-6 floor-quantization as label_centroids
+    makes both sum vectors exact integers; the cosine's dot/norm sums
+    route through DECIMAL(18,0)×DECIMAL(18,0) products (≤37 digits,
+    exact, partition-order-free), so both engines divide IDENTICAL
+    operands. Centroid scaling (sum vs mean) cancels in cosine, so the
+    division by n never happens at all."""
+    emb = _emb(spark, sf_dir)
+    lab = (
+        emb.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "dim", "val"
+            ),
+        )
+        .withColumn("qv", F.floor(F.col("val") * 1000000).cast("long"))
+        .groupBy("label", "dim")
+        .agg(F.sum("qv").alias("qc"))
+    )
+    glob = lab.groupBy("dim").agg(F.sum("qc").alias("qg"))
+    n = emb.groupBy("label").agg(F.count("*").alias("n_vecs"))
+    dc = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    per = (
+        lab.join(F.broadcast(glob), "dim")
+        .groupBy("label")
+        .agg(
+            F.sum(dc("qc") * dc("qg")).alias("_num"),
+            F.sum(dc("qc") * dc("qc")).alias("_nc"),
+            F.sum(dc("qg") * dc("qg")).alias("_ng"),
+        )
+    )
+    cos = F.col("_num").cast("double") / (
+        F.sqrt(F.col("_nc").cast("double")) * F.sqrt(F.col("_ng").cast("double"))
+    )
+    return (
+        per.join(F.broadcast(n), "label")
+        .select(
+            "label",
+            "n_vecs",
+            (F.round(cos, 4) + F.lit(0.0)).alias("centroid_cosine"),
+        )
+        .orderBy("label")
+    )
+
+
+_EMBEDDING_DRIFT_ORACLE = """
+WITH q AS (
+  SELECT label, i AS dim, CAST(floor(v[i + 1] * 1000000) AS BIGINT) AS qv
+  FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+       range(64) r(i)
+),
+lab AS (SELECT label, dim, sum(qv) AS qc FROM q GROUP BY 1, 2),
+gl AS (SELECT dim, sum(qc) AS qg FROM lab GROUP BY dim),
+n AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label),
+per AS (
+  SELECT label,
+         sum(CAST(qc AS HUGEINT) * CAST(qg AS HUGEINT)) AS num,
+         sum(CAST(qc AS HUGEINT) * CAST(qc AS HUGEINT)) AS nc,
+         sum(CAST(qg AS HUGEINT) * CAST(qg AS HUGEINT)) AS ng
+  FROM lab JOIN gl USING (dim) GROUP BY label
+)
+SELECT p.label, n.n_vecs,
+       round(CAST(num AS DOUBLE)
+             / (sqrt(CAST(nc AS DOUBLE)) * sqrt(CAST(ng AS DOUBLE))), 4)
+         + 0.0 AS centroid_cosine
+FROM per p JOIN n USING (label) ORDER BY label
+"""
+
+
 QUERIES = {
     "text_profile": q_text_profile,
     "gopher_quality_flags": q_gopher_quality_flags,
@@ -1805,6 +1887,7 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "media_neardup": q_media_neardup,
     "label_centroids": q_label_centroids,
+    "embedding_drift": q_embedding_drift,
     "kmeans_clusters": q_kmeans_clusters,
     "token_ids": q_token_ids,
     "incremental_new_docs": q_incremental_new_docs,
@@ -1846,6 +1929,7 @@ ORACLES = {
     "multimodal_features": _MULTIMODAL_FEATURES_ORACLE,
     "media_neardup": _media_neardup_oracle(),
     "label_centroids": _LABEL_CENTROIDS_ORACLE,
+    "embedding_drift": _EMBEDDING_DRIFT_ORACLE,
     "kmeans_clusters": _kmeans_sql(),
     "token_ids": _TOKEN_IDS_ORACLE,
     "incremental_new_docs": _INCREMENTAL_ORACLE,

@@ -453,3 +453,39 @@ def test_ivf_rebuild_on_empty_index_reports_healthy(spark, tmp_path):
 
     res = ai.maybe_rebuild_ivf_index(spark, str(tmp_path / "nope"), threshold=2.0)
     assert res == {"imbalance": None, "rebuilt": False}
+
+
+def test_embedding_drift_flags_the_shifted_label(spark, tmp_path):
+    """A label whose vectors point away from the corpus mean gets a
+    visibly lower centroid cosine than well-mixed labels; cosine is
+    scale-free (sum vs mean cancels) and every label gets a row."""
+    import random
+
+    from egal_yet_another_earthquake_project_spark.workloads_llm import (
+        q_embedding_drift,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    vid = 0
+    base = [1.0] + [0.0] * 63
+    for label in (0, 1):  # healthy: near +e0
+        for _ in range(20):
+            rows.append(
+                (vid, [b + rng.uniform(-0.05, 0.05) for b in base], label)
+            )
+            vid += 1
+    for _ in range(20):  # label 9: encoder broke, vectors near -e0
+        rows.append(
+            (vid, [-b + rng.uniform(-0.05, 0.05) for b in base], 9)
+        )
+        vid += 1
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    out = {r.label: r for r in q_embedding_drift(spark, str(tmp_path)).collect()}
+    assert set(out) == {0, 1, 9}
+    assert all(r.n_vecs == 20 for r in out.values())
+    assert out[0].centroid_cosine > 0.9 and out[1].centroid_cosine > 0.9
+    assert out[9].centroid_cosine < 0.0  # opposed to the corpus direction
