@@ -168,10 +168,11 @@ HEADLINE = [
 
 
 def _bench_curate_e2e(spark, sf_dir: str) -> None:
-    """End-to-end curate job (gates → exact dedup → MinHash-LSH
-    near-dedup → α-resample → packing → sharded parquet write) — the
-    composed product path, exercised with every optional stage ON so the
-    bench times what a pipeline operator actually runs."""
+    """End-to-end curate job (gates → exact dedup → decontamination →
+    MinHash-LSH near-dedup → α-resample → packing → sharded parquet
+    write) — the composed product path, exercised with every optional
+    stage ON so the bench times what a pipeline operator actually
+    runs."""
     import shutil
     import tempfile
 
@@ -179,8 +180,15 @@ def _bench_curate_e2e(spark, sf_dir: str) -> None:
     from egal_yet_another_earthquake_project_spark.sources.files import read_table
 
     docs = read_table(spark, sf_dir, "documents")
+    from pyspark.sql import functions as F
+
     result = curate.curate_corpus(
-        docs, near_dedup=True, alpha=0.7, budget=2000, ctx=256
+        docs,
+        near_dedup=True,
+        decontaminate=docs.filter(F.col("doc_id") < 3),
+        alpha=0.7,
+        budget=2000,
+        ctx=256,
     )
     out_dir = tempfile.mkdtemp(prefix="bench_curate_")
     try:

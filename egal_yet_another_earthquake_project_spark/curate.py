@@ -47,6 +47,8 @@ def curate_corpus(
     lang: str | None = "en",
     near_dedup: bool = False,
     jaccard_threshold: float = 0.7,
+    decontaminate: DataFrame | None = None,
+    contamination_threshold: float = 0.2,
     keep: str = "min_id",
     alpha: float | None = None,
     budget: int = 1000,
@@ -63,6 +65,11 @@ def curate_corpus(
     keep-the-best-copy policy; one row_number window over the
     clustered docs only, which are a corpus fraction). ``alpha``
     enables the temperature resample down to ``budget`` docs.
+    ``decontaminate`` takes the benchmark/eval document frame: docs
+    whose distinct-shingle overlap fraction with it reaches
+    ``contamination_threshold`` are dropped (llm.dedup.
+    contamination_fraction — the GPT-3/PaLM gate) right after exact
+    dedup, so the eval-set broadcast joins the already-shrunk corpus.
     ``mixture`` maps source → epoch weight: each surviving doc is
     repeated per its source's weight (floor copies + md5-stable
     fractional extra — llm.sampling.mixture_epochs) BEFORE packing, so
@@ -98,6 +105,27 @@ def curate_corpus(
 
     if keep not in ("min_id", "best_quality"):
         raise ValueError(f"unknown keep policy: {keep!r}")
+
+    if decontaminate is not None:
+        # Dirty set is a corpus fraction (same class as the dedup loser
+        # set below) — no broadcast hint; the anti-join keeps plan shape
+        # and AQE broadcasts it while it genuinely fits.
+        dirty = (
+            ldd.contamination_fraction(
+                deduped,
+                decontaminate,
+                id_col,
+                text_col,
+                dirty_threshold=contamination_threshold,
+            )
+            .filter(F.col("dirty"))
+            .select(F.col("doc").alias(id_col))
+        )
+        clean = deduped.join(dirty, id_col, "left_anti").persist()
+        stats["after_decontamination"] = clean.count()
+        deduped.unpersist()
+        deduped = clean
+
     if near_dedup:
         pairs = ldd.minhash_lsh_dedup_pairs(
             deduped, id_col, text_col, verify_threshold=jaccard_threshold

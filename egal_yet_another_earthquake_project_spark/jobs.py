@@ -99,6 +99,13 @@ def _parser() -> argparse.ArgumentParser:
     d.add_argument("--alpha", type=float, default=None, help="enable α resampling")
     d.add_argument("--budget", type=int, default=1000)
     d.add_argument(
+        "--decontaminate",
+        default=None,
+        help="benchmark/eval docs parquet — drop docs whose distinct-"
+        "shingle overlap fraction reaches --contamination-threshold",
+    )
+    d.add_argument("--contamination-threshold", type=float, default=0.2)
+    d.add_argument(
         "--mixture",
         default=None,
         help="epoch weights per source, e.g. 'wiki=2.3,web=0.8' — shards "
@@ -266,6 +273,12 @@ def main(argv: list[str] | None = None) -> int:
                 min_quality=args.min_quality,
                 lang=None if args.lang == "any" else args.lang,
                 near_dedup=args.near_dedup,
+                decontaminate=(
+                    spark.read.parquet(args.decontaminate)
+                    if args.decontaminate
+                    else None
+                ),
+                contamination_threshold=args.contamination_threshold,
                 keep=args.keep,
                 alpha=args.alpha,
                 budget=args.budget,

@@ -488,3 +488,41 @@ def test_cli_dsir_train_and_score(spark, tmp_path: Path, capsys):
     sel = spark.read.parquet(str(tmp_path / "sel"))
     assert sel.count() == 20
     assert {r.doc for r in sel.collect()} <= {t[0] for t in want}
+
+
+def test_cli_curate_decontaminate_flag(spark, tmp_path: Path, capsys):
+    """curate --decontaminate <eval parquet> wires the decontamination
+    stage: the stats line grows the after_decontamination rung and the
+    planted benchmark copies never reach the shards."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from egal_yet_another_earthquake_project_spark import jobs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    eval_p = str(tmp_path / "eval_in")
+    docs.filter(F.col("doc_id") < 3).write.parquet(eval_p)
+
+    out = str(tmp_path / "shards")
+    real_stop = spark.stop
+    spark.stop = lambda: None
+    try:
+        rc = jobs.main(
+            ["curate", "--source-dir", "/root/testdata/sf0.001",
+             "--out", out, "--decontaminate", eval_p,
+             "--contamination-threshold", "0.5", "--lang", "any",
+             "--min-quality", "0.0"]
+        )
+        assert rc == 0
+    finally:
+        spark.stop = real_stop
+    stats = json.loads(
+        [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    )
+    assert "after_decontamination" in stats
+    assert stats["after_decontamination"] <= stats["after_dedup"]
+    shard_ids = {
+        r.doc_id for r in spark.read.parquet(out).collect()
+    }
+    assert not shard_ids & {0, 1, 2}

@@ -140,3 +140,38 @@ def test_curate_keep_best_quality(spark):
     kept_min = curate.curate_corpus(docs, lang=None, near_dedup=True).corpus
     ids_min = {r.doc_id for r in kept_min.select("doc_id").distinct().collect()}
     assert ids_min == {1, 3}
+
+
+def test_curate_decontamination_stage_drops_dirty_docs(spark, docs):
+    """decontaminate=eval_docs drops exactly the docs whose overlap
+    fraction reaches the threshold, records the stage in the stats
+    ladder, and leaves the clean docs' downstream flow untouched."""
+    from egal_yet_another_earthquake_project_spark.llm.dedup import (
+        contamination_fraction,
+    )
+
+    # the eval set IS three corpus docs → those docs are 100% dirty
+    eval_docs = docs.filter(F.col("doc_id") < 3)
+    baseline = curate.curate_corpus(docs)
+    try:
+        result = curate.curate_corpus(
+            docs, decontaminate=eval_docs, contamination_threshold=0.5
+        )
+        s = result.stats
+        assert "after_decontamination" in s
+        assert s["after_dedup"] >= s["after_decontamination"]
+        expected_dirty = (
+            contamination_fraction(
+                docs, eval_docs, "doc_id", dirty_threshold=0.5
+            )
+            .filter(F.col("dirty"))
+            .count()
+        )
+        assert expected_dirty >= 3  # the planted copies are caught
+        kept_ids = {r.doc_id for r in result.corpus.select("doc_id").collect()}
+        assert not kept_ids & {0, 1, 2}
+        # clean docs flow through identically (same gates, no resample)
+        base_ids = {r.doc_id for r in baseline.corpus.select("doc_id").collect()}
+        assert kept_ids <= base_ids
+    finally:
+        spark.catalog.clearCache()
