@@ -10,8 +10,10 @@ multi-hop shape as the reference's NiFi ingest→transform→index chain
 (`sparktoELKstream.py:130-144`), re-expressed as checkpointed Spark
 file-to-file streams:
 
-    {out}/admitted   hop 1  gates + exact-dup gate (stream_new_docs:
-                            corpus-fp anti-join + watermark dedup)
+    {out}/admitted   hop 1  gates + optional benchmark decontamination
+                            (zero-state overlap-fraction flags) +
+                            exact-dup gate (stream_new_docs: corpus-fp
+                            anti-join + watermark dedup)
     {out}/scored     hop 2  near-dup drop (incremental vs corpus and
                             kept-so-far; LSH + connected components
                             within the batch) + frozen-LM scoring
@@ -82,6 +84,8 @@ def _admit_hop(
     *,
     min_quality: float,
     lang: str | None,
+    eval_docs: DataFrame | None,
+    contamination_threshold: float,
     id_col: str,
     source_col: str,
     text_col: str,
@@ -89,9 +93,13 @@ def _admit_hop(
     watermark: str,
     max_files_per_trigger: int | None,
 ):
-    """Hop 1: quality/language gates (stateless Catalyst filters) +
-    the exact-duplicate gate (``stream_new_docs``: corpus-fingerprint
-    anti-join, then watermark-bounded in-stream fp dedup)."""
+    """Hop 1: quality/language gates (stateless Catalyst filters), the
+    optional benchmark-decontamination gate (``stream_contamination_
+    flags`` — per-row array arithmetic vs the broadcast eval shingle
+    set, zero state, mirroring the batch job's ``decontaminate``
+    stage), + the exact-duplicate gate (``stream_new_docs``:
+    corpus-fingerprint anti-join, then watermark-bounded in-stream fp
+    dedup)."""
     reader = spark.readStream.format("parquet").schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -103,6 +111,22 @@ def _admit_hop(
     if lang is not None:
         gated = gated.filter(F.col("lang_guess") == lang)
     gated = gated.select(id_col, source_col, text_col, event_time, "quality")
+
+    if eval_docs is not None:
+        from egal_yet_another_earthquake_project_spark.streaming.ingest import (
+            stream_contamination_flags,
+        )
+
+        gated = (
+            stream_contamination_flags(
+                gated,
+                eval_docs,
+                text_col=text_col,
+                dirty_threshold=contamination_threshold,
+            )
+            .filter(~F.col("dirty"))
+            .drop("n_shingles", "n_hits", "contamination", "dirty")
+        )
 
     if corpus is not None:
         fps = corpus.select(
@@ -281,6 +305,8 @@ def curate_stream(
     *,
     min_quality: float = 0.5,
     lang: str | None = "en",
+    eval_docs: DataFrame | None = None,
+    contamination_threshold: float = 0.2,
     jaccard_threshold: float = 0.8,
     ctx: int = 256,
     id_col: str = "doc_id",
@@ -307,7 +333,8 @@ def curate_stream(
     )[id_col]
     hops = _build_hops(
         spark, source_dir, schema, corpus, out_dir, checkpoint_dir, model,
-        min_quality=min_quality, lang=lang,
+        min_quality=min_quality, lang=lang, eval_docs=eval_docs,
+        contamination_threshold=contamination_threshold,
         jaccard_threshold=jaccard_threshold, ctx=ctx, id_col=id_col,
         id_type=id_type, source_col=source_col, text_col=text_col,
         event_time=event_time, watermark=watermark,
@@ -333,6 +360,8 @@ def _build_hops(
     admit = _admit_hop(
         spark, source_dir, schema, corpus, out_dir, checkpoint_dir,
         min_quality=kw["min_quality"], lang=kw["lang"],
+        eval_docs=kw["eval_docs"],
+        contamination_threshold=kw["contamination_threshold"],
         id_col=kw["id_col"], source_col=kw["source_col"],
         text_col=kw["text_col"], event_time=kw["event_time"],
         watermark=kw["watermark"],
@@ -369,6 +398,8 @@ def drain_curate_stream(
     per-hop row counts for the job log."""
     kw.setdefault("min_quality", 0.5)
     kw.setdefault("lang", "en")
+    kw.setdefault("eval_docs", None)
+    kw.setdefault("contamination_threshold", 0.2)
     kw.setdefault("jaccard_threshold", 0.8)
     kw.setdefault("ctx", 256)
     kw.setdefault("id_col", "doc_id")

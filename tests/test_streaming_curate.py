@@ -192,3 +192,61 @@ def test_incremental_drain_gates_scores_and_packs_across_batches(
     }
     assert after == before
     clean.unpersist()
+
+
+def test_drained_stream_with_decontamination_matches_batch(
+    spark, tmp_path: Path
+):
+    """Same single-batch equality with the decontamination gate ON: the
+    stream drops exactly the docs the batch job's decontaminate stage
+    drops (the per-doc overlap score is independent of other corpus
+    docs, so hop placement — before vs after the exact gate — cannot
+    change the verdict for an exact-deduped drop)."""
+    drop = _drop_frame(spark)
+    eval_docs = drop.filter(F.col("doc_id") < 3).select("doc_id", "text")
+
+    want = {
+        tuple(r)
+        for r in curate.curate_corpus(
+            drop,
+            min_quality=0.5,
+            lang="en",
+            near_dedup=True,
+            decontaminate=eval_docs,
+            contamination_threshold=0.5,
+            jaccard_threshold=0.7,
+            keep="min_id",
+            ctx=256,
+        )
+        .corpus.select(
+            "doc_id", "source", "text", "n_tokens", "start_tok", "pack_id"
+        )
+        .collect()
+    }
+
+    src = tmp_path / "drop_in"
+    drop.selectExpr("doc_id", "source", "text", f"{TS} AS ingest_ts").coalesce(
+        1
+    ).write.parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+
+    drain_curate_stream(
+        spark,
+        str(src),
+        schema,
+        corpus=None,
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        model=None,
+        eval_docs=eval_docs,
+        contamination_threshold=0.5,
+        jaccard_threshold=0.7,
+    )
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "out" / "shards"))
+        .select("doc_id", "source", "text", "n_tokens", "start_tok", "pack_id")
+        .collect()
+    }
+    assert got == want and len(want) > 0
+    assert not {t[0] for t in got} & {0, 1, 2}
