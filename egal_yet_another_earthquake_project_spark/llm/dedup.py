@@ -742,10 +742,27 @@ def band_key_frame(
     ).select("doc", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
 
 
+def band_pair_join(band_frame: DataFrame) -> DataFrame:
+    """Distinct ``(doc_a < doc_b)`` pairs agreeing on any (band, sig)
+    key — the self-join half of :func:`lsh_candidate_pairs`, factored
+    out so callers that already hold a (cached) band frame (the
+    streaming curation hop reuses ONE frame for this self-join, the
+    vs-corpus join, and the persisted index append) skip the recompute."""
+    a = band_frame.alias("a")
+    b = band_frame.alias("b")
+    return (
+        a.join(b, on=["band", "sig"])
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs: docs agreeing on ALL hashes of any band.
 
@@ -759,19 +776,21 @@ def lsh_candidate_pairs(
     tokenize→shingle→md5 signature pipeline twice doubles the dominant
     cost (measured ~2× at sf0.1). The frame is small by construction —
     bands × docs rows of (doc, band, fixed-width sig).
+
+    ``cache_registry``: long-running callers (the streaming curation
+    hop, which runs this every micro-batch) pass a list; every frame
+    this call caches is appended so the caller can ``unpersist()`` them
+    once the results are materialized — otherwise cached blocks
+    accumulate for the process lifetime. One-shot batch queries may
+    leave it None (the session teardown releases them).
     """
     exploded = band_key_frame(signatures, num_hashes, bands).cache()
+    if cache_registry is not None:
+        cache_registry.append(exploded)
     # Materialize BEFORE the self-join: the two join sides otherwise race
     # on the unpopulated cache within one job and each run the pipeline.
     exploded.count()
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    return (
-        a.join(b, on=["band", "sig"])
-        .filter(F.col("a.doc") < F.col("b.doc"))
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .distinct()
-    )
+    return band_pair_join(exploded)
 
 
 def minhash_lsh_dedup_pairs(
@@ -783,6 +802,7 @@ def minhash_lsh_dedup_pairs(
     bands: int = DEFAULT_BANDS,
     verify_threshold: float | None = 0.8,
     max_doc_freq: int | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection: signatures → banded
     candidates → (optional) exact-Jaccard verification of candidates only.
@@ -796,11 +816,12 @@ def minhash_lsh_dedup_pairs(
     hashes), the hot-key risk sits in the shingle self-join.
     """
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    cands = lsh_candidate_pairs(sigs, num_hashes, bands)
+    cands = lsh_candidate_pairs(sigs, num_hashes, bands, cache_registry)
     if verify_threshold is None:
         return cands
     return verify_candidate_pairs(
-        df, cands, id_col, text_col, n, verify_threshold, max_doc_freq
+        df, cands, id_col, text_col, n, verify_threshold, max_doc_freq,
+        cache_registry=cache_registry,
     )
 
 
@@ -812,12 +833,17 @@ def verify_candidate_pairs(
     n: int = 3,
     verify_threshold: float = 0.8,
     max_doc_freq: int | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of an LSH candidate-pair frame against
     the corpus ``df`` holding both pair ends: keep ``(doc_a, doc_b)``
     whose shingle-set Jaccard (rounded 4) meets ``verify_threshold``.
     Factored out of :func:`minhash_lsh_dedup_pairs` so the incremental
     (batch-vs-corpus) path shares the identical verify arithmetic.
+
+    ``cache_registry`` collects the frames this call caches so repeated
+    callers (per-micro-batch streaming hops) can release them — see
+    :func:`lsh_candidate_pairs`.
     """
     # The candidate set feeds three consumers (doc pruning, the pair join,
     # the final projection); cache AND materialize it so the LSH pipeline
@@ -825,6 +851,8 @@ def verify_candidate_pairs(
     # on the unpopulated cache and each recompute it. It is tiny by
     # construction (that is the point of LSH).
     cands = cands.cache()
+    if cache_registry is not None:
+        cache_registry.append(cands)
     cands.count()
     # Verification touches only candidate docs: semi-join-prune the corpus
     # down to them first (candidates are a tiny fraction of the corpus —
@@ -887,6 +915,8 @@ def verify_candidate_pairs(
     # (measured ~2× on the verify stage at sf0.1). Candidate-doc scale
     # by construction, same justification as the cands cache above.
     sh_sets = sh_sets.cache()
+    if cache_registry is not None:
+        cache_registry.append(sh_sets)
     sh_sets.count()
     a = sh_sets.select(
         F.col("doc").alias("doc_a"), F.col("_sz").alias("sz_a"), F.col("_shj").alias("_ja")
@@ -951,6 +981,7 @@ def incremental_neardup_pairs(
     verify_threshold: float | None = 0.8,
     existing_bands: DataFrame | None = None,
     incoming_bands: DataFrame | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs BETWEEN an incoming batch and the existing
     corpus — the continuous-crawl near-dedup gate, the MinHash analogue
@@ -1006,5 +1037,6 @@ def incremental_neardup_pairs(
         existing.select(id_col, text_col)
     )
     return verify_candidate_pairs(
-        union, cands, id_col, text_col, n, verify_threshold
+        union, cands, id_col, text_col, n, verify_threshold,
+        cache_registry=cache_registry,
     )

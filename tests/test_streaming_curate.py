@@ -250,3 +250,231 @@ def test_drained_stream_with_decontamination_matches_batch(
     }
     assert got == want and len(want) > 0
     assert not {t[0] for t in got} & {0, 1, 2}
+
+
+def test_hop2_signs_each_doc_once_and_never_resigns_corpus(
+    spark, tmp_path: Path, monkeypatch
+):
+    """The VERDICT r7 #1 contract: hop 2's near-dup gate joins the
+    PERSISTED band index instead of re-signing history. The spy wraps
+    minhash_signatures and records every input's row count — across a
+    bootstrap + three drains the signing calls must be exactly: the
+    corpus once (the _batch_id=-1 bootstrap), then each batch once.
+    A re-sign of corpus ∪ prior batches would show up as an extra
+    corpus-sized call in drains 2-3."""
+    from egal_yet_another_earthquake_project_spark.streaming import (
+        curate as scur,
+    )
+
+    clean = _drop_frame(spark).persist()
+    cut = clean.agg(F.percentile_approx("doc_id", 0.5).alias("c")).first().c
+    corpus = clean.filter(F.col("doc_id") < F.lit(cut))
+    drop = clean.filter(F.col("doc_id") >= F.lit(cut))
+    mid = drop.agg(F.percentile_approx("doc_id", 0.5).alias("c")).first().c
+    corpus_n = corpus.count()
+    b1 = drop.filter(F.col("doc_id") < F.lit(mid))
+    b2 = drop.filter(F.col("doc_id") >= F.lit(mid))
+
+    signed_sizes: list[int] = []
+    orig = ldd.minhash_signatures
+
+    def spy(df, id_col, text_col="text", *a, **k):
+        signed_sizes.append(df.count())
+        return orig(df, id_col, text_col, *a, **k)
+
+    monkeypatch.setattr(ldd, "minhash_signatures", spy)
+    # curate.py binds the module (ldd.minhash_signatures), so the spy is
+    # seen; incremental_neardup_pairs receives BOTH band frames and must
+    # not call it at all.
+
+    src = tmp_path / "in"
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    b1.selectExpr("doc_id", "source", "text", f"{TS} AS ingest_ts").coalesce(
+        1
+    ).write.parquet(str(src / "b1"))
+    schema = spark.read.parquet(str(src / "b1")).schema
+
+    def drain():
+        return scur.drain_curate_stream(
+            spark, str(src) + "/*", schema, corpus=corpus, out_dir=out,
+            checkpoint_dir=ck, model=None,
+        )
+
+    drain()
+    # bootstrap signed the corpus once, then batch 1 once
+    assert signed_sizes[0] == corpus_n
+    assert len(signed_sizes) == 2 and signed_sizes[1] <= b1.count()
+
+    b2.selectExpr("doc_id", "source", "text", f"{TS} AS ingest_ts").coalesce(
+        1
+    ).write.parquet(str(src / "b2"))
+    drain()
+    # batch 2 signed once; the corpus and batch 1 were NOT re-signed —
+    # their bands came from {out}/bands
+    assert len(signed_sizes) == 3 and signed_sizes[2] <= b2.count()
+    assert all(s < corpus_n for s in signed_sizes[1:])
+
+    # a no-op drain signs nothing
+    drain()
+    assert len(signed_sizes) == 3
+
+    # and the admitted set still went through the near-dup gate: no kept
+    # doc is a near-dup of the corpus (the index path changed, the
+    # semantics must not)
+    kept_docs = spark.read.parquet(f"{out}/scored").select("doc_id", "text")
+    assert (
+        ldd.incremental_neardup_pairs(
+            kept_docs, corpus, "doc_id", "text", verify_threshold=0.8
+        ).count()
+        == 0
+    )
+    clean.unpersist()
+
+
+def test_corrupt_prior_output_fails_batch_instead_of_dropping_history(
+    spark, tmp_path: Path
+):
+    """_read_prior must only treat path-missing as "no history"
+    (VERDICT r7 #2): a corrupt prior partition fails the micro-batch
+    (checkpoint retries it) instead of silently re-admitting near-dups
+    and resetting pack offsets; after repair the retry succeeds."""
+    from pyspark.errors import StreamingQueryException
+
+    drop = _drop_frame(spark)
+    mid = drop.agg(F.percentile_approx("doc_id", 0.5).alias("c")).first().c
+    src = tmp_path / "in"
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    drop.filter(F.col("doc_id") < F.lit(mid)).selectExpr(
+        "doc_id", "source", "text", f"{TS} AS ingest_ts"
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    schema = spark.read.parquet(str(src / "b1")).schema
+
+    def drain():
+        return drain_curate_stream(
+            spark, str(src) + "/*", schema, corpus=None, out_dir=out,
+            checkpoint_dir=ck, model=None,
+        )
+
+    drain()
+
+    # corrupt the committed history hop 2 reads (its band index), then
+    # ship a second batch: the drain must FAIL, not silently continue
+    junk = Path(out) / "bands" / "_batch_id=0" / "junk.parquet"
+    good = next(junk.parent.glob("part-*.parquet"))
+    junk.write_bytes(b"not a parquet file")
+    drop.filter(F.col("doc_id") >= F.lit(mid)).selectExpr(
+        "doc_id", "source", "text", f"{TS} AS ingest_ts"
+    ).coalesce(1).write.parquet(str(src / "b2"))
+    try:
+        drain()
+        raise AssertionError("corrupt prior band index must fail the batch")
+    except StreamingQueryException:
+        pass
+    except Exception as e:  # footer errors can surface pre-stream too
+        assert "junk" in str(e) or "footer" in str(e).lower() or "Parquet" in str(e)
+
+    # repair → the retry succeeds and history is intact (offsets tile)
+    junk.unlink()
+    assert good.exists()
+    drain()
+    shards = spark.read.parquet(f"{out}/shards")
+    rows = shards.select("source", "start_tok", "n_tokens").collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append((r.start_tok, r.n_tokens))
+    for source, spans in by_source.items():
+        spans.sort()
+        pos = 0
+        for start, n in spans:
+            assert start == pos, (source, start, pos)
+            pos += n
+
+
+def test_compaction_merges_committed_partitions_and_preserves_results(
+    spark, tmp_path: Path
+):
+    """compact_curate_outputs (VERDICT r7 #4): after a multi-batch run,
+    compaction collapses the per-trigger _batch_id partitions into one
+    per output (bands keep the _batch_id=-1 corpus bootstrap), changes
+    NO rows, and the pipeline keeps working afterwards — a further drop
+    drains with intact dedup gating and seamless pack offsets."""
+    from egal_yet_another_earthquake_project_spark.streaming.curate import (
+        compact_curate_outputs,
+    )
+
+    clean = _drop_frame(spark).persist()
+    cut = clean.agg(F.percentile_approx("doc_id", 0.5).alias("c")).first().c
+    corpus = clean.filter(F.col("doc_id") < F.lit(cut))
+    rest = clean.filter(F.col("doc_id") >= F.lit(cut))
+    qs = [
+        rest.agg(F.percentile_approx("doc_id", q).alias("c")).first().c
+        for q in (0.33, 0.66)
+    ]
+    batches = [
+        rest.filter(F.col("doc_id") < F.lit(qs[0])),
+        rest.filter((F.col("doc_id") >= F.lit(qs[0])) & (F.col("doc_id") < F.lit(qs[1]))),
+        rest.filter(F.col("doc_id") >= F.lit(qs[1])),
+    ]
+    src = tmp_path / "in"
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def ship(i):
+        batches[i].selectExpr(
+            "doc_id", "source", "text", f"{TS} AS ingest_ts"
+        ).coalesce(1).write.parquet(str(src / f"b{i}"))
+
+    ship(0)
+    schema = spark.read.parquet(str(src / "b0")).schema
+
+    def drain():
+        return drain_curate_stream(
+            spark, str(src) + "/*", schema, corpus=corpus, out_dir=out,
+            checkpoint_dir=ck, model=None,
+        )
+
+    drain()
+    ship(1)
+    drain()
+
+    def snapshot(name):
+        return {
+            tuple(r)
+            for r in spark.read.parquet(f"{out}/{name}")
+            .drop("_batch_id")
+            .collect()
+        }
+
+    before = {n: snapshot(n) for n in ("scored", "bands", "shards")}
+    parts_before = {
+        n: len(list((Path(out) / n).glob("_batch_id=*")))
+        for n in ("scored", "bands", "shards")
+    }
+    assert parts_before["scored"] == 2 and parts_before["bands"] == 3
+
+    res = compact_curate_outputs(spark, out, ck)
+    assert res["scored"]["merged_partitions"] == 2
+    assert res["bands"]["merged_partitions"] == 2  # -1 bootstrap untouched
+
+    for name in ("scored", "bands", "shards"):
+        assert snapshot(name) == before[name], name
+    assert len(list((Path(out) / "scored").glob("_batch_id=*"))) == 1
+    assert (Path(out) / "bands" / "_batch_id=-1").exists()
+    assert len(list((Path(out) / "bands").glob("_batch_id=*"))) == 2
+
+    # the pipeline continues over the compacted history: dedup gate and
+    # pack tails both read the merged partitions
+    ship(2)
+    drain()
+    shards = spark.read.parquet(f"{out}/shards")
+    assert shards.select("doc_id").distinct().count() == shards.count()
+    rows = shards.select("source", "start_tok", "n_tokens").collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append((r.start_tok, r.n_tokens))
+    for source, spans in by_source.items():
+        spans.sort()
+        pos = 0
+        for start, n in spans:
+            assert start == pos, (source, start, pos)
+            pos += n
+    clean.unpersist()
