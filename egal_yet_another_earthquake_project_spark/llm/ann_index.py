@@ -46,12 +46,12 @@ search time; only the (small) query batch broadcasts.
 from __future__ import annotations
 
 import os
-import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from egal_yet_another_earthquake_project_spark import fsutil
 from egal_yet_another_earthquake_project_spark.llm.similarity import (
     _dots,
     _topk_from_candidates,
@@ -62,27 +62,73 @@ from egal_yet_another_earthquake_project_spark.llm.similarity import (
 )
 
 
+def _active_spark() -> SparkSession | None:
+    return SparkSession.getActiveSession()
+
+
 def _read_current(index_dir: str) -> int | None:
     """Version number in ``{index_dir}/CURRENT``, or None (legacy flat
-    layout / index not built yet)."""
-    try:
-        with open(f"{index_dir}/CURRENT", encoding="utf-8") as fh:
-            return int(fh.read().strip().split("=", 1)[1])
-    except (FileNotFoundError, NotADirectoryError):
+    layout / index not built yet). Goes through the Hadoop FileSystem
+    when a session is active so hdfs://s3a:// index dirs work; plain
+    ``open`` only as the no-session local fallback."""
+    spark = _active_spark()
+    if spark is not None:
+        text = fsutil.read_text(spark, f"{index_dir}/CURRENT")
+    else:
+        try:
+            with open(f"{index_dir}/CURRENT", encoding="utf-8") as fh:
+                text = fh.read()
+        except (FileNotFoundError, NotADirectoryError):
+            text = None
+    if text is None:
         return None
+    return int(text.strip().split("=", 1)[1])
+
+
+def _list_versions(index_dir: str) -> list[int]:
+    """Version numbers of every ``v=N`` child (complete or staged)."""
+    spark = _active_spark()
+    if spark is not None:
+        names = fsutil.list_names(spark, index_dir)
+    else:
+        try:
+            names = os.listdir(index_dir)
+        except (FileNotFoundError, NotADirectoryError):
+            names = []
+    return sorted(
+        int(n.split("=", 1)[1])
+        for n in names
+        if n.startswith("v=") and n.split("=", 1)[1].isdigit()
+    )
 
 
 def resolve_index_dir(index_dir: str) -> str:
-    """Root of the LIVE index version: ``{index_dir}/v=N`` per CURRENT,
-    falling back to ``index_dir`` itself for legacy flat layouts. One
-    resolve pins a reader to one complete (centroids, cells) pair."""
+    """Root of the LIVE index version: ``{index_dir}/v=N`` per CURRENT.
+    When CURRENT is absent but ``v=*`` directories exist, the NEWEST one
+    wins — that covers both a crash that lost the pointer and the
+    momentary delete-then-rename window of a non-local pointer overwrite
+    (versions are always staged complete before the pointer moves, so
+    the newest staged version is safe to read). Falls back to
+    ``index_dir`` itself for legacy flat layouts. One resolve pins a
+    reader to one complete (centroids, cells) pair."""
     n = _read_current(index_dir)
+    if n is None:
+        versions = _list_versions(index_dir)
+        n = versions[-1] if versions else None
     return index_dir if n is None else f"{index_dir}/v={n}"
 
 
 def _set_current(index_dir: str, version: int) -> None:
     """Atomically point CURRENT at ``version`` (write-temp + rename —
-    the one-file manifest a concurrent reader can never see half of)."""
+    the one-file manifest a concurrent reader can never see half of on
+    a local filesystem; on hdfs://s3a:// see fsutil.write_text_overwrite
+    for the momentary-missing window resolve_index_dir tolerates)."""
+    spark = _active_spark()
+    if spark is not None:
+        fsutil.write_text_overwrite(
+            spark, f"{index_dir}/CURRENT", f"v={version}\n"
+        )
+        return
     tmp = f"{index_dir}/.CURRENT.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w", encoding="utf-8") as fh:
         fh.write(f"v={version}\n")
@@ -268,12 +314,8 @@ def maybe_rebuild_ivf_index(
 
     root = resolve_index_dir(index_dir)
     cur = _read_current(index_dir)
-    existing = [
-        int(d.split("=", 1)[1])
-        for d in os.listdir(index_dir)
-        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
-    ]
-    next_v = max(existing, default=cur or 0) + 1
+    existing = _list_versions(index_dir)
+    next_v = max(existing + ([cur] if cur else []), default=0) + 1
 
     cent = spark.read.parquet(f"{root}/centroids")
     k = num_cells or cent.count()
@@ -292,7 +334,7 @@ def maybe_rebuild_ivf_index(
     keep = {next_v, cur} - {None}
     for v in existing:
         if v not in keep:
-            shutil.rmtree(f"{index_dir}/v={v}", ignore_errors=True)
+            fsutil.delete(spark, f"{index_dir}/v={v}")
     return {"imbalance": imb, "rebuilt": True, "version": next_v}
 
 

@@ -404,8 +404,18 @@ def ppl_cutoffs(
     bounded one-row collect, the "train-time" half of the streaming
     bucketing twin (cutoffs come from the reference corpus once; every
     micro-batch then buckets against plan literals, exactly the
-    frozen-vocabulary pattern of ``stateful.drift_stream``)."""
+    frozen-vocabulary pattern of ``stateful.drift_stream``).
+
+    Raises ``ValueError`` on an empty or all-null scored frame — the
+    one-row aggregate yields null cutoffs there, and frozen-literal
+    consumers must get a clear train-time error, not a ``TypeError``
+    (or silently-null buckets) at scoring time."""
     row = ppl_cuts_frame(scored, nll_col, bin_width).first()
+    if row is None or row.c33 is None or row.c67 is None:
+        raise ValueError(
+            "ppl_cutoffs: no non-null NLL scores to derive cutoffs from "
+            "(empty training corpus?)"
+        )
     return float(row.c33), float(row.c67)
 
 

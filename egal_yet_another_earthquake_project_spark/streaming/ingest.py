@@ -162,12 +162,20 @@ def stream_neardup_flags(
     )
 
 
+#: default ceiling on the broadcast eval shingle set. 5M distinct
+#: shingles ≈ 40 MB of 8-byte hashes per executor — comfortably under
+#: broadcast limits; a 10M-ROW eval frame would blow past it and must
+#: fail loudly at stream build, not OOM executors at runtime.
+MAX_EVAL_SHINGLES = 5_000_000
+
+
 def stream_contamination_flags(
     incoming: DataFrame,
     eval_docs: DataFrame,
     text_col: str = "text",
     n: int = 3,
     dirty_threshold: float = 0.2,
+    max_eval_shingles: int = MAX_EVAL_SHINGLES,
 ) -> DataFrame:
     """Streaming twin of ``llm.dedup.contamination_fraction``: score
     every stream document's benchmark-overlap fraction as it arrives.
@@ -187,12 +195,31 @@ def stream_contamination_flags(
     Output: the input columns + (n_shingles, n_hits, contamination,
     dirty) — drained ≡ the batch scorer row-for-row
     (tests/test_streaming_ingest.py).
+
+    ``max_eval_shingles`` pins "benchmarks are small" to a number: the
+    distinct eval shingle count is checked ONCE at stream build (one
+    bounded aggregate over the eval frame) and a set past the cap
+    raises ``ValueError`` — a visible build-time failure instead of a
+    broadcast explosion on every micro-batch. An eval SOURCE that grows
+    past the cap after the stream started is the caller's re-deploy
+    trigger, the same contract as any frozen-broadcast twin.
     """
     from egal_yet_another_earthquake_project_spark.llm.text import (
         shingles_of_tokens,
         tokenized,
     )
 
+    distinct_sh = tokenized(eval_docs, text_col).select(
+        F.explode(shingles_of_tokens(F.col("_toks"), n)).alias("sh")
+    )
+    n_eval = distinct_sh.select("sh").distinct().count()
+    if n_eval > max_eval_shingles:
+        raise ValueError(
+            f"stream_contamination_flags: eval set has {n_eval} distinct "
+            f"shingles > max_eval_shingles={max_eval_shingles}; a set this "
+            "large cannot ride along as a per-batch broadcast — shrink the "
+            "eval frame or use the batch contaminated_docs join instead"
+        )
     ev = (
         tokenized(eval_docs, text_col)
         .select(F.explode(shingles_of_tokens(F.col("_toks"), n)).alias("sh"))

@@ -455,6 +455,46 @@ def test_ivf_rebuild_on_empty_index_reports_healthy(spark, tmp_path):
     assert res == {"imbalance": None, "rebuilt": False}
 
 
+def test_ivf_resolve_falls_back_to_newest_version_when_current_lost(
+    spark, tmp_path
+):
+    """ADVICE r7: the versioned control plane must not be local-only.
+    CURRENT now goes through the Hadoop FileSystem API, and a reader
+    that finds CURRENT missing (crash, or the delete-rename overwrite
+    window on a non-local store) resolves the NEWEST staged version —
+    versions are staged complete before the pointer moves, so that is
+    always a complete (centroids, cells) pair; search results are
+    unchanged."""
+    import os
+
+    from egal_yet_another_earthquake_project_spark.llm import ann_index as ai
+
+    emb = read_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    base = emb.limit(120)
+    idx = str(tmp_path / "ivf")
+    ai.build_ivf_index(base, idx, num_cells=8)
+    queries = base.orderBy("vec_id").limit(5)
+
+    def probe_all():
+        return sorted(
+            map(
+                tuple,
+                ai.search_ivf_index(spark, idx, queries, k=3, nprobe=8)
+                .select("query_id", "neighbor_id")
+                .collect(),
+            )
+        )
+
+    before = probe_all()
+    os.remove(f"{idx}/CURRENT")
+    assert ai.resolve_index_dir(idx).endswith("v=1")
+    assert probe_all() == before
+
+    # restore the pointer the way a recovery would
+    ai._set_current(idx, 1)
+    assert ai._read_current(idx) == 1
+
+
 def test_embedding_drift_flags_the_shifted_label(spark, tmp_path):
     """A label whose vectors point away from the corpus mean gets a
     visibly lower centroid cosine than well-mixed labels; cosine is

@@ -190,3 +190,32 @@ def test_stream_contamination_flags_match_batch_scorer(spark, tmp_path: Path):
     }
     assert live == batch and len(batch) == 3
     assert any(r[4] for r in live) and any(not r[4] for r in live)
+
+
+def test_stream_contamination_rejects_oversized_eval_set(spark):
+    """VERDICT r7 #7: "benchmarks are small" is now a pinned number —
+    an eval frame whose distinct shingle count exceeds the cap must
+    fail the stream BUILD with a clear error, not broadcast-explode at
+    runtime. Exercised with a tiny cap so the test stays cheap."""
+    import pytest
+
+    from egal_yet_another_earthquake_project_spark.streaming.ingest import (
+        stream_contamination_flags,
+    )
+
+    eval_docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta number {i} of many") for i in range(20)],
+        "doc_id long, text string",
+    )
+    incoming = spark.readStream.format("rate").load().selectExpr(
+        "CAST(value AS string) AS text"
+    )
+    with pytest.raises(ValueError, match="max_eval_shingles"):
+        stream_contamination_flags(
+            incoming, eval_docs, max_eval_shingles=10
+        )
+    # under the cap the build succeeds (plan only, nothing started)
+    flagged = stream_contamination_flags(
+        incoming, eval_docs, max_eval_shingles=10_000
+    )
+    assert "contamination" in flagged.columns

@@ -279,3 +279,20 @@ def test_dsir_score_stream_drained_equals_batch_from_artifact(
         for r in score_dsir_frozen(raw_fresh, loaded).collect()
     }
     assert live == batch and len(batch) > 0
+
+
+def test_ppl_cutoffs_raises_clearly_on_empty_corpus(spark):
+    """ADVICE r7: an empty (or all-null) scored frame used to surface
+    as float(None) -> TypeError; train-time must say what went wrong."""
+    import pytest
+
+    from egal_yet_another_earthquake_project_spark.llm.lm import ppl_cutoffs
+
+    empty = spark.createDataFrame([], "doc long, n_bigrams long, nll double")
+    with pytest.raises(ValueError, match="empty training corpus"):
+        ppl_cutoffs(empty)
+    nulls = spark.createDataFrame(
+        [(1, None, None)], "doc long, n_bigrams long, nll double"
+    )
+    with pytest.raises(ValueError, match="empty training corpus"):
+        ppl_cutoffs(nulls)
