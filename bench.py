@@ -167,6 +167,24 @@ HEADLINE = [
 ]
 
 
+#: Host-epoch probes (VERDICT r7 #5): queries whose PLAN has been
+#: unchanged since early rounds, pinned to their round-6 committed
+#: medians (BENCH_LOCAL_r06.json, sf0.1 — the anchor epoch). The VM's
+#: throughput shifts 1.5-2.3x between rounds on identical plans; the
+#: median now/anchor ratio over these rows is the epoch factor every
+#: cross-round bench comparison must divide out (SCALE.md documents the
+#: method; this makes it machine-readable per round).
+EPOCH_ANCHOR_ROUND = 6
+EPOCH_ANCHORS = {
+    "flagship_region_counts": 0.189,
+    "top10_orders": 0.134,
+    "nation_trade_volume": 0.785,
+    "embedding_quantize": 0.177,
+    "distinct_rows": 0.328,
+}
+EPOCH_ANCHOR_CALIBRATION = 0.229
+
+
 def _bench_curate_e2e(spark, sf_dir: str) -> None:
     """End-to-end curate job (gates → exact dedup → decontamination →
     MinHash-LSH near-dedup → α-resample → packing → sharded parquet
@@ -391,6 +409,45 @@ def main() -> None:
         os.path.join(here, f"BENCH_LOCAL_r{rnd:02d}{tag}.json"), "w"
     ) as f:
         json.dump(local, f, indent=1, sort_keys=True)
+
+    # Machine-readable host-epoch record (anchors are sf0.1 medians, so
+    # only the default-SF run emits it): the median now/anchor ratio of
+    # the pinned plan-unchanged probes IS the epoch factor to divide out
+    # of any cross-round comparison against round-6 numbers.
+    if not tag:
+        ratios = sorted(
+            timings[name] / anchor
+            for name, anchor in EPOCH_ANCHORS.items()
+            if timings.get(name)
+        )
+        epoch_factor = (
+            round(ratios[len(ratios) // 2], 3) if ratios else None
+        )
+        epoch = {
+            "round": rnd,
+            "anchor_round": EPOCH_ANCHOR_ROUND,
+            "anchor_source": f"BENCH_LOCAL_r{EPOCH_ANCHOR_ROUND:02d}.json",
+            "anchor_calibration_sec": EPOCH_ANCHOR_CALIBRATION,
+            "calibration_sec": calibration,
+            "calibration_last_sec": calibration_last,
+            "probes": {
+                name: {
+                    "anchor_sec": anchor,
+                    "now_sec": timings.get(name),
+                    "ratio": (
+                        round(timings[name] / anchor, 3)
+                        if timings.get(name)
+                        else None
+                    ),
+                }
+                for name, anchor in EPOCH_ANCHORS.items()
+            },
+            "epoch_factor_vs_anchor": epoch_factor,
+        }
+        with open(
+            os.path.join(here, f"HOSTEPOCH_r{rnd:02d}.json"), "w"
+        ) as f:
+            json.dump(epoch, f, indent=1, sort_keys=True)
     spark.stop()
 
 

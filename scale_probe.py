@@ -193,6 +193,77 @@ def probes():
     ]
 
 
+def curate_stream_probe(spark) -> dict:
+    """Per-drop wall of the COMPOSED streaming curation pipeline
+    (VERDICT r7 #3): drain four equal drops into one out_dir against a
+    pre-signed corpus and require the LAST drop's drain wall within the
+    allowance of the FIRST's. Per-drop work must be O(drop) — the r7
+    finding this probe exists to catch was hop 2 re-signing corpus ∪
+    all-prior-batches every trigger, which shows up here as a
+    monotonically growing per-drop wall. An untimed warmup drop runs
+    first so the one-time corpus band bootstrap and codegen don't
+    inflate drop 1. The allowance (3×) absorbs job-launch noise plus
+    the legitimate slow growth of the verify side (candidate texts come
+    from corpus ∪ kept-so-far)."""
+    import shutil
+    import tempfile
+
+    from egal_yet_another_earthquake_project_spark.streaming.curate import (
+        drain_curate_stream,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 2 == 0).localCheckpoint(eager=True)
+    rest = docs.filter(F.col("doc_id") % 2 == 1)
+    work = tempfile.mkdtemp(prefix="curate_probe_")
+    ts = "TIMESTAMP'2024-01-01 00:00:00'"
+    try:
+        src, out, ck = f"{work}/in", f"{work}/out", f"{work}/ck"
+        # warmup: tiny drop triggers the corpus bootstrap + codegen
+        rest.filter(F.floor(F.col("doc_id") / 2) % 50 == 0).selectExpr(
+            "doc_id", "source", "text", f"{ts} AS ingest_ts"
+        ).coalesce(1).write.parquet(f"{src}/warm")
+        schema = spark.read.parquet(f"{src}/warm").schema
+
+        def drain():
+            return drain_curate_stream(
+                spark, f"{src}/*", schema, corpus=corpus, out_dir=out,
+                checkpoint_dir=ck, model=None,
+                min_quality=0.0, lang=None,
+            )
+
+        drain()
+        walls = []
+        for k in range(4):
+            rest.filter(
+                (F.floor(F.col("doc_id") / 2) % 50 != 0)
+                & (F.floor(F.col("doc_id") / 2) % 4 == k)
+            ).selectExpr(
+                "doc_id", "source", "text", f"{ts} AS ingest_ts"
+            ).coalesce(1).write.parquet(f"{src}/b{k}")
+            t0 = time.time()
+            drain()
+            walls.append(round(time.time() - t0, 2))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    ratio = round(walls[-1] / max(walls[0], 1e-9), 1)
+    row = {
+        "operator": "curate-stream per-drop wall (4 equal drops)",
+        "t1": walls[0],
+        "t10": walls[-1],
+        "ratio": ratio,
+        "allowed": 3.0,
+        "walls": walls,
+    }
+    print(
+        f"| {row['operator']} | {walls[0]} s | {walls[-1]} s | {ratio}× |",
+        flush=True,
+    )
+    return row
+
+
 def main() -> int:
     from egal_yet_another_earthquake_project_spark.session import get_spark
 
@@ -224,6 +295,10 @@ def main() -> int:
             }
         )
         print(f"| {name} | {times[1]} s | {times[10]} s | {ratio}× |", flush=True)
+    crow = curate_stream_probe(spark)
+    if crow["ratio"] > crow["allowed"]:
+        failed.append(crow["operator"])
+    rows.append(crow)
     out = {
         "sf_dir": SF_DIR,
         "failed": failed,
