@@ -164,6 +164,9 @@ HEADLINE = [
     "contamination_fraction",
     "novelty_profile",
     "embedding_drift",
+    # round-8: information-density and rank-frequency corpus health.
+    "token_entropy",
+    "zipf_alpha",
 ]
 
 

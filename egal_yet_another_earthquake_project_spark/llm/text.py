@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 #: ASCII-safe "BPE-ish" token pattern: word pieces, digit runs, single
 #: punctuation — identical semantics in Java regex and RE2/DuckDB.
@@ -427,6 +428,88 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         _quality_of(norm, toks).alias("quality"),
         _lang_id_of(toks).alias("lang_guess"),
         F.md5(norm).alias("fingerprint"),
+    )
+
+
+def token_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution — the
+    information-density quality signal (Shannon 1948 applied to corpus
+    filtering à la Gopher's repetition rules): template/boilerplate
+    docs re-use few tokens (low entropy), natural prose spreads mass
+    across its vocabulary (entropy near ln of the type count).
+
+    entropy(d) = ln(n) − Σ_t tf·ln(tf) / n over the doc's term
+    frequencies (n = token count) — computed from the TF-collapsed
+    frame, so the aggregate sees distinct (doc, token) rows, never the
+    raw token stream (same scale shape as :func:`..lm.doc_nll`). Docs
+    with zero tokens contribute no rows (same contract as
+    ``term_frequencies``). Output: (id, n_tokens, n_types, entropy
+    rounded 4dp), ordered by id.
+    """
+    from egal_yet_another_earthquake_project_spark.llm.lm import (
+        term_frequencies,
+    )
+
+    tf = term_frequencies(df, id_col, text_col)
+    n = F.sum("tf").cast("double")
+    return (
+        tf.groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.round(
+                F.log(n)
+                - F.sum(F.col("tf").cast("double") * F.log(F.col("tf").cast("double")))
+                / n,
+                4,
+            ).alias("entropy"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def zipf_slope(
+    df: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+    top_k: int = 100,
+) -> DataFrame:
+    """Per-group Zipf exponent estimate — the corpus-health diagnostic
+    (Zipf 1949; natural language runs α ≈ 1): OLS slope of ln(freq) on
+    ln(rank) over each group's ``top_k`` most frequent tokens, reported
+    as α = −slope. Machine-generated or keyword-stuffed sources bend
+    the rank-frequency line visibly away from the corpus norm.
+
+    Scale shape: one token-count aggregate (vocabulary scale per
+    group), a rank window PARTITIONED by the group key (never a global
+    sort), the ``top_k`` cut, then a closed-form per-group slope
+    (covar_pop/var_pop — two partial-aggregable moments, no iteration).
+    Ties rank deterministically (count desc, token asc) so the result
+    hash-verifies cross-engine. A single-token group has zero rank
+    variance → null α, matching SQL ``regr_slope``. Output:
+    (by, n_ranked, alpha rounded 4dp), ordered by the group key.
+    """
+    counts = (
+        tokenized(df, text_col)
+        .select(F.col(by), F.explode("_toks").alias("tok"))
+        .groupBy(by, "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy(by).orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    ranked = counts.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= top_k
+    )
+    lx = F.log(F.col("r").cast("double"))
+    ly = F.log(F.col("cnt").cast("double"))
+    return (
+        ranked.groupBy(by)
+        .agg(
+            F.count("*").alias("n_ranked"),
+            F.round(-F.covar_pop(lx, ly) / F.var_pop(lx), 4).alias("alpha"),
+        )
+        .orderBy(by)
     )
 
 

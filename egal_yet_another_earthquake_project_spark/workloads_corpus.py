@@ -856,6 +856,62 @@ FROM bk GROUP BY bucket ORDER BY bucket
 """
 
 
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy over the token distribution
+    (llm/text.py:token_entropy) — boilerplate/template docs re-use few
+    tokens and score low; the TF-collapse keeps the aggregate at
+    distinct (doc, token) scale, never the raw token stream."""
+    return ltx.token_entropy(_docs(spark, sf_dir))
+
+
+_TOKEN_ENTROPY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       CAST(sum(tf) AS BIGINT) AS n_tokens,
+       count(*) AS n_types,
+       round(ln(CAST(sum(tf) AS DOUBLE))
+             - sum(CAST(tf AS DOUBLE) * ln(CAST(tf AS DOUBLE)))
+               / CAST(sum(tf) AS DOUBLE), 4) AS entropy
+FROM tf GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+ZIPF_TOP_K = 100
+
+
+def q_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf exponent (llm/text.py:zipf_slope): OLS of
+    ln(freq) on ln(rank) over each source's top-100 tokens — the
+    rank-frequency health check that flags machine-generated or
+    keyword-stuffed sources. Rank window is partitioned by source;
+    the slope is a closed-form two-moment aggregate."""
+    return ltx.zipf_slope(_docs(spark, sf_dir), top_k=ZIPF_TOP_K)
+
+
+_ZIPF_ORACLE = f"""
+WITH t AS (
+  SELECT source, unnest({_TOKS}) AS tok FROM documents
+), c AS (
+  SELECT source, tok, count(*) AS cnt FROM t GROUP BY source, tok
+), r AS (
+  SELECT source, cnt,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY cnt DESC, tok ASC) AS r
+  FROM c
+)
+SELECT source,
+       count(*) AS n_ranked,
+       round(-regr_slope(ln(CAST(cnt AS DOUBLE)),
+                         ln(CAST(r AS DOUBLE))), 4) AS alpha
+FROM r WHERE r <= {ZIPF_TOP_K}
+GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "doc_chunks": q_doc_chunks,
     "repetition_profile": q_repetition_profile,
@@ -871,6 +927,8 @@ QUERIES = {
     "bpe_encoded_vocab": q_bpe_encoded_vocab,
     "frozen_lm_score": q_frozen_lm_score,
     "perplexity_buckets": q_perplexity_buckets,
+    "token_entropy": q_token_entropy,
+    "zipf_alpha": q_zipf_alpha,
 }
 
 ORACLES = {
@@ -888,4 +946,6 @@ ORACLES = {
     "bpe_encoded_vocab": _bpe_encode_oracle(),
     "frozen_lm_score": _FROZEN_LM_ORACLE,
     "perplexity_buckets": _PPL_BUCKETS_ORACLE,
+    "token_entropy": _TOKEN_ENTROPY_ORACLE,
+    "zipf_alpha": _ZIPF_ORACLE,
 }

@@ -637,3 +637,45 @@ def test_perplexity_buckets_partition_invariant(spark):
         score_bigram_frozen(docs.repartition(7), model)
     ).collect()
     assert a == b
+
+
+def test_token_entropy_known_values(spark):
+    """Uniform token use scores ln(n_types); a single repeated token
+    scores 0; mixed docs land in between."""
+    import math
+
+    from egal_yet_another_earthquake_project_spark.llm.text import token_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),           # uniform over 4 types
+            (2, "x x x x"),           # degenerate
+            (3, "a a a b"),           # skewed
+            (4, ""),                  # no tokens -> no row
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in token_entropy(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1].entropy == round(math.log(4), 4) and got[1].n_types == 4
+    assert got[2].entropy == 0.0 and got[2].n_types == 1
+    want3 = round(math.log(4) - (3 * math.log(3)) / 4, 4)
+    assert got[3].entropy == want3
+
+
+def test_zipf_slope_recovers_planted_exponent(spark):
+    """Tokens drawn with freq(rank) = C / rank (alpha = 1) must estimate
+    alpha ~= 1; a flat distribution estimates alpha ~= 0."""
+    from egal_yet_another_earthquake_project_spark.llm.text import zipf_slope
+
+    zipf_text = " ".join(
+        " ".join([f"tok{r}"] * max(1, int(600 / r))) for r in range(1, 51)
+    )
+    flat_text = " ".join(f"tok{r}" for r in range(1, 51)) * 5
+    df = spark.createDataFrame(
+        [("zipf", zipf_text), ("flat", flat_text)], "source string, text string"
+    )
+    got = {r.source: r for r in zipf_slope(df, top_k=50).collect()}
+    assert abs(got["zipf"].alpha - 1.0) < 0.1
+    assert abs(got["flat"].alpha) < 0.05
+    assert got["zipf"].n_ranked == 50
