@@ -107,14 +107,22 @@ def _local_os_path(spark: SparkSession, path: str) -> str | None:
     return qualified.toUri().getPath()
 
 
+def _hidden_tmp(path: str) -> str:
+    """Dot-prefixed sibling temp name: Spark file-stream sources ignore
+    hidden files, so a manifest mid-write is invisible to a tailing
+    reader — only the renamed final name is ever discovered."""
+    head, _, name = path.rpartition("/")
+    return f"{head}/.{name}.tmp-{uuid.uuid4().hex[:8]}"
+
+
 def write_text_once(spark: SparkSession, path: str, text: str) -> bool:
     """Create ``path`` with ``text`` atomically, IFF it does not already
-    exist (create-temp + rename-no-overwrite). Returns False — leaving
+    exist (hidden-temp + rename-no-overwrite). Returns False — leaving
     any existing file untouched — when it does: the idempotent-commit
     contract replayed micro-batches rely on."""
     if exists(spark, path):
         return False
-    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    tmp = _hidden_tmp(path)
     _write_bytes(spark, tmp, text.encode("utf-8"))
     if rename(spark, tmp, path):
         return True
@@ -128,12 +136,12 @@ def write_text_overwrite(spark: SparkSession, path: str, text: str) -> None:
     the momentary-missing window readers must tolerate."""
     local = _local_os_path(spark, path)
     if local is not None:
-        tmp = f"{local}.tmp-{uuid.uuid4().hex[:8]}"
+        tmp = _hidden_tmp(local)
         with open(tmp, "w", encoding="utf-8") as fh:
             fh.write(text)
         os.replace(tmp, local)
         return
-    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    tmp = _hidden_tmp(path)
     _write_bytes(spark, tmp, text.encode("utf-8"))
     delete(spark, path, recursive=False)
     if not rename(spark, tmp, path):

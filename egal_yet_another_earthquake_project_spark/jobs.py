@@ -35,6 +35,9 @@ probe the cell-partitioned IVF ANN index (``llm/ann_index.py``);
 own unit vectors when the max/mean cell occupancy exceeds ``N``;
 ``curate-stream`` drains a drop directory through the checkpointed
 three-hop streaming curation pipeline (``streaming/curate.py``);
+``curate-compact`` merges the pipeline outputs' committed
+``_batch_id`` partitions (the stopped-pipeline maintenance pass —
+replay semantics preserved via the checkpoint commit watermark);
 ``lm-train``/``lm-score`` freeze an interpolated-bigram LM as a parquet
 artifact and score documents against it (``llm/lm.py``); ``lm-train
 --cutoffs`` additionally freezes the CCNet tercile bucket boundaries
@@ -163,6 +166,16 @@ def _parser() -> argparse.ArgumentParser:
     cs.add_argument("--lang", default="en")
     cs.add_argument("--jaccard-threshold", type=float, default=0.8)
     cs.add_argument("--ctx", type=int, default=256)
+
+    cc = sub.add_parser(
+        "curate-compact",
+        help="merge the curate-stream outputs' committed _batch_id "
+        "partitions (maintenance; run with the pipeline stopped)",
+    )
+    cc.add_argument("--out", required=True, help="pipeline output root")
+    cc.add_argument("--checkpoint", required=True)
+    cc.add_argument("--source-col", default="source")
+    cc.add_argument("--target-rows", type=int, default=1_000_000)
 
     lt = sub.add_parser(
         "lm-train",
@@ -391,6 +404,21 @@ def main(argv: list[str] | None = None) -> int:
                 ctx=args.ctx,
             )
             print(json.dumps({"out": args.out, **stats}))
+        elif args.cmd == "curate-compact":
+            import json
+
+            from egal_yet_another_earthquake_project_spark.streaming.curate import (
+                compact_curate_outputs,
+            )
+
+            res = compact_curate_outputs(
+                spark,
+                args.out,
+                args.checkpoint,
+                source_col=args.source_col,
+                target_rows_per_file=args.target_rows,
+            )
+            print(json.dumps({"out": args.out, **res}))
         elif args.cmd == "lm-train":
             import json
 

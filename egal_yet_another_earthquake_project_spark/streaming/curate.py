@@ -337,12 +337,16 @@ def _score_hop(
             # manifest LAST — hop 3 must only ever see a batch whose data
             # AND index writes are complete. Create-once: a replay that
             # already committed the manifest leaves it untouched, so hop 3
-            # never double-ingests (file sources track by name).
-            fsutil.write_text_once(
-                spark,
-                f"{out_dir}/scored_commits/batch-{batch_id}.txt",
-                f"{batch_id}\n",
-            )
+            # never double-ingests (file sources track by name). A batch
+            # every stage filtered away writes no partition — and no
+            # manifest, so empty triggers cost hop 3 nothing (a replayed
+            # empty batch is empty again: the skip is deterministic).
+            if not kept.isEmpty():
+                fsutil.write_text_once(
+                    spark,
+                    f"{out_dir}/scored_commits/batch-{batch_id}.txt",
+                    f"{batch_id}\n",
+                )
         finally:
             for frame in reg:
                 frame.unpersist()

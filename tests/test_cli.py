@@ -343,7 +343,7 @@ def test_cli_curate_stream(spark, tmp_path: Path, capsys):
     from egal_yet_another_earthquake_project_spark import jobs
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    drop = docs.selectExpr(
+    drop = docs.filter(F.col("doc_id") % 2 == 0).selectExpr(
         "doc_id", "source", "text", "TIMESTAMP'2024-01-01' AS ingest_ts"
     ).limit(80)
     drop.coalesce(1).write.parquet(str(tmp_path / "drop"))
@@ -370,6 +370,57 @@ def test_cli_curate_stream(spark, tmp_path: Path, capsys):
     assert {"doc_id", "source", "text", "n_tokens", "start_tok", "pack_id"} <= set(
         shards.columns
     )
+
+    # second drop (flat files into the same source dir — the CLI source
+    # does not recurse), then the maintenance compaction pass: committed
+    # partitions merge into one per output, rows unchanged
+    import shutil
+
+    docs.filter(F.col("doc_id") % 2 == 1).selectExpr(
+        "doc_id", "source", "text",
+        "TIMESTAMP'2024-01-02' AS ingest_ts",
+    ).limit(40).coalesce(1).write.parquet(str(tmp_path / "b2tmp"))
+    for i, p in enumerate((tmp_path / "b2tmp").glob("part-*.parquet")):
+        shutil.move(str(p), str(tmp_path / "drop" / f"b2-{i}.parquet"))
+    spark.stop = lambda: None
+    try:
+        rc = jobs.main(
+            [
+                "curate-stream",
+                "--source-dir", str(tmp_path / "drop"),
+                "--out", str(tmp_path / "out"),
+                "--checkpoint", str(tmp_path / "ck"),
+            ]
+        )
+        assert rc == 0
+        before = {
+            tuple(r)
+            for r in spark.read.parquet(str(tmp_path / "out" / "shards"))
+            .drop("_batch_id")
+            .collect()
+        }
+        rc = jobs.main(
+            [
+                "curate-compact",
+                "--out", str(tmp_path / "out"),
+                "--checkpoint", str(tmp_path / "ck"),
+            ]
+        )
+    finally:
+        spark.stop = real_stop
+    assert rc == 0
+    res = json.loads(
+        [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    )
+    assert res["scored"]["merged_partitions"] == 2
+    after = {
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "out" / "shards"))
+        .drop("_batch_id")
+        .collect()
+    }
+    assert after == before
+    assert len(list((tmp_path / "out" / "scored").glob("_batch_id=*"))) == 1
 
 
 def test_cli_lm_train_cutoffs_and_bucket_score(spark, tmp_path: Path, capsys):

@@ -478,3 +478,70 @@ def test_compaction_merges_committed_partitions_and_preserves_results(
             assert start == pos, (source, start, pos)
             pos += n
     clean.unpersist()
+
+
+def test_concurrent_curate_stream_consumes_each_batch_exactly_once(
+    spark, tmp_path: Path
+):
+    """curate_stream in CONCURRENT mode (all three hops live, not the
+    sequential drain): hop 3 ingests hop 2's output via the commit
+    manifests, so every scored batch lands in the shards exactly once
+    even though hop 2's data files are dynamic-overwrite partitions.
+    Two drops are fed while the queries run; the shards must hold each
+    admitted doc once with seamless per-source offsets, and there must
+    be exactly one manifest per scored partition."""
+    from egal_yet_another_earthquake_project_spark.streaming.curate import (
+        curate_stream,
+    )
+
+    drop = _drop_frame(spark)
+    mid = drop.agg(F.percentile_approx("doc_id", 0.5).alias("c")).first().c
+    src = tmp_path / "in"
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    drop.filter(F.col("doc_id") < F.lit(mid)).selectExpr(
+        "doc_id", "source", "text", f"{TS} AS ingest_ts"
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    schema = spark.read.parquet(str(src / "b1")).schema
+
+    queries = curate_stream(
+        spark, str(src) + "/*", schema, corpus=None, out_dir=out,
+        checkpoint_dir=ck, model=None, jaccard_threshold=0.7,
+    )
+    try:
+        for q in queries:  # cascade: admit -> score -> pack
+            q.processAllAvailable()
+        drop.filter(F.col("doc_id") >= F.lit(mid)).selectExpr(
+            "doc_id", "source", "text", f"{TS} AS ingest_ts"
+        ).coalesce(1).write.parquet(str(src / "b2"))
+        for q in queries:
+            q.processAllAvailable()
+        for q in queries:
+            assert q.exception() is None
+    finally:
+        for q in queries:
+            q.stop()
+
+    shards = spark.read.parquet(f"{out}/shards")
+    scored = spark.read.parquet(f"{out}/scored")
+    # exactly-once: every scored doc appears in the shards exactly once
+    assert shards.select("doc_id").distinct().count() == shards.count()
+    assert shards.count() == scored.count() > 0
+    # one manifest per scored partition, names deterministic
+    manifests = sorted(
+        p.name for p in (Path(out) / "scored_commits").glob("batch-*.txt")
+    )
+    scored_parts = sorted(
+        p.name for p in (Path(out) / "scored").glob("_batch_id=*")
+    )
+    assert len(manifests) == len(scored_parts) >= 2
+    # offsets tile [0, total) per source
+    rows = shards.select("source", "start_tok", "n_tokens").collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append((r.start_tok, r.n_tokens))
+    for source, spans in by_source.items():
+        spans.sort()
+        pos = 0
+        for start, n in spans:
+            assert start == pos, (source, start, pos)
+            pos += n
