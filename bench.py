@@ -164,9 +164,11 @@ HEADLINE = [
     "contamination_fraction",
     "novelty_profile",
     "embedding_drift",
-    # round-8: information-density and rank-frequency corpus health.
+    # round-8: information-density and rank-frequency corpus health,
+    # and SemDeDup cluster-blocked semantic pruning.
     "token_entropy",
     "zipf_alpha",
+    "semdedup_prune",
 ]
 
 

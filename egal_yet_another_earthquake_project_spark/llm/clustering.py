@@ -93,6 +93,98 @@ def _update(assigned: DataFrame) -> list[tuple[int, list[int]]]:
     ]
 
 
+def semdedup_prune(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    cos_threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embeddings with Lloyd iterations,
+    then WITHIN each cluster drop every vector that has a
+    lower-id near-twin (cosine ≥ ``cos_threshold``) — the
+    deterministic min-id-keeper form of the paper's one-per-group
+    rule. Returns per-cluster ``(cluster, n, n_dropped, n_kept)``.
+
+    Scale shape: the expensive all-pairs comparison is BLOCKED by the
+    cluster key — pair mass is Σ |cluster|², never n², which is the
+    entire point of clustering first (production runs use k large
+    enough that clusters are ~10³-10⁴ vectors; this declared query
+    uses the oracle-replayable k=8 Lloyd grid). Cosines are exact
+    int64 dot/norm products on the same 1e-6 quantization grid as the
+    clustering itself (values ≤ 2·10⁶ squared × 64 dims < 2⁶³), with
+    one IEEE double sqrt/divide at the end, rounded 4dp — every
+    engine agrees on the drop verdicts. The declared threshold (0.3)
+    is sized to the synthetic test embeddings; real corpora run
+    ~0.95.
+    """
+    q = _quantized(emb, id_col, vec_col).cache()
+    seed = q.orderBy("vid").limit(k).collect()
+    centroids = [(i, list(r.qv)) for i, r in enumerate(seed)]
+    assigned = None
+    for _ in range(iters):
+        assigned = _assign(q, centroids)
+        centroids = _update(assigned)
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, d: acc + d,
+        )
+
+    with_norm = assigned.select(
+        "cluster", "vid", "qv", dot(F.col("qv"), F.col("qv")).alias("n2")
+    )
+    a = with_norm.select(
+        "cluster",
+        F.col("vid").alias("va"),
+        F.col("qv").alias("qa"),
+        F.col("n2").alias("na2"),
+    )
+    b = with_norm.select(
+        "cluster",
+        F.col("vid").alias("vb"),
+        F.col("qv").alias("qb"),
+        F.col("n2").alias("nb2"),
+    )
+    cos = F.round(
+        dot(F.col("qa"), F.col("qb")).cast("double")
+        / (
+            F.sqrt(F.col("na2").cast("double"))
+            * F.sqrt(F.col("nb2").cast("double"))
+        ),
+        4,
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("va") > F.col("vb"))
+        .filter(cos >= F.lit(float(cos_threshold)))
+        .select("cluster", F.col("va").alias("vid"))
+        .distinct()
+        .groupBy("cluster")
+        .agg(F.count("*").alias("n_dropped"))
+    )
+    out = (
+        assigned.groupBy("cluster")
+        .agg(F.count("*").alias("n"))
+        .join(dropped, "cluster", "left")
+        .withColumn("n_dropped", F.coalesce(F.col("n_dropped"), F.lit(0)))
+        .withColumn("n_kept", F.col("n") - F.col("n_dropped"))
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            "n",
+            "n_dropped",
+            "n_kept",
+        )
+        .orderBy("cluster")
+    )
+    q.unpersist()
+    return out
+
+
 def kmeans_clusters(
     emb: DataFrame,
     k: int = 8,

@@ -1286,8 +1286,9 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_clusters(_emb(spark, sf_dir), k=8, iters=2)
 
 
-def _kmeans_sql() -> str:
-    assign = """
+#: Lloyd-iteration SQL templates shared by the kmeans and SemDeDup
+#: oracles — one source of truth for the integer-grid replay.
+_KM_ASSIGN = """
   SELECT vid, qv, cid,
          row_number() OVER (PARTITION BY vid ORDER BY dist, cid) AS rn
   FROM (
@@ -1297,12 +1298,14 @@ def _kmeans_sql() -> str:
     FROM q e CROSS JOIN {ctab} c
   )
 """
-    update = """
+_KM_UPDATE = """
   SELECT cid, i,
          CAST(floor(CAST(sum(qv[i]) AS DOUBLE) / count(*)) AS BIGINT) AS cvi
   FROM {mtab}, range(1, 65) t(i) GROUP BY cid, i
 """
-    return f"""
+#: WITH-clause prefix replaying 2 Lloyd iterations to the final
+#: assignment m2 (and c2 centroids) over the embeddings view.
+_KM_PREFIX = f"""
 WITH q AS (
   SELECT vec_id AS vid,
          list_transform(embedding::DOUBLE[],
@@ -1313,20 +1316,69 @@ c0 AS (
   SELECT row_number() OVER (ORDER BY vid) - 1 AS cid, qv AS cv
   FROM q ORDER BY vid LIMIT 8
 ),
-a1 AS ({assign.format(ctab="c0")}),
+a1 AS ({_KM_ASSIGN.format(ctab="c0")}),
 m1 AS (SELECT vid, qv, cid FROM a1 WHERE rn = 1),
-s1 AS ({update.format(mtab="m1")}),
+s1 AS ({_KM_UPDATE.format(mtab="m1")}),
 c1 AS (SELECT cid, list(cvi ORDER BY i) AS cv FROM s1 GROUP BY cid),
-a2 AS ({assign.format(ctab="c1")}),
+a2 AS ({_KM_ASSIGN.format(ctab="c1")}),
 m2 AS (SELECT vid, qv, cid FROM a2 WHERE rn = 1),
-s2 AS ({update.format(mtab="m2")}),
+s2 AS ({_KM_UPDATE.format(mtab="m2")}),
 c2 AS (SELECT cid, list(cvi ORDER BY i) AS cv FROM s2 GROUP BY cid)
+"""
+
+
+def _kmeans_sql() -> str:
+    return f"""
+{_KM_PREFIX}
 SELECT CAST(m.cid AS INTEGER) AS cluster,
        count(*) AS n,
        round(sqrt(CAST(list_sum(list_transform(c.cv, x -> x * x)) AS DOUBLE))
              / 1000000.0, 4) AS centroid_norm
 FROM m2 m JOIN c2 c ON m.cid = c.cid
 GROUP BY m.cid, c.cv
+ORDER BY cluster
+"""
+
+
+SEMDEDUP_COS_THRESHOLD = 0.3
+
+
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic pruning (llm/clustering.py:semdedup_prune;
+    Abbas et al. 2023): Lloyd-cluster the embeddings, then drop every
+    vector with a lower-id within-cluster near-twin at cosine ≥ 0.3
+    (sized to the synthetic vectors; production ≈ 0.95). Pair mass is
+    blocked by the cluster key — Σ|cluster|², never n²; cosines are
+    exact int64 grid products so the drop verdicts replay in SQL."""
+    from egal_yet_another_earthquake_project_spark.llm.clustering import (
+        semdedup_prune,
+    )
+
+    return semdedup_prune(
+        _emb(spark, sf_dir), k=8, iters=2,
+        cos_threshold=SEMDEDUP_COS_THRESHOLD,
+    )
+
+
+def _semdedup_sql() -> str:
+    return f"""
+{_KM_PREFIX},
+p AS (
+  SELECT a.cid, a.vid
+  FROM m2 a JOIN m2 b ON a.cid = b.cid AND a.vid > b.vid
+  WHERE round(
+      CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+      / (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * a.qv[i])) AS DOUBLE))
+       * sqrt(CAST(list_sum(list_transform(range(1, 65), i -> b.qv[i] * b.qv[i])) AS DOUBLE))),
+      4) >= {SEMDEDUP_COS_THRESHOLD}
+  GROUP BY a.cid, a.vid
+)
+SELECT CAST(m.cid AS INTEGER) AS cluster,
+       count(*) AS n,
+       count(p.vid) AS n_dropped,
+       count(*) - count(p.vid) AS n_kept
+FROM m2 m LEFT JOIN p ON p.cid = m.cid AND p.vid = m.vid
+GROUP BY m.cid
 ORDER BY cluster
 """
 
@@ -1889,6 +1941,7 @@ QUERIES = {
     "label_centroids": q_label_centroids,
     "embedding_drift": q_embedding_drift,
     "kmeans_clusters": q_kmeans_clusters,
+    "semdedup_prune": q_semdedup_prune,
     "token_ids": q_token_ids,
     "incremental_new_docs": q_incremental_new_docs,
     "incremental_neardup": q_incremental_neardup,
@@ -1931,6 +1984,7 @@ ORACLES = {
     "label_centroids": _LABEL_CENTROIDS_ORACLE,
     "embedding_drift": _EMBEDDING_DRIFT_ORACLE,
     "kmeans_clusters": _kmeans_sql(),
+    "semdedup_prune": _semdedup_sql(),
     "token_ids": _TOKEN_IDS_ORACLE,
     "incremental_new_docs": _INCREMENTAL_ORACLE,
     "incremental_neardup": _incremental_neardup_sql(),

@@ -168,3 +168,39 @@ def test_triangle_orientation_bounds_hub_fanout(spark):
     row = triangle_count(edges).collect()[0]
     assert row.n_triangles == 0
     assert row.n_wedges == 0, "orientation failed: hub has out-wedges"
+
+
+def test_semdedup_prune_drops_planted_near_twin_within_cluster(spark):
+    """Two near-identical vectors (cosine ~1) must land in the same
+    cluster and the HIGHER id must be dropped; well-separated vectors
+    survive. Output accounting: n = n_dropped + n_kept per cluster."""
+    from egal_yet_another_earthquake_project_spark.llm.clustering import (
+        semdedup_prune,
+    )
+
+    dims = 64
+
+    def vec(axis, eps=0.0):
+        v = [0.01] * dims
+        v[axis] = 1.0
+        v[(axis + 1) % dims] += eps
+        return v
+
+    rows = [
+        (1, vec(0)),          # seed + keeper (lowest id in its twin pair)
+        (2, vec(20)),         # seed, far from everything
+        (3, vec(40)),         # seed, far from everything
+        (10, vec(0, 0.001)),  # near-twin of 1 -> same cluster, dropped
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = semdedup_prune(emb, k=3, iters=1, cos_threshold=0.95).collect()
+    assert sum(r.n for r in got) == 4
+    assert sum(r.n_dropped for r in got) == 1
+    for r in got:
+        assert r.n == r.n_dropped + r.n_kept
+    # the twin cluster holds 2 with exactly 1 dropped; a threshold above
+    # the pair's (rounded) cosine keeps everything
+    twin = [r for r in got if r.n == 2]
+    assert twin and twin[0].n_dropped == 1 and twin[0].n_kept == 1
+    got2 = semdedup_prune(emb, k=3, iters=1, cos_threshold=1.0001).collect()
+    assert sum(r.n_dropped for r in got2) == 0
