@@ -423,11 +423,18 @@ def main() -> None:
         ratios = sorted(
             timings[name] / anchor
             for name, anchor in EPOCH_ANCHORS.items()
-            if timings.get(name)
+            if timings.get(name) is not None
         )
-        epoch_factor = (
-            round(ratios[len(ratios) // 2], 3) if ratios else None
-        )
+        if ratios:
+            mid = len(ratios) // 2
+            median = (
+                ratios[mid]
+                if len(ratios) % 2
+                else (ratios[mid - 1] + ratios[mid]) / 2
+            )
+            epoch_factor = round(median, 3)
+        else:
+            epoch_factor = None
         epoch = {
             "round": rnd,
             "anchor_round": EPOCH_ANCHOR_ROUND,

@@ -120,6 +120,8 @@ def semdedup_prune(
     is sized to the synthetic test embeddings; real corpora run
     ~0.95.
     """
+    if iters < 1:
+        raise ValueError("semdedup_prune: iters must be >= 1")
     q = _quantized(emb, id_col, vec_col).cache()
     seed = q.orderBy("vid").limit(k).collect()
     centroids = [(i, list(r.qv)) for i, r in enumerate(seed)]
@@ -127,6 +129,14 @@ def semdedup_prune(
     for _ in range(iters):
         assigned = _assign(q, centroids)
         centroids = _update(assigned)
+    # the final assignment feeds THREE consumers (both pair-join sides
+    # and the per-cluster count); cache + materialize so the
+    # quantize+assign lineage runs once, not per consumer (the same
+    # self-join-race rule lsh_candidate_pairs documents). One-shot
+    # declared-query contract: released at session teardown / the
+    # bench's per-query storage sweep.
+    assigned = assigned.select("cluster", "vid", "qv").persist()
+    assigned.count()
 
     def dot(x, y):
         return F.aggregate(

@@ -56,6 +56,13 @@ is a replay REWRITING partition N while hop 3 happens to be scanning
 it: that read fails and hop 3's checkpoint retries the batch — a
 transient failure, never duplicate or missing rows.
 
+Upgrade note: the manifest source was introduced with this design —
+an out_dir produced by a pre-manifest build has scored batches with
+no ``scored_commits`` entries and a pack checkpoint written for a
+parquet source. Such pipelines must restart from a fresh
+out_dir/checkpoint pair (or replay the source drops); resuming the
+old pack checkpoint against the text source is undefined.
+
 Cross-batch memory lives in the hops' OUTPUT directories (the kept
 fingerprints, band index, texts, and pack offsets already written),
 never in unbounded streaming state: the only streaming state anywhere
@@ -412,6 +419,20 @@ def _pack_hop(
             .partitionBy("_batch_id", source_col)
             .parquet(f"{out_dir}/shards")
         )
+        # Consumption markers for the compactor: "hop-2 batch N was
+        # packed by MY batch {batch_id}". Streaming batch ids are stable
+        # across replays, so a replayed pack batch re-creates identical
+        # markers (create-once no-op). The compactor treats a hop-2 id
+        # as merge-safe only when its marker's hop-3 id is COMMITTED in
+        # the pack checkpoint — a marker from a crashed, uncommitted
+        # batch does not unlock the merge, because that batch will
+        # replay and must still find its partitions un-merged.
+        for hop2_id in ids:
+            fsutil.write_text_once(
+                spark,
+                f"{out_dir}/pack_consumed/batch-{hop2_id}.txt",
+                f"{batch_id}\n",
+            )
 
     return (
         stream.writeStream.foreachBatch(_pack)
@@ -484,9 +505,15 @@ def _bootstrap_corpus_bands(
 ) -> None:
     """Sign the trusted corpus ONCE into ``{out}/bands/_batch_id=-1`` —
     the index partition every hop-2 batch equi-joins instead of
-    re-signing the corpus (VERDICT r7 #1). Skipped when the partition
-    already exists (restarts, later drains over the same out_dir)."""
-    if fsutil.exists(spark, f"{out_dir}/bands/_batch_id=-1"):
+    re-signing the corpus (VERDICT r7 #1). Skipped only when the
+    ``_bootstrap.done`` marker exists — written AFTER the partition
+    write completes, because directory existence alone cannot prove
+    completeness (an object-store commit moves files one by one; a
+    crash mid-commit would otherwise disable the vs-corpus gate
+    forever). A partial bootstrap has no marker, so the next start
+    dynamic-overwrites the partition whole."""
+    marker = f"{out_dir}/bands/_bootstrap.done"
+    if fsutil.exists(spark, marker):
         return
     (
         ldd.band_key_frame(ldd.minhash_signatures(corpus, id_col, text_col))
@@ -496,11 +523,24 @@ def _bootstrap_corpus_bands(
         .partitionBy("_batch_id")
         .parquet(f"{out_dir}/bands")
     )
+    fsutil.write_text_once(spark, marker, "-1\n")
 
 
 def _build_hops(
     spark, source_dir, schema, corpus, out_dir, checkpoint_dir, model, **kw
 ):
+    # a crashed compaction that completed its stage may already have
+    # deleted source partitions — running hops against that half-swapped
+    # history would silently re-admit near-dups and reset pack tails;
+    # the rerun restores it in seconds, so refuse to start until then
+    for name in ("scored", "bands", "shards"):
+        if fsutil.exists(spark, f"{out_dir}/{name}__compact_stage/_SUCCESS"):
+            raise RuntimeError(
+                f"interrupted compaction stage at {out_dir}/{name}"
+                "__compact_stage — run curate-compact (or "
+                "compact_curate_outputs) to finish the swap before "
+                "starting the pipeline"
+            )
     # a downstream hop's file source must be able to resolve its input
     # directory before the upstream hop has committed anything
     for hop_dir in ("admitted", "scored_commits"):
@@ -658,9 +698,52 @@ def _compact_batched_path(
     if fsutil.exists(spark, f"{stage}/_batch_id={safe}"):
         for v in merged:
             fsutil.delete(spark, f"{path}/_batch_id={v}")
-        fsutil.rename(spark, f"{stage}/_batch_id={safe}", dst)
+        # the staged copy is the ONLY copy now — a failed rename (dst
+        # re-created by a concurrent writer, permission blip) must
+        # leave the stage in place and fail loudly, never fall through
+        # to the stage delete below
+        if not fsutil.rename(spark, f"{stage}/_batch_id={safe}", dst):
+            raise OSError(
+                f"compaction swap failed: rename {stage}/_batch_id={safe}"
+                f" -> {dst} returned false; staged data retained — "
+                "re-run compaction after clearing the destination"
+            )
     fsutil.delete(spark, stage)
     return {"merged_partitions": len(merged), "into": safe}
+
+
+def _pack_consumed_upto(spark: SparkSession, out_dir: str, checkpoint_dir: str) -> int | None:
+    """Highest hop-2 batch id BELOW which every manifested batch has
+    been packed by a COMMITTED hop-3 batch — the extra bound the
+    ``scored`` merge needs. Hop 3 addresses scored partitions by
+    manifest id: merging a partition hop 3 has not consumed yet would
+    make its later ``isin([N])`` read hit the merged partition (every
+    row of every merged batch — duplicate packing) or nothing at all.
+    A consumption marker only counts when its recorded hop-3 batch id
+    is in the pack commit log: a marker from a crashed batch will be
+    REPLAYED, and the replay must still find its partitions intact.
+    Returns None when nothing bounds the merge (no manifests, or all
+    consumed)."""
+    committed = set()
+    for n in fsutil.list_names(spark, f"{checkpoint_dir}/pack/commits"):
+        if n.isdigit():
+            committed.add(int(n))
+    manifest_ids = set()
+    for n in fsutil.list_names(spark, f"{out_dir}/scored_commits"):
+        if n.startswith("batch-") and n.endswith(".txt"):
+            manifest_ids.add(int(n[len("batch-") : -len(".txt")]))
+    consumed = set()
+    for n in fsutil.list_names(spark, f"{out_dir}/pack_consumed"):
+        if not (n.startswith("batch-") and n.endswith(".txt")):
+            continue
+        hop2 = int(n[len("batch-") : -len(".txt")])
+        text = fsutil.read_text(spark, f"{out_dir}/pack_consumed/{n}")
+        if text is not None and int(text.strip()) in committed:
+            consumed.add(hop2)
+    unconsumed = sorted(manifest_ids - consumed)
+    if not unconsumed:
+        return None
+    return unconsumed[0] - 1
 
 
 def compact_curate_outputs(
@@ -678,15 +761,19 @@ def compact_curate_outputs(
     merge watermark is each owning hop's checkpoint commit log — a
     committed batch can never be replayed, and the merged rows keep
     ``_batch_id = safe < any future batch`` so every ``_batch_id <
-    current`` history filter still includes them. Run with the pipeline
-    STOPPED (see :func:`_compact_batched_path`). Shards keep their
-    (source, pack_id, start_tok) clustering."""
+    current`` history filter still includes them. ``scored`` is
+    additionally bounded by hop 3's committed CONSUMPTION
+    (:func:`_pack_consumed_upto`): hop 3 reads scored by manifest id,
+    so a partition it still owes a read must keep its own directory.
+    Run with the pipeline STOPPED (see :func:`_compact_batched_path`).
+    Shards keep their (source, pack_id, start_tok) clustering."""
 
     def shard_layout(df: DataFrame, n_files: int) -> DataFrame:
         return df.repartitionByRange(
             n_files, source_col, "pack_id"
         ).sortWithinPartitions(source_col, "pack_id", "start_tok")
 
+    consumed_upto = _pack_consumed_upto(spark, out_dir, checkpoint_dir)
     results: dict[str, dict] = {}
     for name, hop, inner, layout in (
         ("scored", "score", [], None),
@@ -694,7 +781,13 @@ def compact_curate_outputs(
         ("shards", "pack", [source_col], shard_layout),
     ):
         safe = last_committed_batch(spark, checkpoint_dir, hop)
-        if safe is None or not fsutil.exists(spark, f"{out_dir}/{name}"):
+        if name == "scored" and consumed_upto is not None:
+            safe = consumed_upto if safe is None else min(safe, consumed_upto)
+        if (
+            safe is None
+            or safe < 0
+            or not fsutil.exists(spark, f"{out_dir}/{name}")
+        ):
             results[name] = {"merged_partitions": 0}
             continue
         results[name] = _compact_batched_path(

@@ -209,10 +209,17 @@ def stream_contamination_flags(
         tokenized,
     )
 
-    distinct_sh = tokenized(eval_docs, text_col).select(
-        F.explode(shingles_of_tokens(F.col("_toks"), n)).alias("sh")
+    # ONE distinct-shingle lineage serves both the build-time cap count
+    # and the per-batch broadcast set. The count runs FIRST (a count
+    # never materializes the set itself, so an over-cap eval frame
+    # fails before any executor tries to build the oversized array);
+    # collect_list over the already-distinct rows == collect_set.
+    distinct_sh = (
+        tokenized(eval_docs, text_col)
+        .select(F.explode(shingles_of_tokens(F.col("_toks"), n)).alias("sh"))
+        .distinct()
     )
-    n_eval = distinct_sh.select("sh").distinct().count()
+    n_eval = distinct_sh.count()
     if n_eval > max_eval_shingles:
         raise ValueError(
             f"stream_contamination_flags: eval set has {n_eval} distinct "
@@ -220,11 +227,7 @@ def stream_contamination_flags(
             "large cannot ride along as a per-batch broadcast — shrink the "
             "eval frame or use the batch contaminated_docs join instead"
         )
-    ev = (
-        tokenized(eval_docs, text_col)
-        .select(F.explode(shingles_of_tokens(F.col("_toks"), n)).alias("sh"))
-        .agg(F.collect_set("sh").alias("_ev"))
-    )
+    ev = distinct_sh.agg(F.collect_list("sh").alias("_ev"))
     shingled = tokenized(incoming, text_col).withColumn(
         "_sh", F.array_distinct(shingles_of_tokens(F.col("_toks"), n))
     )

@@ -318,6 +318,16 @@ def test_hop2_signs_each_doc_once_and_never_resigns_corpus(
     drain()
     assert len(signed_sizes) == 3
 
+    # the _bootstrap.done marker is the completeness gate: without it
+    # (a crash mid-bootstrap leaves a partial partition and no marker)
+    # the next start re-signs the corpus whole
+    marker = Path(out) / "bands" / "_bootstrap.done"
+    assert marker.exists()
+    marker.unlink()
+    drain()
+    assert len(signed_sizes) == 4 and signed_sizes[3] == corpus_n
+    assert marker.exists()
+
     # and the admitted set still went through the near-dup gate: no kept
     # doc is a near-dup of the corpus (the index path changed, the
     # semantics must not)
@@ -545,3 +555,101 @@ def test_concurrent_curate_stream_consumes_each_batch_exactly_once(
         for start, n in spans:
             assert start == pos, (source, start, pos)
             pos += n
+
+
+def test_compaction_respects_hop3_consumption_watermark(
+    spark, tmp_path: Path
+):
+    """A scored partition hop 3 has not consumed (committed) yet must
+    keep its own directory: hop 3 addresses scored by manifest id, so
+    merging it away would double-pack or lose it. Simulated by
+    removing the consumption marker for the newest batch — compaction
+    must bound the scored merge below it, then merge fully once the
+    marker is back."""
+    from egal_yet_another_earthquake_project_spark.streaming.curate import (
+        compact_curate_outputs,
+    )
+
+    drop = _drop_frame(spark)
+    qs = [
+        drop.agg(F.percentile_approx("doc_id", q).alias("c")).first().c
+        for q in (0.33, 0.66)
+    ]
+    batches = [
+        drop.filter(F.col("doc_id") < F.lit(qs[0])),
+        drop.filter(
+            (F.col("doc_id") >= F.lit(qs[0])) & (F.col("doc_id") < F.lit(qs[1]))
+        ),
+        drop.filter(F.col("doc_id") >= F.lit(qs[1])),
+    ]
+    src = tmp_path / "in"
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    schema = None
+    for i, b in enumerate(batches):
+        b.selectExpr(
+            "doc_id", "source", "text", f"{TS} AS ingest_ts"
+        ).coalesce(1).write.parquet(str(src / f"b{i}"))
+        if schema is None:
+            schema = spark.read.parquet(str(src / "b0")).schema
+        drain_curate_stream(
+            spark, str(src) + "/*", schema, corpus=None, out_dir=out,
+            checkpoint_dir=ck, model=None,
+        )
+    parts = sorted(p.name for p in (Path(out) / "scored").glob("_batch_id=*"))
+    assert len(parts) == 3
+    before = {
+        tuple(r)
+        for r in spark.read.parquet(f"{out}/scored").drop("_batch_id").collect()
+    }
+
+    # hop 3 "owes" the newest batch: hide its consumption marker
+    newest = max(int(p.split("=")[1]) for p in parts)
+    marker = Path(out) / "pack_consumed" / f"batch-{newest}.txt"
+    stash = marker.read_text()
+    marker.unlink()
+    res = compact_curate_outputs(spark, out, ck)
+    assert res["scored"]["into"] < newest  # bounded below the owed batch
+    assert (Path(out) / "scored" / f"_batch_id={newest}").exists()
+    after = {
+        tuple(r)
+        for r in spark.read.parquet(f"{out}/scored").drop("_batch_id").collect()
+    }
+    assert after == before
+
+    # marker restored -> the remaining partitions merge into one
+    marker.write_text(stash)
+    res = compact_curate_outputs(spark, out, ck)
+    assert res["scored"]["merged_partitions"] == 2
+    assert len(list((Path(out) / "scored").glob("_batch_id=*"))) == 1
+    final = {
+        tuple(r)
+        for r in spark.read.parquet(f"{out}/scored").drop("_batch_id").collect()
+    }
+    assert final == before
+
+
+def test_pipeline_refuses_to_start_over_interrupted_compaction(
+    spark, tmp_path: Path
+):
+    """A completed compaction stage means the source partitions may
+    already be half-deleted; starting the hops there would silently
+    run against broken history. _build_hops must refuse until the
+    compaction rerun finishes the swap."""
+    import pytest
+
+    drop = _drop_frame(spark).limit(20)
+    src = tmp_path / "in"
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    drop.selectExpr(
+        "doc_id", "source", "text", f"{TS} AS ingest_ts"
+    ).coalesce(1).write.parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+
+    stage = Path(out) / "scored__compact_stage"
+    stage.mkdir(parents=True)
+    (stage / "_SUCCESS").touch()
+    with pytest.raises(RuntimeError, match="curate-compact"):
+        drain_curate_stream(
+            spark, str(src), schema, corpus=None, out_dir=out,
+            checkpoint_dir=ck, model=None,
+        )
