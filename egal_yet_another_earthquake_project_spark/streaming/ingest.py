@@ -162,6 +162,102 @@ def stream_neardup_flags(
     )
 
 
+def stream_semantic_flags(
+    incoming: DataFrame,
+    centroids: DataFrame,
+    cells_index: DataFrame,
+    cos_threshold: float = 0.3,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    event_time: str = "ingest_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Flag stream vectors that are SEMANTIC near-duplicates of the
+    static corpus — the embedding analogue of
+    :func:`stream_neardup_flags`, gating against the persisted IVF
+    index (``llm/ann_index.py`` layout). Emits ``(doc_a, doc_b,
+    cos)``: stream vector, matched corpus vector, cosine ≥ threshold.
+
+    ``centroids`` is the index's coarse-quantizer frame ``(cell, cv)``
+    — bounded at ``num_cells`` rows, COLLECTED once at stream build
+    into per-row literal expressions (the same frozen-plan-literal
+    pattern as ``stateful.drift_stream``'s vocabulary; a rebuilt index
+    means restarting the stream, exactly like a new reference
+    vocabulary). ``cells_index`` is the ``(neighbor_id, uv, cell)``
+    cell table — pass ``spark.read.parquet(f"{root}/cells")``, or a
+    cell-bucketed saved table so the per-batch stream-static equi-join
+    leaves the index side exchange-free (the ``write_band_index``
+    pattern).
+
+    Every stage is stateless per micro-batch except the final bounded
+    dedup: unit-normalization and the top-``nprobe`` cell choice are
+    per-row expressions over the literal centroids (argsort of a
+    k-long struct array — no window, no aggregation), the candidate
+    join touches only the probed cells' rows, verification is one dot
+    product per candidate (index vectors are pre-normalized), and a
+    pair hit via several probes collapses through
+    ``dropDuplicatesWithinWatermark``. With ``nprobe`` = num_cells the
+    drained flags equal the exact thresholded cosine pairs (asserted
+    in tests); smaller ``nprobe`` trades recall for probe cost, the
+    standard IVF dial.
+    """
+    from egal_yet_another_earthquake_project_spark.llm.similarity import (
+        _dots,
+        unit,
+    )
+
+    cent_rows = centroids.select("cell", "cv").collect()
+    if not cent_rows:
+        raise ValueError("stream_semantic_flags: empty centroid frame")
+
+    def _unit(vec: list[float]) -> list[float]:
+        nm = sum(float(x) * float(x) for x in vec) ** 0.5
+        return [float(x) / nm if nm else 0.0 for x in vec]
+
+    lit_cells = []
+    for r in cent_rows:
+        uc = F.array(*[F.lit(x) for x in _unit(list(r.cv))])
+        lit_cells.append(
+            F.struct(
+                (-_dots(F.col("_uq"), uc)).alias("negsim"),
+                F.lit(int(r.cell)).alias("cell"),
+            )
+        )
+    probed = F.transform(
+        F.slice(F.array_sort(F.array(*lit_cells)), 1, int(nprobe)),
+        lambda s: s["cell"],
+    )
+
+    prepared = unit(
+        incoming.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("doc_a"), F.col(event_time), F.col(vec_col)
+        ),
+        vec_col,
+        "_uq",
+    ).drop(vec_col)
+    exploded = prepared.select(
+        "doc_a", event_time, "_uq", F.explode(probed).alias("cell")
+    )
+    verified = (
+        exploded.join(
+            cells_index.select(
+                F.col("neighbor_id").alias("doc_b"), "uv", "cell"
+            ),
+            "cell",
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .withColumn("cos", F.round(_dots(F.col("_uq"), F.col("uv")), 4))
+        .filter(F.col("cos") >= F.lit(float(cos_threshold)))
+        .select("doc_a", "doc_b", "cos", event_time)
+    )
+    return (
+        verified.withWatermark(event_time, watermark)
+        .dropDuplicatesWithinWatermark(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b", "cos")
+    )
+
+
 #: default ceiling on the broadcast eval shingle set. 5M distinct
 #: shingles ≈ 40 MB of 8-byte hashes per executor — comfortably under
 #: broadcast limits; a 10M-ROW eval frame would blow past it and must

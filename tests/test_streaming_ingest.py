@@ -219,3 +219,100 @@ def test_stream_contamination_rejects_oversized_eval_set(spark):
         incoming, eval_docs, max_eval_shingles=10_000
     )
     assert "contamination" in flagged.columns
+
+
+def test_stream_semantic_flags_full_probe_equals_exact_pairs(
+    spark, tmp_path: Path
+):
+    """stream_semantic_flags with nprobe = num_cells (probe every cell)
+    drained over a finite stream must equal the EXACT thresholded
+    cosine pair set vs the corpus — the IVF routing only partitions the
+    work, it must not change any verdict. A single-probe run is a
+    subset (recall dial)."""
+    from egal_yet_another_earthquake_project_spark.llm.ann_index import (
+        build_ivf_index,
+        resolve_index_dir,
+    )
+    from egal_yet_another_earthquake_project_spark.llm.similarity import (
+        _dots,
+        unit,
+    )
+    from egal_yet_another_earthquake_project_spark.sources.files import (
+        read_table,
+    )
+    from egal_yet_another_earthquake_project_spark.streaming.ingest import (
+        stream_semantic_flags,
+    )
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") % 3 != 0)
+    stream_vecs = emb.filter(F.col("vec_id") % 3 == 0).limit(60)
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(corpus, idx, num_cells=8)
+    root = resolve_index_dir(idx)
+    cents = spark.read.parquet(f"{root}/centroids")
+    cells = spark.read.parquet(f"{root}/cells")
+
+    src = tmp_path / "vec_in"
+    stream_vecs.selectExpr(
+        "vec_id", "embedding", "TIMESTAMP'2024-01-01' AS ingest_ts"
+    ).coalesce(1).write.parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+
+    incoming = spark.readStream.format("parquet").schema(schema).load(str(src))
+    flags = stream_semantic_flags(
+        incoming, cents, cells, cos_threshold=0.2, nprobe=8
+    )
+    q = (
+        flags.writeStream.format("memory")
+        .queryName("sem_flags")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.doc_a, r.doc_b, r.cos)
+        for r in spark.table("sem_flags").collect()
+    }
+
+    a = unit(
+        stream_vecs.select(F.col("vec_id").alias("doc_a"), "embedding"),
+        "embedding", "_ua",
+    ).drop("embedding")
+    b = unit(
+        corpus.select(F.col("vec_id").alias("doc_b"), "embedding"),
+        "embedding", "_ub",
+    ).drop("embedding")
+    want = {
+        (r.doc_a, r.doc_b, r.cos)
+        for r in a.crossJoin(b)
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .withColumn("cos", F.round(_dots(F.col("_ua"), F.col("_ub")), 4))
+        .filter(F.col("cos") >= 0.2)
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+    # single probe: strict subset semantics (never a false positive)
+    flags1 = stream_semantic_flags(
+        incoming, cents, cells, cos_threshold=0.2, nprobe=1
+    )
+    q1 = (
+        flags1.writeStream.format("memory")
+        .queryName("sem_flags1")
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination()
+    got1 = {
+        (r.doc_a, r.doc_b, r.cos)
+        for r in spark.table("sem_flags1").collect()
+    }
+    assert got1 <= want
