@@ -448,7 +448,7 @@ def main() -> None:
                     "now_sec": timings.get(name),
                     "ratio": (
                         round(timings[name] / anchor, 3)
-                        if timings.get(name)
+                        if timings.get(name) is not None
                         else None
                     ),
                 }

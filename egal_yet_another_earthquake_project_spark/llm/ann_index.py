@@ -25,6 +25,9 @@ amortizes the expensive parts instead:
                                  the manifest a catalog commit replaces)
     {index_dir}/v=N/centroids    (cell, cv)
     {index_dir}/v=N/cells        (neighbor_id, uv) partitioned by cell
+    {index_dir}/v=N/_COMPLETE    staged-complete marker, written last —
+                                 the CURRENT-less fallback only selects
+                                 versions that carry it
 
 A reader always resolves CURRENT first, so it sees one complete version
 — never new centroids with old cells. Rebuilds stage the next version
@@ -102,19 +105,35 @@ def _list_versions(index_dir: str) -> list[int]:
     )
 
 
+def _version_complete(index_dir: str, version: int) -> bool:
+    """True iff ``v=N`` carries the ``_COMPLETE`` marker that
+    ``_write_version`` writes LAST — the per-version completeness signal
+    that lets CURRENT-less fallback distinguish a fully staged version
+    from a crash's partial one (on object stores / committer v2 a
+    partial cells dir can read successfully, so directory existence is
+    not enough)."""
+    marker = f"{index_dir}/v={version}/_COMPLETE"
+    spark = _active_spark()
+    if spark is not None:
+        return fsutil.exists(spark, marker)
+    return os.path.exists(marker)
+
+
 def resolve_index_dir(index_dir: str) -> str:
     """Root of the LIVE index version: ``{index_dir}/v=N`` per CURRENT.
-    When CURRENT is absent but ``v=*`` directories exist, the NEWEST one
-    wins — that covers both a crash that lost the pointer and the
-    momentary delete-then-rename window of a non-local pointer overwrite
-    (versions are always staged complete before the pointer moves, so
-    the newest staged version is safe to read). Falls back to
-    ``index_dir`` itself for legacy flat layouts. One resolve pins a
-    reader to one complete (centroids, cells) pair."""
+    When CURRENT is absent, the newest version carrying a ``_COMPLETE``
+    marker wins — that covers both a crash that lost the pointer and the
+    momentary delete-then-rename window of a non-local pointer overwrite,
+    while a first-build crash mid-stage (no CURRENT ever existed, no
+    marker) falls through rather than silently serving a partial cells
+    dir. Falls back to ``index_dir`` itself for legacy flat layouts.
+    One resolve pins a reader to one complete (centroids, cells) pair."""
     n = _read_current(index_dir)
     if n is None:
-        versions = _list_versions(index_dir)
-        n = versions[-1] if versions else None
+        complete = [
+            v for v in _list_versions(index_dir) if _version_complete(index_dir, v)
+        ]
+        n = complete[-1] if complete else None
     return index_dir if n is None else f"{index_dir}/v={n}"
 
 
@@ -143,7 +162,10 @@ def _write_version(
     id_col: str,
     vec_col: str,
 ) -> None:
-    """Write one complete (centroids, cells) pair under ``root``."""
+    """Write one complete (centroids, cells) pair under ``root``, then
+    the ``_COMPLETE`` marker LAST — the signal ``resolve_index_dir``'s
+    CURRENT-less fallback requires, so a crash anywhere in here leaves a
+    version no reader will ever select."""
     cent = sample_centroids(corpus, num_cells, id_col, vec_col)
     if refine_iters:
         cent = refine_centroids(corpus, cent, refine_iters, id_col, vec_col)
@@ -159,6 +181,9 @@ def _write_version(
         assigned.write.mode("overwrite")
         .partitionBy("cell")
         .parquet(f"{root}/cells")
+    )
+    fsutil.write_text_overwrite(
+        corpus.sparkSession, f"{root}/_COMPLETE", "complete\n"
     )
 
 

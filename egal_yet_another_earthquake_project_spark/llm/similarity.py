@@ -382,12 +382,27 @@ def neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str | None = "label",
+    max_cell_size: int | None = 65536,
+    hot_cell_anchors: int = 256,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (cos ≥ threshold, id_a < id_b).
 
     With ``cell_col`` the pair join is per-cell (near-dups share a cell at
     any reasonable quantizer); ``None`` falls back to all-pairs — baseline
-    only."""
+    only.
+
+    Hot-cell skew guard (the ``max_doc_freq`` stop-shingle analog,
+    VERDICT r8 #2): a degenerate cell — mass-duplicated boilerplate —
+    makes the per-cell join quadratic in that one cell. Cells larger
+    than ``max_cell_size`` contribute only their ``hot_cell_anchors``
+    LOWEST-id members to the ``id_a`` (lower) side, so hot-cell pair
+    mass is |c| × anchors. In the degenerate all-identical case the
+    min-id anchor pairs with every member, so downstream keep-min dedup
+    loses nothing; for a merely-large diverse cell the cap trades recall
+    for boundedness (same documented trade as LSH's stop-shingle cap).
+    Hot-cell detection is a broadcast anti/semi join against the ≤
+    n/max_cell_size over-cap cells — no driver collect, no assumption on
+    cell cardinality. ``max_cell_size=None`` disables the guard."""
     a = unit(
         df.select(
             F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
@@ -402,6 +417,22 @@ def neardup_pairs(
         ),
         "vb", "ub",
     ).drop("vb")
+    if cell_col and max_cell_size is not None:
+        hot = (
+            df.groupBy(F.col(cell_col).alias("cell"))
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > int(max_cell_size))
+            .select("cell")
+        )
+        a_normal = a.join(F.broadcast(hot), "cell", "left_anti")
+        rk = Window.partitionBy("cell").orderBy("id_a")
+        a_hot = (
+            a.join(F.broadcast(hot), "cell", "leftsemi")
+            .withColumn("_rk", F.row_number().over(rk))
+            .filter(F.col("_rk") <= F.lit(int(hot_cell_anchors)))
+            .drop("_rk")
+        )
+        a = a_normal.unionByName(a_hot)
     joined = a.join(b, on="cell") if cell_col else a.crossJoin(b)
     return (
         joined.filter(F.col("id_a") < F.col("id_b"))

@@ -207,6 +207,11 @@ def stream_semantic_flags(
         unit,
     )
 
+    if int(nprobe) < 1:
+        # F.slice with length 0 would yield an empty probed array and the
+        # gate would silently pass everything — fail at build time like
+        # the empty-centroid case below.
+        raise ValueError("stream_semantic_flags: nprobe must be >= 1")
     cent_rows = centroids.select("cell", "cv").collect()
     if not cent_rows:
         raise ValueError("stream_semantic_flags: empty centroid frame")

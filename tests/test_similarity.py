@@ -495,6 +495,39 @@ def test_ivf_resolve_falls_back_to_newest_version_when_current_lost(
     assert ai._read_current(idx) == 1
 
 
+def test_ivf_resolve_skips_partially_staged_version(spark, tmp_path):
+    """ADVICE r8: the CURRENT-less fallback must not pin a PARTIALLY
+    staged version. A first build that crashes mid-stage leaves
+    ``v=1/cells`` readable but no ``_COMPLETE`` marker and no CURRENT;
+    resolve must fall through to the legacy/not-built path (which fails
+    loudly on read) instead of silently serving partial results. Once a
+    later complete version exists, the fallback selects IT, skipping the
+    newer-numbered partial stage too."""
+    import os
+
+    from egal_yet_another_earthquake_project_spark.llm import ann_index as ai
+
+    emb = read_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    base = emb.limit(120)
+    idx = str(tmp_path / "ivf")
+
+    # Simulate a crash mid _write_version on the FIRST build: cells dir
+    # exists and reads fine, marker was never written, CURRENT never
+    # existed.
+    base.limit(10).write.parquet(f"{idx}/v=1/cells")
+    assert ai.resolve_index_dir(idx) == idx  # falls through, not v=1
+
+    # A real build cuts over; then a rebuild crash stages a partial v=3.
+    ai.build_ivf_index(base, idx, num_cells=8)
+    # build wrote v=1 for real (marker present) — CURRENT points there
+    assert ai.resolve_index_dir(idx).endswith("v=1")
+    base.limit(10).write.mode("overwrite").parquet(f"{idx}/v=3/cells")
+    os.remove(f"{idx}/CURRENT")
+    # newest version on disk is the partial v=3; resolve must pick the
+    # newest COMPLETE one
+    assert ai.resolve_index_dir(idx).endswith("v=1")
+
+
 def test_embedding_drift_flags_the_shifted_label(spark, tmp_path):
     """A label whose vectors point away from the corpus mean gets a
     visibly lower centroid cosine than well-mixed labels; cosine is
@@ -529,3 +562,39 @@ def test_embedding_drift_flags_the_shifted_label(spark, tmp_path):
     assert all(r.n_vecs == 20 for r in out.values())
     assert out[0].centroid_cosine > 0.9 and out[1].centroid_cosine > 0.9
     assert out[9].centroid_cosine < 0.0  # opposed to the corpus direction
+
+
+def test_neardup_pairs_hot_cell_cap_bounds_pair_mass(spark):
+    """VERDICT r8 Next #1: a degenerate cell (mass-duplicated vectors)
+    must not pay |c|² pairs. With the anchor cap, only the cell's lowest
+    ids sit on the id_a side, so pair mass is |c| × anchors — and every
+    non-min member still pairs with the min-id anchor, so keep-min dedup
+    downstream loses nothing."""
+    from egal_yet_another_earthquake_project_spark.llm.similarity import (
+        neardup_pairs,
+    )
+
+    hot = [(i, [1.0, 0.0, 0.0], "hot") for i in range(40)]
+    cold = [
+        (100, [0.0, 1.0, 0.0], "cold"),
+        (101, [0.0, 1.0, 0.001], "cold"),  # twin of 100
+        (102, [0.0, 0.0, 1.0], "cold"),
+    ]
+    df = spark.createDataFrame(
+        hot + cold, "vec_id long, embedding array<double>, label string"
+    )
+    uncapped = neardup_pairs(df, threshold=0.95, max_cell_size=None)
+    capped = neardup_pairs(
+        df, threshold=0.95, max_cell_size=10, hot_cell_anchors=2
+    )
+    n_un, n_cap = uncapped.count(), capped.count()
+    assert n_un == 40 * 39 // 2 + 1  # quadratic hot cell + the cold twin
+    # anchors 0 and 1: (0, x) for 39 higher ids + (1, x) for 38 + cold twin
+    assert n_cap == 39 + 38 + 1
+    # every non-min hot member still has a lower-id partner (keep-min safe)
+    partners = {
+        r.id_b for r in capped.filter("id_a = 0").collect()
+    }
+    assert partners == set(range(1, 40))
+    # the under-cap cell is untouched by the guard
+    assert capped.filter("id_a >= 100").count() == 1
