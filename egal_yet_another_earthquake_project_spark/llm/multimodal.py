@@ -6,10 +6,16 @@ Pattern for image/audio/video at 100 TB: the payload is an opaque
 and feature extraction run as Arrow-batched ``mapInPandas`` so the heavy
 per-item work is vectorized per partition and never touches the driver.
 
-The decode step itself is STUBBED in this container (no PIL/libav): the
-deterministic fake below stands in, clearly marked, but the Spark-side
-contract — schemas, batch iteration, partition parallelism — is real and
-tested.
+Decode: real codec libraries (PIL/libav) are not present in this
+container, so :func:`decode_payload` carries a dependency-free decoder
+for the two classic uncompressed containers — 24-bit BI_RGB **BMP** and
+binary/plain **PPM** (P6/P3) — and raises ``NotImplementedError`` for
+anything it cannot strictly validate. :func:`extract_features` tries the
+real decode first (luminance-histogram features over actual pixels) and
+falls back to the deterministic byte-histogram fake for non-media blobs,
+so the decode→feature path runs end-to-end in this sandbox while the
+Spark-side contract — schemas, batch iteration, partition parallelism —
+stays identical for both lanes.
 """
 
 from __future__ import annotations
@@ -47,13 +53,208 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def decode_payload(blob: bytes) -> object:
-    """The real decoder (image/audio/frame decode) — not available in this
-    container. Marked unimplemented on purpose; see fake_features for the
-    deterministic stand-in used by tests."""
-    raise NotImplementedError(
-        "media decode requires codec libraries not present in this environment"
+#: Sanity bound on decoded pixel count — a blob whose header claims more
+#: is rejected rather than allocated (headers are untrusted input).
+MAX_PIXELS = 1 << 24
+
+
+def encode_bmp(width: int, height: int, pixels: list[list[tuple]]) -> bytes:
+    """Minimal 24-bit BI_RGB BMP writer (bottom-up rows, BGR byte order,
+    rows padded to 4 bytes) — the demo payload builder for the decode
+    path, the binary analog of :func:`attach_binary_payload`."""
+    import struct
+
+    row_size = (width * 3 + 3) & ~3
+    data = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for r, g, b in pixels[y]:
+            row += bytes((b, g, r))
+        row += b"\x00" * (row_size - len(row))
+        data += row
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(data), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(data), 2835, 2835, 0, 0
     )
+    return bytes(header + data)
+
+
+def encode_ppm(
+    width: int, height: int, pixels: list[list[tuple]], plain: bool = False
+) -> bytes:
+    """Minimal PPM writer: binary P6 (default) or plain-text P3."""
+    if plain:
+        body = "\n".join(
+            " ".join(f"{r} {g} {b}" for r, g, b in row) for row in pixels
+        )
+        return f"P3\n{width} {height}\n255\n{body}\n".encode("ascii")
+    data = bytearray()
+    for row in pixels:
+        for r, g, b in row:
+            data += bytes((r, g, b))
+    return f"P6\n{width} {height}\n255\n".encode("ascii") + bytes(data)
+
+
+def _decode_bmp(blob: bytes) -> dict:
+    import struct
+
+    if len(blob) < 54:
+        raise ValueError("short BMP")
+    magic, file_size, _r1, _r2, offset = struct.unpack("<2sIHHI", blob[:14])
+    (dib_size, width, height, planes, bpp, compression) = struct.unpack(
+        "<IiiHHI", blob[14:34]
+    )
+    if (
+        magic != b"BM"
+        or file_size != len(blob)
+        or dib_size < 40
+        or offset < 14 + dib_size
+        or planes != 1
+        or bpp != 24
+        or compression != 0
+        or width <= 0
+        or height == 0
+    ):
+        raise ValueError("not an uncompressed 24-bit BMP")
+    bottom_up = height > 0
+    height = abs(height)
+    if width * height > MAX_PIXELS:
+        raise ValueError("BMP dimensions exceed sanity bound")
+    row_size = (width * 3 + 3) & ~3
+    if offset + row_size * height > len(blob):
+        raise ValueError("truncated BMP pixel data")
+    rows = []
+    for i in range(height):
+        base = offset + i * row_size
+        row = [
+            (blob[base + 3 * x + 2], blob[base + 3 * x + 1], blob[base + 3 * x])
+            for x in range(width)
+        ]
+        rows.append(row)
+    if bottom_up:
+        rows.reverse()
+    return {
+        "format": "bmp",
+        "width": width,
+        "height": height,
+        "maxval": 255,
+        "pixels": rows,
+    }
+
+
+def _decode_ppm(blob: bytes) -> dict:
+    magic = blob[:2]
+    if magic not in (b"P6", b"P3"):
+        raise ValueError("not a PPM")
+    # header tokens (width, height, maxval) with '#' comments; after the
+    # third token exactly ONE whitespace byte precedes P6 binary data
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(blob) and blob[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(blob) and blob[pos : pos + 1] == b"#":
+            while pos < len(blob) and blob[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(blob) and not blob[pos : pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated PPM header")
+        tokens.append(blob[start:pos])
+    try:
+        width, height, maxval = (int(t) for t in tokens)
+    except ValueError as exc:
+        raise ValueError("malformed PPM header") from exc
+    if width <= 0 or height <= 0 or not 0 < maxval < 65536:
+        raise ValueError("malformed PPM dimensions")
+    if width * height > MAX_PIXELS:
+        raise ValueError("PPM dimensions exceed sanity bound")
+    if magic == b"P6":
+        if maxval > 255:
+            raise ValueError("16-bit P6 unsupported")
+        pos += 1  # the single whitespace after maxval
+        need = width * height * 3
+        if len(blob) - pos != need:
+            raise ValueError("P6 payload size mismatch")
+        flat = blob[pos:]
+        rows = [
+            [
+                (
+                    flat[3 * (y * width + x)],
+                    flat[3 * (y * width + x) + 1],
+                    flat[3 * (y * width + x) + 2],
+                )
+                for x in range(width)
+            ]
+            for y in range(height)
+        ]
+    else:
+        try:
+            vals = [int(t) for t in blob[pos:].split()]
+        except ValueError as exc:
+            raise ValueError("malformed P3 body") from exc
+        if len(vals) != width * height * 3 or any(
+            v < 0 or v > maxval for v in vals
+        ):
+            raise ValueError("P3 payload size/range mismatch")
+        rows = [
+            [
+                tuple(vals[3 * (y * width + x) : 3 * (y * width + x) + 3])
+                for x in range(width)
+            ]
+            for y in range(height)
+        ]
+    return {
+        "format": "ppm",
+        "width": width,
+        "height": height,
+        "maxval": maxval,
+        "pixels": rows,
+    }
+
+
+def decode_payload(blob: bytes) -> dict:
+    """Decode a media payload to ``{format, width, height, maxval,
+    pixels}`` (pixels top-down, (r, g, b) tuples).
+
+    Dependency-free fallback decoder for uncompressed 24-bit BI_RGB BMP
+    and PPM (P6 binary / P3 plain); every header field is strictly
+    validated against the actual byte length so arbitrary text/binary
+    blobs cannot half-parse. Formats that need real codec libraries
+    (JPEG/PNG/audio/video — not present in this environment) raise
+    ``NotImplementedError``, which :func:`extract_features` treats as
+    "not media" and routes to the byte-histogram fallback."""
+    blob = bytes(blob)
+    head = blob[:2]
+    try:
+        if head == b"BM":
+            return _decode_bmp(blob)
+        if head in (b"P6", b"P3"):
+            return _decode_ppm(blob)
+    except ValueError as exc:
+        raise NotImplementedError(f"payload is not decodable media: {exc}") from exc
+    raise NotImplementedError(
+        "media decode for this format requires codec libraries not present "
+        "in this environment"
+    )
+
+
+def pixel_features(decoded: dict, dim: int = 8) -> list[float]:
+    """Normalized luminance histogram over REAL decoded pixels:
+    lum = (r+g+b)//3, bucket = lum·dim // (maxval+1) — all-integer
+    bucketing, count/total exact IEEE fractions, so the features
+    hash-verify across engines (the oracle replays the same integers)."""
+    counts = [0] * dim
+    maxval = decoded["maxval"]
+    total = 0
+    for row in decoded["pixels"]:
+        for r, g, b in row:
+            counts[((r + g + b) // 3) * dim // (maxval + 1)] += 1
+            total += 1
+    total = float(total) or 1.0
+    return [c / total for c in counts]
 
 
 def fake_features(blob: bytes, dim: int = 8) -> list[float]:
@@ -73,7 +274,17 @@ def extract_features(
 
     ``mapInPandas``: each partition streams pandas batches through the
     extractor — this is exactly where a real image/audio model call goes
-    (batched, executor-side, GPU-friendly)."""
+    (batched, executor-side, GPU-friendly). Payloads that
+    :func:`decode_payload` strictly validates as media (BMP/PPM) yield
+    REAL pixel-luminance features; everything else falls back to the
+    deterministic byte-histogram fake, so mixed media/text corpora run
+    through one plan."""
+
+    def feats(blob: bytes) -> list[float]:
+        try:
+            return pixel_features(decode_payload(blob), dim)
+        except NotImplementedError:
+            return fake_features(bytes(blob), dim)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -81,9 +292,7 @@ def extract_features(
                 {
                     "doc_id": pdf[id_col],
                     "n_bytes": pdf[payload_col].map(len),
-                    "features": pdf[payload_col].map(
-                        lambda b: fake_features(bytes(b), dim)
-                    ),
+                    "features": pdf[payload_col].map(feats),
                 }
             )
 

@@ -902,6 +902,74 @@ LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.m = b.bucket
 
 
 
+def q_media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode end-to-end (llm.multimodal.decode_payload): one
+    deterministic 8×4 24-bit BMP per document is encoded in the Arrow
+    lane, then extract_features strictly parses the container (header,
+    padding, bottom-up row order, BGR) and histograms actual pixel
+    luminance. The pixel values are a pure function of (doc_id, p), so
+    the oracle replays the features analytically WITHOUT touching BMP —
+    a hash-mismatch here means the decoder misread real bytes. n_bytes
+    asserts the container size (54-byte headers + 4-aligned rows)."""
+    import pandas as _pd
+
+    from egal_yet_another_earthquake_project_spark.llm import multimodal as _mm
+
+    width, height = 8, 4
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                pixels = [
+                    [
+                        (
+                            (did * 31 + (y * width + x)) % 256,
+                            (did * 17 + (y * width + x) * 3) % 256,
+                            (did * 13 + (y * width + x) * 5) % 256,
+                        )
+                        for x in range(width)
+                    ]
+                    for y in range(height)
+                ]
+                payloads.append(_mm.encode_bmp(width, height, pixels))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    corpus = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .mapInPandas(build, "doc_id long, payload binary")
+    )
+    feats = lmm.extract_features(corpus)
+    return feats.select(
+        "doc_id", "n_bytes", F.posexplode("features").alias("bucket", "ratio")
+    )
+
+
+_MEDIA_DECODE_ORACLE = """
+WITH px AS (
+  SELECT d.doc_id,
+         ((d.doc_id * 31 + p.p) % 256
+          + (d.doc_id * 17 + p.p * 3) % 256
+          + (d.doc_id * 13 + p.p * 5) % 256) // 3 AS lum
+  FROM documents d, unnest(range(0, 32)) AS p(p)
+),
+counts AS (
+  SELECT doc_id, lum * 8 // 256 AS bucket, count(*) AS c
+  FROM px GROUP BY doc_id, bucket
+),
+buckets AS (SELECT unnest(range(0, 8)) AS bucket)
+-- n_bytes: 14+40 header bytes + 8px*3B rows (already 4-aligned) * 4 rows
+SELECT d.doc_id AS doc_id, CAST(150 AS BIGINT) AS n_bytes,
+       CAST(b.bucket AS INTEGER) AS bucket,
+       CAST(coalesce(c.c, 0) AS DOUBLE) / 32 AS ratio
+FROM documents d
+CROSS JOIN buckets b
+LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.bucket = b.bucket
+"""
+
+
 def q_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media near-dedup end-to-end over binary payloads: Arrow-lane
     byte-BIGRAM histogram → 32-bit integer sign-projection signature
@@ -1937,6 +2005,7 @@ QUERIES = {
     "semantic_neardup": q_semantic_neardup,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
+    "media_decode_features": q_media_decode_features,
     "media_neardup": q_media_neardup,
     "label_centroids": q_label_centroids,
     "embedding_drift": q_embedding_drift,
@@ -1980,6 +2049,7 @@ ORACLES = {
     "semantic_neardup": _SEMANTIC_NEARDUP_ORACLE,
     "multimodal_meta": _MULTIMODAL_META_ORACLE,
     "multimodal_features": _MULTIMODAL_FEATURES_ORACLE,
+    "media_decode_features": _MEDIA_DECODE_ORACLE,
     "media_neardup": _media_neardup_oracle(),
     "label_centroids": _LABEL_CENTROIDS_ORACLE,
     "embedding_drift": _EMBEDDING_DRIFT_ORACLE,

@@ -86,3 +86,84 @@ def test_media_signature_deterministic_and_partition_invariant(spark):
         map(tuple, lmm.payload_signatures(corpus.repartition(9)).collect())
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Real media decode (VERDICT r8 Next #5): dependency-free BMP/PPM decoder
+# ---------------------------------------------------------------------------
+
+
+def _test_pixels(width=5, height=3):
+    return [
+        [((x * 7 + y * 31) % 256, (x * 13 + y) % 256, (x + y * 101) % 256)
+         for x in range(width)]
+        for y in range(height)
+    ]
+
+
+def test_bmp_roundtrip_exact_pixels():
+    """encode_bmp → decode_payload must return the exact pixels: width 5
+    forces row padding (15 bytes → 16), and the bottom-up row order plus
+    BGR byte order must both be undone."""
+    from egal_yet_another_earthquake_project_spark.llm import multimodal as lmm
+
+    px = _test_pixels()
+    blob = lmm.encode_bmp(5, 3, px)
+    assert blob[:2] == b"BM" and len(blob) == 54 + 16 * 3
+    got = lmm.decode_payload(blob)
+    assert (got["format"], got["width"], got["height"]) == ("bmp", 5, 3)
+    assert got["pixels"] == px
+
+
+def test_ppm_p6_and_p3_roundtrip_and_feature_parity():
+    """Both PPM containers decode to the same pixels as the BMP of the
+    same image — and therefore to bit-identical features (hash-stable
+    across containers)."""
+    from egal_yet_another_earthquake_project_spark.llm import multimodal as lmm
+
+    px = _test_pixels()
+    p6 = lmm.decode_payload(lmm.encode_ppm(5, 3, px))
+    p3 = lmm.decode_payload(lmm.encode_ppm(5, 3, px, plain=True))
+    bmp = lmm.decode_payload(lmm.encode_bmp(5, 3, px))
+    assert p6["pixels"] == p3["pixels"] == bmp["pixels"] == px
+    f = lmm.pixel_features
+    assert f(p6) == f(p3) == f(bmp)
+    assert abs(sum(f(p6)) - 1.0) < 1e-12
+
+
+def test_decode_rejects_non_media_strictly():
+    """Arbitrary text — including text that STARTS like a magic number —
+    must raise NotImplementedError (strict header-vs-length validation),
+    never half-parse; extract_features then routes it to the fake lane."""
+    import pytest
+
+    from egal_yet_another_earthquake_project_spark.llm import multimodal as lmm
+
+    for blob in (
+        b"",
+        b"hello world",
+        b"BMnot really a bitmap at all........................................",
+        b"P6 this is prose, not a pixmap",
+        b"P3\n2 2\n255\n1 2 3 4",  # too few samples
+        b"\x89PNG\r\n\x1a\n",  # real codec formats stay unimplemented
+    ):
+        with pytest.raises(NotImplementedError):
+            lmm.decode_payload(blob)
+
+
+def test_extract_features_mixed_media_and_text(spark):
+    """One frame, both lanes: BMP rows get REAL pixel-luminance features,
+    text rows fall back to the byte histogram — same schema, same plan."""
+    from egal_yet_another_earthquake_project_spark.llm import multimodal as lmm
+
+    px = [[(0, 0, 0), (255, 255, 255)]]  # lum 0 and 255 → buckets 0 and 7
+    bmp = lmm.encode_bmp(2, 1, px)
+    text = b"abcd"
+    df = spark.createDataFrame(
+        [(1, bytearray(bmp)), (2, bytearray(text))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in lmm.extract_features(df).collect()}
+    assert rows[1].features == [0.5, 0, 0, 0, 0, 0, 0, 0.5]
+    assert rows[1].n_bytes == len(bmp)
+    assert rows[2].features == lmm.fake_features(text)
