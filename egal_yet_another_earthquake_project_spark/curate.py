@@ -54,6 +54,10 @@ def curate_corpus(
     budget: int = 1000,
     mixture: dict[str, float] | None = None,
     ctx: int = 256,
+    semantic_index: str | None = None,
+    embeddings: DataFrame | None = None,
+    semantic_cos_threshold: float = 0.95,
+    semantic_nprobe: int = 4,
 ) -> CurationResult:
     """Run the full curation flow; see module docstring for the stages.
 
@@ -70,7 +74,16 @@ def curate_corpus(
     ``contamination_threshold`` are dropped (llm.dedup.
     contamination_fraction — the GPT-3/PaLM gate) right after exact
     dedup, so the eval-set broadcast joins the already-shrunk corpus.
-    ``mixture`` maps source → epoch weight: each surviving doc is
+    ``semantic_index`` adds the SemDeDup-style embedding gate AFTER the
+    lexical stages (the paper's point: embedding dups survive lexical
+    dedup): docs whose embedding has a cosine ≥
+    ``semantic_cos_threshold`` near-twin in the persisted IVF index at
+    that directory are dropped (``llm.ann_index.semantic_gate_hits`` —
+    cell-pruned candidates, one dot per candidate). ``embeddings`` must
+    then supply ``(id_col, embedding)`` rows for the incoming docs; it
+    is semi-join-pruned to the docs still alive, so only survivors pay
+    assignment math. ``mixture`` maps source → epoch weight: each
+    surviving doc is
     repeated per its source's weight (floor copies + md5-stable
     fractional extra — llm.sampling.mixture_epochs) BEFORE packing, so
     the shards materialize the training mixture itself; rows then carry
@@ -164,6 +177,32 @@ def curate_corpus(
         deduped = kept
     else:
         stats["after_dedup"] = deduped.count()
+
+    if semantic_index is not None:
+        if embeddings is None:
+            raise ValueError(
+                "curate_corpus: semantic_index requires an embeddings frame "
+                f"with ({id_col}, embedding) rows for the incoming docs"
+            )
+        from egal_yet_another_earthquake_project_spark.llm.ann_index import (
+            semantic_gate_hits,
+        )
+
+        alive_vecs = embeddings.join(
+            deduped.select(id_col), id_col, "leftsemi"
+        )
+        sem_hits = semantic_gate_hits(
+            docs.sparkSession,
+            semantic_index,
+            alive_vecs,
+            cos_threshold=semantic_cos_threshold,
+            nprobe=semantic_nprobe,
+            id_col=id_col,
+        )
+        sem_kept = deduped.join(sem_hits, id_col, "left_anti").persist()
+        stats["after_semantic_dedup"] = sem_kept.count()
+        deduped.unpersist()
+        deduped = sem_kept
 
     if alpha is not None:
         # No broadcast hint: `keep` is budget-sized, and a real curation

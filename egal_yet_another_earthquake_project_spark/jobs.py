@@ -115,6 +115,19 @@ def _parser() -> argparse.ArgumentParser:
         "materialize the training mixture (repeat copies)",
     )
     d.add_argument("--ctx", type=int, default=256)
+    d.add_argument(
+        "--semantic-index",
+        default=None,
+        help="persisted IVF index dir; enables the SemDeDup embedding gate",
+    )
+    d.add_argument(
+        "--embeddings",
+        default=None,
+        help="parquet of (doc_id, embedding) rows for the incoming docs "
+        "(required with --semantic-index)",
+    )
+    d.add_argument("--semantic-threshold", type=float, default=0.95)
+    d.add_argument("--semantic-nprobe", type=int, default=4)
 
     e = sub.add_parser(
         "index", help="embeddings parquet → cell-partitioned IVF index"
@@ -166,6 +179,23 @@ def _parser() -> argparse.ArgumentParser:
     cs.add_argument("--lang", default="en")
     cs.add_argument("--jaccard-threshold", type=float, default=0.8)
     cs.add_argument("--ctx", type=int, default=256)
+    cs.add_argument(
+        "--semantic-index",
+        default=None,
+        help="persisted IVF index dir; enables the SemDeDup embedding "
+        "gate (source rows must carry --vec-col)",
+    )
+    cs.add_argument("--vec-col", default="embedding")
+    cs.add_argument("--semantic-threshold", type=float, default=0.95)
+    cs.add_argument("--semantic-nprobe", type=int, default=4)
+    cs.add_argument(
+        "--compact-every",
+        type=int,
+        default=None,
+        help="run curate-compact automatically after every Nth drain "
+        "(counter persists at {out}/_drain_count)",
+    )
+    cs.add_argument("--target-rows", type=int, default=1_000_000)
 
     cc = sub.add_parser(
         "curate-compact",
@@ -306,6 +336,14 @@ def main(argv: list[str] | None = None) -> int:
                     else None
                 ),
                 ctx=args.ctx,
+                semantic_index=args.semantic_index,
+                embeddings=(
+                    spark.read.parquet(args.embeddings)
+                    if args.embeddings
+                    else None
+                ),
+                semantic_cos_threshold=args.semantic_threshold,
+                semantic_nprobe=args.semantic_nprobe,
             )
             curate.write_shards(result, args.out)
             print(json.dumps({"out": args.out, **result.stats}))
@@ -377,6 +415,7 @@ def main(argv: list[str] | None = None) -> int:
 
             from egal_yet_another_earthquake_project_spark.streaming.curate import (
                 drain_curate_stream,
+                drain_with_scheduled_compaction,
             )
 
             corpus = (
@@ -390,19 +429,40 @@ def main(argv: list[str] | None = None) -> int:
 
                 model = read_lm_model(spark, args.lm_model)
             schema = spark.read.parquet(args.source_dir).schema
-            stats = drain_curate_stream(
-                spark,
-                args.source_dir,
-                schema,
-                corpus=corpus,
-                out_dir=args.out,
-                checkpoint_dir=args.checkpoint,
-                model=model,
+            drain_kw = dict(
                 min_quality=args.min_quality,
                 lang=None if args.lang == "any" else args.lang,
                 jaccard_threshold=args.jaccard_threshold,
                 ctx=args.ctx,
+                semantic_index=args.semantic_index,
+                vec_col=args.vec_col,
+                semantic_cos_threshold=args.semantic_threshold,
+                semantic_nprobe=args.semantic_nprobe,
             )
+            if args.compact_every is not None:
+                stats = drain_with_scheduled_compaction(
+                    spark,
+                    args.source_dir,
+                    schema,
+                    corpus=corpus,
+                    out_dir=args.out,
+                    checkpoint_dir=args.checkpoint,
+                    model=model,
+                    compact_every=args.compact_every,
+                    target_rows_per_file=args.target_rows,
+                    **drain_kw,
+                )
+            else:
+                stats = drain_curate_stream(
+                    spark,
+                    args.source_dir,
+                    schema,
+                    corpus=corpus,
+                    out_dir=args.out,
+                    checkpoint_dir=args.checkpoint,
+                    model=model,
+                    **drain_kw,
+                )
             print(json.dumps({"out": args.out, **stats}))
         elif args.cmd == "curate-compact":
             import json

@@ -242,6 +242,60 @@ def search_ivf_index(
     return _topk_from_candidates(cands, k)
 
 
+def semantic_gate_hits(
+    spark: SparkSession,
+    index_dir: str,
+    vectors: DataFrame,
+    cos_threshold: float = 0.95,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Ids of ``vectors`` that have a semantic near-twin (cosine ≥
+    ``cos_threshold``) in the persisted index — the batch gate the
+    composed curation pipelines anti-join (SemDeDup's point: embedding
+    dups survive lexical dedup). The batch twin of
+    ``streaming.ingest.stream_semantic_flags``.
+
+    Same scale shape as :func:`search_ivf_index`: one CURRENT resolve,
+    top-``nprobe`` cell assignment per row against the ≤ num_cells
+    centroid literals, a static partition filter on the probed cells
+    (≤ num_cells values regardless of batch size), one dot product per
+    candidate — no ranking window (the gate needs ANY hit, not top-k),
+    and the output is just the distinct hit ids. Unlike search (whose
+    query batch is small by contract), the gated batch is a corpus
+    FRACTION — so no broadcast hint on the cell join: AQE broadcasts a
+    small drop, and a big one shuffle-joins on cell where per-cell pair
+    mass |q_cell| × |c_cell| is the irreducible IVF candidate cost.
+    Self-matches (identical id in index and batch) are excluded so
+    re-gating already-indexed rows is a no-op."""
+    if int(nprobe) < 1:
+        raise ValueError("semantic_gate_hits: nprobe must be >= 1")
+    root = resolve_index_dir(index_dir)
+    cent = spark.read.parquet(f"{root}/centroids")
+    qa = unit(
+        assign_cells(vectors, cent, nprobe, id_col, vec_col).select(
+            F.col(id_col).alias("_gate_id"), F.col(vec_col).alias("_q"), "cell"
+        ),
+        "_q",
+        "uq",
+    ).drop("_q")
+    probed = [r.cell for r in qa.select("cell").distinct().collect()]
+    cells = spark.read.parquet(f"{root}/cells").filter(
+        F.col("cell").isin(probed)
+    )
+    return (
+        cells.join(qa, on="cell")
+        .filter(F.col("_gate_id") != F.col("neighbor_id"))
+        .filter(
+            F.round(_dots(F.col("uq"), F.col("uv")), 4)
+            >= F.lit(float(cos_threshold))
+        )
+        .select(F.col("_gate_id").alias(id_col))
+        .distinct()
+    )
+
+
 def append_ivf_index(
     spark: SparkSession,
     index_dir: str,

@@ -156,6 +156,7 @@ def _admit_hop(
     event_time: str,
     watermark: str,
     max_files_per_trigger: int | None,
+    vec_col: str | None = None,
 ):
     """Hop 1: quality/language gates (stateless Catalyst filters), the
     optional benchmark-decontamination gate (``stream_contamination_
@@ -174,7 +175,10 @@ def _admit_hop(
     )
     if lang is not None:
         gated = gated.filter(F.col("lang_guess") == lang)
-    gated = gated.select(id_col, source_col, text_col, event_time, "quality")
+    carry = [vec_col] if vec_col is not None else []
+    gated = gated.select(
+        id_col, source_col, text_col, event_time, "quality", *carry
+    )
 
     if eval_docs is not None:
         from egal_yet_another_earthquake_project_spark.streaming.ingest import (
@@ -225,6 +229,11 @@ def _score_hop(
     source_col: str,
     text_col: str,
     event_time: str,
+    semantic_index: str | None = None,
+    vec_col: str | None = None,
+    vec_type: str = "array<double>",
+    semantic_cos_threshold: float = 0.95,
+    semantic_nprobe: int = 4,
 ):
     """Hop 2: near-duplicate DROP + frozen-LM scoring, per micro-batch.
 
@@ -246,15 +255,20 @@ def _score_hop(
     admitted_schema = _ADMITTED_FIELDS.format(
         id=id_col, idt=id_type, src=source_col, txt=text_col, et=event_time
     )
+    if vec_col is not None:
+        admitted_schema += f", {vec_col} {vec_type}"
     stream = (
         spark.readStream.format("parquet")
         .schema(admitted_schema)
         .load(f"{out_dir}/admitted")
     )
+    carry = [vec_col] if vec_col is not None else []
 
     def _score(batch: DataFrame, batch_id: int) -> None:
         reg: list[DataFrame] = []
-        batch = batch.select(id_col, source_col, text_col, "quality").persist()
+        batch = batch.select(
+            id_col, source_col, text_col, "quality", *carry
+        ).persist()
         reg.append(batch)
         try:
             # ONE signing pass; the cached band frame feeds the self-join
@@ -306,6 +320,40 @@ def _score_hop(
                     cache_registry=reg,
                 ).select(F.col("doc_a").alias(id_col)).distinct()
                 kept = kept.join(hits, id_col, "left_anti")
+
+            if semantic_index is not None:
+                # SemDeDup gate vs the persisted IVF index (embedding
+                # dups survive lexical dedup). Hit ids feed TWO
+                # consumers (the accounting write and the anti-join) —
+                # persist the tiny frame; the partitioned write is the
+                # audit trail AND the drain report's accounting row,
+                # replay-idempotent like every hop output here.
+                from egal_yet_another_earthquake_project_spark.llm.ann_index import (
+                    semantic_gate_hits,
+                )
+
+                sem_hits = semantic_gate_hits(
+                    spark,
+                    semantic_index,
+                    kept.select(id_col, vec_col),
+                    cos_threshold=semantic_cos_threshold,
+                    nprobe=semantic_nprobe,
+                    id_col=id_col,
+                    vec_col=vec_col,
+                ).persist()
+                reg.append(sem_hits)
+                (
+                    sem_hits.withColumn("_batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("_batch_id")
+                    .parquet(f"{out_dir}/semantic_drops")
+                )
+                kept = kept.join(sem_hits, id_col, "left_anti")
+            if vec_col is not None:
+                # embeddings served their gate — scored/shards keep the
+                # same schema with or without the semantic stage
+                kept = kept.drop(vec_col)
 
             if model is not None:
                 from egal_yet_another_earthquake_project_spark.llm.lm import (
@@ -462,6 +510,10 @@ def curate_stream(
     watermark: str = "1 hour",
     available_now: bool = False,
     max_files_per_trigger: int | None = None,
+    semantic_index: str | None = None,
+    vec_col: str = "embedding",
+    semantic_cos_threshold: float = 0.95,
+    semantic_nprobe: int = 4,
 ) -> list[StreamingQuery]:
     """Start the three hops as concurrent streaming queries (continuous
     mode: each hop's file source picks up the previous hop's commits
@@ -487,6 +539,9 @@ def curate_stream(
         id_type=id_type, source_col=source_col, text_col=text_col,
         event_time=event_time, watermark=watermark,
         max_files_per_trigger=max_files_per_trigger,
+        semantic_index=semantic_index, vec_col=vec_col,
+        semantic_cos_threshold=semantic_cos_threshold,
+        semantic_nprobe=semantic_nprobe,
     )
     started = []
     for writer in hops:
@@ -549,6 +604,17 @@ def _build_hops(
         _bootstrap_corpus_bands(
             spark, corpus, out_dir, kw["id_col"], kw["text_col"]
         )
+    semantic_index = kw.get("semantic_index")
+    vec_col = kw.get("vec_col", "embedding") if semantic_index else None
+    vec_type = "array<double>"
+    if semantic_index is not None:
+        types = {f.name: f.dataType.simpleString() for f in schema.fields}
+        if vec_col not in types:
+            raise ValueError(
+                f"semantic_index is set but the source schema has no "
+                f"'{vec_col}' column to gate on"
+            )
+        vec_type = types[vec_col]
     admit = _admit_hop(
         spark, source_dir, schema, corpus, out_dir, checkpoint_dir,
         min_quality=kw["min_quality"], lang=kw["lang"],
@@ -558,12 +624,16 @@ def _build_hops(
         text_col=kw["text_col"], event_time=kw["event_time"],
         watermark=kw["watermark"],
         max_files_per_trigger=kw["max_files_per_trigger"],
+        vec_col=vec_col,
     )
     score = _score_hop(
         spark, corpus, model, out_dir, checkpoint_dir,
         jaccard_threshold=kw["jaccard_threshold"], id_col=kw["id_col"],
         id_type=kw["id_type"], source_col=kw["source_col"],
         text_col=kw["text_col"], event_time=kw["event_time"],
+        semantic_index=semantic_index, vec_col=vec_col, vec_type=vec_type,
+        semantic_cos_threshold=kw.get("semantic_cos_threshold", 0.95),
+        semantic_nprobe=kw.get("semantic_nprobe", 4),
     )
     pack = _pack_hop(
         spark, out_dir, checkpoint_dir,
@@ -600,6 +670,10 @@ def drain_curate_stream(
     kw.setdefault("event_time", "ingest_ts")
     kw.setdefault("watermark", "1 hour")
     kw.setdefault("max_files_per_trigger", None)
+    kw.setdefault("semantic_index", None)
+    kw.setdefault("vec_col", "embedding")
+    kw.setdefault("semantic_cos_threshold", 0.95)
+    kw.setdefault("semantic_nprobe", 4)
     kw["id_type"] = dict(
         (f.name, f.dataType.simpleString()) for f in schema.fields
     )[kw["id_col"]]
@@ -610,11 +684,63 @@ def drain_curate_stream(
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
     stats = {}
-    for name in ("admitted", "scored", "shards"):
+    counted = ("admitted", "scored", "shards") + (
+        ("semantic_drops",) if kw["semantic_index"] is not None else ()
+    )
+    for name in counted:
         try:
             stats[name] = spark.read.parquet(f"{out_dir}/{name}").count()
         except AnalysisException:
             stats[name] = 0
+    return stats
+
+
+def drain_with_scheduled_compaction(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    corpus: DataFrame | None,
+    out_dir: str,
+    checkpoint_dir: str,
+    model: dict | None = None,
+    *,
+    compact_every: int,
+    target_rows_per_file: int = 1_000_000,
+    **kw,
+) -> dict:
+    """One drain cycle of the run-book a year-horizon deployment needs
+    (VERDICT r8 Next #6): drain the available drop, then — every
+    ``compact_every``-th drain — run :func:`compact_curate_outputs`
+    while the pipeline is provably stopped (every availableNow query
+    has terminated before this returns, which is exactly the MUST-stop
+    precondition the manual ``curate-compact`` documents).
+
+    The cycle counter persists at ``{out}/_drain_count`` (overwrite-
+    atomic via fsutil), so the cadence survives restarts and separate
+    CLI invocations: ``curate-stream --compact-every N`` per scheduled
+    drop gives compaction every N drops with no operator intervention.
+    The counter is advanced AFTER a successful drain and the compaction
+    decision is made on the new value; a crash between drain and
+    compaction only defers compaction to the next cycle — never runs it
+    concurrently with the hops. Returns the drain stats plus a
+    ``compaction`` entry when one ran."""
+    if compact_every < 1:
+        raise ValueError("compact_every must be >= 1")
+    stats = drain_curate_stream(
+        spark, source_dir, schema, corpus, out_dir, checkpoint_dir, model, **kw
+    )
+    counter_path = f"{out_dir}/_drain_count"
+    prev = fsutil.read_text(spark, counter_path)
+    n = (int(prev.strip()) if prev and prev.strip() else 0) + 1
+    fsutil.write_text_overwrite(spark, counter_path, f"{n}\n")
+    if n % compact_every == 0:
+        stats["compaction"] = compact_curate_outputs(
+            spark,
+            out_dir,
+            checkpoint_dir,
+            source_col=kw.get("source_col", "source"),
+            target_rows_per_file=target_rows_per_file,
+        )
     return stats
 
 

@@ -653,3 +653,185 @@ def test_pipeline_refuses_to_start_over_interrupted_compaction(
             spark, str(src), schema, corpus=None, out_dir=out,
             checkpoint_dir=ck, model=None,
         )
+
+
+def test_semantic_gate_drained_equals_batch(spark, tmp_path: Path):
+    """VERDICT r8 Next #7: the SemDeDup embedding gate as a composed
+    stage. Docs whose embeddings have a cosine-1 twin in the persisted
+    IVF index are LEXICALLY novel (unique text) yet must be dropped by
+    both paths; a single-batch drain with --semantic-index reproduces
+    curate_corpus(semantic_index=...) bit-for-bit, and the drain report
+    carries the semantic_drops accounting row."""
+    from egal_yet_another_earthquake_project_spark.llm.ann_index import (
+        build_ivf_index,
+    )
+
+    drop = _drop_frame(spark).filter(F.col("doc_id") < 200)
+    ids = sorted(r.doc_id for r in drop.select("doc_id").distinct().collect())
+    dim = len(ids)
+
+    def onehot(i):
+        v = [0.0] * dim
+        v[i] = 1.0
+        return v
+
+    # orthogonal embedding per doc; the index holds twins (other ids!)
+    # for every 7th doc — exactly those must fall to the semantic gate
+    emb = spark.createDataFrame(
+        [(d, onehot(i)) for i, d in enumerate(ids)],
+        "doc_id long, embedding array<double>",
+    )
+    planted = {d for i, d in enumerate(ids) if i % 7 == 0}
+    index_vecs = spark.createDataFrame(
+        [(100000 + i, onehot(i)) for i, d in enumerate(ids) if d in planted],
+        "vec_id long, embedding array<double>",
+    )
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(index_vecs, idx, num_cells=2)
+
+    want_res = curate.curate_corpus(
+        drop,
+        min_quality=0.5,
+        lang="en",
+        near_dedup=True,
+        jaccard_threshold=0.7,
+        keep="min_id",
+        ctx=256,
+        semantic_index=idx,
+        embeddings=emb,
+    )
+    want = {
+        tuple(r)
+        for r in want_res.corpus.select(
+            "doc_id", "source", "text", "n_tokens", "start_tok", "pack_id"
+        ).collect()
+    }
+    kept_ids = {r[0] for r in want}
+    assert planted and not (kept_ids & planted), "gate missed a planted twin"
+    assert want_res.stats["after_semantic_dedup"] == want_res.stats[
+        "after_dedup"
+    ] - len(planted)
+
+    src = tmp_path / "drop_in"
+    drop.join(emb, "doc_id").selectExpr(
+        "doc_id", "source", "text", f"{TS} AS ingest_ts", "embedding"
+    ).coalesce(1).write.parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+
+    stats = drain_curate_stream(
+        spark,
+        str(src),
+        schema,
+        corpus=None,
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        model=None,
+        jaccard_threshold=0.7,
+        semantic_index=idx,
+    )
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "out" / "shards"))
+        .select("doc_id", "source", "text", "n_tokens", "start_tok", "pack_id")
+        .collect()
+    }
+    assert got == want and len(want) > 0
+    assert stats["semantic_drops"] == len(planted)
+    dropped = {
+        r.doc_id
+        for r in spark.read.parquet(
+            str(tmp_path / "out" / "semantic_drops")
+        ).collect()
+    }
+    assert dropped == planted
+
+
+def test_semantic_gate_requires_vec_col_in_schema(spark, tmp_path: Path):
+    """--semantic-index without an embedding column in the source schema
+    must fail at build time, not silently skip the gate."""
+    import pytest
+
+    drop = _drop_frame(spark).limit(5)
+    src = tmp_path / "in"
+    drop.selectExpr(
+        "doc_id", "source", "text", f"{TS} AS ingest_ts"
+    ).write.parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+    with pytest.raises(ValueError, match="no 'embedding' column"):
+        drain_curate_stream(
+            spark, str(src), schema, corpus=None,
+            out_dir=str(tmp_path / "out"), checkpoint_dir=str(tmp_path / "ck"),
+            semantic_index=str(tmp_path / "ivf"),
+        )
+
+
+def test_scheduled_compaction_cycle_is_bit_identical(spark, tmp_path: Path):
+    """VERDICT r8 Next #6: `curate-stream --compact-every N` encodes the
+    run-book. Two drain cycles with compact_every=1 (drain → compact →
+    drain → compact) must leave exactly the rows of an uncompacted twin
+    pipeline over the same drops, with the cadence counter persisted and
+    the compaction accounting in the returned stats."""
+    from egal_yet_another_earthquake_project_spark.streaming.curate import (
+        drain_with_scheduled_compaction,
+    )
+
+    clean = _drop_frame(spark).persist()
+    cut = clean.agg(F.percentile_approx("doc_id", 0.5).alias("c")).first().c
+    corpus = clean.filter(F.col("doc_id") < F.lit(cut))
+    rest = clean.filter(F.col("doc_id") >= F.lit(cut))
+    mid = rest.agg(F.percentile_approx("doc_id", 0.5).alias("c")).first().c
+    batches = [
+        rest.filter(F.col("doc_id") < F.lit(mid)),
+        rest.filter(F.col("doc_id") >= F.lit(mid)),
+    ]
+    src = tmp_path / "in"
+
+    def ship(i):
+        batches[i].selectExpr(
+            "doc_id", "source", "text", f"{TS} AS ingest_ts"
+        ).coalesce(1).write.parquet(str(src / f"b{i}"))
+
+    ship(0)
+    schema = spark.read.parquet(str(src / "b0")).schema
+
+    def run(kind):
+        out, ck = str(tmp_path / f"out_{kind}"), str(tmp_path / f"ck_{kind}")
+        if kind == "sched":
+            return drain_with_scheduled_compaction(
+                spark, str(src) + "/*", schema, corpus=corpus, out_dir=out,
+                checkpoint_dir=ck, model=None, compact_every=1,
+            )
+        return drain_curate_stream(
+            spark, str(src) + "/*", schema, corpus=corpus, out_dir=out,
+            checkpoint_dir=ck, model=None,
+        )
+
+    s1 = run("sched")
+    assert "compaction" in s1
+    run("plain")
+    ship(1)
+    s2 = run("sched")
+    assert "compaction" in s2
+    run("plain")
+
+    counter = (tmp_path / "out_sched" / "_drain_count").read_text().strip()
+    assert counter == "2"
+
+    for name in ("scored", "bands", "shards"):
+        sched = {
+            tuple(r)
+            for r in spark.read.parquet(str(tmp_path / "out_sched" / name))
+            .drop("_batch_id")
+            .collect()
+        }
+        plain = {
+            tuple(r)
+            for r in spark.read.parquet(str(tmp_path / "out_plain" / name))
+            .drop("_batch_id")
+            .collect()
+        }
+        assert sched == plain and len(sched) > 0, name
+    # compacted history really is one partition per hop output (+ the
+    # -1 bands bootstrap)
+    assert len(list((tmp_path / "out_sched" / "scored").glob("_batch_id=*"))) == 1
+    clean.unpersist()
