@@ -67,6 +67,35 @@ def _documents(spark, k: int):
     )
 
 
+def _embeddings(spark, k: int):
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    if k == 1:
+        return e
+    reps = spark.range(k).withColumnRenamed("id", "_c")
+    return (
+        e.crossJoin(reps)
+        .withColumn("vec_id", F.col("vec_id") * k + F.col("_c"))
+        .drop("_c")
+    )
+
+
+def _embeddings_skewed(spark, k: int):
+    """×k embeddings where HALF the rows collapse onto one constant
+    vector — the degenerate 50%-mass cluster VERDICT r8 #2 names
+    (mass-duplicated boilerplate). The hot-cluster anchor cap must keep
+    this row-linear; without it the degenerate cluster's pair mass is
+    quadratic."""
+    e = _embeddings(spark, k)
+    const = F.transform(
+        "embedding",
+        lambda x, i: F.when(i == 0, F.lit(1.0)).otherwise(F.lit(0.0)),
+    )
+    return e.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 2 == 0, const).otherwise(F.col("embedding")),
+    )
+
+
 def probes():
     """(name, input builder, operator) triples. Each operator returns a
     DataFrame; the probe forces it with count()."""
@@ -154,6 +183,26 @@ def probes():
             ldsir.dsir_log_weights(raw, target), "doc", "logw", k=100
         )
 
+    def entropy(spark, docs):
+        return ltx.token_entropy(docs)
+
+    def zipf(spark, docs):
+        return ltx.zipf_slope(docs)
+
+    def semdedup(spark, emb):
+        from egal_yet_another_earthquake_project_spark.llm.clustering import (
+            semdedup_prune,
+        )
+
+        return semdedup_prune(
+            emb,
+            k=8,
+            iters=1,
+            cos_threshold=0.95,
+            max_cluster_size=512,
+            hot_cluster_anchors=32,
+        )
+
     # (name, input, op, allowed wall ratio). The near-dup construction
     # multiplies candidate-PAIR mass ~45-100× (every 10-copy cluster is
     # 45 pairs; same-prefix blocks grow 10× → up to 100× in-block
@@ -190,6 +239,22 @@ def probes():
         # copy, so the shingle-df mass grows ~10×: ROW_RATIO binds.
         ("overlap-fraction decontamination", _documents, contam, ROW_RATIO),
         ("cross-doc novelty profile", _documents, novelty, ROW_RATIO),
+        # round-9 additions: entropy/zipf are TF-collapsed aggregates /
+        # per-group rank windows — (doc, token) mass grows ~10×, so
+        # ROW_RATIO binds. The SemDeDup families run with the hot-cluster
+        # anchor cap engaged at 10× (clusters cross max_cluster_size=512),
+        # so pair mass is |c|×anchors — row-linear; the skewed variant
+        # plants a degenerate 50%-mass cluster, the exact shape that is
+        # quadratic without the cap.
+        ("token entropy (TF-collapsed)", _documents, entropy, ROW_RATIO),
+        ("Zipf alpha per source", _documents, zipf, ROW_RATIO),
+        ("SemDeDup prune (anchor-capped)", _embeddings, semdedup, ROW_RATIO),
+        (
+            "SemDeDup prune (degenerate 50% cluster)",
+            _embeddings_skewed,
+            semdedup,
+            ROW_RATIO,
+        ),
     ]
 
 
@@ -264,6 +329,54 @@ def curate_stream_probe(spark) -> dict:
     return row
 
 
+def semantic_gate_probe(spark) -> dict:
+    """1×/10× wall of the persisted-index semantic gate
+    (``semantic_gate_hits``) — the composed pipelines' new optional
+    stage. The index is built ONCE (that is the product shape); only
+    the gated batch grows, so per-cell candidate mass |q_cell|×|c_cell|
+    and the wall must grow row-linearly with the batch."""
+    import shutil
+    import tempfile
+
+    from egal_yet_another_earthquake_project_spark.llm.ann_index import (
+        build_ivf_index,
+        semantic_gate_hits,
+    )
+
+    work = tempfile.mkdtemp(prefix="gate_probe_")
+    times = {}
+    try:
+        idx = f"{work}/ivf"
+        build_ivf_index(
+            spark.read.parquet(f"{SF_DIR}/embeddings.parquet"), idx, num_cells=16
+        )
+        warm = _embeddings(spark, 1).localCheckpoint(eager=True)
+        semantic_gate_hits(spark, idx, warm, cos_threshold=0.99).count()
+        warm.unpersist()
+        for k in (1, 10):
+            q = _embeddings(spark, k).localCheckpoint(eager=True)
+            t0 = time.time()
+            semantic_gate_hits(spark, idx, q, cos_threshold=0.99).count()
+            times[k] = round(time.time() - t0, 2)
+            q.unpersist()
+            spark.catalog.clearCache()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    ratio = round(times[10] / max(times[1], 1e-9), 1)
+    row = {
+        "operator": "semantic gate vs persisted IVF index",
+        "t1": times[1],
+        "t10": times[10],
+        "ratio": ratio,
+        "allowed": ROW_RATIO,
+    }
+    print(
+        f"| {row['operator']} | {times[1]} s | {times[10]} s | {ratio}× |",
+        flush=True,
+    )
+    return row
+
+
 def main() -> int:
     from egal_yet_another_earthquake_project_spark.session import get_spark
 
@@ -295,6 +408,10 @@ def main() -> int:
             }
         )
         print(f"| {name} | {times[1]} s | {times[10]} s | {ratio}× |", flush=True)
+    grow = semantic_gate_probe(spark)
+    if grow["ratio"] > grow["allowed"]:
+        failed.append(grow["operator"])
+    rows.append(grow)
     crow = curate_stream_probe(spark)
     if crow["ratio"] > crow["allowed"]:
         failed.append(crow["operator"])
