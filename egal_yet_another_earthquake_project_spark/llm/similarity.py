@@ -376,6 +376,57 @@ def lsh_ann_topk(
     return _topk_from_candidates(cands, k)
 
 
+def semantic_gate_inline(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    cos_threshold: float = 0.95,
+    num_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Ids of ``incoming`` vectors with a cosine ≥ ``cos_threshold``
+    near-twin in ``corpus`` — the one-plan (oracle-checkable) twin of
+    ``llm.ann_index.semantic_gate_hits``, which runs the same math
+    against a PERSISTED cell-partitioned index (production amortizes
+    the quantizer + corpus assignment; this form recomputes them so a
+    single SQL statement can replay it).
+
+    Shape: sampled quantizer → corpus argmax-cell assignment →
+    top-``nprobe`` probe per incoming row → per-cell candidate
+    equi-join → one dot per candidate → ANY-hit distinct. No ranking
+    window on the candidate side (unlike top-k search) and self-id
+    matches are excluded, so re-gating corpus members is a no-op.
+    """
+    if int(nprobe) < 1:
+        raise ValueError("semantic_gate_inline: nprobe must be >= 1")
+    cent = sample_centroids(corpus, num_cells, id_col, vec_col)
+    corp = unit(
+        assign_cells(corpus, cent, 1, id_col, vec_col).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v"), "cell"
+        ),
+        "_v",
+        "uv",
+    ).drop("_v")
+    qa = unit(
+        assign_cells(incoming, cent, nprobe, id_col, vec_col).select(
+            F.col(id_col).alias("_gate_id"), F.col(vec_col).alias("_q"), "cell"
+        ),
+        "_q",
+        "uq",
+    ).drop("_q")
+    return (
+        corp.join(qa, on="cell")
+        .filter(F.col("_gate_id") != F.col("neighbor_id"))
+        .filter(
+            F.round(_dots(F.col("uq"), F.col("uv")), 4)
+            >= F.lit(float(cos_threshold))
+        )
+        .select(F.col("_gate_id").alias(id_col))
+        .distinct()
+    )
+
+
 def neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

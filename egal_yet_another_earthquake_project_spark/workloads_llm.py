@@ -767,6 +767,69 @@ QUALIFY rank <= 5
 """
 
 
+def q_semantic_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipelines' SemDeDup admission gate in its one-plan
+    oracle form (llm.similarity.semantic_gate_inline; the persisted-
+    index twin llm.ann_index.semantic_gate_hits is pytest-covered):
+    incoming = originals < 30 plus exact copies (vec_id+10000 for
+    vec_id < 20) gated against the corpus. Exactly the 20 copies hit —
+    each finds its original through the shared argmax cell — while
+    originals match only themselves (excluded by id). ANY-hit distinct,
+    no ranking window."""
+    emb = _emb(spark, sf_dir)
+    incoming = emb.filter(F.col("vec_id") < 30).unionByName(
+        emb.filter(F.col("vec_id") < 20).withColumn(
+            "vec_id", F.col("vec_id") + 10000
+        )
+    )
+    return lsim.semantic_gate_inline(
+        incoming,
+        emb,
+        cos_threshold=0.95,
+        num_cells=_IVF_CELLS,
+        nprobe=_IVF_NPROBE,
+    ).orderBy("vec_id")
+
+
+_SEMANTIC_GATE_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+inc AS (
+  SELECT vec_id, v FROM e WHERE vec_id < 30
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id, v FROM e WHERE vec_id < 20
+),
+cent AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell,
+         v AS cv
+  FROM e
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {_IVF_CELLS}
+),
+corp_ca AS (
+  SELECT e.vec_id, e.v, cent.cell,
+         row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY round(list_cosine_similarity(e.v, cent.cv), 4) DESC,
+                     cent.cell ASC) AS rk
+  FROM e CROSS JOIN cent
+),
+corp AS (SELECT vec_id AS neighbor_id, v AS cv2, cell FROM corp_ca WHERE rk = 1),
+inc_ca AS (
+  SELECT inc.vec_id, inc.v, cent.cell,
+         row_number() OVER (PARTITION BY inc.vec_id
+            ORDER BY round(list_cosine_similarity(inc.v, cent.cv), 4) DESC,
+                     cent.cell ASC) AS rk
+  FROM inc CROSS JOIN cent
+),
+qa AS (SELECT vec_id AS query_id, v AS qv, cell
+       FROM inc_ca WHERE rk <= {_IVF_NPROBE})
+SELECT DISTINCT query_id AS vec_id
+FROM corp JOIN qa USING (cell)
+WHERE query_id <> neighbor_id
+  AND round(list_cosine_similarity(qv, cv2), 4) >= 0.95
+ORDER BY vec_id
+"""
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs over embeddings ∪ exact copies (vec_id+10000 for
     vec_id<20). Max organic off-diagonal cosine ≈0.51, so the 0.95
@@ -2002,6 +2065,7 @@ QUERIES = {
     "embedding_topk": q_embedding_topk,
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_neardup": q_embedding_neardup,
+    "semantic_gate": q_semantic_gate,
     "semantic_neardup": q_semantic_neardup,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
@@ -2050,6 +2114,7 @@ ORACLES = {
     "multimodal_meta": _MULTIMODAL_META_ORACLE,
     "multimodal_features": _MULTIMODAL_FEATURES_ORACLE,
     "media_decode_features": _MEDIA_DECODE_ORACLE,
+    "semantic_gate": _SEMANTIC_GATE_ORACLE,
     "media_neardup": _media_neardup_oracle(),
     "label_centroids": _LABEL_CENTROIDS_ORACLE,
     "embedding_drift": _EMBEDDING_DRIFT_ORACLE,
