@@ -169,6 +169,10 @@ HEADLINE = [
     "token_entropy",
     "zipf_alpha",
     "semdedup_prune",
+    # round-9 additions: the real-decode media path and the one-plan
+    # semantic admission gate.
+    "media_decode_features",
+    "semantic_gate",
 ]
 
 

@@ -125,6 +125,10 @@ _ALLOWED_NESTED_LOOP = {
     "embedding_topk",
     "trailing_week",
     "embedding_ivf_topk",
+    # Same quantizer shape as embedding_ivf_topk: assign_cells crossJoins
+    # the ≤ num_cells centroid frame into both the corpus and the gated
+    # batch — bounded K×n broadcast by construction.
+    "semantic_gate",
     "top_parts_by_value",
     "acctbal_opportunity",
     # BM25 joins the one-row global (N, Σdl) statistics frame into the
