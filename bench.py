@@ -169,9 +169,12 @@ HEADLINE = [
     "token_entropy",
     "zipf_alpha",
     "semdedup_prune",
-    # round-9 additions: the real-decode media path and the one-plan
-    # semantic admission gate.
+    # round-9 additions: the real-decode media/audio paths, the
+    # decode→resize→featurize lane, and the one-plan semantic
+    # admission gate.
     "media_decode_features",
+    "media_thumbnail",
+    "audio_decode_features",
     "semantic_gate",
 ]
 

@@ -8,9 +8,10 @@ per-item work is vectorized per partition and never touches the driver.
 
 Decode: real codec libraries (PIL/libav) are not present in this
 container, so :func:`decode_payload` carries a dependency-free decoder
-for the two classic uncompressed containers — 24-bit BI_RGB **BMP** and
-binary/plain **PPM** (P6/P3) — and raises ``NotImplementedError`` for
-anything it cannot strictly validate. :func:`extract_features` tries the
+for the classic uncompressed containers — 24-bit BI_RGB **BMP**,
+binary/plain **PPM** (P6/P3), and RIFF/WAVE 16-bit PCM **WAV** — and
+raises ``NotImplementedError`` for anything it cannot strictly
+validate. :func:`extract_features` tries the
 real decode first (luminance-histogram features over actual pixels) and
 falls back to the deterministic byte-histogram fake for non-media blobs,
 so the decode→feature path runs end-to-end in this sandbox while the
@@ -215,30 +216,186 @@ def _decode_ppm(blob: bytes) -> dict:
     }
 
 
-def decode_payload(blob: bytes) -> dict:
-    """Decode a media payload to ``{format, width, height, maxval,
-    pixels}`` (pixels top-down, (r, g, b) tuples).
+def encode_wav(samples: list[int], sample_rate: int = 8000) -> bytes:
+    """Minimal RIFF/WAVE writer: mono 16-bit PCM — the audio analog of
+    :func:`encode_bmp` (demo payload builder for the decode path)."""
+    import struct
 
-    Dependency-free fallback decoder for uncompressed 24-bit BI_RGB BMP
-    and PPM (P6 binary / P3 plain); every header field is strictly
-    validated against the actual byte length so arbitrary text/binary
-    blobs cannot half-parse. Formats that need real codec libraries
-    (JPEG/PNG/audio/video — not present in this environment) raise
-    ``NotImplementedError``, which :func:`extract_features` treats as
-    "not media" and routes to the byte-histogram fallback."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt))
+        + fmt
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+def _decode_wav(blob: bytes) -> dict:
+    import struct
+
+    if len(blob) < 44:
+        raise ValueError("short WAV")
+    magic, riff_size, wave = struct.unpack("<4sI4s", blob[:12])
+    if magic != b"RIFF" or wave != b"WAVE" or riff_size != len(blob) - 8:
+        raise ValueError("not a RIFF/WAVE container")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(blob):
+        cid, csize = struct.unpack("<4sI", blob[pos : pos + 8])
+        body = blob[pos + 8 : pos + 8 + csize]
+        if len(body) != csize:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _br, _ba, bits = struct.unpack(
+        "<HHIIHH", fmt[:16]
+    )
+    if audio_format != 1 or bits != 16 or n_channels not in (1, 2):
+        raise ValueError("only mono/stereo 16-bit PCM WAV is decodable here")
+    if len(data) % (2 * n_channels) != 0:
+        raise ValueError("WAV data size not sample-aligned")
+    n = len(data) // 2
+    if n > MAX_PIXELS:
+        raise ValueError("WAV length exceeds sanity bound")
+    samples = list(struct.unpack(f"<{n}h", data))
+    return {
+        "format": "wav",
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "samples": samples,
+    }
+
+
+def audio_features(decoded: dict) -> dict:
+    """Deterministic features over REAL decoded PCM samples: count, RMS
+    (exact int64 sum of squares, one IEEE sqrt, rounded 4dp), peak
+    amplitude, and zero crossings (sign(s) = s < 0, so both engines
+    agree on zero-valued samples) — each replayable in SQL from the
+    sample formula, like :func:`pixel_features`."""
+    s = decoded["samples"]
+    n = len(s)
+    if n == 0:
+        return {"n_samples": 0, "rms": 0.0, "peak": 0, "zero_crossings": 0}
+    sumsq = sum(v * v for v in s)
+    zc = sum(1 for i in range(1, n) if (s[i] < 0) != (s[i - 1] < 0))
+    return {
+        "n_samples": n,
+        "rms": round((sumsq / n) ** 0.5, 4),
+        "peak": max(abs(v) for v in s),
+        "zero_crossings": zc,
+    }
+
+
+def resize_pixels(decoded: dict, out_w: int, out_h: int) -> dict:
+    """Nearest-neighbor resize over decoded pixels — all-integer source
+    index ``src = floor(dst · in/out)``, so the thumbnail is
+    deterministic on every engine (no interpolation arithmetic to
+    diverge). The resize step of the decode → resize → featurize lane;
+    output is a decoded dict, so it composes with
+    :func:`pixel_features`."""
+    if out_w < 1 or out_h < 1:
+        raise ValueError("resize_pixels: output dims must be >= 1")
+    in_w, in_h, px = decoded["width"], decoded["height"], decoded["pixels"]
+    rows = [
+        [px[y * in_h // out_h][x * in_w // out_w] for x in range(out_w)]
+        for y in range(out_h)
+    ]
+    return {
+        "format": decoded["format"],
+        "width": out_w,
+        "height": out_h,
+        "maxval": decoded["maxval"],
+        "pixels": rows,
+    }
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+        T.StructField("peak", T.LongType(), False),
+        T.StructField("zero_crossings", T.LongType(), False),
+    ]
+)
+
+
+def extract_audio_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched audio feature extraction: decode each payload as
+    WAV (strict), featurize the real samples. Non-audio payloads fail
+    the batch loudly — audio lanes are schema-separate from image/text
+    lanes (a mixed corpus routes by mime first), so a non-WAV blob here
+    is a pipeline wiring bug, not data to tolerate."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                audio_features(_decode_wav(bytes(b))) for b in pdf[payload_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_samples": [f["n_samples"] for f in feats],
+                    "rms": [f["rms"] for f in feats],
+                    "peak": [f["peak"] for f in feats],
+                    "zero_crossings": [f["zero_crossings"] for f in feats],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
+def decode_payload(blob: bytes) -> dict:
+    """Decode a media payload: images to ``{format, width, height,
+    maxval, pixels}`` (pixels top-down, (r, g, b) tuples), audio to
+    ``{format, sample_rate, n_channels, samples}``.
+
+    Dependency-free fallback decoder for uncompressed 24-bit BI_RGB
+    BMP, PPM (P6 binary / P3 plain), and RIFF/WAVE 16-bit PCM; every
+    header field is strictly validated against the actual byte length
+    so arbitrary text/binary blobs cannot half-parse. Formats that need
+    real codec libraries (JPEG/PNG/MP3/video — not present in this
+    environment) raise ``NotImplementedError``, which
+    :func:`extract_features` treats as "not media" and routes to the
+    byte-histogram fallback."""
     blob = bytes(blob)
-    head = blob[:2]
+    head = blob[:4]
     try:
-        if head == b"BM":
+        if head[:2] == b"BM":
             return _decode_bmp(blob)
-        if head in (b"P6", b"P3"):
+        if head[:2] in (b"P6", b"P3"):
             return _decode_ppm(blob)
+        if head == b"RIFF":
+            return _decode_wav(blob)
     except ValueError as exc:
         raise NotImplementedError(f"payload is not decodable media: {exc}") from exc
     raise NotImplementedError(
         "media decode for this format requires codec libraries not present "
         "in this environment"
     )
+
+
+def sample_features(decoded: dict, dim: int = 8) -> list[float]:
+    """Unified-lane features for decoded AUDIO: normalized amplitude
+    histogram, bucket = |sample|·dim // 32768 — the audio counterpart
+    of :func:`pixel_features` so mixed corpora can share one features
+    column (the typed audio features live in
+    :func:`extract_audio_features`)."""
+    counts = [0] * dim
+    total = 0
+    for v in decoded["samples"]:
+        counts[min(abs(v), 32767) * dim // 32768] += 1
+        total += 1
+    total = float(total) or 1.0
+    return [c / total for c in counts]
 
 
 def pixel_features(decoded: dict, dim: int = 8) -> list[float]:
@@ -282,9 +439,12 @@ def extract_features(
 
     def feats(blob: bytes) -> list[float]:
         try:
-            return pixel_features(decode_payload(blob), dim)
+            decoded = decode_payload(blob)
         except NotImplementedError:
             return fake_features(bytes(blob), dim)
+        if "pixels" in decoded:
+            return pixel_features(decoded, dim)
+        return sample_features(decoded, dim)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

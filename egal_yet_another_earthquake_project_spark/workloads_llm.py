@@ -1033,6 +1033,131 @@ LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.bucket = b.bucket
 """
 
 
+def q_media_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full image lane: encode the deterministic 8×4 BMP per doc,
+    REALLY decode it, nearest-neighbor resize to 4×2
+    (llm.multimodal.resize_pixels — integer source indices
+    floor(dst·in/out)), then luminance-histogram the thumbnail. The
+    oracle replays the sampled pixel positions analytically (p ∈
+    {2y·8 + 2x}), so decode, resize arithmetic, and featurize all
+    hash-verify."""
+    import pandas as _pd
+
+    from egal_yet_another_earthquake_project_spark.llm import multimodal as _mm
+
+    width, height = 8, 4
+
+    def build(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                pixels = [
+                    [
+                        (
+                            (did * 31 + (y * width + x)) % 256,
+                            (did * 17 + (y * width + x) * 3) % 256,
+                            (did * 13 + (y * width + x) * 5) % 256,
+                        )
+                        for x in range(width)
+                    ]
+                    for y in range(height)
+                ]
+                blob = _mm.encode_bmp(width, height, pixels)
+                thumb = _mm.resize_pixels(_mm.decode_payload(blob), 4, 2)
+                out.append(_mm.pixel_features(thumb))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "features": out})
+
+    feats = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .mapInPandas(build, "doc_id long, features array<double>")
+    )
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("bucket", "ratio")
+    )
+
+
+_MEDIA_THUMBNAIL_ORACLE = """
+WITH pos AS (  -- thumbnail (y, x) in 2x4 samples source p = (2y)*8 + 2x
+  SELECT (2 * y.y) * 8 + 2 * x.x AS p
+  FROM unnest(range(0, 2)) AS y(y), unnest(range(0, 4)) AS x(x)
+),
+px AS (
+  SELECT d.doc_id,
+         ((d.doc_id * 31 + pos.p) % 256
+          + (d.doc_id * 17 + pos.p * 3) % 256
+          + (d.doc_id * 13 + pos.p * 5) % 256) // 3 AS lum
+  FROM documents d, pos
+),
+counts AS (
+  SELECT doc_id, lum * 8 // 256 AS bucket, count(*) AS c
+  FROM px GROUP BY doc_id, bucket
+),
+buckets AS (SELECT unnest(range(0, 8)) AS bucket)
+SELECT d.doc_id AS doc_id, CAST(b.bucket AS INTEGER) AS bucket,
+       CAST(coalesce(c.c, 0) AS DOUBLE) / 8 AS ratio
+FROM documents d
+CROSS JOIN buckets b
+LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.bucket = b.bucket
+"""
+
+
+def q_audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end (llm.multimodal._decode_wav): one
+    deterministic 64-sample 16-bit PCM WAV per document is encoded in
+    the Arrow lane, then extract_audio_features strictly parses the
+    RIFF container (chunk walk, fmt validation, little-endian int16)
+    and featurizes the actual samples — RMS (exact int64 sum of
+    squares, one IEEE sqrt), peak, sign-change zero crossings. The
+    waveform is a pure function of (doc_id, i), so the oracle replays
+    the features analytically WITHOUT touching WAV: a hash mismatch
+    means the decoder misread real bytes. The media_decode_features
+    pattern, second modality."""
+    import pandas as _pd
+
+    from egal_yet_another_earthquake_project_spark.llm import multimodal as _mm
+
+    n = 64
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                samples = [
+                    ((did * 31 + i * 17) % 2001) - 1000 for i in range(n)
+                ]
+                payloads.append(_mm.encode_wav(samples))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    corpus = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .mapInPandas(build, "doc_id long, payload binary")
+    )
+    return lmm.extract_audio_features(corpus).orderBy("doc_id")
+
+
+_AUDIO_DECODE_ORACLE = """
+WITH s AS (
+  SELECT d.doc_id, t.i,
+         (d.doc_id * 31 + t.i * 17) % 2001 - 1000 AS v
+  FROM documents d, unnest(range(0, 64)) AS t(i)
+)
+SELECT doc_id,
+       CAST(64 AS BIGINT) AS n_samples,
+       round(sqrt(CAST(sum(v * v) AS DOUBLE) / 64), 4) AS rms,
+       CAST(max(abs(v)) AS BIGINT) AS peak,
+       CAST(sum(CASE WHEN i > 0 AND (v < 0) <>
+         ((doc_id * 31 + (i - 1) * 17) % 2001 - 1000 < 0)
+         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+FROM s
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def q_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media near-dedup end-to-end over binary payloads: Arrow-lane
     byte-BIGRAM histogram → 32-bit integer sign-projection signature
@@ -2070,6 +2195,8 @@ QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
     "media_decode_features": q_media_decode_features,
+    "audio_decode_features": q_audio_decode_features,
+    "media_thumbnail": q_media_thumbnail,
     "media_neardup": q_media_neardup,
     "label_centroids": q_label_centroids,
     "embedding_drift": q_embedding_drift,
@@ -2114,6 +2241,8 @@ ORACLES = {
     "multimodal_meta": _MULTIMODAL_META_ORACLE,
     "multimodal_features": _MULTIMODAL_FEATURES_ORACLE,
     "media_decode_features": _MEDIA_DECODE_ORACLE,
+    "audio_decode_features": _AUDIO_DECODE_ORACLE,
+    "media_thumbnail": _MEDIA_THUMBNAIL_ORACLE,
     "semantic_gate": _SEMANTIC_GATE_ORACLE,
     "media_neardup": _media_neardup_oracle(),
     "label_centroids": _LABEL_CENTROIDS_ORACLE,

@@ -167,3 +167,68 @@ def test_extract_features_mixed_media_and_text(spark):
     assert rows[1].features == [0.5, 0, 0, 0, 0, 0, 0, 0.5]
     assert rows[1].n_bytes == len(bmp)
     assert rows[2].features == lmm.fake_features(text)
+
+
+def test_wav_roundtrip_and_strict_rejection():
+    """encode_wav → decode_payload returns the exact int16 samples
+    (negative values included); RIFF-prefixed garbage and non-PCM
+    claims are rejected strictly."""
+    import pytest
+
+    from egal_yet_another_earthquake_project_spark.llm import multimodal as lmm
+
+    samples = [0, 1, -1, 32767, -32768, 12345, -12345, 7]
+    blob = lmm.encode_wav(samples, sample_rate=16000)
+    got = lmm.decode_payload(blob)
+    assert got["format"] == "wav"
+    assert got["sample_rate"] == 16000 and got["n_channels"] == 1
+    assert got["samples"] == samples
+
+    feats = lmm.audio_features(got)
+    assert feats["n_samples"] == 8 and feats["peak"] == 32768
+    # sign flips: 0(+),1(+),-1(-),32767(+),-32768(-),12345(+),-12345(-),7(+)
+    assert feats["zero_crossings"] == 6
+
+    for bad in (
+        b"RIFFgarbage that is not a wave file at all..............",
+        blob[:-2],  # truncated data chunk
+        blob[:4] + b"\x00\x00\x00\x00" + blob[8:],  # riff size mismatch
+    ):
+        with pytest.raises(NotImplementedError):
+            lmm.decode_payload(bad)
+
+
+def test_extract_features_routes_audio_to_sample_histogram(spark):
+    """The unified features lane: a WAV payload gets the amplitude
+    histogram (real decoded samples), not the byte-histogram fake."""
+    from egal_yet_another_earthquake_project_spark.llm import multimodal as lmm
+
+    samples = [0] * 4 + [32767] * 4  # half bucket 0, half bucket 7
+    blob = lmm.encode_wav(samples)
+    df = spark.createDataFrame(
+        [(1, bytearray(blob))], "doc_id long, payload binary"
+    )
+    row = lmm.extract_features(df).collect()[0]
+    assert row.features == [0.5, 0, 0, 0, 0, 0, 0, 0.5]
+
+
+def test_resize_pixels_nearest_neighbor_exact():
+    """Integer nearest-neighbor resize: 4×4 → 2×2 picks the exact
+    source pixels floor(dst·in/out); upscale repeats them; dims
+    validated."""
+    import pytest
+
+    from egal_yet_another_earthquake_project_spark.llm import multimodal as lmm
+
+    px = [[(y * 16 + x, 0, 0) for x in range(4)] for y in range(4)]
+    decoded = {"format": "bmp", "width": 4, "height": 4, "maxval": 255,
+               "pixels": px}
+    small = lmm.resize_pixels(decoded, 2, 2)
+    assert small["pixels"] == [[(0, 0, 0), (2, 0, 0)],
+                               [(32, 0, 0), (34, 0, 0)]]
+    big = lmm.resize_pixels(small, 4, 2)
+    assert big["pixels"][0] == [(0, 0, 0), (0, 0, 0), (2, 0, 0), (2, 0, 0)]
+    # composes with the feature extractor
+    assert abs(sum(lmm.pixel_features(small)) - 1.0) < 1e-12
+    with pytest.raises(ValueError):
+        lmm.resize_pixels(decoded, 0, 2)
