@@ -176,6 +176,8 @@ HEADLINE = [
     "media_thumbnail",
     "audio_decode_features",
     "semantic_gate",
+    # PQ/ADC compressed ANN scan (llm/pq.py).
+    "pq_topk",
 ]
 
 

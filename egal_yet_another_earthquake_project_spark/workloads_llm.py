@@ -767,6 +767,78 @@ QUALIFY rank <= 5
 """
 
 
+_PQ_M, _PQ_K, _PQ_DSUB = 4, 16, 16
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ADC search (llm/pq.py, Jégou 2011): 64-D
+    vectors compress to m=4 code indices (k'=16 sampled codebooks per
+    subspace, integer-grid exact), and each query scans CODES ONLY —
+    one m×k' LUT per query, m array lookups per candidate. The oracle
+    replays sampling, slicing, encoding argmins, and the ADC sum from
+    the same parquet; dist is the exact int64 quantized distance, so
+    the ranking hash-verifies."""
+    from egal_yet_another_earthquake_project_spark.llm import pq as lpq
+
+    emb = _emb(spark, sf_dir)
+    books = lpq.train_pq_codebooks(emb, m=_PQ_M, k=_PQ_K)
+    encoded = lpq.pq_encode(emb, books)
+    return lpq.pq_adc_topk(
+        emb.filter(F.col("vec_id") < 5), encoded, books, k=5
+    ).orderBy("query_id", "rank")
+
+
+_PQ_TOPK_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+cent AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS code,
+         qv
+  FROM e
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {_PQ_K}
+),
+enc_d AS (
+  SELECT e.vec_id, s.s, cent.code,
+         list_sum(list_transform(range(1, {_PQ_DSUB + 1}), i ->
+            (e.qv[s.s * {_PQ_DSUB} + i] - cent.qv[s.s * {_PQ_DSUB} + i])
+          * (e.qv[s.s * {_PQ_DSUB} + i] - cent.qv[s.s * {_PQ_DSUB} + i]))) AS d
+  FROM e, unnest(range(0, {_PQ_M})) AS s(s), cent
+),
+enc AS (
+  SELECT vec_id, s, code
+  FROM (SELECT vec_id, s, code,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d ASC, code ASC) AS rk
+        FROM enc_d)
+  WHERE rk = 1
+),
+dist AS (
+  SELECT q.vec_id AS query_id, enc.vec_id AS neighbor_id,
+         CAST(sum(list_sum(list_transform(range(1, {_PQ_DSUB + 1}), i ->
+            (q.qv[enc.s * {_PQ_DSUB} + i] - cent.qv[enc.s * {_PQ_DSUB} + i])
+          * (q.qv[enc.s * {_PQ_DSUB} + i] - cent.qv[enc.s * {_PQ_DSUB} + i]))))
+          AS BIGINT) AS dist
+  FROM (SELECT * FROM e WHERE vec_id < 5) q
+  CROSS JOIN enc
+  JOIN cent ON cent.code = enc.code
+  WHERE q.vec_id <> enc.vec_id
+  GROUP BY query_id, neighbor_id
+)
+SELECT query_id, neighbor_id, dist,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY dist ASC, neighbor_id ASC) AS INTEGER)
+         AS rank
+FROM dist
+QUALIFY rank <= 5
+ORDER BY query_id, rank
+"""
+
+
 def q_semantic_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation pipelines' SemDeDup admission gate in its one-plan
     oracle form (llm.similarity.semantic_gate_inline; the persisted-
@@ -2191,6 +2263,7 @@ QUERIES = {
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_neardup": q_embedding_neardup,
     "semantic_gate": q_semantic_gate,
+    "pq_topk": q_pq_topk,
     "semantic_neardup": q_semantic_neardup,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
@@ -2244,6 +2317,7 @@ ORACLES = {
     "audio_decode_features": _AUDIO_DECODE_ORACLE,
     "media_thumbnail": _MEDIA_THUMBNAIL_ORACLE,
     "semantic_gate": _SEMANTIC_GATE_ORACLE,
+    "pq_topk": _PQ_TOPK_ORACLE,
     "media_neardup": _media_neardup_oracle(),
     "label_centroids": _LABEL_CENTROIDS_ORACLE,
     "embedding_drift": _EMBEDDING_DRIFT_ORACLE,

@@ -189,6 +189,15 @@ def probes():
     def zipf(spark, docs):
         return ltx.zipf_slope(docs)
 
+    def pq(spark, emb):
+        from egal_yet_another_earthquake_project_spark.llm import pq as lpq
+
+        books = lpq.train_pq_codebooks(emb, m=4, k=16)
+        encoded = lpq.pq_encode(emb, books)
+        return lpq.pq_adc_topk(
+            emb.orderBy("vec_id").limit(5), encoded, books, k=5
+        )
+
     def semdedup(spark, emb):
         from egal_yet_another_earthquake_project_spark.llm.clustering import (
             semdedup_prune,
@@ -248,6 +257,9 @@ def probes():
         # quadratic without the cap.
         ("token entropy (TF-collapsed)", _documents, entropy, ROW_RATIO),
         ("Zipf alpha per source", _documents, zipf, ROW_RATIO),
+        # PQ: train is a k-row sample, encode is a pure projection, the
+        # ADC scan is m lookups per (query, code) pair — all row-linear.
+        ("PQ encode + ADC top-k", _embeddings, pq, ROW_RATIO),
         ("SemDeDup prune (anchor-capped)", _embeddings, semdedup, ROW_RATIO),
         (
             "SemDeDup prune (degenerate 50% cluster)",

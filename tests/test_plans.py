@@ -129,6 +129,9 @@ _ALLOWED_NESTED_LOOP = {
     # the ≤ num_cells centroid frame into both the corpus and the gated
     # batch — bounded K×n broadcast by construction.
     "semantic_gate",
+    # ADC search broadcasts the (tiny, LUT-carrying) query frame into
+    # the code scan — the embedding_topk bounded-small-side shape.
+    "pq_topk",
     "top_parts_by_value",
     "acctbal_opportunity",
     # BM25 joins the one-row global (N, Σdl) statistics frame into the

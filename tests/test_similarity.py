@@ -598,3 +598,53 @@ def test_neardup_pairs_hot_cell_cap_bounds_pair_mass(spark):
     assert partners == set(range(1, 40))
     # the under-cap cell is untouched by the guard
     assert capped.filter("id_a >= 100").count() == 1
+
+
+def test_pq_encode_and_adc_search(spark):
+    """PQ correctness on a constructed corpus: codes are 0-based indices
+    into the k' codebooks, identical vectors get identical codes, and
+    the ADC distance equals the hand-computed Σ_s l2(q_s, cb[s][code_s])
+    on the integer grid."""
+    from egal_yet_another_earthquake_project_spark.llm import pq as lpq
+    from egal_yet_another_earthquake_project_spark.llm.clustering import (
+        QUANT_SCALE,
+    )
+
+    dim, m = 8, 2
+    rows = []
+    for vid in range(24):
+        v = [0.01 * ((vid * 7 + j) % 11) for j in range(dim)]
+        rows.append((vid, v))
+    rows.append((100, rows[3][1]))  # exact duplicate of vec 3
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    books = lpq.train_pq_codebooks(emb, m=m, k=4)
+    assert len(books) == m and all(len(b) == 4 for b in books)
+    enc = {r.vec_id: list(r.codes) for r in lpq.pq_encode(emb, books).collect()}
+    assert set().union(*[set(c) for c in enc.values()]) <= {0, 1, 2, 3}
+    assert enc[100] == enc[3]  # identical vector -> identical codes
+
+    got = lpq.pq_adc_topk(
+        emb.filter("vec_id = 100"), lpq.pq_encode(emb, books), books, k=3
+    ).collect()
+    assert [r.query_id for r in got] == [100] * 3
+    assert all(r.neighbor_id != 100 for r in got)  # self excluded
+
+    # hand-replay the ADC distance of the top hit (vec 100 IS vec 3)
+    import math
+
+    qgrid = [
+        math.floor(0.01 * ((3 * 7 + j) % 11) * QUANT_SCALE) for j in range(dim)
+    ]
+    top = got[0]
+    dsub = dim // m
+    want = 0
+    for s in range(m):
+        cb = books[s][enc[top.neighbor_id][s]]
+        want += sum(
+            (qgrid[s * dsub + i] - cb[i]) ** 2 for i in range(dsub)
+        )
+    assert top.dist == want
+    # the exact duplicate's twin (vec 3) shares the query's codes, so its
+    # ADC distance is the pure quantization error — rank 1 here
+    assert top.neighbor_id == 3
