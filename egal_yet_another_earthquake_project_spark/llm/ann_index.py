@@ -161,11 +161,22 @@ def _write_version(
     refine_iters: int,
     id_col: str,
     vec_col: str,
+    pq_m: int | None = None,
+    pq_k: int = 16,
 ) -> None:
     """Write one complete (centroids, cells) pair under ``root``, then
     the ``_COMPLETE`` marker LAST — the signal ``resolve_index_dir``'s
     CURRENT-less fallback requires, so a crash anywhere in here leaves a
-    version no reader will ever select."""
+    version no reader will ever select.
+
+    With ``pq_m``, the version is an **IVF-PQ** index (Jégou 2011):
+    per-subspace codebooks are trained on the UNIT vectors (cosine
+    search ranks by unit-vector L2, which is monotone in cosine), the
+    codes ride in the cell partitions next to ``uv``, and the books are
+    persisted as JSON inside the version so a reader resolves ONE
+    consistent (centroids, cells, books) triple."""
+    import json as _json
+
     cent = sample_centroids(corpus, num_cells, id_col, vec_col)
     if refine_iters:
         cent = refine_centroids(corpus, cent, refine_iters, id_col, vec_col)
@@ -177,6 +188,19 @@ def _write_version(
         "_v",
         "uv",
     ).drop("_v")
+    if pq_m is not None:
+        from egal_yet_another_earthquake_project_spark.llm import pq as lpq
+
+        books = lpq.train_pq_codebooks(
+            assigned, m=pq_m, k=pq_k, id_col="neighbor_id", vec_col="uv"
+        )
+        codes = lpq.pq_encode(
+            assigned, books, id_col="neighbor_id", vec_col="uv"
+        )
+        assigned = assigned.join(codes, "neighbor_id")
+        fsutil.write_text_overwrite(
+            corpus.sparkSession, f"{root}/pq_books.json", _json.dumps(books)
+        )
     (
         assigned.write.mode("overwrite")
         .partitionBy("cell")
@@ -194,12 +218,18 @@ def build_ivf_index(
     refine_iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pq_m: int | None = None,
+    pq_k: int = 16,
 ) -> None:
     """Train the quantizer and write the cell-partitioned index as
     version 1 (see the module docstring for the versioned layout), with
-    unit vectors precomputed so search pays no normalization."""
+    unit vectors precomputed so search pays no normalization. ``pq_m``
+    additionally trains per-subspace PQ codebooks and stores each
+    vector's ``m`` code indices in the cells — the IVF-PQ compressed
+    form ``search_ivf_index(method="adc")`` scans."""
     _write_version(
-        corpus, f"{index_dir}/v=1", num_cells, refine_iters, id_col, vec_col
+        corpus, f"{index_dir}/v=1", num_cells, refine_iters, id_col, vec_col,
+        pq_m=pq_m, pq_k=pq_k,
     )
     _set_current(index_dir, 1)
 
@@ -212,6 +242,7 @@ def search_ivf_index(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "exact",
 ) -> DataFrame:
     """Top-``k`` neighbors for a query batch against a persisted index.
 
@@ -219,7 +250,19 @@ def search_ivf_index(
     version even if a rebuild cuts over mid-search. The probed-cell set
     (≤ num_cells values however large the batch is) becomes a STATIC
     partition filter, so the scan plans against only those directories;
-    the query side broadcasts into the cell join."""
+    the query side broadcasts into the cell join.
+
+    ``method="exact"`` ranks probed candidates by the true cosine
+    (reads ``uv``) → ``(query_id, neighbor_id, cos, rank)``.
+    ``method="adc"`` requires an index built with ``pq_m`` and ranks by
+    the PQ asymmetric distance instead (reads ``codes`` — ``m`` ints per
+    candidate instead of the full vector, so the probed partitions scan
+    ~100× fewer value bytes; ranking is monotone in cosine up to
+    quantization error because the codes encode UNIT vectors) →
+    ``(query_id, neighbor_id, dist, rank)`` with the exact int64
+    quantized distance."""
+    import json as _json
+
     root = resolve_index_dir(index_dir)
     cent = spark.read.parquet(f"{root}/centroids")
     qa = unit(
@@ -233,6 +276,62 @@ def search_ivf_index(
     cells = spark.read.parquet(f"{root}/cells").filter(
         F.col("cell").isin(probed)
     )
+    if method == "adc":
+        from pyspark.sql import Window
+
+        from egal_yet_another_earthquake_project_spark.llm import pq as lpq
+        from egal_yet_another_earthquake_project_spark.llm.clustering import (
+            QUANT_SCALE,
+        )
+
+        text = fsutil.read_text(spark, f"{root}/pq_books.json")
+        if text is None:
+            raise ValueError(
+                "search method 'adc' needs an index built with pq_m "
+                f"(no pq_books.json under {root})"
+            )
+        books = _json.loads(text)
+        m, dsub = len(books), len(books[0][0])
+        qq = qa.select(
+            "query_id",
+            "cell",
+            F.transform(
+                "uq", lambda v: F.floor(v * QUANT_SCALE).cast("long")
+            ).alias("qv"),
+        )
+        luts = [
+            F.array(
+                *[
+                    lpq._l2(
+                        lpq._subvec(F.col("qv"), s, dsub),
+                        F.array(*[F.lit(int(x)) for x in cv]),
+                    )
+                    for cv in books[s]
+                ]
+            ).alias(f"_lut{s}")
+            for s in range(m)
+        ]
+        qside = qq.select("query_id", "cell", *luts)
+        dist = None
+        for s in range(m):
+            term = F.element_at(
+                F.col(f"_lut{s}"), F.element_at(F.col("codes"), s + 1) + 1
+            )
+            dist = term if dist is None else dist + term
+        cands = (
+            cells.select("neighbor_id", "codes", "cell")
+            .join(F.broadcast(qside), on="cell")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", dist.alias("dist"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("dist").asc(), F.col("neighbor_id").asc()
+        )
+        return (
+            cands.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "dist", "rank")
+        )
     cands = (
         cells.join(F.broadcast(qa), on="cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -334,6 +433,21 @@ def append_ivf_index(
         "_v",
         "uv",
     ).drop("_v")
+    books_text = fsutil.read_text(spark, f"{root}/pq_books.json")
+    if books_text is not None:
+        # IVF-PQ index: appended vectors must carry codes too, or an ADC
+        # scan would rank them by a null distance. Codebooks are frozen
+        # with the coarse quantizer (the standard IVF-PQ append trade —
+        # drift degrades code quality until the imbalance rebuild).
+        import json as _json
+
+        from egal_yet_another_earthquake_project_spark.llm import pq as lpq
+
+        books = _json.loads(books_text)
+        codes = lpq.pq_encode(
+            assigned, books, id_col="neighbor_id", vec_col="uv"
+        )
+        assigned = assigned.join(codes, "neighbor_id")
     (
         assigned.write.mode("append")
         .partitionBy("cell")
@@ -401,8 +515,19 @@ def maybe_rebuild_ivf_index(
     corpus = spark.read.parquet(f"{root}/cells").select(
         F.col("neighbor_id").alias("vec_id"), F.col("uv").alias("embedding")
     )
+    # an IVF-PQ index stays IVF-PQ across the cutover: re-train the
+    # subspace codebooks (same m × k' shape) on the current unit vectors
+    # alongside the refreshed coarse quantizer
+    old_books_text = fsutil.read_text(spark, f"{root}/pq_books.json")
+    pq_m = pq_k = None
+    if old_books_text is not None:
+        import json as _json
+
+        old_books = _json.loads(old_books_text)
+        pq_m, pq_k = len(old_books), len(old_books[0])
     _write_version(
-        corpus, f"{index_dir}/v={next_v}", k, refine_iters, "vec_id", "embedding"
+        corpus, f"{index_dir}/v={next_v}", k, refine_iters, "vec_id", "embedding",
+        pq_m=pq_m, pq_k=pq_k or 16,
     )
     if _before_cutover is not None:
         _before_cutover()

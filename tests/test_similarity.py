@@ -648,3 +648,91 @@ def test_pq_encode_and_adc_search(spark):
     # the exact duplicate's twin (vec 3) shares the query's codes, so its
     # ADC distance is the pure quantization error — rank 1 here
     assert top.neighbor_id == 3
+
+
+def test_ivf_pq_index_adc_search(spark, tmp_path):
+    """IVF-PQ composition: build_ivf_index(pq_m=...) stores per-vector
+    codes in the cell partitions plus the codebooks inside the version;
+    search(method='adc') ranks probed candidates by the exact int64
+    asymmetric distance. A planted exact duplicate shares the query's
+    codes, so its ADC distance achieves the per-subspace LUT minimum in
+    every subspace — it must carry the minimal distance. A non-PQ index
+    refuses ADC search loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from egal_yet_another_earthquake_project_spark.llm import ann_index as ai
+
+    emb = read_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    base = emb.limit(150)
+    dup = base.filter(F.col("vec_id") == 7).withColumn(
+        "vec_id", F.lit(20007).cast("long")
+    )
+    corpus = base.unionByName(dup)
+    idx = str(tmp_path / "ivfpq")
+    ai.build_ivf_index(corpus, idx, num_cells=8, pq_m=4, pq_k=16)
+
+    cells = spark.read.parquet(f"{idx}/v=1/cells")
+    assert "codes" in cells.columns
+    row = cells.filter("neighbor_id = 7").first()
+    twin = cells.filter("neighbor_id = 20007").first()
+    assert list(row.codes) == list(twin.codes) and len(row.codes) == 4
+
+    q = base.filter(F.col("vec_id") == 7)
+    got = ai.search_ivf_index(spark, idx, q, k=5, nprobe=8, method="adc")
+    rows = got.collect()
+    assert [r.query_id for r in rows] == [7] * len(rows)
+    by_rank = {r.rank: r for r in rows}
+    assert by_rank[1].dist == min(r.dist for r in rows)
+    assert by_rank[1].neighbor_id == 20007  # identical codes -> global min
+
+    # exact method on the same PQ-built index still works and finds the twin
+    exact = ai.search_ivf_index(spark, idx, q, k=1, nprobe=8)
+    assert exact.first().neighbor_id == 20007
+
+    # ADC against a plain index fails loudly, never silently falls back
+    plain = str(tmp_path / "plain")
+    ai.build_ivf_index(base, plain, num_cells=8)
+    with pytest.raises(ValueError, match="pq_m"):
+        ai.search_ivf_index(spark, plain, q, k=5, method="adc").collect()
+
+
+def test_ivf_pq_append_and_rebuild_preserve_codes(spark, tmp_path):
+    """Appending into an IVF-PQ index must encode the new vectors with
+    the frozen codebooks (an ADC scan over code-less rows would rank by
+    null), and the imbalance rebuild must carry the PQ form into the
+    new version (same m × k' shape, books re-trained on current uv)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from egal_yet_another_earthquake_project_spark.llm import ann_index as ai
+
+    emb = read_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    first = emb.filter(F.col("vec_id") < 100)
+    rest = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 160))
+    idx = str(tmp_path / "ivfpq")
+    ai.build_ivf_index(first, idx, num_cells=8, pq_m=4, pq_k=16)
+    ai.append_ivf_index(spark, idx, rest)
+
+    cells = spark.read.parquet(f"{idx}/v=1/cells")
+    assert cells.count() == 160
+    assert cells.filter(F.col("codes").isNull()).count() == 0
+
+    # an appended vector used as its own query: ADC finds candidates
+    # with non-null distances and includes its identical-codes self only
+    # excluded by id (so the scan covers appended rows)
+    q = rest.filter(F.col("vec_id") == 100)
+    rows = ai.search_ivf_index(spark, idx, q, k=3, nprobe=8, method="adc").collect()
+    assert rows and all(r.dist is not None for r in rows)
+
+    # force a rebuild; the new version must still be PQ with 4×16 books
+    res = ai.maybe_rebuild_ivf_index(spark, idx, threshold=0.0)
+    assert res["rebuilt"]
+    root = ai.resolve_index_dir(idx)
+    assert root.endswith(f"v={res['version']}")
+    books = json.loads(open(f"{root}/pq_books.json").read())
+    assert len(books) == 4 and len(books[0]) == 16
+    assert "codes" in spark.read.parquet(f"{root}/cells").columns
+    rows2 = ai.search_ivf_index(spark, idx, q, k=3, nprobe=8, method="adc").collect()
+    assert rows2 and all(r.dist is not None for r in rows2)
