@@ -956,17 +956,28 @@ def write_band_index(
     write time; every incremental gate call then joins incoming bands
     against it with ZERO exchange on the index side (asserted in
     tests/test_dedup.py), so the 100 TB corpus's signatures never move
-    again. Append each admitted batch's bands to keep it current."""
+    again. Append each admitted batch's bands to keep it current.
+
+    Goes through :func:`sinks.bucketed.write_bucketed`, which clears an
+    ORPHANED warehouse location on the overwrite path (a killed run's
+    leftover directory that the fresh metastore cannot drop — VERDICT
+    r9 #2) instead of failing LOCATION_ALREADY_EXISTS forever."""
+    from egal_yet_another_earthquake_project_spark.sinks.bucketed import (
+        write_bucketed,
+    )
+
     frame = band_key_frame(
         minhash_signatures(corpus, id_col, text_col, n, num_hashes),
         num_hashes,
         bands,
     )
-    (
-        frame.write.mode(mode)
-        .bucketBy(num_buckets, "band", "sig")
-        .sortBy("band", "sig")
-        .saveAsTable(table)
+    write_bucketed(
+        frame,
+        table,
+        ["band", "sig"],
+        num_buckets=num_buckets,
+        sort_cols=["band", "sig"],
+        mode=mode,
     )
 
 

@@ -269,6 +269,51 @@ def test_band_index_gate_zero_shuffle_on_index_side(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_band_index_overwrite_heals_orphaned_location(spark):
+    """A killed run leaves the managed table's warehouse directory on
+    disk while the fresh in-memory metastore has never heard of the
+    name — DROP TABLE IF EXISTS is a no-op and (before the fix)
+    saveAsTable failed LOCATION_ALREADY_EXISTS forever, poisoning every
+    later full-suite run (VERDICT r9 #2). Overwrite mode must clear the
+    orphan and succeed; append must still fail loudly (it has no
+    license to discard unknown data)."""
+    import uuid
+
+    from egal_yet_another_earthquake_project_spark import fsutil
+
+    table = f"band_orphan_{uuid.uuid4().hex[:8]}"
+    corpus = spark.range(20).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("orphan doc "), F.col("id")).alias("text"),
+    )
+    # Plant the orphan: the table's default location exists on disk,
+    # the catalog does not know it.
+    jvm = spark._jvm
+    ident = jvm.org.apache.spark.sql.catalyst.TableIdentifier.apply(table)
+    location = str(
+        spark._jsparkSession.sessionState()
+        .catalog()
+        .defaultTablePath(ident)
+        .toString()
+    )
+    try:
+        fsutil.mkdirs(spark, location + "/part-orphan")
+        assert not spark.catalog.tableExists(table)
+        ldd.write_band_index(corpus, table, "doc_id", num_buckets=4)
+        assert spark.table(table).count() > 0
+        # Append onto an orphaned location (drop from catalog, leave
+        # the dir) must NOT silently clear it.
+        spark.sql(f"DROP TABLE {table}")
+        fsutil.mkdirs(spark, location + "/part-orphan")
+        with pytest.raises(Exception):
+            ldd.write_band_index(
+                corpus, table, "doc_id", num_buckets=4, mode="append"
+            )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        fsutil.delete(spark, location)
+
+
 def test_containment_catches_inclusion_jaccard_misses(spark):
     """A short doc quoted whole inside a much larger one: containment
     small→big ≈ 1.0 while Jaccard stays far below any dedup threshold —
