@@ -119,6 +119,26 @@ def _version_complete(index_dir: str, version: int) -> bool:
     return os.path.exists(marker)
 
 
+def _backfill_marker(index_dir: str, version: int) -> None:
+    """Stamp ``_COMPLETE`` onto a version that CURRENT has successfully
+    resolved but that predates the marker scheme (staged before round 9):
+    CURRENT pointing at it IS the completeness proof — the pointer is
+    written only after a full stage — so recording the marker now keeps
+    the version eligible for the CURRENT-less fallback if the pointer is
+    later lost. Best-effort: a read-only mount must not break search."""
+    marker = f"{index_dir}/v={version}/_COMPLETE"
+    spark = _active_spark()
+    try:
+        if spark is not None:
+            if not fsutil.exists(spark, marker):
+                fsutil.write_text_overwrite(spark, marker, "complete\n")
+        elif not os.path.exists(marker):
+            with open(marker, "w", encoding="utf-8") as fh:
+                fh.write("complete\n")
+    except Exception:
+        pass
+
+
 def resolve_index_dir(index_dir: str) -> str:
     """Root of the LIVE index version: ``{index_dir}/v=N`` per CURRENT.
     When CURRENT is absent, the newest version carrying a ``_COMPLETE``
@@ -126,10 +146,17 @@ def resolve_index_dir(index_dir: str) -> str:
     momentary delete-then-rename window of a non-local pointer overwrite,
     while a first-build crash mid-stage (no CURRENT ever existed, no
     marker) falls through rather than silently serving a partial cells
-    dir. Falls back to ``index_dir`` itself for legacy flat layouts.
-    One resolve pins a reader to one complete (centroids, cells) pair."""
+    dir. A marker-less version that CURRENT resolves (staged before the
+    marker scheme existed) gets the marker backfilled on resolve, so
+    legacy indexes regain fallback coverage instead of falling through
+    to the flat layout on pointer loss. Falls back to ``index_dir``
+    itself for legacy flat layouts. One resolve pins a reader to one
+    complete (centroids, cells) pair."""
     n = _read_current(index_dir)
-    if n is None:
+    if n is not None:
+        if not _version_complete(index_dir, n):
+            _backfill_marker(index_dir, n)
+    else:
         complete = [
             v for v in _list_versions(index_dir) if _version_complete(index_dir, v)
         ]
@@ -188,9 +215,16 @@ def _write_version(
         "_v",
         "uv",
     ).drop("_v")
+    pinned = None
     if pq_m is not None:
         from egal_yet_another_earthquake_project_spark.llm import pq as lpq
 
+        # THREE consumers of the assign+unit lineage (codebook training's
+        # collect, the encode projection, the join's left side) — persist
+        # so a build/rebuild pays the cell assignment once, per the
+        # repo's multi-consumer caching rule (semdedup_prune's shape).
+        pinned = assigned.persist()
+        assigned = pinned
         books = lpq.train_pq_codebooks(
             assigned, m=pq_m, k=pq_k, id_col="neighbor_id", vec_col="uv"
         )
@@ -206,6 +240,8 @@ def _write_version(
         .partitionBy("cell")
         .parquet(f"{root}/cells")
     )
+    if pinned is not None:
+        pinned.unpersist()
     fsutil.write_text_overwrite(
         corpus.sparkSession, f"{root}/_COMPLETE", "complete\n"
     )

@@ -264,6 +264,16 @@ def _decode_wav(blob: bytes) -> dict:
     if n > MAX_PIXELS:
         raise ValueError("WAV length exceeds sanity bound")
     samples = list(struct.unpack(f"<{n}h", data))
+    if n_channels == 2:
+        # De-interleave before featurizing: adjacent values in the raw
+        # stream belong to DIFFERENT channels, so zero-crossings over the
+        # interleaved array compare L against R — a meaningless feature.
+        # Deterministic integer mono downmix: floor((L + R) / 2), the
+        # same floor-toward-minus-infinity every engine replays.
+        samples = [
+            (samples[i] + samples[i + 1]) // 2
+            for i in range(0, len(samples), 2)
+        ]
     return {
         "format": "wav",
         "sample_rate": sample_rate,

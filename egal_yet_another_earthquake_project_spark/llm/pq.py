@@ -83,6 +83,16 @@ def train_pq_codebooks(
         .limit(k)
         .collect()
     )
+    if not seed:
+        raise ValueError("train_pq_codebooks: corpus is empty")
+    if len(seed) < k:
+        # A silently smaller codebook changes code semantics (code c
+        # means a DIFFERENT centroid than the caller's k declared) —
+        # fail loudly instead; train on a bigger sample or lower k.
+        raise ValueError(
+            f"train_pq_codebooks: corpus has {len(seed)} rows, "
+            f"fewer than k={k} codes per subspace"
+        )
     dim = len(seed[0].qv)
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")

@@ -198,6 +198,58 @@ def test_wav_roundtrip_and_strict_rejection():
             lmm.decode_payload(bad)
 
 
+def test_stereo_wav_deinterleaves_before_featurizing():
+    """ADVICE r9: a stereo stream's adjacent raw values belong to
+    DIFFERENT channels, so featurizing the interleaved array computes a
+    meaningless zero-crossing count (L compared against R). The decoder
+    now downmixes to mono — floor((L+R)/2) per frame — before the
+    features see the samples."""
+    import struct
+
+    from egal_yet_another_earthquake_project_spark.llm import multimodal as lmm
+
+    # L = R = [1000, -1000, 1000, -1000]: interleaved raw stream is
+    # [1000,1000,-1000,-1000,...] (ZCR over it would be 3 by luck of the
+    # duplication, so use asymmetric channels too below)
+    frames = [1000, -1000, 1000, -1000]
+    inter = []
+    for v in frames:
+        inter += [v, v]
+    data = struct.pack(f"<{len(inter)}h", *inter)
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 8000 * 4, 4, 16)
+    blob = (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt))
+        + fmt
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+    got = lmm.decode_payload(blob)
+    assert got["n_channels"] == 2
+    assert got["samples"] == frames  # downmix of identical channels
+    feats = lmm.audio_features(got)
+    assert feats["n_samples"] == 4
+    assert feats["zero_crossings"] == 3 and feats["peak"] == 1000
+
+    # Asymmetric channels: L constant +100, R constant -100. Interleaved
+    # ZCR would be 7 (every L→R and R→L step flips sign); the mono
+    # downmix is all zeros — ZCR 0, the meaningful answer.
+    inter2 = []
+    for _ in range(4):
+        inter2 += [100, -100]
+    data2 = struct.pack(f"<{len(inter2)}h", *inter2)
+    blob2 = (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data2), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt))
+        + fmt
+        + struct.pack("<4sI", b"data", len(data2))
+        + data2
+    )
+    got2 = lmm.decode_payload(blob2)
+    assert got2["samples"] == [0, 0, 0, 0]
+    assert lmm.audio_features(got2)["zero_crossings"] == 0
+
+
 def test_extract_features_routes_audio_to_sample_histogram(spark):
     """The unified features lane: a WAV payload gets the amplitude
     histogram (real decoded samples), not the byte-histogram fake."""

@@ -528,6 +528,33 @@ def test_ivf_resolve_skips_partially_staged_version(spark, tmp_path):
     assert ai.resolve_index_dir(idx).endswith("v=1")
 
 
+def test_ivf_resolve_backfills_marker_for_legacy_versions(spark, tmp_path):
+    """ADVICE r9: versions staged BEFORE the _COMPLETE scheme carry no
+    marker, so after the r9 fallback tightening a pointer loss would
+    drop them to the flat layout and fail to read. A successful
+    CURRENT resolve of a marker-less version is itself the
+    completeness proof (the pointer is written only after a full
+    stage), so resolve backfills the marker — after which losing
+    CURRENT still serves the version."""
+    import os
+
+    from egal_yet_another_earthquake_project_spark.llm import ann_index as ai
+
+    emb = read_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    base = emb.limit(120)
+    idx = str(tmp_path / "ivf")
+    ai.build_ivf_index(base, idx, num_cells=8)
+    # simulate a legacy (pre-marker) stage: marker absent, CURRENT valid
+    os.remove(f"{idx}/v=1/_COMPLETE")
+    assert ai.resolve_index_dir(idx).endswith("v=1")  # backfills
+    assert os.path.exists(f"{idx}/v=1/_COMPLETE")
+    os.remove(f"{idx}/CURRENT")
+    # pointer lost AFTER the backfill: still resolves, search still works
+    assert ai.resolve_index_dir(idx).endswith("v=1")
+    queries = base.orderBy("vec_id").limit(3)
+    assert ai.search_ivf_index(spark, idx, queries, k=2, nprobe=8).count() > 0
+
+
 def test_embedding_drift_flags_the_shifted_label(spark, tmp_path):
     """A label whose vectors point away from the corpus mean gets a
     visibly lower centroid cosine than well-mixed labels; cosine is
@@ -598,6 +625,33 @@ def test_neardup_pairs_hot_cell_cap_bounds_pair_mass(spark):
     assert partners == set(range(1, 40))
     # the under-cap cell is untouched by the guard
     assert capped.filter("id_a >= 100").count() == 1
+
+
+def test_pq_train_rejects_empty_and_undersized_corpus(spark):
+    """ADVICE r9: an empty corpus must raise a clear ValueError (not a
+    bare IndexError on seed[0]), and a corpus with fewer than k rows
+    must fail loudly instead of silently shrinking the codebook — a
+    smaller book changes what every code MEANS without warning."""
+    import pytest
+
+    from egal_yet_another_earthquake_project_spark.llm import pq as lpq
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        lpq.train_pq_codebooks(empty, m=2, k=4)
+
+    three = spark.createDataFrame(
+        [(i, [0.1 * i, 0.2 * i]) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="fewer than k"):
+        lpq.train_pq_codebooks(three, m=2, k=4)
+    # exactly k rows is fine
+    four = spark.createDataFrame(
+        [(i, [0.1 * i, 0.2 * i]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    assert len(lpq.train_pq_codebooks(four, m=2, k=4)) == 2
 
 
 def test_pq_encode_and_adc_search(spark):
