@@ -8,10 +8,11 @@ per-item work is vectorized per partition and never touches the driver.
 
 Decode: real codec libraries (PIL/libav) are not present in this
 container, so :func:`decode_payload` carries a dependency-free decoder
-for the classic uncompressed containers — 24-bit BI_RGB **BMP**,
-binary/plain **PPM** (P6/P3), and RIFF/WAVE 16-bit PCM **WAV** — and
-raises ``NotImplementedError`` for anything it cannot strictly
-validate. :func:`extract_features` tries the
+for 24-bit BI_RGB **BMP**, binary/plain **PPM** (P6/P3), RIFF/WAVE
+16-bit PCM **WAV**, and — the first genuinely compressed container —
+8-bit truecolor **PNG** (stdlib ``zlib`` inflate + full filter 0–4
+reconstruction, CRC-checked chunks), and raises
+``NotImplementedError`` for anything it cannot strictly validate. :func:`extract_features` tries the
 real decode first (luminance-histogram features over actual pixels) and
 falls back to the deterministic byte-histogram fake for non-media blobs,
 so the decode→feature path runs end-to-end in this sandbox while the
@@ -216,6 +217,194 @@ def _decode_ppm(blob: bytes) -> dict:
     }
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor (PNG spec §9, filter type 4): the neighbor —
+    left, up, or upper-left — closest to the linear estimate a + b − c,
+    ties breaking left → up → upper-left. Pure integer math."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(
+    width: int,
+    height: int,
+    pixels: list[list[tuple]],
+    filter_types=0,
+    alpha: int | None = None,
+) -> bytes:
+    """Minimal PNG writer — 8-bit truecolor (RGB; RGBA when ``alpha``
+    is given), stdlib ``zlib`` only. ``filter_types`` is one filter id
+    (0–4) for every scanline or a per-row list, so tests can exercise
+    each reconstruction path; filters are APPLIED here (byte minus
+    predictor, mod 256) exactly as the spec's encoder does, making the
+    round trip a real filter/unfilter exercise, not an echo of filter 0.
+    The compressed-payload analog of :func:`encode_bmp`."""
+    import struct
+    import zlib
+
+    bpp = 4 if alpha is not None else 3
+    if isinstance(filter_types, int):
+        filter_types = [filter_types] * height
+    if len(filter_types) != height:
+        raise ValueError("encode_png: one filter id per scanline")
+    raw_rows = []
+    for row in pixels:
+        rb = bytearray()
+        for r, g, b in row:
+            rb += bytes((r, g, b)) + (bytes((alpha,)) if alpha is not None else b"")
+        raw_rows.append(bytes(rb))
+    scan = bytearray()
+    prev = bytes(width * bpp)
+    for y, cur in enumerate(raw_rows):
+        f = int(filter_types[y])
+        if f not in (0, 1, 2, 3, 4):
+            raise ValueError(f"encode_png: unknown filter {f}")
+        out = bytearray()
+        for i, x in enumerate(cur):
+            a = cur[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            pred = (
+                0 if f == 0
+                else a if f == 1
+                else b if f == 2
+                else (a + b) // 2 if f == 3
+                else _paeth(a, b, c)
+            )
+            out.append((x - pred) & 0xFF)
+        scan += bytes((f,)) + out
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, 6 if alpha is not None else 2, 0, 0, 0
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(blob: bytes) -> dict:
+    """Strict PNG decoder for 8-bit truecolor (color types 2 RGB and
+    6 RGBA), stdlib ``zlib`` only — the first genuinely COMPRESSED
+    container in the decode lane. Validates the 8-byte signature, every
+    chunk's CRC32, the IHDR geometry, chunk ordering (IHDR first,
+    contiguous IDAT, IEND last with nothing after), the decompressed
+    scanline length, and every scanline's filter id; reconstructs
+    filters 0–4 (None/Sub/Up/Average/Paeth) per the spec's byte-level
+    recurrences. Unknown CRITICAL chunks (uppercase first letter, e.g.
+    a palette we cannot apply), interlacing, palettes, and non-8-bit
+    depths are rejected — never half-decoded. RGBA alpha participates
+    in filter reconstruction (it is part of the pixel stride) and is
+    then dropped: the unified pixel lane is (r, g, b)."""
+    import struct
+    import zlib
+
+    if blob[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG signature")
+    pos = 8
+    chunks = []
+    while pos < len(blob):
+        if pos + 8 > len(blob):
+            raise ValueError("truncated PNG chunk header")
+        (clen,) = struct.unpack(">I", blob[pos : pos + 4])
+        ctype = blob[pos + 4 : pos + 8]
+        body = blob[pos + 8 : pos + 8 + clen]
+        if len(body) != clen or pos + 12 + clen > len(blob):
+            raise ValueError("truncated PNG chunk body")
+        (crc,) = struct.unpack(">I", blob[pos + 8 + clen : pos + 12 + clen])
+        if crc != (zlib.crc32(ctype + body) & 0xFFFFFFFF):
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        chunks.append((ctype, body))
+        pos += 12 + clen
+    if not chunks or chunks[0][0] != b"IHDR" or chunks[-1][0] != b"IEND":
+        raise ValueError("PNG must start with IHDR and end with IEND")
+    if chunks[-1][1] != b"":
+        raise ValueError("IEND must be empty")
+    ihdr = chunks[0][1]
+    if len(ihdr) != 13:
+        raise ValueError("bad IHDR length")
+    width, height, depth, ctype_id, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8 or ctype_id not in (2, 6) or comp != 0 or filt != 0:
+        raise ValueError("only 8-bit truecolor RGB/RGBA PNG is decodable here")
+    if interlace != 0:
+        raise ValueError("interlaced PNG is not supported")
+    if width < 1 or height < 1 or width * height > MAX_PIXELS:
+        raise ValueError("PNG dimensions out of bounds")
+    idat = bytearray()
+    seen_idat = ended_idat = False
+    for ctype, body in chunks[1:-1]:
+        if ctype == b"IDAT":
+            if ended_idat:
+                raise ValueError("IDAT chunks must be contiguous")
+            seen_idat = True
+            idat += body
+        else:
+            if seen_idat:
+                ended_idat = True
+            if 65 <= ctype[0] <= 90:  # uppercase first letter = critical
+                raise ValueError(f"unsupported critical chunk {ctype!r}")
+    if not seen_idat:
+        raise ValueError("PNG missing IDAT")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
+    bpp = 4 if ctype_id == 6 else 3
+    stride = width * bpp
+    if len(raw) != height * (1 + stride):
+        raise ValueError("PNG scanline payload size mismatch")
+    rows = []
+    prev = bytes(stride)
+    for y in range(height):
+        base = y * (1 + stride)
+        f = raw[base]
+        if f > 4:
+            raise ValueError(f"unknown PNG filter {f}")
+        line = raw[base + 1 : base + 1 + stride]
+        cur = bytearray(stride)
+        for i, x in enumerate(line):
+            a = cur[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            pred = (
+                0 if f == 0
+                else a if f == 1
+                else b if f == 2
+                else (a + b) // 2 if f == 3
+                else _paeth(a, b, c)
+            )
+            cur[i] = (x + pred) & 0xFF
+        rows.append(
+            [tuple(cur[x * bpp : x * bpp + 3]) for x in range(width)]
+        )
+        prev = bytes(cur)
+    return {
+        "format": "png",
+        "width": width,
+        "height": height,
+        "maxval": 255,
+        "pixels": rows,
+    }
+
+
 def encode_wav(samples: list[int], sample_rate: int = 8000) -> bytes:
     """Minimal RIFF/WAVE writer: mono 16-bit PCM — the audio analog of
     :func:`encode_bmp` (demo payload builder for the decode path)."""
@@ -368,11 +557,12 @@ def decode_payload(blob: bytes) -> dict:
     maxval, pixels}`` (pixels top-down, (r, g, b) tuples), audio to
     ``{format, sample_rate, n_channels, samples}``.
 
-    Dependency-free fallback decoder for uncompressed 24-bit BI_RGB
-    BMP, PPM (P6 binary / P3 plain), and RIFF/WAVE 16-bit PCM; every
+    Dependency-free decoder for 24-bit BI_RGB BMP, PPM (P6 binary / P3
+    plain), RIFF/WAVE 16-bit PCM, and 8-bit truecolor PNG (zlib-
+    inflated, filters 0–4 reconstructed, chunk CRCs verified); every
     header field is strictly validated against the actual byte length
     so arbitrary text/binary blobs cannot half-parse. Formats that need
-    real codec libraries (JPEG/PNG/MP3/video — not present in this
+    real codec libraries (JPEG/MP3/video — not present in this
     environment) raise ``NotImplementedError``, which
     :func:`extract_features` treats as "not media" and routes to the
     byte-histogram fallback."""
@@ -385,6 +575,8 @@ def decode_payload(blob: bytes) -> dict:
             return _decode_ppm(blob)
         if head == b"RIFF":
             return _decode_wav(blob)
+        if head == b"\x89PNG":
+            return _decode_png(blob)
     except ValueError as exc:
         raise NotImplementedError(f"payload is not decodable media: {exc}") from exc
     raise NotImplementedError(

@@ -198,6 +198,105 @@ def test_wav_roundtrip_and_strict_rejection():
             lmm.decode_payload(bad)
 
 
+def test_png_roundtrip_every_filter_and_rgba():
+    """encode_png → decode_payload recovers the exact pixels through
+    each of the five scanline filters (None/Sub/Up/Average/Paeth) and
+    through a mixed per-row schedule — a real inflate + filter
+    reconstruction, not an echo of filter 0. RGBA payloads reconstruct
+    with the 4-byte stride and drop alpha into the unified (r,g,b)
+    lane."""
+    from egal_yet_another_earthquake_project_spark.llm import multimodal as lmm
+
+    w, h = 5, 4
+    pixels = [
+        [((y * w + x) * 7 % 256, (y * w + x) * 13 % 256, (y * w + x) * 29 % 256)
+         for x in range(w)]
+        for y in range(h)
+    ]
+    for f in (0, 1, 2, 3, 4, [0, 1, 3, 4]):
+        blob = lmm.encode_png(w, h, pixels, filter_types=f)
+        got = lmm.decode_payload(blob)
+        assert got["format"] == "png" and got["maxval"] == 255
+        assert got["width"] == w and got["height"] == h
+        assert got["pixels"] == pixels, f"filter {f} misreconstructed"
+
+    rgba = lmm.encode_png(w, h, pixels, filter_types=4, alpha=128)
+    got = lmm.decode_payload(rgba)
+    assert got["pixels"] == pixels  # alpha dropped, colors exact
+
+
+def test_png_strict_rejection():
+    """Corrupt PNGs are rejected, never half-decoded: bad CRC, truncated
+    IDAT stream, wrong scanline payload size, unknown critical chunk,
+    interlace flag, palette color type, and a bare signature with
+    garbage. decode_payload surfaces each as NotImplementedError (the
+    not-media routing signal)."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from egal_yet_another_earthquake_project_spark.llm import multimodal as lmm
+
+    pixels = [[(1, 2, 3), (4, 5, 6)], [(7, 8, 9), (10, 11, 12)]]
+    good = lmm.encode_png(2, 2, pixels)
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    sig = good[:8]
+    ihdr_at = 8
+    ihdr_len = 12 + 13
+    ihdr = good[ihdr_at : ihdr_at + ihdr_len]
+    rest = good[ihdr_at + ihdr_len :]
+
+    bad_crc = bytearray(good)
+    bad_crc[-5] ^= 0xFF  # flip a bit inside IEND's CRC
+    cases = [
+        bytes(bad_crc),
+        good[:-20],  # truncated mid-chunk
+        sig + ihdr + chunk(b"IDAT", zlib.compress(b"\x00\x01")) + chunk(b"IEND", b""),  # wrong scanline size
+        sig + ihdr + chunk(b"XCRT", b"?") + rest,  # unknown critical chunk
+        sig + b"garbage follows the signature only..............",
+    ]
+    # interlaced header
+    w_h = struct.pack(">II", 2, 2)
+    cases.append(
+        sig + chunk(b"IHDR", w_h + bytes([8, 2, 0, 0, 1])) + rest
+    )
+    # palette color type
+    cases.append(
+        sig + chunk(b"IHDR", w_h + bytes([8, 3, 0, 0, 0])) + rest
+    )
+    for bad in cases:
+        with pytest.raises(NotImplementedError):
+            lmm.decode_payload(bad)
+    # ancillary (lowercase-first) chunks are skipped, not fatal
+    ok = sig + ihdr + chunk(b"tEXt", b"k\x00v") + rest
+    assert lmm.decode_payload(ok)["pixels"] == pixels
+
+
+def test_extract_features_routes_png_to_pixel_histogram(spark):
+    """The unified features lane decodes PNG payloads to REAL pixel
+    luminance features (identical to the same image as BMP), not the
+    byte-histogram fake — compressed bytes would histogram to noise."""
+    from egal_yet_another_earthquake_project_spark.llm import multimodal as lmm
+
+    px = [[(0, 0, 0)] * 4, [(255, 255, 255)] * 4]  # half dark, half bright
+    png = lmm.encode_png(4, 2, px, filter_types=2)
+    bmp = lmm.encode_bmp(4, 2, px)
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(bmp))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r.features for r in lmm.extract_features(df).collect()}
+    assert rows[1] == [0.5, 0, 0, 0, 0, 0, 0, 0.5]
+    assert rows[1] == rows[2]  # same image, either container
+
+
 def test_stereo_wav_deinterleaves_before_featurizing():
     """ADVICE r9: a stereo stream's adjacent raw values belong to
     DIFFERENT channels, so featurizing the interleaved array computes a
