@@ -263,12 +263,20 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ((cum−cnt)·100 < 99·total — no float in the predicate), so the kept
     set is bit-identical across engines.
 
-    The rank window runs over the DISTINCT-token frame — vocabulary
-    scale, orders of magnitude below corpus scale (Heaps' law); for a
-    vocabulary that outgrows one partition, the bucket-prefix trick of
-    operators/rowids.py applies to the same (count, token) order key."""
+    The cumulative sum over (cnt DESC, token ASC) used to be one global
+    window — vocabulary-scale rows through one task (VERDICT r9 #5).
+    Now operators/rowids.bucketed_cumsum: buckets = (cnt, 2-char token
+    prefix) — an order-prefix, so offsets + per-bucket running sums
+    telescope to the SAME integers — with the histogram's own prefix sum
+    bucketed one more level on floor(log2(cnt)) (distinct-count
+    cardinality is O(√corpus) by the pigeonhole bound Σ distinct cnts ≤
+    total, so at 100 TB the cnt × prefix histogram is itself too wide
+    for a single task; the 64-row log₂ histogram never is). No stage
+    sees more than one bucket's rows in one task."""
     docs = read_table(spark, sf_dir, "documents")
-    from pyspark.sql.window import Window
+    from egal_yet_another_earthquake_project_spark.operators.rowids import (
+        bucketed_cumsum,
+    )
 
     counts = (
         ltx.tokenized(docs)
@@ -277,12 +285,19 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
     )
     total = counts.agg(F.sum("cnt").alias("_total"))
-    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc()).rowsBetween(
-        Window.unboundedPreceding, 0
+    cum = bucketed_cumsum(
+        counts,
+        F.col("cnt"),
+        buckets=[
+            (F.col("cnt"), False),
+            (F.substring("token", 1, 2), True),
+        ],
+        order=[F.col("token").asc()],
+        hist_buckets=[(F.floor(F.log2("_b0")).cast("int"), False)],
+        out_col="cum",
     )
     return (
-        counts.withColumn("cum", F.sum("cnt").over(w))
-        .crossJoin(F.broadcast(total))
+        cum.crossJoin(F.broadcast(total))
         .filter((F.col("cum") - F.col("cnt")) * 100 < COVERAGE_PCT * F.col("_total"))
         .select(
             "token",

@@ -152,6 +152,101 @@ def test_row_numbers_contiguous_and_partition_invariant(spark, docs):
     assert a == b
 
 
+def test_bucketed_cumsum_matches_global_window(spark):
+    """bucketed_cumsum (offsets over the bucket histogram + per-bucket
+    running sums) must telescope to the EXACT integers of the
+    single-partition window form, on a composite (cnt DESC, token ASC)
+    order with duplicate cnt values straddling bucket boundaries —
+    including the recursive hist_buckets level and the non-broadcast
+    offsets join."""
+    from pyspark.sql.window import Window
+
+    from egal_yet_another_earthquake_project_spark.operators.rowids import (
+        bucketed_cumsum,
+    )
+
+    rows = [(f"t{i:03d}", 1 + (i * 7) % 13) for i in range(200)]
+    df = spark.createDataFrame(rows, "token string, cnt long").repartition(7)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = {
+        (r.token): r.cum
+        for r in df.withColumn("cum", F.sum("cnt").over(w)).collect()
+    }
+    for kwargs in (
+        {},
+        {"hist_buckets": [(F.floor(F.log2("_b0")).cast("int"), False)]},
+        {"broadcast_offsets": False},
+    ):
+        got = {
+            r.token: r.cum
+            for r in bucketed_cumsum(
+                df,
+                F.col("cnt"),
+                buckets=[(F.col("cnt"), False), (F.substring("token", 1, 2), True)],
+                order=[F.col("token").asc()],
+                **kwargs,
+            ).collect()
+        }
+        assert got == want, f"mismatch with {kwargs}"
+
+
+def test_ntile_exact_matches_window_ntile(spark):
+    """ntile_exact must reproduce SQL ntile bit-for-bit, including the
+    uneven-remainder split (n % k bands one longer) and the n < k edge,
+    at any partition count."""
+    from pyspark.sql.window import Window
+
+    from egal_yet_another_earthquake_project_spark.operators.rowids import (
+        ntile_exact,
+    )
+
+    for n, k in ((103, 4), (100, 4), (3, 4), (7, 3)):
+        df = spark.createDataFrame(
+            [(i, float((i * 37) % 50)) for i in range(n)],
+            "event_id long, value double",
+        ).repartition(5)
+        w = Window.orderBy("value", "event_id")
+        want = {
+            r.event_id: r.band
+            for r in df.withColumn("band", F.ntile(k).over(w)).collect()
+        }
+        bucket = F.least(F.floor(F.col("value") / 10), F.lit(4)).cast("int")
+        got = {
+            r.event_id: r.band
+            for r in ntile_exact(
+                df,
+                k,
+                order=[F.col("value").asc(), F.col("event_id").asc()],
+                buckets=[(bucket, True)],
+            ).collect()
+        }
+        assert got == want, f"ntile mismatch at n={n}, k={k}"
+
+
+def test_bucketed_queries_have_no_data_scale_single_partition(spark):
+    """VERDICT r9 #5 structural check: in the rewritten ntile_bands /
+    vocab_coverage plans, every SinglePartition exchange must feed from
+    an aggregate (bounded histogram or scalar rows), never from a
+    data-scale projection — the old global-window form shuffled the
+    whole table to one task."""
+    from egal_yet_another_earthquake_project_spark import workloads
+
+    for name in ("ntile_bands", "vocab_coverage"):
+        df = workloads.QUERIES[name](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        lines = plan.splitlines()
+        hits = [i for i, ln in enumerate(lines) if "Exchange SinglePartition" in ln]
+        assert hits, f"{name}: expected bounded offset/scalar exchanges"
+        for i in hits:
+            child = lines[i + 1] if i + 1 < len(lines) else ""
+            assert "Aggregate" in child, (
+                f"{name}: SinglePartition exchange over non-aggregate input:"
+                f"\n{lines[i]}\n{child}"
+            )
+
+
 def test_hll_raw_branch_within_error_bound(spark):
     """50k distinct keys exercise the raw harmonic estimator (the
     linear-counting branch caps at 2.5m = 2560 at m=1024); RSE ≈
