@@ -178,6 +178,12 @@ HEADLINE = [
     "semantic_gate",
     # PQ/ADC compressed ANN scan (llm/pq.py).
     "pq_topk",
+    # round-10 additions: the persisted IVF-PQ production path (encode
+    # once, search many — the amortized twin of pq_topk), the ADC
+    # recall audit, and the first compressed media container.
+    "pq_index_topk",
+    "pq_recall",
+    "png_decode_features",
 ]
 
 

@@ -839,6 +839,264 @@ ORDER BY query_id, rank
 """
 
 
+def _ivfpq_cache(sf_dir: str) -> str:
+    """Cache path for the persisted IVF-PQ index over ``sf_dir``'s
+    embeddings, keyed by an input fingerprint (the zordered_band_scan
+    re-entrancy pattern): same input → same path → the build is
+    skipped; changed input → new path → a fresh index. Concurrent
+    builders race on an atomic rename; losers discard their temp."""
+    import hashlib
+    from pathlib import Path
+
+    src = Path(sf_dir) / "embeddings.parquet"
+    h = hashlib.md5()
+    for f in sorted(src.rglob("*")) if src.is_dir() else [src]:
+        st = f.stat()
+        h.update(f"{f.name}:{st.st_size}:{st.st_mtime_ns}".encode())
+    fp = h.hexdigest()[:10]
+    root = Path(__file__).resolve().parent.parent / "spark-warehouse"
+    return str(root / f"ivfpq_{Path(sf_dir).name}_{fp}")
+
+
+def q_pq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION IVF-PQ path (VERDICT r9 #3): the in-query
+    ``pq_topk`` pays codebook training + whole-corpus encode every run
+    so its oracle can replay one statement; a vector store encodes ONCE
+    — llm.ann_index.build_ivf_index(pq_m) persists codes + books inside
+    the ``_COMPLETE``-marked version — and every search amortizes it.
+    This query builds that index at most once per input fingerprint
+    (temp-dir + atomic rename; repeated/concurrent runs are read-only)
+    and times the amortized path: resolve CURRENT, assign queries to
+    top-nprobe cells, STATIC partition filter on the probed cells,
+    m element_at LUT lookups per candidate, WindowGroupLimit rank.
+
+    The oracle replays coarse assignment, unit-grid quantization
+    (floor(uv·10⁶) — bit-identical because both engines fold the norm
+    sum left-to-right; verified at both test SFs), code argmins, and
+    the ADC sum from the same parquet."""
+    import os
+    import shutil
+    import uuid
+    from pathlib import Path
+
+    from egal_yet_another_earthquake_project_spark.llm import ann_index as ai
+
+    idx = _ivfpq_cache(sf_dir)
+    if not (Path(idx) / "CURRENT").exists():
+        tmp = f"{idx}.tmp-{uuid.uuid4().hex[:8]}"
+        ai.build_ivf_index(
+            _emb(spark, sf_dir),
+            tmp,
+            num_cells=_IVF_CELLS,
+            pq_m=_PQ_M,
+            pq_k=_PQ_K,
+        )
+        try:
+            os.rename(tmp, idx)
+        except OSError:  # concurrent builder won the rename; use theirs
+            shutil.rmtree(tmp, ignore_errors=True)
+    queries = _emb(spark, sf_dir).filter(F.col("vec_id") < 5)
+    return ai.search_ivf_index(
+        spark, idx, queries, k=5, nprobe=_IVF_NPROBE, method="adc"
+    ).orderBy("query_id", "rank")
+
+
+#: Shared oracle CTE: unit vectors + their integer grid, the coarse
+#: quantizer on raw vectors, and the corpus/probe cell assignments —
+#: the SQL replay of build_ivf_index's data plane. The norm is a
+#: list_reduce LEFT FOLD to match Spark's F.aggregate accumulation
+#: order bit-for-bit (list_sum's order is unspecified).
+_IVFPQ_PREFIX = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+u AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt(
+           list_reduce(list_transform(v, y -> y * y), (a, b) -> a + b))) AS uv
+  FROM e
+),
+cent AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell,
+         v AS cv
+  FROM e
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {_IVF_CELLS}
+),
+uc AS (
+  SELECT cell,
+         list_transform(cv, x -> x / sqrt(
+           list_reduce(list_transform(cv, y -> y * y), (a, b) -> a + b))) AS ucv
+  FROM cent
+),
+ca AS (
+  SELECT u.vec_id, u.uv, uc.cell,
+         row_number() OVER (PARTITION BY u.vec_id
+            ORDER BY round(list_reduce(list_transform(range(1, 65),
+                       i -> u.uv[i] * uc.ucv[i]), (a, b) -> a + b), 4) DESC,
+                     uc.cell ASC) AS rk
+  FROM u CROSS JOIN uc
+),
+corp AS (
+  SELECT vec_id AS neighbor_id, cell,
+         list_transform(uv, x -> CAST(floor(x * 1000000) AS BIGINT)) AS cq
+  FROM ca WHERE rk = 1
+),
+books AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS code,
+         list_transform(uv, x -> CAST(floor(x * 1000000) AS BIGINT)) AS bq
+  FROM u
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {_PQ_K}
+),
+enc_d AS (
+  SELECT c.neighbor_id, s.s, b.code,
+         list_sum(list_transform(range(1, {_PQ_DSUB + 1}), i ->
+            (c.cq[s.s * {_PQ_DSUB} + i] - b.bq[s.s * {_PQ_DSUB} + i])
+          * (c.cq[s.s * {_PQ_DSUB} + i] - b.bq[s.s * {_PQ_DSUB} + i]))) AS d
+  FROM corp c, unnest(range(0, {_PQ_M})) AS s(s), books b
+),
+enc AS (
+  SELECT neighbor_id, s, code
+  FROM (SELECT neighbor_id, s, code,
+               row_number() OVER (PARTITION BY neighbor_id, s
+                                  ORDER BY d ASC, code ASC) AS rk
+        FROM enc_d)
+  WHERE rk = 1
+)"""
+
+
+_PQ_INDEX_TOPK_ORACLE = f"""{_IVFPQ_PREFIX},
+qa AS (
+  SELECT vec_id AS query_id, cell,
+         list_transform(uv, x -> CAST(floor(x * 1000000) AS BIGINT)) AS qq
+  FROM ca WHERE rk <= {_IVF_NPROBE} AND vec_id < 5
+),
+dist AS (
+  SELECT qa.query_id, c.neighbor_id,
+         CAST(sum(list_sum(list_transform(range(1, {_PQ_DSUB + 1}), i ->
+            (qa.qq[n.s * {_PQ_DSUB} + i] - b.bq[n.s * {_PQ_DSUB} + i])
+          * (qa.qq[n.s * {_PQ_DSUB} + i] - b.bq[n.s * {_PQ_DSUB} + i]))))
+          AS BIGINT) AS dist
+  FROM qa
+  JOIN corp c USING (cell)
+  JOIN enc n ON n.neighbor_id = c.neighbor_id
+  JOIN books b ON b.code = n.code
+  WHERE qa.query_id <> c.neighbor_id
+  GROUP BY qa.query_id, c.neighbor_id
+)
+SELECT query_id, neighbor_id, dist,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY dist ASC, neighbor_id ASC) AS INTEGER)
+         AS rank
+FROM dist
+QUALIFY rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ quality audit, the lsh_recall pattern for the compressed scan:
+    ADC top-5 (the pq_topk path — raw-grid codes, m=4 × k'=16) against
+    the exact-cosine brute-force top-5 ground truth over the same
+    queries. A codebook/encode regression that silently degrades the
+    ranking flips this row's hash, so the driver gate polices the
+    compression quality itself. One row: truth size, hit count, recall.
+
+    Plan: both top-k sets are query-bounded (≤ 5·k rows); the counts
+    are one-row aggregates crossed (bounded 1×1 broadcasts)."""
+    from egal_yet_another_earthquake_project_spark.llm import pq as lpq
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    books = lpq.train_pq_codebooks(emb, m=_PQ_M, k=_PQ_K)
+    adc = lpq.pq_adc_topk(queries, lpq.pq_encode(emb, books), books, k=5)
+    truth = lsim.brute_force_topk(queries, emb, k=5)
+    hit = truth.select(
+        F.col("query_id"), F.col("neighbor_id")
+    ).join(
+        adc.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    )
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    n_hit = hit.agg(F.count("*").alias("n_hit"))
+    return n_truth.crossJoin(n_hit).select(
+        "n_truth",
+        "n_hit",
+        F.round(F.col("n_hit").cast("double") / F.col("n_truth"), 4).alias(
+            "recall"
+        ),
+    )
+
+
+_PQ_RECALL_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+cent AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS code,
+         qv
+  FROM e
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {_PQ_K}
+),
+enc_d AS (
+  SELECT e.vec_id, s.s, cent.code,
+         list_sum(list_transform(range(1, {_PQ_DSUB + 1}), i ->
+            (e.qv[s.s * {_PQ_DSUB} + i] - cent.qv[s.s * {_PQ_DSUB} + i])
+          * (e.qv[s.s * {_PQ_DSUB} + i] - cent.qv[s.s * {_PQ_DSUB} + i]))) AS d
+  FROM e, unnest(range(0, {_PQ_M})) AS s(s), cent
+),
+enc AS (
+  SELECT vec_id, s, code
+  FROM (SELECT vec_id, s, code,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d ASC, code ASC) AS rk
+        FROM enc_d)
+  WHERE rk = 1
+),
+adc_dist AS (
+  SELECT q.vec_id AS query_id, enc.vec_id AS neighbor_id,
+         CAST(sum(list_sum(list_transform(range(1, {_PQ_DSUB + 1}), i ->
+            (q.qv[enc.s * {_PQ_DSUB} + i] - cent.qv[enc.s * {_PQ_DSUB} + i])
+          * (q.qv[enc.s * {_PQ_DSUB} + i] - cent.qv[enc.s * {_PQ_DSUB} + i]))))
+          AS BIGINT) AS dist
+  FROM (SELECT * FROM e WHERE vec_id < 5) q
+  CROSS JOIN enc
+  JOIN cent ON cent.code = enc.code
+  WHERE q.vec_id <> enc.vec_id
+  GROUP BY query_id, neighbor_id
+),
+adc AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dist ASC, neighbor_id ASC) AS rank
+    FROM adc_dist) WHERE rank <= 5
+),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY round(list_cosine_similarity(q.v, c.v), 4) DESC,
+                       c.vec_id ASC) AS rank
+    FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+  ) WHERE rank <= 5
+),
+hit AS (
+  SELECT t.query_id FROM truth t
+  JOIN adc a ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+)
+SELECT (SELECT count(*) FROM truth) AS n_truth,
+       (SELECT count(*) FROM hit) AS n_hit,
+       round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+             / (SELECT count(*) FROM truth), 4) AS recall
+"""
+
+
 def q_semantic_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation pipelines' SemDeDup admission gate in its one-plan
     oracle form (llm.similarity.semantic_gate_inline; the persisted-
@@ -1097,6 +1355,79 @@ counts AS (
 buckets AS (SELECT unnest(range(0, 8)) AS bucket)
 -- n_bytes: 14+40 header bytes + 8px*3B rows (already 4-aligned) * 4 rows
 SELECT d.doc_id AS doc_id, CAST(150 AS BIGINT) AS n_bytes,
+       CAST(b.bucket AS INTEGER) AS bucket,
+       CAST(coalesce(c.c, 0) AS DOUBLE) / 32 AS ratio
+FROM documents d
+CROSS JOIN buckets b
+LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.bucket = b.bucket
+"""
+
+
+def q_png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED media decode end-to-end (llm.multimodal._decode_png;
+    VERDICT r9 #4): one deterministic 8×4 8-bit truecolor PNG per
+    document — zlib-deflated scanlines under a per-row filter schedule
+    (doc_id + y) % 5, so all five filter reconstructions (None/Sub/Up/
+    Average/Paeth) are exercised across the corpus — then
+    extract_features inflates, CRC-checks, unfilters, and histograms
+    actual pixel luminance. The pixels are the SAME (doc_id, p) formula
+    as media_decode_features, so the oracle replays the features
+    analytically without touching PNG: a hash mismatch means the
+    inflate/unfilter path misread real bytes. n_bytes is omitted — a
+    compressed container's size is not analytic."""
+    import pandas as _pd
+
+    from egal_yet_another_earthquake_project_spark.llm import multimodal as _mm
+
+    width, height = 8, 4
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                pixels = [
+                    [
+                        (
+                            (did * 31 + (y * width + x)) % 256,
+                            (did * 17 + (y * width + x) * 3) % 256,
+                            (did * 13 + (y * width + x) * 5) % 256,
+                        )
+                        for x in range(width)
+                    ]
+                    for y in range(height)
+                ]
+                filters = [(did + y) % 5 for y in range(height)]
+                payloads.append(
+                    _mm.encode_png(width, height, pixels, filter_types=filters)
+                )
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    corpus = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .mapInPandas(build, "doc_id long, payload binary")
+    )
+    feats = lmm.extract_features(corpus)
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("bucket", "ratio")
+    )
+
+
+_PNG_DECODE_ORACLE = """
+WITH px AS (
+  SELECT d.doc_id,
+         ((d.doc_id * 31 + p.p) % 256
+          + (d.doc_id * 17 + p.p * 3) % 256
+          + (d.doc_id * 13 + p.p * 5) % 256) // 3 AS lum
+  FROM documents d, unnest(range(0, 32)) AS p(p)
+),
+counts AS (
+  SELECT doc_id, lum * 8 // 256 AS bucket, count(*) AS c
+  FROM px GROUP BY doc_id, bucket
+),
+buckets AS (SELECT unnest(range(0, 8)) AS bucket)
+SELECT d.doc_id AS doc_id,
        CAST(b.bucket AS INTEGER) AS bucket,
        CAST(coalesce(c.c, 0) AS DOUBLE) / 32 AS ratio
 FROM documents d
@@ -2264,10 +2595,13 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "semantic_gate": q_semantic_gate,
     "pq_topk": q_pq_topk,
+    "pq_index_topk": q_pq_index_topk,
+    "pq_recall": q_pq_recall,
     "semantic_neardup": q_semantic_neardup,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
     "media_decode_features": q_media_decode_features,
+    "png_decode_features": q_png_decode_features,
     "audio_decode_features": q_audio_decode_features,
     "media_thumbnail": q_media_thumbnail,
     "media_neardup": q_media_neardup,
@@ -2314,10 +2648,13 @@ ORACLES = {
     "multimodal_meta": _MULTIMODAL_META_ORACLE,
     "multimodal_features": _MULTIMODAL_FEATURES_ORACLE,
     "media_decode_features": _MEDIA_DECODE_ORACLE,
+    "png_decode_features": _PNG_DECODE_ORACLE,
     "audio_decode_features": _AUDIO_DECODE_ORACLE,
     "media_thumbnail": _MEDIA_THUMBNAIL_ORACLE,
     "semantic_gate": _SEMANTIC_GATE_ORACLE,
     "pq_topk": _PQ_TOPK_ORACLE,
+    "pq_index_topk": _PQ_INDEX_TOPK_ORACLE,
+    "pq_recall": _PQ_RECALL_ORACLE,
     "media_neardup": _media_neardup_oracle(),
     "label_centroids": _LABEL_CENTROIDS_ORACLE,
     "embedding_drift": _EMBEDDING_DRIFT_ORACLE,

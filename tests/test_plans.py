@@ -132,6 +132,11 @@ _ALLOWED_NESTED_LOOP = {
     # ADC search broadcasts the (tiny, LUT-carrying) query frame into
     # the code scan — the embedding_topk bounded-small-side shape.
     "pq_topk",
+    # Persisted-index twin: same broadcast-LUT shape over the probed
+    # cell partitions; the recall audit additionally crosses three
+    # one-row count frames (the lsh_recall shape).
+    "pq_index_topk",
+    "pq_recall",
     "top_parts_by_value",
     "acctbal_opportunity",
     # BM25 joins the one-row global (N, Σdl) statistics frame into the
@@ -156,6 +161,9 @@ _ALLOWED_NESTED_LOOP = {
     # Vocabulary coverage joins the one-row corpus token total into the
     # distinct-token frame — bounded 1×n broadcast.
     "vocab_coverage",
+    # ntile_exact joins the one-row total row count into the banded
+    # frame (the SQL ntile formula needs n) — bounded 1×n broadcast.
+    "ntile_bands",
     # TF-IDF joins the one-row document count into the per-(doc,term)
     # frequency frame — bounded 1×n broadcast (the capped variant also
     # joins it into the vocabulary-scale df filter).
