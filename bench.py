@@ -184,6 +184,8 @@ HEADLINE = [
     "pq_index_topk",
     "pq_recall",
     "png_decode_features",
+    # the second compressed container: a real LZW codec (GIF)
+    "gif_decode_features",
 ]
 
 

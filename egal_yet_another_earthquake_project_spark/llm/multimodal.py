@@ -9,9 +9,11 @@ per-item work is vectorized per partition and never touches the driver.
 Decode: real codec libraries (PIL/libav) are not present in this
 container, so :func:`decode_payload` carries a dependency-free decoder
 for 24-bit BI_RGB **BMP**, binary/plain **PPM** (P6/P3), RIFF/WAVE
-16-bit PCM **WAV**, and — the first genuinely compressed container —
+16-bit PCM **WAV**, and two genuinely compressed containers —
 8-bit truecolor **PNG** (stdlib ``zlib`` inflate + full filter 0–4
-reconstruction, CRC-checked chunks), and raises
+reconstruction, CRC-checked chunks) and single-frame **GIF** (a real
+LZW codec implemented here: variable code widths, clear/EOI, the
+KwKwK corner, 4096-entry table freeze) — and raises
 ``NotImplementedError`` for anything it cannot strictly validate. :func:`extract_features` tries the
 real decode first (luminance-histogram features over actual pixels) and
 falls back to the deterministic byte-histogram fake for non-media blobs,
@@ -405,6 +407,263 @@ def _decode_png(blob: bytes) -> dict:
     }
 
 
+def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    """GIF-variant LZW compressor (GIF89a spec appendix F): variable
+    code width starting at ``min_code_size + 1``, Clear code emitted
+    first, End-of-Information last, codes packed LSB-first. The width
+    grows when the NEXT free code would not fit the current width
+    (encoder bumps at ``next_code > 2**width`` — one code LATER than
+    the decoder's ``next_code == 2**width`` because the decoder's
+    table lags the encoder's by exactly one entry); at 4096 entries
+    the table freezes (the deferred-clear convention both sides of
+    this module implement identically)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table: dict[tuple, int] = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    acc = nbits = 0
+    out = bytearray()
+
+    def put(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    put(clear)
+    buf: tuple = ()
+    for idx in indices:
+        cand = buf + (idx,)
+        if cand in table:
+            buf = cand
+            continue
+        put(table[buf])
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code > (1 << width) and width < 12:
+                width += 1
+        buf = (idx,)
+    if buf:
+        put(table[buf])
+    put(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, max_out: int) -> list[int]:
+    """GIF-variant LZW decompressor: strict — an out-of-range code, a
+    first code that is not a literal, output exceeding ``max_out``, or
+    a stream that ends without End-of-Information all raise. Width
+    grows at ``next_code == 2**width`` (capped at 12); the table
+    freezes at 4096 entries, mirroring :func:`_lzw_encode`."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    bitpos = 0
+    total_bits = len(data) * 8
+
+    def read(width: int) -> int:
+        nonlocal bitpos
+        if bitpos + width > total_bits:
+            raise ValueError("LZW stream ends mid-code")
+        v = 0
+        for i in range(width):
+            byte = data[(bitpos + i) >> 3]
+            v |= ((byte >> ((bitpos + i) & 7)) & 1) << i
+        bitpos += width
+        return v
+
+    out: list[int] = []
+    table: dict[int, tuple] = {}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    prev: tuple | None = None
+    while True:
+        code = read(width)
+        if code == clear:
+            table, next_code, width, prev = {}, eoi + 1, min_code_size + 1, None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            if code >= clear:
+                raise ValueError("first LZW code after clear must be a literal")
+            entry = (code,)
+        elif code < clear:
+            entry = (code,)
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + (prev[0],)  # the KwKwK case
+        else:
+            raise ValueError(f"LZW code {code} out of range")
+        out.extend(entry)
+        if len(out) > max_out:
+            raise ValueError("LZW output exceeds declared pixel count")
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def encode_gif(width: int, height: int, pixels: list[list[tuple]]) -> bytes:
+    """Minimal single-frame GIF89a writer: builds a palette from the
+    distinct colors in first-seen row-major order (≤256 or raises),
+    REALLY LZW-compresses the index stream (variable-width codes,
+    sub-block framing), global color table only, no interlace — the
+    second compressed-payload builder after :func:`encode_png`."""
+    import struct
+
+    palette: dict[tuple, int] = {}
+    indices: list[int] = []
+    for row in pixels:
+        for px in row:
+            if px not in palette:
+                if len(palette) == 256:
+                    raise ValueError("encode_gif: more than 256 distinct colors")
+                palette[px] = len(palette)
+            indices.append(palette[px])
+    # GIF minimum LZW code size is 2; table holds 2**mcs palette slots
+    mcs = max(2, (len(palette) - 1).bit_length())
+    colors = list(palette) + [(0, 0, 0)] * ((1 << mcs) - len(palette))
+    packed = 0x80 | (7 << 4) | (mcs - 1)  # GCT present, 8-bit res, 2**mcs entries
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, packed, 0, 0)
+    for r, g, b in colors:
+        out += bytes((r, g, b))
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    out.append(mcs)
+    lzw = _lzw_encode(indices, mcs)
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _decode_gif(blob: bytes) -> dict:
+    """Strict single-frame GIF87a/89a decoder — the second genuinely
+    COMPRESSED container after PNG, exercising a real LZW inflate
+    (variable code widths, clear/EOI handling, the KwKwK corner) rather
+    than zlib. Validates the signature, logical-screen geometry, color
+    table sizes against the actual byte length, sub-block framing, and
+    that the LZW stream yields exactly width×height in-palette indices.
+    Extensions (0x21) are skipped by their declared sub-block framing
+    (transparency is ignored: the unified lane is opaque RGB); a second
+    image descriptor (animation), interlacing, and any trailing bytes
+    after the 0x3B trailer are rejected — never half-decoded."""
+    import struct
+
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF signature")
+    if len(blob) < 13:
+        raise ValueError("short GIF")
+    _w, _h, packed, _bg, _aspect = struct.unpack("<HHBBB", blob[6:13])
+    pos = 13
+    gct: list[tuple] | None = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(blob):
+            raise ValueError("truncated GIF global color table")
+        gct = [tuple(blob[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)]
+        pos += 3 * n
+
+    def skip_subblocks(p: int) -> int:
+        while True:
+            if p >= len(blob):
+                raise ValueError("GIF sub-blocks end without terminator")
+            n = blob[p]
+            p += 1 + n
+            if n == 0:
+                return p
+            if p > len(blob):
+                raise ValueError("truncated GIF sub-block")
+
+    decoded: dict | None = None
+    while True:
+        if pos >= len(blob):
+            raise ValueError("GIF ends without trailer")
+        block = blob[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            if pos != len(blob):
+                raise ValueError("bytes after GIF trailer")
+            if decoded is None:
+                raise ValueError("GIF contains no image")
+            return decoded
+        if block == 0x21:  # extension: label byte + framed sub-blocks
+            if pos >= len(blob):
+                raise ValueError("truncated GIF extension")
+            pos = skip_subblocks(pos + 1)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        if decoded is not None:
+            raise ValueError("animated GIF (multiple frames) is not supported")
+        if pos + 9 > len(blob):
+            raise ValueError("truncated GIF image descriptor")
+        _left, _top, width, height, ipacked = struct.unpack(
+            "<HHHHB", blob[pos : pos + 9]
+        )
+        pos += 9
+        if ipacked & 0x40:
+            raise ValueError("interlaced GIF is not supported")
+        if width < 1 or height < 1 or width * height > MAX_PIXELS:
+            raise ValueError("GIF dimensions out of bounds")
+        palette = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            if pos + 3 * n > len(blob):
+                raise ValueError("truncated GIF local color table")
+            palette = [
+                tuple(blob[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)
+            ]
+            pos += 3 * n
+        if palette is None:
+            raise ValueError("GIF image has no color table")
+        if pos >= len(blob):
+            raise ValueError("GIF missing LZW minimum code size")
+        mcs = blob[pos]
+        pos += 1
+        if not 2 <= mcs <= 8:
+            raise ValueError(f"GIF LZW minimum code size {mcs} out of range")
+        data = bytearray()
+        while True:
+            if pos >= len(blob):
+                raise ValueError("GIF image data ends without terminator")
+            n = blob[pos]
+            pos += 1
+            if n == 0:
+                break
+            if pos + n > len(blob):
+                raise ValueError("truncated GIF image data sub-block")
+            data += blob[pos : pos + n]
+            pos += n
+        indices = _lzw_decode(bytes(data), mcs, width * height)
+        if len(indices) != width * height:
+            raise ValueError("GIF LZW output does not fill the frame")
+        if any(i >= len(palette) for i in indices):
+            raise ValueError("GIF pixel index outside color table")
+        decoded = {
+            "format": "gif",
+            "width": width,
+            "height": height,
+            "maxval": 255,
+            "pixels": [
+                [palette[indices[y * width + x]] for x in range(width)]
+                for y in range(height)
+            ],
+        }
+
+
 def encode_wav(samples: list[int], sample_rate: int = 8000) -> bytes:
     """Minimal RIFF/WAVE writer: mono 16-bit PCM — the audio analog of
     :func:`encode_bmp` (demo payload builder for the decode path)."""
@@ -558,8 +817,10 @@ def decode_payload(blob: bytes) -> dict:
     ``{format, sample_rate, n_channels, samples}``.
 
     Dependency-free decoder for 24-bit BI_RGB BMP, PPM (P6 binary / P3
-    plain), RIFF/WAVE 16-bit PCM, and 8-bit truecolor PNG (zlib-
-    inflated, filters 0–4 reconstructed, chunk CRCs verified); every
+    plain), RIFF/WAVE 16-bit PCM, 8-bit truecolor PNG (zlib-inflated,
+    filters 0–4 reconstructed, chunk CRCs verified), and single-frame
+    GIF87a/89a (real LZW inflate — variable code widths, clear/EOI,
+    KwKwK — global/local color tables); every
     header field is strictly validated against the actual byte length
     so arbitrary text/binary blobs cannot half-parse. Formats that need
     real codec libraries (JPEG/MP3/video — not present in this
@@ -577,6 +838,8 @@ def decode_payload(blob: bytes) -> dict:
             return _decode_wav(blob)
         if head == b"\x89PNG":
             return _decode_png(blob)
+        if head == b"GIF8":
+            return _decode_gif(blob)
     except ValueError as exc:
         raise NotImplementedError(f"payload is not decodable media: {exc}") from exc
     raise NotImplementedError(

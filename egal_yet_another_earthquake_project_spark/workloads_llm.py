@@ -1436,6 +1436,57 @@ LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.bucket = b.bucket
 """
 
 
+def q_gif_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second COMPRESSED media decode end-to-end
+    (llm.multimodal._decode_gif): one deterministic 8×4 single-frame
+    GIF89a per document — the index stream is REALLY LZW-compressed by
+    encode_gif (variable code widths, clear/EOI, sub-block framing) and
+    REALLY LZW-inflated by the decoder — then extract_features maps
+    indices through the global color table and histograms actual pixel
+    luminance. Pixels are the SAME (doc_id, p) formula as
+    media_decode_features / png_decode_features, so the oracle replays
+    the features analytically without touching GIF: a hash mismatch
+    means the LZW path misread real bytes."""
+    import pandas as _pd
+
+    from egal_yet_another_earthquake_project_spark.llm import multimodal as _mm
+
+    width, height = 8, 4
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                pixels = [
+                    [
+                        (
+                            (did * 31 + (y * width + x)) % 256,
+                            (did * 17 + (y * width + x) * 3) % 256,
+                            (did * 13 + (y * width + x) * 5) % 256,
+                        )
+                        for x in range(width)
+                    ]
+                    for y in range(height)
+                ]
+                payloads.append(_mm.encode_gif(width, height, pixels))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    corpus = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .mapInPandas(build, "doc_id long, payload binary")
+    )
+    feats = lmm.extract_features(corpus)
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("bucket", "ratio")
+    )
+
+
+# Same analytic replay as PNG: the pixel formula is container-independent.
+_GIF_DECODE_ORACLE = _PNG_DECODE_ORACLE
+
+
 def q_media_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full image lane: encode the deterministic 8×4 BMP per doc,
     REALLY decode it, nearest-neighbor resize to 4×2
@@ -2602,6 +2653,7 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "media_decode_features": q_media_decode_features,
     "png_decode_features": q_png_decode_features,
+    "gif_decode_features": q_gif_decode_features,
     "audio_decode_features": q_audio_decode_features,
     "media_thumbnail": q_media_thumbnail,
     "media_neardup": q_media_neardup,
@@ -2649,6 +2701,7 @@ ORACLES = {
     "multimodal_features": _MULTIMODAL_FEATURES_ORACLE,
     "media_decode_features": _MEDIA_DECODE_ORACLE,
     "png_decode_features": _PNG_DECODE_ORACLE,
+    "gif_decode_features": _GIF_DECODE_ORACLE,
     "audio_decode_features": _AUDIO_DECODE_ORACLE,
     "media_thumbnail": _MEDIA_THUMBNAIL_ORACLE,
     "semantic_gate": _SEMANTIC_GATE_ORACLE,

@@ -254,6 +254,8 @@ def probes():
                                 filter_types=[(did + y) % 5 for y in range(height)],
                             )
                         )
+                    elif kind == "gif":
+                        payloads.append(_mm.encode_gif(width, height, pixels))
                     else:
                         payloads.append(_mm.encode_bmp(width, height, pixels))
                 yield _pd.DataFrame(
@@ -277,6 +279,13 @@ def probes():
         )
 
         return _mm.extract_features(_media_corpus(docs, "png"))
+
+    def gif_decode(spark, docs):
+        from egal_yet_another_earthquake_project_spark.llm import (
+            multimodal as _mm,
+        )
+
+        return _mm.extract_features(_media_corpus(docs, "gif"))
 
     def audio_decode(spark, docs):
         from egal_yet_another_earthquake_project_spark.llm import (
@@ -348,6 +357,7 @@ def probes():
         # reconstruction per payload — still per-row work.
         ("media decode features (BMP lane)", _documents, media_decode, ROW_RATIO),
         ("PNG decode features (inflate+unfilter)", _documents, png_decode, ROW_RATIO),
+        ("GIF decode features (LZW inflate)", _documents, gif_decode, ROW_RATIO),
         ("audio decode features (WAV lane)", _documents, audio_decode, ROW_RATIO),
     ]
 

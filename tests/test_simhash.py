@@ -383,3 +383,93 @@ def test_resize_pixels_nearest_neighbor_exact():
     assert abs(sum(lmm.pixel_features(small)) - 1.0) < 1e-12
     with pytest.raises(ValueError):
         lmm.resize_pixels(decoded, 0, 2)
+
+
+def test_gif_lzw_roundtrip_exact_pixels():
+    """encode_gif → decode_payload recovers exact pixels through a REAL
+    LZW compress/decompress cycle: single-color frames (the KwKwK
+    corner fires immediately), palettes from 1 to 256 colors, and an
+    image large enough to walk the code width from mcs+1 up through 12
+    bits and freeze the 4096-entry table."""
+    from egal_yet_another_earthquake_project_spark.llm import multimodal as lmm
+
+    # KwKwK: the very first non-literal code equals next_code
+    flat = [[(5, 6, 7)] * 4] * 4
+    got = lmm.decode_payload(lmm.encode_gif(4, 4, flat))
+    assert got["format"] == "gif" and got["maxval"] == 255
+    assert got["pixels"] == flat
+
+    # mixed palette, deterministic pseudo-random placement
+    w, h = 23, 17
+    cols = [((i * 37) % 256, (i * 59) % 256, (i * 83) % 256) for i in range(40)]
+    px = [[cols[(x * 7 + y * 11 + x * y) % 40] for x in range(w)] for y in range(h)]
+    assert lmm.decode_payload(lmm.encode_gif(w, h, px))["pixels"] == px
+
+    # large image: code width grows 9→10→11→12, table freezes at 4096
+    w, h = 200, 120
+    cols = [(i, (i * 7) % 256, (i * 13) % 256) for i in range(256)]
+    big = [[cols[(x * 31 + y * 17 + (x * y) % 97) % 256] for x in range(w)]
+           for y in range(h)]
+    blob = lmm.encode_gif(w, h, big)
+    assert len(blob) < w * h * 3  # actually compressed
+    assert lmm.decode_payload(blob)["pixels"] == big
+
+
+def test_gif_strict_rejection_and_extension_skip():
+    """Corrupt GIFs are rejected, never half-decoded: trailing bytes
+    after the trailer, missing trailer, corrupted LZW data, interlace
+    flag, a second frame (animation), truncation. Extensions are
+    skipped by their sub-block framing; GIF87a signatures decode."""
+    import pytest
+
+    from egal_yet_another_earthquake_project_spark.llm import multimodal as lmm
+
+    px = [[(1, 2, 3), (4, 5, 6), (7, 8, 9)],
+          [(1, 2, 3), (1, 2, 3), (9, 9, 9)]]
+    good = lmm.encode_gif(3, 2, px)
+    idesc = 13 + 3 * 4  # header+LSD, then the 4-entry global color table
+    assert good[idesc] == 0x2C
+
+    corrupt_lzw = bytearray(good)
+    corrupt_lzw[-10] ^= 0xFF
+    interlaced = bytearray(good)
+    interlaced[idesc + 9] |= 0x40
+    animated = good[:-1] + good[idesc:-1] + b"\x3b"
+    cases = [
+        good + b"x",
+        good[:-2],
+        b"GIF89a" + good[6:20],
+        bytes(corrupt_lzw),
+        bytes(interlaced),
+        animated,
+        b"GIF89anot really a gif.........................",
+    ]
+    for bad in cases:
+        with pytest.raises(NotImplementedError):
+            lmm.decode_payload(bad)
+
+    # a graphic-control extension before the frame is skipped cleanly
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    spliced = good[:idesc] + ext + good[idesc:]
+    assert lmm.decode_payload(spliced)["pixels"] == px
+    # GIF87a signature is accepted too
+    assert lmm.decode_payload(b"GIF87a" + good[6:])["pixels"] == px
+
+
+def test_extract_features_routes_gif_to_pixel_histogram(spark):
+    """The unified features lane decodes GIF payloads to REAL pixel
+    luminance features, identical to the same image in BMP and PNG —
+    LZW-compressed bytes would histogram to noise."""
+    from egal_yet_another_earthquake_project_spark.llm import multimodal as lmm
+
+    px = [[(0, 0, 0)] * 4, [(255, 255, 255)] * 4]
+    gif = lmm.encode_gif(4, 2, px)
+    bmp = lmm.encode_bmp(4, 2, px)
+    png = lmm.encode_png(4, 2, px, filter_types=1)
+    df = spark.createDataFrame(
+        [(1, bytearray(gif)), (2, bytearray(bmp)), (3, bytearray(png))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r.features for r in lmm.extract_features(df).collect()}
+    assert rows[1] == [0.5, 0, 0, 0, 0, 0, 0, 0.5]
+    assert rows[1] == rows[2] == rows[3]
