@@ -186,6 +186,8 @@ HEADLINE = [
     "png_decode_features",
     # the second compressed container: a real LZW codec (GIF)
     "gif_decode_features",
+    # train+infer NB language-ID in one Catalyst plan
+    "nb_langid",
 ]
 
 

@@ -912,6 +912,86 @@ GROUP BY source ORDER BY source
 """
 
 
+def q_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive-Bayes language-ID, trained AND scored in one
+    Catalyst plan (llm.classify): per-class token counts → smoothed
+    log-posteriors → windowed argmax. The fastText-style linear
+    classifier of corpus pipelines, with training expressed as three
+    aggregations — no driver loop. Self-trained on the labeled corpus
+    (the declared demo); production trains on a labeled slice and
+    scores the firehose with the same plan."""
+    from egal_yet_another_earthquake_project_spark.llm import classify as lcls
+
+    return lcls.nb_classify(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the self-trained NB language-ID classifier —
+    the compact train-eval artifact (true × predicted × count)."""
+    from egal_yet_another_earthquake_project_spark.llm import classify as lcls
+
+    return lcls.nb_confusion(_docs(spark, sf_dir)).orderBy(
+        "true_label", "pred_label"
+    )
+
+
+# Laplace-smoothed NB replay: score(d,c) = ln prior_c
+#   + Σ_t tf·ln(c_tc+1) − n_d·ln(N_c+V); absent (t,c) pairs contribute
+# ln(1)=0, so only nonzero counts join — the same identity the Spark
+# plan uses. Argmax on round(score,6) with class tiebreak.
+_NB_SCORES_SQL = f"""
+base AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, lang, unnest(toks) AS tok FROM base),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+ct AS (SELECT tok, lang AS cls, count(*) AS ctc FROM tok GROUP BY tok, lang),
+ntot AS (SELECT cls, sum(ctc) AS n_cls FROM ct GROUP BY cls),
+v AS (SELECT count(DISTINCT tok) AS v FROM tok),
+pri AS (SELECT lang AS cls, count(*) AS nd FROM documents GROUP BY lang),
+tot AS (SELECT count(*) AS nd_tot FROM documents),
+consts AS (
+  SELECT p.cls,
+         ln(CAST(p.nd AS DOUBLE) / t.nd_tot) AS ln_prior,
+         ln(CAST(coalesce(n.n_cls, 0) + v.v AS DOUBLE)) AS ln_denom
+  FROM pri p CROSS JOIN tot t
+  LEFT JOIN ntot n ON n.cls = p.cls
+  CROSS JOIN v
+),
+contrib AS (
+  SELECT tf.doc_id, ct.cls,
+         sum(tf.tf * ln(CAST(ct.ctc + 1 AS DOUBLE))) AS s
+  FROM tf JOIN ct USING (tok) GROUP BY tf.doc_id, ct.cls
+),
+lens AS (SELECT doc_id, lang, len(toks) AS n_d FROM base),
+scores AS (
+  SELECT l.doc_id, l.lang AS true_label, c.cls,
+         c.ln_prior + coalesce(ctr.s, 0) - l.n_d * c.ln_denom AS score
+  FROM lens l CROSS JOIN consts c
+  LEFT JOIN contrib ctr ON ctr.doc_id = l.doc_id AND ctr.cls = c.cls
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY round(score, 6) DESC, cls) AS rn
+  FROM scores
+),
+preds AS (
+  SELECT doc_id, true_label, cls AS pred_label, round(score, 4) AS score
+  FROM ranked WHERE rn = 1
+)
+"""
+
+_NB_LANGID_ORACLE = f"""
+WITH {_NB_SCORES_SQL}
+SELECT doc_id, true_label, pred_label, score FROM preds ORDER BY doc_id
+"""
+
+_NB_CONFUSION_ORACLE = f"""
+WITH {_NB_SCORES_SQL}
+SELECT true_label, pred_label, count(*) AS n
+FROM preds GROUP BY true_label, pred_label
+ORDER BY true_label, pred_label
+"""
+
+
 QUERIES = {
     "doc_chunks": q_doc_chunks,
     "repetition_profile": q_repetition_profile,
@@ -929,6 +1009,8 @@ QUERIES = {
     "perplexity_buckets": q_perplexity_buckets,
     "token_entropy": q_token_entropy,
     "zipf_alpha": q_zipf_alpha,
+    "nb_langid": q_nb_langid,
+    "nb_confusion": q_nb_confusion,
 }
 
 ORACLES = {
@@ -948,4 +1030,6 @@ ORACLES = {
     "perplexity_buckets": _PPL_BUCKETS_ORACLE,
     "token_entropy": _TOKEN_ENTROPY_ORACLE,
     "zipf_alpha": _ZIPF_ORACLE,
+    "nb_langid": _NB_LANGID_ORACLE,
+    "nb_confusion": _NB_CONFUSION_ORACLE,
 }
