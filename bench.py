@@ -188,6 +188,8 @@ HEADLINE = [
     "gif_decode_features",
     # train+infer NB language-ID in one Catalyst plan
     "nb_langid",
+    # rank-sum AUC from grouped scores + bucketed cumsum (no global window)
+    "nb_auc",
 ]
 
 

@@ -41,7 +41,13 @@ from pyspark.sql.window import Window
 
 from egal_yet_another_earthquake_project_spark.llm import text as ltx
 
-__all__ = ["nb_class_constants", "nb_token_weights", "nb_classify", "nb_confusion"]
+__all__ = [
+    "nb_class_constants",
+    "nb_token_weights",
+    "nb_scores",
+    "nb_classify",
+    "nb_confusion",
+]
 
 
 def _token_stream(docs: DataFrame, text_col: str, label_col: str) -> DataFrame:
@@ -97,17 +103,16 @@ def nb_token_weights(
     )
 
 
-def nb_classify(
+def nb_scores(
     docs: DataFrame,
     text_col: str = "text",
     label_col: str = "lang",
     train: DataFrame | None = None,
 ) -> DataFrame:
-    """Train on ``train`` (default: ``docs`` itself — self-training demo)
-    and score every row of ``docs``: (doc_id, true_label, pred_label,
-    score). score is the winning class's smoothed log-posterior
-    (rounded 4 dp); argmax ties break on the class label so the
-    prediction is engine- and partitioning-deterministic."""
+    """The full score surface: (doc_id, true_label, cls, score) — one
+    row per document per candidate class, score the UNROUNDED smoothed
+    log-posterior. :func:`nb_classify` argmaxes this; eval metrics
+    (AUC, calibration) consume a single class's slice."""
     train = docs if train is None else train
     weights = nb_token_weights(train, text_col, label_col)
     consts = nb_class_constants(train, text_col, label_col)
@@ -130,7 +135,7 @@ def nb_classify(
         .groupBy("doc_id", "cls")
         .agg(F.sum(F.col("tf") * F.col("ln_count1")).alias("s"))
     )
-    scores = (
+    return (
         base.drop("_toks")
         .crossJoin(F.broadcast(consts))
         .join(contrib, ["doc_id", "cls"], "left")
@@ -145,6 +150,20 @@ def nb_classify(
             ).alias("score"),
         )
     )
+
+
+def nb_classify(
+    docs: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    train: DataFrame | None = None,
+) -> DataFrame:
+    """Train on ``train`` (default: ``docs`` itself — self-training demo)
+    and score every row of ``docs``: (doc_id, true_label, pred_label,
+    score). score is the winning class's smoothed log-posterior
+    (rounded 4 dp); argmax ties break on the class label so the
+    prediction is engine- and partitioning-deterministic."""
+    scores = nb_scores(docs, text_col, label_col, train)
     w = Window.partitionBy("doc_id").orderBy(
         F.round("score", 6).desc(), F.col("cls").asc()
     )

@@ -1,0 +1,137 @@
+"""Classifier evaluation at corpus scale: AUC and calibration.
+
+Both metrics are usually written with a global per-row ranking
+(``rank() OVER (ORDER BY score)``) — a single-partition window at
+100 TB. This module computes them exactly with the repo's bucketed
+prefix-sum machinery instead:
+
+- **AUC** (Mann-Whitney rank-sum with midrank tie handling): group the
+  rows by distinct score first — at most one row per distinct score
+  survives, carrying (positives, total) — then take ONE bucketed
+  cumulative sum over that grouped frame. The tie-aware rank-sum
+  identity::
+
+      Σ_{positives} midrank = Σ_s pos_s · (cum_before(s) + (tot_s + 1)/2)
+
+  needs only the exclusive prefix of totals per distinct score, so the
+  plan is two shuffles (group by score, bucketed cumsum) and one final
+  aggregate — no data-scale window, no collect.
+
+- **Calibration**: exact decile assignment via
+  :func:`operators.rowids.ntile_exact` (the SQL ntile formula from a
+  bucketed row number), then one aggregate per band: count, mean score,
+  positive fraction.
+
+Scores are grouped on their ROUNDED value (4 dp): both engines agree
+on the rounded doubles, which fixes the tie structure — with unrounded
+IEEE sums two scores can tie in one engine and differ in the last ulp
+in the other, changing midranks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from egal_yet_another_earthquake_project_spark.operators.rowids import (
+    bucketed_cumsum,
+    ntile_exact,
+)
+
+__all__ = ["binary_auc", "calibration_table"]
+
+
+def binary_auc(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    round_scores: int = 4,
+    bucket: Column | None = None,
+) -> DataFrame:
+    """Exact ROC-AUC of a binary classifier as a one-row frame
+    (n_pos, n_neg, auc): the Mann-Whitney U statistic with midranks for
+    ties, so it equals the window formulation
+    ``avg(row_number) OVER (PARTITION BY score)`` bit-for-bit.
+
+    ``label_col`` is boolean (or 0/1). ``bucket`` is the coarse
+    order-prefix bucketing for the cumulative pass — default
+    ``floor(score)``, monotone in score by construction; override when
+    scores concentrate inside one unit interval. AUC is NULL when
+    either class is absent (undefined, not 0.5-faked)."""
+    s = F.round(F.col(score_col), round_scores)
+    y = F.col(label_col).cast("int")
+    g = (
+        df.select(s.alias("_s"), y.alias("_y"))
+        .groupBy("_s")
+        .agg(F.sum("_y").alias("_pos"), F.count("*").alias("_tot"))
+    )
+    bucket = F.floor(F.col("_s")).cast("long") if bucket is None else bucket
+    cum = bucketed_cumsum(
+        g, F.col("_tot"), buckets=[(bucket, True)],
+        order=[F.col("_s").asc()], out_col="_cumtot",
+    )
+    # midrank of the tie-group at s = cum_before + (tot+1)/2; halves are
+    # exact in binary, so the rank sum is exact.
+    agg = cum.agg(
+        F.sum("_pos").alias("n_pos"),
+        F.sum(F.col("_tot") - F.col("_pos")).alias("n_neg"),
+        F.sum(
+            F.col("_pos")
+            * (
+                (F.col("_cumtot") - F.col("_tot")).cast("double")
+                + (F.col("_tot") + 1) / 2.0
+            )
+        ).alias("_ranksum"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            (
+                F.col("_ranksum")
+                - F.col("n_pos").cast("double") * (F.col("n_pos") + 1) / 2.0
+            )
+            / F.when(
+                (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                F.col("n_pos").cast("double") * F.col("n_neg"),
+            ),
+            6,
+        ).alias("auc"),
+    )
+
+
+def calibration_table(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    id_col: str = "doc_id",
+    k: int = 10,
+    round_scores: int = 4,
+    bucket: Column | None = None,
+) -> DataFrame:
+    """Reliability diagram data: exact ``ntile(k)`` bands over (rounded
+    score, id) — assigned WITHOUT a global window via the bucketed row
+    number — then per-band count, mean score, and positive fraction.
+    A well-calibrated probability-like score has frac_pos tracking
+    mean_score band by band."""
+    s = F.round(F.col(score_col), round_scores)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        s.alias("_s"),
+        F.col(label_col).cast("int").alias("_y"),
+    )
+    bucket = F.floor(F.col("_s")).cast("long") if bucket is None else bucket
+    banded = ntile_exact(
+        base, k,
+        order=[F.col("_s").asc(), F.col("_id").asc()],
+        buckets=[(bucket, True)],
+        out_col="band",
+    )
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("_s"), 4).alias("mean_score"),
+            F.round(F.avg(F.col("_y").cast("double")), 4).alias("frac_pos"),
+        )
+    )

@@ -992,6 +992,81 @@ ORDER BY true_label, pred_label
 """
 
 
+def _nb_en_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-vs-rest eval slice: the class-'en' log-posterior as the
+    score, true-language-is-en as the binary label."""
+    from egal_yet_another_earthquake_project_spark.llm import classify as lcls
+
+    return (
+        lcls.nb_scores(_docs(spark, sf_dir))
+        .where(F.col("cls") == "en")
+        .select(
+            "doc_id",
+            F.col("score"),
+            (F.col("true_label") == "en").alias("label"),
+        )
+    )
+
+
+def q_nb_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the NB 'en'-vs-rest score (llm.metrics): the
+    Mann-Whitney rank-sum with midrank ties, computed from grouped
+    distinct scores + ONE bucketed cumulative sum — no data-scale
+    ranking window. The oracle runs the textbook per-row
+    avg-row_number midrank formulation; equality IS the proof the
+    bucketed identity telescopes correctly."""
+    from egal_yet_another_earthquake_project_spark.llm import metrics as lmet
+
+    return lmet.binary_auc(_nb_en_slice(spark, sf_dir))
+
+
+def q_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram deciles of the NB 'en'-vs-rest score: exact
+    ntile(10) bands assigned via the bucketed row number (no global
+    window), then per-band count / mean score / positive fraction."""
+    from egal_yet_another_earthquake_project_spark.llm import metrics as lmet
+
+    return lmet.calibration_table(_nb_en_slice(spark, sf_dir)).orderBy("band")
+
+
+_NB_EN_SLICE_SQL = f"""
+{_NB_SCORES_SQL},
+en AS (
+  SELECT doc_id, round(score, 4) AS s,
+         CAST(true_label = 'en' AS INT) AS y
+  FROM scores WHERE cls = 'en'
+)
+"""
+
+_NB_AUC_ORACLE = f"""
+WITH {_NB_EN_SLICE_SQL},
+midranked AS (
+  SELECT y, avg(rn) OVER (PARTITION BY s) AS midrank
+  FROM (SELECT s, y, row_number() OVER (ORDER BY s) AS rn FROM en)
+),
+agg AS (
+  SELECT sum(y) AS n_pos, sum(1 - y) AS n_neg,
+         sum(CASE WHEN y = 1 THEN midrank END) AS ranksum
+  FROM midranked
+)
+SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+       round((ranksum - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2)
+             / (CAST(n_pos AS DOUBLE) * n_neg), 6) AS auc
+FROM agg
+"""
+
+_NB_CALIBRATION_ORACLE = f"""
+WITH {_NB_EN_SLICE_SQL},
+banded AS (
+  SELECT s, y, ntile(10) OVER (ORDER BY s, doc_id) AS band FROM en
+)
+SELECT CAST(band AS INTEGER) AS band, count(*) AS n,
+       round(avg(s), 4) AS mean_score,
+       round(avg(CAST(y AS DOUBLE)), 4) AS frac_pos
+FROM banded GROUP BY band ORDER BY band
+"""
+
+
 QUERIES = {
     "doc_chunks": q_doc_chunks,
     "repetition_profile": q_repetition_profile,
@@ -1011,6 +1086,8 @@ QUERIES = {
     "zipf_alpha": q_zipf_alpha,
     "nb_langid": q_nb_langid,
     "nb_confusion": q_nb_confusion,
+    "nb_auc": q_nb_auc,
+    "nb_calibration": q_nb_calibration,
 }
 
 ORACLES = {
@@ -1032,4 +1109,6 @@ ORACLES = {
     "zipf_alpha": _ZIPF_ORACLE,
     "nb_langid": _NB_LANGID_ORACLE,
     "nb_confusion": _NB_CONFUSION_ORACLE,
+    "nb_auc": _NB_AUC_ORACLE,
+    "nb_calibration": _NB_CALIBRATION_ORACLE,
 }

@@ -119,3 +119,89 @@ def test_nb_token_weights_and_constants_shapes(spark):
     assert consts["en"].ln_prior == pytest.approx(math.log(0.5))
     assert consts["en"].ln_denom == pytest.approx(math.log(3 + 3))
     assert consts["fr"].ln_denom == pytest.approx(math.log(2 + 3))
+
+
+def test_binary_auc_known_values(spark):
+    """Hand-checkable AUC: perfect separation = 1.0, perfect inversion
+    = 0.0, and a tie-heavy case against the midrank formula computed by
+    hand."""
+    from egal_yet_another_earthquake_project_spark.llm import metrics as lmet
+
+    perfect = spark.createDataFrame(
+        [(1, 0.9, True), (2, 0.8, True), (3, 0.2, False), (4, 0.1, False)],
+        "doc_id long, score double, label boolean",
+    )
+    r = lmet.binary_auc(perfect).collect()[0]
+    assert (r.n_pos, r.n_neg, r.auc) == (2, 2, 1.0)
+
+    inverted = perfect.selectExpr("doc_id", "-score AS score", "label")
+    assert lmet.binary_auc(inverted).collect()[0].auc == 0.0
+
+    # ties: scores [1,1,1,2] labels [+,-,-,+]
+    # midranks: ties at 1 -> (1+2+3)/3 = 2; score 2 -> rank 4
+    # ranksum_pos = 2 + 4 = 6; auc = (6 - 2*3/2) / (2*2) = 0.75
+    tied = spark.createDataFrame(
+        [(1, 1.0, True), (2, 1.0, False), (3, 1.0, False), (4, 2.0, True)],
+        "doc_id long, score double, label boolean",
+    )
+    assert lmet.binary_auc(tied).collect()[0].auc == 0.75
+
+
+def test_binary_auc_single_class_is_null(spark):
+    """AUC is undefined with one class present: NULL, not a fake 0.5."""
+    from egal_yet_another_earthquake_project_spark.llm import metrics as lmet
+
+    one = spark.createDataFrame(
+        [(1, 0.9, True), (2, 0.1, True)],
+        "doc_id long, score double, label boolean",
+    )
+    r = lmet.binary_auc(one).collect()[0]
+    assert r.n_pos == 2 and r.n_neg == 0 and r.auc is None
+
+
+def test_binary_auc_matches_per_row_rank_formula(spark):
+    """Randomized cross-check: the bucketed grouped-score computation
+    equals the per-row midrank formula computed in plain Python."""
+    import random
+
+    from egal_yet_another_earthquake_project_spark.llm import metrics as lmet
+
+    rng = random.Random(11)
+    rows = [
+        (i, round(rng.choice([0.1, 0.25, 0.25, 0.7, 1.3, 1.3, 2.0]) , 4),
+         rng.random() < 0.4)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, score double, label boolean")
+    got = lmet.binary_auc(df).collect()[0]
+
+    srt = sorted(rows, key=lambda r: r[1])
+    # midranks per tie group
+    ranks, i = {}, 0
+    while i < len(srt):
+        j = i
+        while j < len(srt) and srt[j][1] == srt[i][1]:
+            j += 1
+        mid = (i + 1 + j) / 2.0
+        ranks[srt[i][1]] = mid
+        i = j
+    n_pos = sum(1 for r in rows if r[2])
+    n_neg = len(rows) - n_pos
+    ranksum = sum(ranks[r[1]] for r in rows if r[2])
+    expect = round((ranksum - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 6)
+    assert (got.n_pos, got.n_neg) == (n_pos, n_neg)
+    assert got.auc == pytest.approx(expect, abs=1e-9)
+
+
+def test_calibration_table_bands_and_fractions(spark):
+    """Exact deciles over (score, id): 20 rows -> 10 bands of 2; the
+    positive fraction per band tracks the planted monotone labels."""
+    from egal_yet_another_earthquake_project_spark.llm import metrics as lmet
+
+    rows = [(i, i / 10.0, i >= 10) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, score double, label boolean")
+    bands = {r.band: r for r in lmet.calibration_table(df, k=10).collect()}
+    assert len(bands) == 10
+    assert all(b.n == 2 for b in bands.values())
+    assert bands[1].frac_pos == 0.0 and bands[10].frac_pos == 1.0
+    assert bands[6].frac_pos == 1.0  # rows 10,11 land in band 6
