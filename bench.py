@@ -190,6 +190,8 @@ HEADLINE = [
     "nb_langid",
     # rank-sum AUC from grouped scores + bucketed cumsum (no global window)
     "nb_auc",
+    # the persisted-model inference path (train once, score many)
+    "nb_model_score",
 ]
 
 

@@ -116,6 +116,23 @@ def nb_scores(
     train = docs if train is None else train
     weights = nb_token_weights(train, text_col, label_col)
     consts = nb_class_constants(train, text_col, label_col)
+    return nb_scores_with_model(docs, weights, consts, text_col, label_col)
+
+
+def nb_scores_with_model(
+    docs: DataFrame,
+    weights: DataFrame,
+    consts: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Score against an ALREADY-TRAINED model (the frames
+    :func:`nb_token_weights` / :func:`nb_class_constants` produce, or
+    :func:`read_nb_model` loads) — the train-once-score-many production
+    path. ``label_col`` may be absent from ``docs`` (unlabeled
+    firehose): true_label comes back NULL."""
+    if label_col not in docs.columns:
+        docs = docs.withColumn(label_col, F.lit(None).cast("string"))
 
     base = ltx.tokenized(docs, text_col).select(
         "doc_id",
@@ -163,7 +180,25 @@ def nb_classify(
     score). score is the winning class's smoothed log-posterior
     (rounded 4 dp); argmax ties break on the class label so the
     prediction is engine- and partitioning-deterministic."""
-    scores = nb_scores(docs, text_col, label_col, train)
+    return _argmax(nb_scores(docs, text_col, label_col, train))
+
+
+def nb_classify_with_model(
+    docs: DataFrame,
+    weights: DataFrame,
+    consts: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Argmax predictions against a persisted model — per-document
+    independent, so per-micro-batch streaming scoring drains to exactly
+    the batch result."""
+    return _argmax(
+        nb_scores_with_model(docs, weights, consts, text_col, label_col)
+    )
+
+
+def _argmax(scores: DataFrame) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy(
         F.round("score", 6).desc(), F.col("cls").asc()
     )
@@ -176,6 +211,45 @@ def nb_classify(
             F.col("cls").alias("pred_label"),
             F.round("score", 4).alias("score"),
         )
+    )
+
+
+def write_nb_model(
+    docs: DataFrame,
+    model_dir: str,
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> None:
+    """Persist the trained model: ``{model_dir}/weights`` (the nonzero
+    (tok, cls, ctc, ln_count1) rows — corpus-vocabulary scale, a
+    parquet dim table) and ``{model_dir}/consts`` (one row per class).
+    ``_COMPLETE`` is written last, so a crash mid-write is never
+    mistaken for a model (the ann_index staging convention)."""
+    from egal_yet_another_earthquake_project_spark import fsutil
+
+    spark = docs.sparkSession
+    nb_token_weights(docs, text_col, label_col).write.mode("overwrite").parquet(
+        f"{model_dir}/weights"
+    )
+    nb_class_constants(docs, text_col, label_col).write.mode(
+        "overwrite"
+    ).parquet(f"{model_dir}/consts")
+    fsutil.write_text_overwrite(spark, f"{model_dir}/_COMPLETE", "nb-model\n")
+
+
+def read_nb_model(spark, model_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(weights, consts) of a persisted model; refuses a directory
+    whose ``_COMPLETE`` marker is missing (partial write)."""
+    from egal_yet_another_earthquake_project_spark import fsutil
+
+    if fsutil.read_text(spark, f"{model_dir}/_COMPLETE") is None:
+        raise ValueError(
+            f"read_nb_model: {model_dir} has no _COMPLETE marker "
+            "(missing or partially written model)"
+        )
+    return (
+        spark.read.parquet(f"{model_dir}/weights"),
+        spark.read.parquet(f"{model_dir}/consts"),
     )
 
 

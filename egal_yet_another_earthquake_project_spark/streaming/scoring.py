@@ -149,3 +149,49 @@ def ppl_bucket_sink(
         )
 
     return stream.writeStream.foreachBatch(_score)
+
+
+def nb_classify_sink(
+    stream: DataFrame,
+    model_dir: str,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataStreamWriter:
+    """``writeStream`` writer classifying each micro-batch against a
+    PERSISTED Naive-Bayes model (``llm.classify.write_nb_model``:
+    weights + consts parquet under a ``_COMPLETE`` marker) into
+    ``{out_dir}/_batch_id=N/`` partitions — the streaming half of the
+    trained language-ID / quality gate: the model is fixed at sink
+    build, every crawl drop gets its predicted class as it lands.
+
+    Scoring is per-document independent (argmax over ≤ #classes rows of
+    one doc's scores — the window partitions on doc_id, never across
+    documents), so the micro-batch plan IS the batch plan and a drained
+    stream equals ``nb_classify_with_model`` on the union of batches
+    (drained≡batch test in tests/test_streaming_scoring.py). The model
+    frames scan a materialized artifact — training lineage never
+    re-runs inside the stream; ``read_nb_model`` refuses a marker-less
+    (partially written) model at sink BUILD time, not mid-stream.
+    Replay-idempotent via dynamic partition overwrite on ``_batch_id``.
+    """
+    from egal_yet_another_earthquake_project_spark.llm.classify import (
+        nb_classify_with_model,
+        read_nb_model,
+    )
+
+    weights, consts = read_nb_model(stream.sparkSession, model_dir)
+
+    def _score(batch: DataFrame, batch_id: int) -> None:
+        if id_col != "doc_id":
+            batch = batch.withColumnRenamed(id_col, "doc_id")
+        scored = nb_classify_with_model(batch, weights, consts, text_col)
+        (
+            scored.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_dir)
+        )
+
+    return stream.writeStream.foreachBatch(_score)

@@ -992,6 +992,51 @@ ORDER BY true_label, pred_label
 """
 
 
+def _nb_model_cache(sf_dir: str) -> str:
+    """Cache path for the persisted NB model over ``sf_dir``'s documents,
+    keyed by input fingerprint (the _ivfpq_cache re-entrancy pattern)."""
+    import hashlib
+    from pathlib import Path
+
+    src = Path(sf_dir) / "documents.parquet"
+    h = hashlib.md5()
+    for f in sorted(src.rglob("*")) if src.is_dir() else [src]:
+        st = f.stat()
+        h.update(f"{f.name}:{st.st_size}:{st.st_mtime_ns}".encode())
+    fp = h.hexdigest()[:10]
+    root = Path(__file__).resolve().parent.parent / "spark-warehouse"
+    return str(root / f"nbmodel_{Path(sf_dir).name}_{fp}")
+
+
+def q_nb_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION classifier path: train ONCE into a persisted
+    model dir (``write_nb_model``: weights + consts parquet under a
+    ``_COMPLETE`` marker, built at most once per input fingerprint via
+    temp-dir + atomic rename), then score by loading the model —
+    amortized inference, the train/score split a firehose pipeline
+    runs. Same predictions as the self-trained ``nb_langid``, so the
+    same oracle verifies the persist → load → score round trip."""
+    import os
+    import shutil
+    import uuid
+    from pathlib import Path
+
+    from egal_yet_another_earthquake_project_spark.llm import classify as lcls
+
+    mdl = _nb_model_cache(sf_dir)
+    if not (Path(mdl) / "_COMPLETE").exists():
+        tmp = f"{mdl}.tmp-{uuid.uuid4().hex[:8]}"
+        lcls.write_nb_model(_docs(spark, sf_dir), tmp)
+        try:
+            os.rename(tmp, mdl)
+        except OSError:  # concurrent builder won the rename; use theirs
+            shutil.rmtree(tmp, ignore_errors=True)
+    weights, consts = lcls.read_nb_model(spark, mdl)
+    return lcls.nb_classify_with_model(
+        _docs(spark, sf_dir), weights, consts
+    ).orderBy("doc_id")
+
+
 def _nb_en_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-vs-rest eval slice: the class-'en' log-posterior as the
     score, true-language-is-en as the binary label."""
@@ -1088,6 +1133,7 @@ QUERIES = {
     "nb_confusion": q_nb_confusion,
     "nb_auc": q_nb_auc,
     "nb_calibration": q_nb_calibration,
+    "nb_model_score": q_nb_model_score,
 }
 
 ORACLES = {
@@ -1111,4 +1157,5 @@ ORACLES = {
     "nb_confusion": _NB_CONFUSION_ORACLE,
     "nb_auc": _NB_AUC_ORACLE,
     "nb_calibration": _NB_CALIBRATION_ORACLE,
+    "nb_model_score": _NB_LANGID_ORACLE,
 }

@@ -296,3 +296,66 @@ def test_ppl_cutoffs_raises_clearly_on_empty_corpus(spark):
     )
     with pytest.raises(ValueError, match="empty training corpus"):
         ppl_cutoffs(nulls)
+
+
+def test_nb_classify_stream_drained_equals_batch_from_artifact(
+    spark, tmp_path: Path
+):
+    """Persisted-NB streaming gate: train once into a model dir, stream
+    the corpus through nb_classify_sink in two triggers, drain — the
+    landed predictions must equal nb_classify_with_model on the whole
+    corpus (per-document argmax: the split point can't matter). A
+    marker-less model dir is refused at sink BUILD time."""
+    import pytest
+
+    from egal_yet_another_earthquake_project_spark.llm.classify import (
+        nb_classify_with_model,
+        read_nb_model,
+        write_nb_model,
+    )
+    from egal_yet_another_earthquake_project_spark.streaming.scoring import (
+        nb_classify_sink,
+    )
+
+    docs = read_table(spark, SF, "documents")
+    mdl = tmp_path / "nb_model"
+    write_nb_model(docs, str(mdl))
+
+    cut = docs.agg(F.percentile_approx("doc_id", 0.5).alias("c")).collect()[0].c
+    src = tmp_path / "nb_in"
+    out = tmp_path / "nb_scored"
+    docs.filter(F.col("doc_id") < F.lit(cut)).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    docs.filter(F.col("doc_id") >= F.lit(cut)).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    stream = stream_parquet_dir(
+        spark, str(src) + "/*", docs.schema, max_files_per_trigger=1
+    )
+    q = (
+        nb_classify_sink(stream, str(mdl), str(out))
+        .option("checkpointLocation", str(tmp_path / "nb_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    live = {
+        r.doc_id: (r.true_label, r.pred_label, r.score)
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    weights, consts = read_nb_model(spark, str(mdl))
+    batch = {
+        r.doc_id: (r.true_label, r.pred_label, r.score)
+        for r in nb_classify_with_model(docs, weights, consts).collect()
+    }
+    assert live == batch and len(batch) > 0
+
+    # partial model (no _COMPLETE) is refused at build time
+    bad = tmp_path / "partial_model"
+    (bad / "weights").mkdir(parents=True)
+    with pytest.raises(ValueError, match="_COMPLETE"):
+        nb_classify_sink(stream, str(bad), str(out))
