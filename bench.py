@@ -192,6 +192,7 @@ HEADLINE = [
     "nb_auc",
     # the persisted-model inference path (train once, score many)
     "nb_model_score",
+    "nb_pr_auc",
 ]
 
 

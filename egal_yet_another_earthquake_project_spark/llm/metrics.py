@@ -38,7 +38,7 @@ from egal_yet_another_earthquake_project_spark.operators.rowids import (
     ntile_exact,
 )
 
-__all__ = ["binary_auc", "calibration_table"]
+__all__ = ["binary_auc", "average_precision", "calibration_table"]
 
 
 def binary_auc(
@@ -97,6 +97,59 @@ def binary_auc(
             ),
             6,
         ).alias("auc"),
+    )
+
+
+def average_precision(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    round_scores: int = 4,
+    bucket: Column | None = None,
+) -> DataFrame:
+    """Exact area under the precision-recall curve (average precision,
+    the step-wise estimator over distinct thresholds)::
+
+        AP = Σ_s (pos_s / n_pos) · precision(s)
+        precision(s) = cum_pos(≥s) / cum_tot(≥s)
+
+    — one row per distinct ROUNDED score, two bucketed cumulative sums
+    DESCENDING over that grouped frame, one final aggregate. Like
+    :func:`binary_auc`: no per-row ranking window, AP is NULL when no
+    positives exist. Returns (n_pos, n_neg, ap)."""
+    s = F.round(F.col(score_col), round_scores)
+    y = F.col(label_col).cast("int")
+    g = (
+        df.select(s.alias("_s"), y.alias("_y"))
+        .groupBy("_s")
+        .agg(F.sum("_y").alias("_pos"), F.count("*").alias("_tot"))
+    )
+    bucket = F.floor(F.col("_s")).cast("long") if bucket is None else bucket
+    cum = bucketed_cumsum(
+        g, F.col("_tot"), buckets=[(bucket, False)],
+        order=[F.col("_s").desc()], out_col="_ctot",
+    )
+    cum = bucketed_cumsum(
+        cum, F.col("_pos"), buckets=[(bucket, False)],
+        order=[F.col("_s").desc()], out_col="_cpos",
+    )
+    agg = cum.agg(
+        F.sum("_pos").alias("n_pos"),
+        F.sum(F.col("_tot") - F.col("_pos")).alias("n_neg"),
+        F.sum(
+            F.col("_pos").cast("double")
+            * F.col("_cpos")
+            / F.col("_ctot")
+        ).alias("_apsum"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            F.col("_apsum")
+            / F.when(F.col("n_pos") > 0, F.col("n_pos").cast("double")),
+            6,
+        ).alias("ap"),
     )
 
 

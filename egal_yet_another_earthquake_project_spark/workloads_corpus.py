@@ -1065,6 +1065,17 @@ def q_nb_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lmet.binary_auc(_nb_en_slice(spark, sf_dir))
 
 
+def q_nb_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact average precision (area under the precision-recall curve,
+    step estimator over distinct thresholds) of the NB 'en'-vs-rest
+    score — two DESCENDING bucketed cumulative sums over the grouped
+    distinct-score frame; the oracle runs the per-threshold window
+    formulation."""
+    from egal_yet_another_earthquake_project_spark.llm import metrics as lmet
+
+    return lmet.average_precision(_nb_en_slice(spark, sf_dir))
+
+
 def q_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability-diagram deciles of the NB 'en'-vs-rest score: exact
     ntile(10) bands assigned via the bucketed row number (no global
@@ -1098,6 +1109,21 @@ SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
        round((ranksum - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2)
              / (CAST(n_pos AS DOUBLE) * n_neg), 6) AS auc
 FROM agg
+"""
+
+_NB_PR_AUC_ORACLE = f"""
+WITH {_NB_EN_SLICE_SQL},
+g AS (SELECT s, sum(y) AS pos, count(*) AS tot FROM en GROUP BY s),
+c AS (
+  SELECT s, pos, tot,
+         sum(pos) OVER (ORDER BY s DESC) AS cpos,
+         sum(tot) OVER (ORDER BY s DESC) AS ctot
+  FROM g
+)
+SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+       CAST(sum(tot - pos) AS BIGINT) AS n_neg,
+       round(sum(CAST(pos AS DOUBLE) * cpos / ctot) / sum(pos), 6) AS ap
+FROM c
 """
 
 _NB_CALIBRATION_ORACLE = f"""
@@ -1134,6 +1160,7 @@ QUERIES = {
     "nb_auc": q_nb_auc,
     "nb_calibration": q_nb_calibration,
     "nb_model_score": q_nb_model_score,
+    "nb_pr_auc": q_nb_pr_auc,
 }
 
 ORACLES = {
@@ -1158,4 +1185,5 @@ ORACLES = {
     "nb_auc": _NB_AUC_ORACLE,
     "nb_calibration": _NB_CALIBRATION_ORACLE,
     "nb_model_score": _NB_LANGID_ORACLE,
+    "nb_pr_auc": _NB_PR_AUC_ORACLE,
 }

@@ -294,6 +294,13 @@ def probes():
 
         return _mm.extract_audio_features(_media_corpus(docs, "wav"))
 
+    def nb_classify(spark, docs):
+        from egal_yet_another_earthquake_project_spark.llm import (
+            classify as _cls,
+        )
+
+        return _cls.nb_classify(docs)
+
     # (name, input, op, allowed wall ratio). The near-dup construction
     # multiplies candidate-PAIR mass ~45-100× (every 10-copy cluster is
     # 45 pairs; same-prefix blocks grow 10× → up to 100× in-block
@@ -359,6 +366,10 @@ def probes():
         ("PNG decode features (inflate+unfilter)", _documents, png_decode, ROW_RATIO),
         ("GIF decode features (LZW inflate)", _documents, gif_decode, ROW_RATIO),
         ("audio decode features (WAV lane)", _documents, audio_decode, ROW_RATIO),
+        # NB classifier: train+infer in one plan — token-stream-linear
+        # (grouped counts, one token join fanning ≤ #classes, per-doc
+        # argmax); 10× docs must stay ~row-linear.
+        ("NB language-ID train+classify", _documents, nb_classify, ROW_RATIO),
     ]
 
 

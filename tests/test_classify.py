@@ -205,3 +205,62 @@ def test_calibration_table_bands_and_fractions(spark):
     assert all(b.n == 2 for b in bands.values())
     assert bands[1].frac_pos == 0.0 and bands[10].frac_pos == 1.0
     assert bands[6].frac_pos == 1.0  # rows 10,11 land in band 6
+
+
+def test_average_precision_known_values(spark):
+    """AP: perfect separation = 1.0; hand-computed tie case. Scores
+    [2,1,1,1] labels [+,+,-,-]: thresholds desc 2 (cum 1/1), 1
+    (cum 2/4) -> AP = (1/2)*1 + (1/2)*(2/4) = 0.75."""
+    from egal_yet_another_earthquake_project_spark.llm import metrics as lmet
+
+    perfect = spark.createDataFrame(
+        [(1, 0.9, True), (2, 0.8, True), (3, 0.2, False), (4, 0.1, False)],
+        "doc_id long, score double, label boolean",
+    )
+    r = lmet.average_precision(perfect).collect()[0]
+    assert (r.n_pos, r.n_neg, r.ap) == (2, 2, 1.0)
+
+    tied = spark.createDataFrame(
+        [(1, 2.0, True), (2, 1.0, True), (3, 1.0, False), (4, 1.0, False)],
+        "doc_id long, score double, label boolean",
+    )
+    assert lmet.average_precision(tied).collect()[0].ap == 0.75
+
+    none_pos = spark.createDataFrame(
+        [(1, 0.9, False), (2, 0.1, False)],
+        "doc_id long, score double, label boolean",
+    )
+    assert lmet.average_precision(none_pos).collect()[0].ap is None
+
+
+def test_average_precision_matches_python_replay(spark):
+    """Randomized cross-check of the descending-cumsum identity against
+    a per-threshold Python replay."""
+    import random
+
+    from egal_yet_another_earthquake_project_spark.llm import metrics as lmet
+
+    rng = random.Random(7)
+    rows = [
+        (i, round(rng.choice([0.1, 0.4, 0.4, 0.8, 1.5, 1.5, 3.0]), 4),
+         rng.random() < 0.35)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, score double, label boolean")
+    got = lmet.average_precision(df).collect()[0]
+
+    by_s: dict = {}
+    for _, s, y in rows:
+        p, t = by_s.get(s, (0, 0))
+        by_s[s] = (p + int(y), t + 1)
+    n_pos = sum(p for p, _ in by_s.values())
+    cpos = ctot = 0
+    ap = 0.0
+    for s in sorted(by_s, reverse=True):
+        p, t = by_s[s]
+        cpos += p
+        ctot += t
+        ap += p * cpos / ctot
+    ap /= n_pos
+    assert got.n_pos == n_pos
+    assert got.ap == pytest.approx(round(ap, 6), abs=1e-9)
