@@ -193,6 +193,8 @@ HEADLINE = [
     # the persisted-model inference path (train once, score many)
     "nb_model_score",
     "nb_pr_auc",
+    # Fightin-Words class keywords (log-odds + Dirichlet prior)
+    "class_keywords",
 ]
 
 

@@ -253,6 +253,75 @@ def read_nb_model(spark, model_dir: str) -> tuple[DataFrame, DataFrame]:
     )
 
 
+def log_odds_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    k: int = 10,
+    alpha0: float = 100.0,
+) -> DataFrame:
+    """Class-characteristic tokens by the log-odds ratio with an
+    informative Dirichlet prior (Monroe, Colaresi & Quinn 2008,
+    "Fightin' Words") — the principled replacement for raw tf-idf
+    class keywords: rare tokens are shrunk toward the corpus
+    distribution instead of dominating on noise.
+
+    One-vs-rest per class. With y_tc the token count in class c, y_t
+    the corpus count, n_c / n the class / corpus token totals, and
+    prior α_t = α0 · y_t / n::
+
+        δ_tc = ln((y_tc + α_t) / (n_c + α0 − y_tc − α_t))
+             − ln((y_t − y_tc + α_t) / (n − n_c + α0 − (y_t − y_tc) − α_t))
+        z_tc = δ_tc / sqrt(1/(y_tc + α_t) + 1/(y_t − y_tc + α_t))
+
+    Top-``k`` tokens per class by z (rounded 4 dp, token tiebreak) —
+    the per-class rank is WindowGroupLimit-cut, so no class's full
+    vocabulary ever sorts in one task. Shape: the same (tok, cls)
+    aggregate as NB training, one groupBy(tok) for corpus counts, a
+    broadcast of the ≤#classes totals — everything else is per-row
+    math."""
+    tok = _token_stream(docs, text_col, label_col)
+    ct = tok.groupBy("tok", F.col("label").alias("cls")).agg(
+        F.count("*").alias("y_tc")
+    )
+    yt = ct.groupBy("tok").agg(F.sum("y_tc").alias("y_t"))
+    n_cls = ct.groupBy("cls").agg(F.sum("y_tc").alias("n_c"))
+    n_tot = ct.agg(F.sum("y_tc").alias("n"))
+    a0 = F.lit(float(alpha0))
+    base = (
+        ct.join(yt, "tok")
+        .join(F.broadcast(n_cls), "cls")
+        .crossJoin(F.broadcast(n_tot))
+        .withColumn("a_t", a0 * F.col("y_t") / F.col("n"))
+        .withColumn("y_rest", F.col("y_t") - F.col("y_tc"))
+    )
+    delta = F.log(
+        (F.col("y_tc") + F.col("a_t"))
+        / (F.col("n_c") + a0 - F.col("y_tc") - F.col("a_t"))
+    ) - F.log(
+        (F.col("y_rest") + F.col("a_t"))
+        / (F.col("n") - F.col("n_c") + a0 - F.col("y_rest") - F.col("a_t"))
+    )
+    var = 1.0 / (F.col("y_tc") + F.col("a_t")) + 1.0 / (
+        F.col("y_rest") + F.col("a_t")
+    )
+    scored = base.withColumn(
+        "z", F.round(delta / F.sqrt(var), 4)
+    )
+    w = Window.partitionBy("cls").orderBy(F.col("z").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= int(k))
+        .select(
+            "cls",
+            F.col("rnk").cast("int").alias("rnk"),
+            "tok",
+            "z",
+            F.col("y_tc").alias("count_in_class"),
+        )
+    )
+
+
 def nb_confusion(
     docs: DataFrame, text_col: str = "text", label_col: str = "lang"
 ) -> DataFrame:

@@ -1065,6 +1065,48 @@ def q_nb_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lmet.binary_auc(_nb_en_slice(spark, sf_dir))
 
 
+def q_class_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language characteristic tokens: log-odds ratio with
+    informative Dirichlet prior (Monroe et al. 2008), one-vs-rest,
+    top-10 per class by z-score — rare tokens shrink toward the corpus
+    distribution, so the keywords are characteristic, not noisy."""
+    from egal_yet_another_earthquake_project_spark.llm import classify as lcls
+
+    return lcls.log_odds_keywords(_docs(spark, sf_dir)).orderBy("cls", "rnk")
+
+
+_CLASS_KEYWORDS_ORACLE = f"""
+WITH tok AS (
+  SELECT lang AS cls, unnest({_TOKS}) AS tok FROM documents
+),
+ct AS (SELECT tok, cls, count(*) AS y_tc FROM tok GROUP BY tok, cls),
+yt AS (SELECT tok, sum(y_tc) AS y_t FROM ct GROUP BY tok),
+ncls AS (SELECT cls, sum(y_tc) AS n_c FROM ct GROUP BY cls),
+ntot AS (SELECT sum(y_tc) AS n FROM ct),
+scored AS (
+  SELECT ct.cls, ct.tok, ct.y_tc,
+         round(
+           (ln((ct.y_tc + 100.0 * yt.y_t / ntot.n)
+               / (ncls.n_c + 100.0 - ct.y_tc - 100.0 * yt.y_t / ntot.n))
+            - ln((yt.y_t - ct.y_tc + 100.0 * yt.y_t / ntot.n)
+                 / (ntot.n - ncls.n_c + 100.0 - (yt.y_t - ct.y_tc)
+                    - 100.0 * yt.y_t / ntot.n)))
+           / sqrt(1.0 / (ct.y_tc + 100.0 * yt.y_t / ntot.n)
+                  + 1.0 / (yt.y_t - ct.y_tc + 100.0 * yt.y_t / ntot.n)),
+         4) AS z
+  FROM ct JOIN yt USING (tok) JOIN ncls USING (cls) CROSS JOIN ntot
+),
+rk AS (
+  SELECT cls, tok, y_tc, z,
+         row_number() OVER (PARTITION BY cls ORDER BY z DESC, tok ASC) AS rnk
+  FROM scored
+)
+SELECT cls, CAST(rnk AS INTEGER) AS rnk, tok, z,
+       CAST(y_tc AS BIGINT) AS count_in_class
+FROM rk WHERE rnk <= 10 ORDER BY cls, rnk
+"""
+
+
 def q_nb_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact average precision (area under the precision-recall curve,
     step estimator over distinct thresholds) of the NB 'en'-vs-rest
@@ -1161,6 +1203,7 @@ QUERIES = {
     "nb_calibration": q_nb_calibration,
     "nb_model_score": q_nb_model_score,
     "nb_pr_auc": q_nb_pr_auc,
+    "class_keywords": q_class_keywords,
 }
 
 ORACLES = {
@@ -1186,4 +1229,5 @@ ORACLES = {
     "nb_calibration": _NB_CALIBRATION_ORACLE,
     "nb_model_score": _NB_LANGID_ORACLE,
     "nb_pr_auc": _NB_PR_AUC_ORACLE,
+    "class_keywords": _CLASS_KEYWORDS_ORACLE,
 }

@@ -264,3 +264,26 @@ def test_average_precision_matches_python_replay(spark):
     ap /= n_pos
     assert got.n_pos == n_pos
     assert got.ap == pytest.approx(round(ap, 6), abs=1e-9)
+
+
+def test_log_odds_keywords_surface_class_exclusive_tokens(spark):
+    """A token that appears ONLY in one class tops that class's keyword
+    list; the shared filler token never outranks it; ranks are dense
+    1..k and capped at k."""
+    from egal_yet_another_earthquake_project_spark.llm import classify as lcls
+
+    rows = []
+    for i in range(30):
+        rows.append((i, "common filler berlin " + ("der " * 5), "de"))
+        rows.append((100 + i, "common filler paris " + ("le " * 5), "fr"))
+    df = _df(spark, rows)
+    out = lcls.log_odds_keywords(df, k=3).collect()
+    by_cls = {}
+    for r in out:
+        by_cls.setdefault(r.cls, []).append(r)
+    assert set(by_cls) == {"de", "fr"}
+    for cls, toks in (("de", {"der", "berlin"}), ("fr", {"le", "paris"})):
+        got = by_cls[cls]
+        assert [r.rnk for r in got] == [1, 2, 3]
+        assert {got[0].tok, got[1].tok} == toks, (cls, got)
+        assert got[0].z > 0
