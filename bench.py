@@ -195,6 +195,8 @@ HEADLINE = [
     "nb_pr_auc",
     # Fightin-Words class keywords (log-odds + Dirichlet prior)
     "class_keywords",
+    # video lane: multi-frame GIF decode + stride sampling
+    "video_frame_features",
 ]
 
 

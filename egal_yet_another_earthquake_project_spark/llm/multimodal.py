@@ -664,6 +664,241 @@ def _decode_gif(blob: bytes) -> dict:
         }
 
 
+def encode_gif_frames(
+    width: int, height: int, frames: list[list[list[tuple]]]
+) -> bytes:
+    """Multi-frame (animated) GIF89a writer — the sandbox's VIDEO
+    container: every frame is a full-canvas image with its own LOCAL
+    color table and LZW-compressed index stream, preceded by a minimal
+    graphic-control extension. The demo payload builder for the
+    frame-sampling lane."""
+    import struct
+
+    if not frames:
+        raise ValueError("encode_gif_frames: need at least one frame")
+    out = bytearray(b"GIF89a")
+    # no global color table; 8-bit color resolution
+    out += struct.pack("<HHBBB", width, height, 0x70, 0, 0)
+    for pixels in frames:
+        palette: dict[tuple, int] = {}
+        indices: list[int] = []
+        for row in pixels:
+            for px in row:
+                if px not in palette:
+                    if len(palette) == 256:
+                        raise ValueError(
+                            "encode_gif_frames: more than 256 colors in a frame"
+                        )
+                    palette[px] = len(palette)
+                indices.append(palette[px])
+        mcs = max(2, (len(palette) - 1).bit_length())
+        colors = list(palette) + [(0, 0, 0)] * ((1 << mcs) - len(palette))
+        out += b"\x21\xf9\x04\x00\x04\x00\x00\x00"  # GCE: 4cs delay
+        # image descriptor: full canvas, local color table of 2**mcs
+        out += b"\x2c" + struct.pack(
+            "<HHHHB", 0, 0, width, height, 0x80 | (mcs - 1)
+        )
+        for r, g, b in colors:
+            out += bytes((r, g, b))
+        out.append(mcs)
+        lzw = _lzw_encode(indices, mcs)
+        for i in range(0, len(lzw), 255):
+            block = lzw[i : i + 255]
+            out.append(len(block))
+            out += block
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(blob: bytes) -> dict:
+    """Strict multi-frame GIF decoder — the frame-extraction half of
+    the video lane: ``{format: "gif-frames", width, height, maxval,
+    frames: [pixel rows, …]}``. Same container validation as
+    :func:`_decode_gif` (signature, color-table sizes vs byte length,
+    sub-block framing, LZW output exactly filling each frame, trailer
+    last) but ACCEPTS multiple image blocks. Every frame must cover the
+    full canvas (left=0, top=0, canvas size): patch frames — the
+    delta-encoding of real animated GIFs — need disposal-method
+    compositing this lane deliberately rejects rather than half-renders.
+    Transparency is ignored (opaque RGB lane)."""
+    import struct
+
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF signature")
+    if len(blob) < 13:
+        raise ValueError("short GIF")
+    cw, ch, packed, _bg, _aspect = struct.unpack("<HHBBB", blob[6:13])
+    if cw < 1 or ch < 1 or cw * ch > MAX_PIXELS:
+        raise ValueError("GIF canvas out of bounds")
+    pos = 13
+    gct: list[tuple] | None = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(blob):
+            raise ValueError("truncated GIF global color table")
+        gct = [tuple(blob[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)]
+        pos += 3 * n
+
+    frames: list[list[list[tuple]]] = []
+    while True:
+        if pos >= len(blob):
+            raise ValueError("GIF ends without trailer")
+        block = blob[pos]
+        pos += 1
+        if block == 0x3B:
+            if pos != len(blob):
+                raise ValueError("bytes after GIF trailer")
+            if not frames:
+                raise ValueError("GIF contains no image")
+            return {
+                "format": "gif-frames",
+                "width": cw,
+                "height": ch,
+                "maxval": 255,
+                "frames": frames,
+            }
+        if block == 0x21:
+            if pos >= len(blob):
+                raise ValueError("truncated GIF extension")
+            pos += 1  # label
+            while True:
+                if pos >= len(blob):
+                    raise ValueError("GIF sub-blocks end without terminator")
+                n = blob[pos]
+                pos += 1 + n
+                if n == 0:
+                    break
+                if pos > len(blob):
+                    raise ValueError("truncated GIF sub-block")
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        if pos + 9 > len(blob):
+            raise ValueError("truncated GIF image descriptor")
+        left, top, width, height, ipacked = struct.unpack(
+            "<HHHHB", blob[pos : pos + 9]
+        )
+        pos += 9
+        if ipacked & 0x40:
+            raise ValueError("interlaced GIF is not supported")
+        if (left, top, width, height) != (0, 0, cw, ch):
+            raise ValueError(
+                "patch frames (sub-rectangle image descriptors) need "
+                "disposal compositing; only full-canvas frames decode here"
+            )
+        palette = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            if pos + 3 * n > len(blob):
+                raise ValueError("truncated GIF local color table")
+            palette = [
+                tuple(blob[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)
+            ]
+            pos += 3 * n
+        if palette is None:
+            raise ValueError("GIF frame has no color table")
+        if pos >= len(blob):
+            raise ValueError("GIF missing LZW minimum code size")
+        mcs = blob[pos]
+        pos += 1
+        if not 2 <= mcs <= 8:
+            raise ValueError(f"GIF LZW minimum code size {mcs} out of range")
+        data = bytearray()
+        while True:
+            if pos >= len(blob):
+                raise ValueError("GIF image data ends without terminator")
+            n = blob[pos]
+            pos += 1
+            if n == 0:
+                break
+            if pos + n > len(blob):
+                raise ValueError("truncated GIF image data sub-block")
+            data += blob[pos : pos + n]
+            pos += n
+        indices = _lzw_decode(bytes(data), mcs, width * height)
+        if len(indices) != width * height:
+            raise ValueError("GIF LZW output does not fill the frame")
+        if any(i >= len(palette) for i in indices):
+            raise ValueError("GIF pixel index outside color table")
+        frames.append(
+            [
+                [palette[indices[y * width + x]] for x in range(width)]
+                for y in range(height)
+            ]
+        )
+
+
+def sample_frames(decoded: dict, stride: int) -> list[tuple[int, dict]]:
+    """Frame sampling — every ``stride``-th frame of a decoded
+    multi-frame payload as (frame_idx, single-image decoded dict), so
+    each sampled frame composes with :func:`pixel_features` /
+    :func:`resize_pixels` exactly like a still image."""
+    if stride < 1:
+        raise ValueError("sample_frames: stride must be >= 1")
+    return [
+        (
+            i,
+            {
+                "format": "gif",
+                "width": decoded["width"],
+                "height": decoded["height"],
+                "maxval": decoded["maxval"],
+                "pixels": decoded["frames"][i],
+            },
+        )
+        for i in range(0, len(decoded["frames"]), stride)
+    ]
+
+
+FRAME_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("features", T.ArrayType(T.DoubleType()), False),
+    ]
+)
+
+
+def extract_frame_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    stride: int = 1,
+    dim: int = 8,
+) -> DataFrame:
+    """Arrow-batched VIDEO lane: strictly decode each payload's frames
+    (multi-frame GIF here; the schema/batching contract is what a real
+    mp4 frame sampler plugs into), sample every ``stride``-th frame,
+    and luminance-histogram each sampled frame — one output row per
+    (doc, sampled frame). Non-video payloads fail the batch loudly,
+    like :func:`extract_audio_features`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, nfr, feats = [], [], [], []
+            for did, blob in zip(pdf[id_col], pdf[payload_col]):
+                decoded = decode_gif_frames(bytes(blob))
+                for i, frame in sample_frames(decoded, stride):
+                    ids.append(did)
+                    fidx.append(i)
+                    nfr.append(len(decoded["frames"]))
+                    feats.append(pixel_features(frame, dim))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": fidx,
+                    "n_frames": nfr,
+                    "features": feats,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, FRAME_FEATURE_SCHEMA
+    )
+
+
 def encode_wav(samples: list[int], sample_rate: int = 8000) -> bytes:
     """Minimal RIFF/WAVE writer: mono 16-bit PCM — the audio analog of
     :func:`encode_bmp` (demo payload builder for the decode path)."""

@@ -1487,6 +1487,83 @@ def q_gif_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GIF_DECODE_ORACLE = _PNG_DECODE_ORACLE
 
 
+def q_video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VIDEO lane end-to-end (llm.multimodal.extract_frame_features):
+    one deterministic 3-frame 8×4 animated GIF per document — per-frame
+    local color tables, each frame's index stream REALLY LZW-compressed
+    — decoded strictly, frame-sampled at stride 2 (frames 0 and 2), and
+    each sampled frame luminance-histogrammed. Pixel (f, p) of doc d is
+    an analytic formula, so the oracle replays the sampled frames'
+    features without touching the container: a hash mismatch means the
+    multi-frame decode or the sampler misread real bytes."""
+    import pandas as _pd
+
+    from egal_yet_another_earthquake_project_spark.llm import multimodal as _mm
+
+    width, height, n_frames = 8, 4, 3
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                frames = [
+                    [
+                        [
+                            (
+                                (did * 31 + f * 101 + (y * width + x)) % 256,
+                                (did * 17 + f * 57 + (y * width + x) * 3) % 256,
+                                (did * 13 + f * 29 + (y * width + x) * 5) % 256,
+                            )
+                            for x in range(width)
+                        ]
+                        for y in range(height)
+                    ]
+                    for f in range(n_frames)
+                ]
+                payloads.append(_mm.encode_gif_frames(width, height, frames))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    corpus = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .mapInPandas(build, "doc_id long, payload binary")
+    )
+    feats = lmm.extract_frame_features(corpus, stride=2)
+    return feats.select(
+        "doc_id",
+        "frame_idx",
+        "n_frames",
+        F.posexplode("features").alias("bucket", "ratio"),
+    )
+
+
+_VIDEO_FRAMES_ORACLE = """
+WITH fr AS (SELECT unnest([0, 2]) AS f),
+px AS (
+  SELECT d.doc_id, fr.f,
+         ((d.doc_id * 31 + fr.f * 101 + p.p) % 256
+          + (d.doc_id * 17 + fr.f * 57 + p.p * 3) % 256
+          + (d.doc_id * 13 + fr.f * 29 + p.p * 5) % 256) // 3 AS lum
+  FROM documents d, fr, unnest(range(0, 32)) AS p(p)
+),
+counts AS (
+  SELECT doc_id, f, lum * 8 // 256 AS bucket, count(*) AS c
+  FROM px GROUP BY doc_id, f, bucket
+),
+buckets AS (SELECT unnest(range(0, 8)) AS bucket)
+SELECT d.doc_id AS doc_id, CAST(fr.f AS INTEGER) AS frame_idx,
+       CAST(3 AS INTEGER) AS n_frames,
+       CAST(b.bucket AS INTEGER) AS bucket,
+       CAST(coalesce(c.c, 0) AS DOUBLE) / 32 AS ratio
+FROM documents d
+CROSS JOIN fr
+CROSS JOIN buckets b
+LEFT JOIN counts c
+  ON c.doc_id = d.doc_id AND c.f = fr.f AND c.bucket = b.bucket
+"""
+
+
 def q_media_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full image lane: encode the deterministic 8×4 BMP per doc,
     REALLY decode it, nearest-neighbor resize to 4×2
@@ -2654,6 +2731,7 @@ QUERIES = {
     "media_decode_features": q_media_decode_features,
     "png_decode_features": q_png_decode_features,
     "gif_decode_features": q_gif_decode_features,
+    "video_frame_features": q_video_frame_features,
     "audio_decode_features": q_audio_decode_features,
     "media_thumbnail": q_media_thumbnail,
     "media_neardup": q_media_neardup,
@@ -2702,6 +2780,7 @@ ORACLES = {
     "media_decode_features": _MEDIA_DECODE_ORACLE,
     "png_decode_features": _PNG_DECODE_ORACLE,
     "gif_decode_features": _GIF_DECODE_ORACLE,
+    "video_frame_features": _VIDEO_FRAMES_ORACLE,
     "audio_decode_features": _AUDIO_DECODE_ORACLE,
     "media_thumbnail": _MEDIA_THUMBNAIL_ORACLE,
     "semantic_gate": _SEMANTIC_GATE_ORACLE,

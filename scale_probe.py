@@ -294,6 +294,44 @@ def probes():
 
         return _mm.extract_audio_features(_media_corpus(docs, "wav"))
 
+    def video_frames(spark, docs):
+        import pandas as _pd
+
+        from egal_yet_another_earthquake_project_spark.llm import (
+            multimodal as _mm,
+        )
+
+        width, height = 8, 4
+
+        def build(batches):
+            for pdf in batches:
+                payloads = []
+                for did in pdf["doc_id"]:
+                    did = int(did)
+                    frames = [
+                        [
+                            [
+                                (
+                                    (did * 31 + f * 101 + (y * width + x)) % 256,
+                                    (did * 17 + f * 57 + (y * width + x) * 3) % 256,
+                                    (did * 13 + f * 29 + (y * width + x) * 5) % 256,
+                                )
+                                for x in range(width)
+                            ]
+                            for y in range(height)
+                        ]
+                        for f in range(3)
+                    ]
+                    payloads.append(_mm.encode_gif_frames(width, height, frames))
+                yield _pd.DataFrame(
+                    {"doc_id": pdf["doc_id"], "payload": payloads}
+                )
+
+        corpus = docs.select("doc_id").mapInPandas(
+            build, "doc_id long, payload binary"
+        )
+        return _mm.extract_frame_features(corpus, stride=2)
+
     def nb_classify(spark, docs):
         from egal_yet_another_earthquake_project_spark.llm import (
             classify as _cls,
@@ -370,6 +408,7 @@ def probes():
         # (grouped counts, one token join fanning ≤ #classes, per-doc
         # argmax); 10× docs must stay ~row-linear.
         ("NB language-ID train+classify", _documents, nb_classify, ROW_RATIO),
+        ("video frame features (multi-frame GIF)", _documents, video_frames, ROW_RATIO),
     ]
 
 

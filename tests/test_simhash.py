@@ -473,3 +473,73 @@ def test_extract_features_routes_gif_to_pixel_histogram(spark):
     rows = {r.doc_id: r.features for r in lmm.extract_features(df).collect()}
     assert rows[1] == [0.5, 0, 0, 0, 0, 0, 0, 0.5]
     assert rows[1] == rows[2] == rows[3]
+
+
+def test_gif_frames_roundtrip_and_sampling():
+    """Multi-frame GIF (the video container): encode_gif_frames →
+    decode_gif_frames recovers every frame exactly through per-frame
+    local color tables and LZW; sample_frames picks every stride-th
+    frame as a composable single-image dict; patch frames (sub-canvas
+    descriptors) and the single-frame decoder's animation rejection
+    both hold."""
+    import struct
+
+    import pytest
+
+    from egal_yet_another_earthquake_project_spark.llm import multimodal as lmm
+
+    w, h = 7, 5
+    frames = []
+    for f in range(4):
+        cols = [((f * 50 + i * 13) % 256, (i * 29) % 256, (f * 90 + i * 7) % 256)
+                for i in range(20)]
+        frames.append(
+            [[cols[(x * 3 + y * 5 + f) % 20] for x in range(w)] for y in range(h)]
+        )
+    blob = lmm.encode_gif_frames(w, h, frames)
+    d = lmm.decode_gif_frames(blob)
+    assert d["format"] == "gif-frames" and (d["width"], d["height"]) == (w, h)
+    assert d["frames"] == frames
+
+    sampled = lmm.sample_frames(d, 2)
+    assert [i for i, _ in sampled] == [0, 2]
+    assert sampled[1][1]["pixels"] == frames[2]
+    assert abs(sum(lmm.pixel_features(sampled[0][1])) - 1.0) < 1e-12
+
+    # the still-image decoder refuses animation; the frames decoder
+    # accepts a single-frame file
+    with pytest.raises(NotImplementedError):
+        lmm.decode_payload(blob)
+    single = lmm.encode_gif(4, 2, [[(1, 2, 3)] * 4] * 2)
+    assert len(lmm.decode_gif_frames(single)["frames"]) == 1
+
+    # a patch frame (left=1) is rejected, never half-rendered
+    patch = bytearray(blob)
+    assert patch[21] == 0x2C  # 13-byte header (no GCT) + 8-byte GCE
+    struct.pack_into("<HH", patch, 22, 1, 0)
+    with pytest.raises(ValueError, match="patch"):
+        lmm.decode_gif_frames(bytes(patch))
+    with pytest.raises(ValueError):
+        lmm.sample_frames(d, 0)
+
+
+def test_extract_frame_features_one_row_per_sampled_frame(spark):
+    """The Spark video lane: stride-2 sampling of a 3-frame payload
+    yields rows (frame 0, frame 2) per doc with real per-frame
+    luminance histograms."""
+    from egal_yet_another_earthquake_project_spark.llm import multimodal as lmm
+
+    dark = [[(0, 0, 0)] * 4] * 2
+    bright = [[(255, 255, 255)] * 4] * 2
+    blob = lmm.encode_gif_frames(4, 2, [dark, bright, dark])
+    df = spark.createDataFrame(
+        [(7, bytearray(blob))], "doc_id long, payload binary"
+    )
+    rows = {
+        r.frame_idx: r
+        for r in lmm.extract_frame_features(df, stride=2).collect()
+    }
+    assert set(rows) == {0, 2}
+    assert all(r.n_frames == 3 for r in rows.values())
+    assert rows[0].features == [1.0, 0, 0, 0, 0, 0, 0, 0.0]
+    assert rows[2].features == rows[0].features
