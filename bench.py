@@ -197,6 +197,8 @@ HEADLINE = [
     "class_keywords",
     # video lane: multi-frame GIF decode + stride sampling
     "video_frame_features",
+    # deequ-style expectations compiled to one scan per table
+    "dq_report",
 ]
 
 

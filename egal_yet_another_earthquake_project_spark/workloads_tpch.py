@@ -907,6 +907,103 @@ ORDER BY s_name
 """
 
 
+def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite (operators/quality): null
+    fraction, key uniqueness, value range, accepted set — ALL compiled
+    into one aggregation scan per table — plus referential integrity
+    (orders→customer, lineitem→orders) as left-anti-join orphan
+    fractions. The publish gate a lake pipeline runs before exposing a
+    table; the report frame is the artifact."""
+    from egal_yet_another_earthquake_project_spark.operators import quality as dq
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    o_checks = dq.run_checks(
+        orders,
+        [
+            dq.not_null("o_orderkey"),
+            dq.not_null("o_custkey"),
+            dq.unique("o_orderkey"),
+            dq.in_range("o_totalprice", 0, 600000),
+            dq.accepted_values("o_orderstatus", ("F", "O", "P")),
+        ],
+    )
+    l_checks = dq.run_checks(
+        lineitem,
+        [
+            dq.not_null("l_orderkey"),
+            dq.in_range("l_discount", 0, 0.1),
+            dq.in_range("l_quantity", 1, 50),
+        ],
+    )
+    fk1 = dq.fk_check(orders, "o_custkey", customer, "c_custkey")
+    fk2 = dq.fk_check(lineitem, "l_orderkey", orders, "o_orderkey")
+    return (
+        o_checks.unionByName(fk1)
+        .unionByName(l_checks)
+        .unionByName(fk2)
+        .orderBy("check_name")
+    )
+
+
+_DQ_REPORT_ORACLE = """
+WITH o AS (
+  SELECT 'not_null(o_orderkey)' AS check_name,
+         avg(CAST(o_orderkey IS NULL AS DOUBLE)) AS metric, 0.0 AS threshold
+  FROM orders
+  UNION ALL
+  SELECT 'not_null(o_custkey)',
+         avg(CAST(o_custkey IS NULL AS DOUBLE)), 0.0 FROM orders
+  UNION ALL
+  SELECT 'unique(o_orderkey)',
+         1.0 - CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*), 0.0
+  FROM orders
+  UNION ALL
+  SELECT 'in_range(o_totalprice,0,600000)',
+         avg(CAST(o_totalprice IS NOT NULL
+                  AND o_totalprice NOT BETWEEN 0 AND 600000 AS DOUBLE)), 0.0
+  FROM orders
+  UNION ALL
+  SELECT 'accepted_values(o_orderstatus)',
+         avg(CAST(o_orderstatus IS NOT NULL
+                  AND o_orderstatus NOT IN ('F','O','P') AS DOUBLE)), 0.0
+  FROM orders
+  UNION ALL
+  SELECT 'fk(o_custkey)',
+         CAST((SELECT count(*) FROM orders x
+               WHERE x.o_custkey IS NOT NULL
+                 AND NOT EXISTS (SELECT 1 FROM customer c
+                                 WHERE c.c_custkey = x.o_custkey)) AS DOUBLE)
+           / (SELECT count(*) FROM orders), 0.0
+  UNION ALL
+  SELECT 'not_null(l_orderkey)',
+         avg(CAST(l_orderkey IS NULL AS DOUBLE)), 0.0 FROM lineitem
+  UNION ALL
+  SELECT 'in_range(l_discount,0,0.1)',
+         avg(CAST(l_discount IS NOT NULL
+                  AND l_discount NOT BETWEEN 0 AND 0.1 AS DOUBLE)), 0.0
+  FROM lineitem
+  UNION ALL
+  SELECT 'in_range(l_quantity,1,50)',
+         avg(CAST(l_quantity IS NOT NULL
+                  AND l_quantity NOT BETWEEN 1 AND 50 AS DOUBLE)), 0.0
+  FROM lineitem
+  UNION ALL
+  SELECT 'fk(l_orderkey)',
+         CAST((SELECT count(*) FROM lineitem x
+               WHERE x.l_orderkey IS NOT NULL
+                 AND NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_orderkey = x.l_orderkey)) AS DOUBLE)
+           / (SELECT count(*) FROM lineitem), 0.0
+)
+SELECT check_name, round(metric, 6) AS metric,
+       CAST(threshold AS DOUBLE) AS threshold,
+       metric <= threshold AS passed
+FROM o ORDER BY check_name
+"""
+
+
 QUERIES = {
     "order_count_distribution": q_order_count_distribution,
     "large_orders": q_large_orders,
@@ -925,6 +1022,7 @@ QUERIES = {
     "lone_late_supplier": q_lone_late_supplier,
     "excess_shippers": q_excess_shippers,
     "product_profit": q_product_profit,
+    "dq_report": q_dq_report,
 }
 
 ORACLES = {
@@ -945,4 +1043,5 @@ ORACLES = {
     "lone_late_supplier": _LONE_LATE_ORACLE,
     "excess_shippers": _EXCESS_SHIPPERS_ORACLE,
     "product_profit": _PRODUCT_PROFIT_ORACLE,
+    "dq_report": _DQ_REPORT_ORACLE,
 }

@@ -1,0 +1,92 @@
+"""Data-quality expectations (operators/quality): planted violations.
+
+The declared dq_report query verifies the clean-corpus path against
+DuckDB; these tests pin the violation semantics — exact fractions,
+pass/fail flips at the threshold, FK orphan counting — on frames where
+the dirt is planted by construction, and assert the one-scan shape.
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from egal_yet_another_earthquake_project_spark.operators import quality as dq
+
+
+def _frame(spark):
+    # 10 rows: 2 null names, ids 1..9 with 9 duplicated, vals 0..90
+    rows = [
+        (1, "a", 0.0), (2, "b", 10.0), (3, None, 20.0), (4, "d", 30.0),
+        (5, "e", 40.0), (6, None, 50.0), (7, "g", 60.0), (8, "h", 70.0),
+        (9, "i", 80.0), (9, "j", 90.0),
+    ]
+    return spark.createDataFrame(rows, "id long, name string, val double")
+
+
+def test_run_checks_exact_fractions_and_threshold_flips(spark):
+    df = _frame(spark)
+    report = {
+        r.check_name: r
+        for r in dq.run_checks(
+            df,
+            [
+                dq.not_null("name"),                       # 0.2 > 0 -> fail
+                dq.unique("id"),                           # 0.1 > 0 -> fail
+                dq.in_range("val", 0, 80),                 # 1 of 10 out -> fail
+                dq.in_range("val", 0, 100),                # pass
+                dq.accepted_values("name", ("a", "b", "d", "e", "g", "h", "i")),
+            ],
+        ).collect()
+    }
+    assert report["not_null(name)"].metric == pytest.approx(0.2)
+    assert not report["not_null(name)"].passed
+    assert report["unique(id)"].metric == pytest.approx(0.1)
+    assert not report["unique(id)"].passed
+    assert report["in_range(val,0,80)"].metric == pytest.approx(0.1)
+    assert not report["in_range(val,0,80)"].passed
+    assert report["in_range(val,0,100)"].passed
+    # 'j' is outside the accepted set -> 1/10; nulls don't count
+    assert report["accepted_values(name)"].metric == pytest.approx(0.1)
+    # threshold flip
+    relaxed = dq.run_checks(df, [dq.not_null("name", 0.25)]).collect()[0]
+    assert relaxed.passed
+
+
+def test_run_checks_is_one_aggregation_scan(spark):
+    """However many expectations the suite declares, the physical plan
+    aggregates the input exactly once (one partial+final HashAggregate
+    pair over one scan)."""
+    df = _frame(spark)
+    plan = dq.run_checks(
+        df,
+        [dq.not_null("name"), dq.in_range("val", 0, 100),
+         dq.accepted_values("name", ("a",)), dq.not_null("val")],
+    )._jdf.queryExecution().executedPlan().toString()
+    # count_distinct-free suites compile to exactly one aggregate pair
+    assert plan.count("HashAggregate") <= 2, plan
+
+
+def test_fk_check_counts_orphans(spark):
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    r = dq.fk_check(child, "fk", parent, "pk").collect()[0]
+    # 1 orphan (99) out of 4 child rows; the NULL fk is not an orphan
+    assert r.check_name == "fk(fk)"
+    assert r.metric == pytest.approx(0.25)
+    assert not r.passed
+    ok = dq.fk_check(child, "fk", parent, "pk", max_orphan_frac=0.3).collect()[0]
+    assert ok.passed
+
+
+def test_fk_check_empty_child_passes(spark):
+    child = spark.createDataFrame([], "id long, fk long")
+    parent = spark.createDataFrame([(10,)], "pk long")
+    r = dq.fk_check(child, "fk", parent, "pk").collect()[0]
+    assert r.metric is None and r.passed
+
+
+def test_run_checks_rejects_empty_suite(spark):
+    with pytest.raises(ValueError):
+        dq.run_checks(_frame(spark), [])
