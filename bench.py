@@ -199,6 +199,7 @@ HEADLINE = [
     "video_frame_features",
     # deequ-style expectations compiled to one scan per table
     "dq_report",
+    "nb_class_prf",
 ]
 
 

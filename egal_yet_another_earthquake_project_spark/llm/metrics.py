@@ -38,7 +38,12 @@ from egal_yet_another_earthquake_project_spark.operators.rowids import (
     ntile_exact,
 )
 
-__all__ = ["binary_auc", "average_precision", "calibration_table"]
+__all__ = [
+    "binary_auc",
+    "average_precision",
+    "prf_from_confusion",
+    "calibration_table",
+]
 
 
 def binary_auc(
@@ -150,6 +155,51 @@ def average_precision(
             / F.when(F.col("n_pos") > 0, F.col("n_pos").cast("double")),
             6,
         ).alias("ap"),
+    )
+
+
+def prf_from_confusion(
+    confusion: DataFrame,
+    true_col: str = "true_label",
+    pred_col: str = "pred_label",
+    n_col: str = "n",
+) -> DataFrame:
+    """Per-class precision / recall / F1 from a confusion-matrix frame
+    (true, pred, n) — classes² rows in, #classes rows out, pure
+    aggregation. A class never predicted gets NULL precision (undefined,
+    not zero-faked); F1 is NULL when either component is."""
+    tp = F.sum(F.when(F.col(true_col) == F.col(pred_col), F.col(n_col)))
+    by_true = confusion.groupBy(F.col(true_col).alias("cls")).agg(
+        F.coalesce(tp, F.lit(0)).alias("tp"),
+        F.sum(n_col).alias("support"),
+    )
+    by_pred = confusion.groupBy(F.col(pred_col).alias("cls")).agg(
+        F.sum(n_col).alias("predicted")
+    )
+    joined = by_true.join(by_pred, "cls", "full").select(
+        "cls",
+        F.coalesce("tp", F.lit(0)).alias("tp"),
+        F.coalesce("support", F.lit(0)).alias("support"),
+        F.coalesce("predicted", F.lit(0)).alias("predicted"),
+    )
+    precision = F.col("tp") / F.when(
+        F.col("predicted") > 0, F.col("predicted").cast("double")
+    )
+    recall = F.col("tp") / F.when(
+        F.col("support") > 0, F.col("support").cast("double")
+    )
+    return joined.select(
+        "cls",
+        "tp",
+        "support",
+        "predicted",
+        F.round(precision, 4).alias("precision"),
+        F.round(recall, 4).alias("recall"),
+        F.round(
+            2 * precision * recall
+            / F.when(precision + recall > 0, precision + recall),
+            4,
+        ).alias("f1"),
     )
 
 

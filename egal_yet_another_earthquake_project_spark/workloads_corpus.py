@@ -1107,6 +1107,50 @@ FROM rk WHERE rnk <= 10 ORDER BY cls, rnk
 """
 
 
+def q_nb_class_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 of the self-trained NB language-ID
+    classifier, derived from the confusion matrix (llm.metrics
+    .prf_from_confusion) — classes^2 rows in, one row per class out;
+    never-predicted classes get NULL precision, not zero-fakes."""
+    from egal_yet_another_earthquake_project_spark.llm import classify as lcls
+    from egal_yet_another_earthquake_project_spark.llm import metrics as lmet
+
+    conf = lcls.nb_confusion(_docs(spark, sf_dir))
+    return lmet.prf_from_confusion(conf).orderBy("cls")
+
+
+_NB_PRF_ORACLE = f"""
+WITH {_NB_SCORES_SQL},
+conf AS (
+  SELECT true_label, pred_label, count(*) AS n
+  FROM preds GROUP BY true_label, pred_label
+),
+bt AS (
+  SELECT true_label AS cls,
+         coalesce(sum(CASE WHEN true_label = pred_label THEN n END), 0) AS tp,
+         sum(n) AS support
+  FROM conf GROUP BY true_label
+),
+bp AS (SELECT pred_label AS cls, sum(n) AS predicted FROM conf GROUP BY pred_label),
+j AS (
+  SELECT cls, coalesce(tp, 0) AS tp, coalesce(support, 0) AS support,
+         coalesce(predicted, 0) AS predicted
+  FROM bt FULL JOIN bp USING (cls)
+),
+pr AS (
+  SELECT cls, tp, support, predicted,
+         CASE WHEN predicted > 0 THEN CAST(tp AS DOUBLE) / predicted END AS p,
+         CASE WHEN support > 0 THEN CAST(tp AS DOUBLE) / support END AS r
+  FROM j
+)
+SELECT cls, CAST(tp AS BIGINT) AS tp, CAST(support AS BIGINT) AS support,
+       CAST(predicted AS BIGINT) AS predicted,
+       round(p, 4) AS precision, round(r, 4) AS recall,
+       round(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r) END, 4) AS f1
+FROM pr ORDER BY cls
+"""
+
+
 def q_nb_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact average precision (area under the precision-recall curve,
     step estimator over distinct thresholds) of the NB 'en'-vs-rest
@@ -1204,6 +1248,7 @@ QUERIES = {
     "nb_model_score": q_nb_model_score,
     "nb_pr_auc": q_nb_pr_auc,
     "class_keywords": q_class_keywords,
+    "nb_class_prf": q_nb_class_prf,
 }
 
 ORACLES = {
@@ -1230,4 +1275,5 @@ ORACLES = {
     "nb_model_score": _NB_LANGID_ORACLE,
     "nb_pr_auc": _NB_PR_AUC_ORACLE,
     "class_keywords": _CLASS_KEYWORDS_ORACLE,
+    "nb_class_prf": _NB_PRF_ORACLE,
 }

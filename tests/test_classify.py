@@ -287,3 +287,23 @@ def test_log_odds_keywords_surface_class_exclusive_tokens(spark):
         assert [r.rnk for r in got] == [1, 2, 3]
         assert {got[0].tok, got[1].tok} == toks, (cls, got)
         assert got[0].z > 0
+
+
+def test_prf_from_confusion_hand_case_and_never_predicted(spark):
+    """Hand confusion: a=(2 tp, 1 fn to b), b=(1 tp), c never predicted
+    (1 fn to a). Precision of c is NULL (0 predicted), not 0."""
+    from egal_yet_another_earthquake_project_spark.llm import metrics as lmet
+
+    conf = spark.createDataFrame(
+        [("a", "a", 2), ("a", "b", 1), ("b", "b", 1), ("c", "a", 1)],
+        "true_label string, pred_label string, n long",
+    )
+    rows = {r.cls: r for r in lmet.prf_from_confusion(conf).collect()}
+    assert rows["a"].tp == 2 and rows["a"].support == 3
+    assert rows["a"].predicted == 3  # 2 correct + 1 from c
+    assert rows["a"].precision == pytest.approx(2 / 3, abs=1e-4)
+    assert rows["a"].recall == pytest.approx(2 / 3, abs=1e-4)
+    assert rows["b"].precision == pytest.approx(0.5)
+    assert rows["b"].recall == 1.0
+    assert rows["c"].predicted == 0 and rows["c"].precision is None
+    assert rows["c"].recall == 0.0 and rows["c"].f1 is None
