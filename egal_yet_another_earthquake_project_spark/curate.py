@@ -58,6 +58,8 @@ def curate_corpus(
     embeddings: DataFrame | None = None,
     semantic_cos_threshold: float = 0.95,
     semantic_nprobe: int = 4,
+    nb_model: str | None = None,
+    nb_keep_label: str = "en",
 ) -> CurationResult:
     """Run the full curation flow; see module docstring for the stages.
 
@@ -88,6 +90,11 @@ def curate_corpus(
     fractional extra — llm.sampling.mixture_epochs) BEFORE packing, so
     the shards materialize the training mixture itself; rows then carry
     a ``copy`` column and pack under a composite ``id#copy`` key.
+    ``nb_model`` adds the TRAINED-classifier gate (llm.classify
+    persisted model dir): survivors whose predicted label is not
+    ``nb_keep_label`` are dropped — last among the drop stages, after
+    every dedup decision, the position that keeps the streaming twin
+    bit-identical and spares duplicates the inference cost.
     """
     stats: dict[str, int] = {"input": docs.count()}
 
@@ -203,6 +210,32 @@ def curate_corpus(
         stats["after_semantic_dedup"] = sem_kept.count()
         deduped.unpersist()
         deduped = sem_kept
+
+    if nb_model is not None:
+        # Trained-classifier gate LAST among the drop stages, mirroring
+        # hop 2's placement in the streaming twin: a per-document filter
+        # AFTER every dedup decision is position-independent between the
+        # two pipelines (dedup winners are already fixed), which is what
+        # keeps drained ≡ batch bit-identical. Running the model on
+        # survivors only also means dups never pay inference.
+        from egal_yet_another_earthquake_project_spark.llm.classify import (
+            nb_classify_with_model,
+            read_nb_model,
+        )
+
+        weights, consts = read_nb_model(docs.sparkSession, nb_model)
+        scored_docs = deduped.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+        keep_ids = (
+            nb_classify_with_model(scored_docs, weights, consts)
+            .where(F.col("pred_label") == nb_keep_label)
+            .select(F.col("doc_id").alias(id_col))
+        )
+        nb_kept = deduped.join(keep_ids, id_col, "left_semi").persist()
+        stats["after_nb_gate"] = nb_kept.count()
+        deduped.unpersist()
+        deduped = nb_kept
 
     if alpha is not None:
         # No broadcast hint: `keep` is budget-sized, and a real curation

@@ -128,6 +128,13 @@ def _parser() -> argparse.ArgumentParser:
     )
     d.add_argument("--semantic-threshold", type=float, default=0.95)
     d.add_argument("--semantic-nprobe", type=int, default=4)
+    d.add_argument(
+        "--nb-model",
+        default=None,
+        help="persisted NB model dir (llm.classify.write_nb_model); "
+        "enables the trained-classifier gate",
+    )
+    d.add_argument("--nb-keep-label", default="en")
 
     e = sub.add_parser(
         "index", help="embeddings parquet → cell-partitioned IVF index"
@@ -188,6 +195,12 @@ def _parser() -> argparse.ArgumentParser:
     cs.add_argument("--vec-col", default="embedding")
     cs.add_argument("--semantic-threshold", type=float, default=0.95)
     cs.add_argument("--semantic-nprobe", type=int, default=4)
+    cs.add_argument(
+        "--nb-model",
+        default=None,
+        help="persisted NB model dir; enables the trained-classifier gate",
+    )
+    cs.add_argument("--nb-keep-label", default="en")
     cs.add_argument(
         "--compact-every",
         type=int,
@@ -343,6 +356,8 @@ def main(argv: list[str] | None = None) -> int:
                     else None
                 ),
                 semantic_cos_threshold=args.semantic_threshold,
+                nb_model=args.nb_model,
+                nb_keep_label=args.nb_keep_label,
                 semantic_nprobe=args.semantic_nprobe,
             )
             curate.write_shards(result, args.out)
@@ -438,6 +453,8 @@ def main(argv: list[str] | None = None) -> int:
                 vec_col=args.vec_col,
                 semantic_cos_threshold=args.semantic_threshold,
                 semantic_nprobe=args.semantic_nprobe,
+                nb_model=args.nb_model,
+                nb_keep_label=args.nb_keep_label,
             )
             if args.compact_every is not None:
                 stats = drain_with_scheduled_compaction(

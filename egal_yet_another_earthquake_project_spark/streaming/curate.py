@@ -234,6 +234,8 @@ def _score_hop(
     vec_type: str = "array<double>",
     semantic_cos_threshold: float = 0.95,
     semantic_nprobe: int = 4,
+    nb_model: str | None = None,
+    nb_keep_label: str = "en",
 ):
     """Hop 2: near-duplicate DROP + frozen-LM scoring, per micro-batch.
 
@@ -252,6 +254,13 @@ def _score_hop(
     Every frame cached along the way is tracked in a per-batch registry
     and released in ``finally`` — a long-running stream must not
     accumulate cached blocks across triggers."""
+    nb_frames = None
+    if nb_model is not None:
+        from egal_yet_another_earthquake_project_spark.llm.classify import (
+            read_nb_model,
+        )
+
+        nb_frames = read_nb_model(spark, nb_model)
     admitted_schema = _ADMITTED_FIELDS.format(
         id=id_col, idt=id_type, src=source_col, txt=text_col, et=event_time
     )
@@ -354,6 +363,33 @@ def _score_hop(
                 # embeddings served their gate — scored/shards keep the
                 # same schema with or without the semantic stage
                 kept = kept.drop(vec_col)
+
+            if nb_frames is not None:
+                # Trained-classifier gate, last among the drop stages —
+                # the same position as curate_corpus's nb_model gate
+                # (after every dedup decision, so a per-document filter
+                # cannot change which duplicate survived and drained
+                # stays bit-identical to batch). Model frames are
+                # materialized parquet loaded at hop BUILD (read_nb_model
+                # refuses a marker-less dir before the stream starts).
+                from egal_yet_another_earthquake_project_spark.llm.classify import (
+                    nb_classify_with_model,
+                )
+
+                nb_w, nb_c = nb_frames
+                nb_keep = (
+                    nb_classify_with_model(
+                        kept.select(
+                            F.col(id_col).alias("doc_id"),
+                            F.col(text_col).alias("text"),
+                        ),
+                        nb_w,
+                        nb_c,
+                    )
+                    .where(F.col("pred_label") == nb_keep_label)
+                    .select(F.col("doc_id").alias(id_col))
+                )
+                kept = kept.join(nb_keep, id_col, "left_semi")
 
             if model is not None:
                 from egal_yet_another_earthquake_project_spark.llm.lm import (
@@ -514,6 +550,8 @@ def curate_stream(
     vec_col: str = "embedding",
     semantic_cos_threshold: float = 0.95,
     semantic_nprobe: int = 4,
+    nb_model: str | None = None,
+    nb_keep_label: str = "en",
 ) -> list[StreamingQuery]:
     """Start the three hops as concurrent streaming queries (continuous
     mode: each hop's file source picks up the previous hop's commits
@@ -542,6 +580,7 @@ def curate_stream(
         semantic_index=semantic_index, vec_col=vec_col,
         semantic_cos_threshold=semantic_cos_threshold,
         semantic_nprobe=semantic_nprobe,
+        nb_model=nb_model, nb_keep_label=nb_keep_label,
     )
     started = []
     for writer in hops:
@@ -634,6 +673,8 @@ def _build_hops(
         semantic_index=semantic_index, vec_col=vec_col, vec_type=vec_type,
         semantic_cos_threshold=kw.get("semantic_cos_threshold", 0.95),
         semantic_nprobe=kw.get("semantic_nprobe", 4),
+        nb_model=kw.get("nb_model"),
+        nb_keep_label=kw.get("nb_keep_label", "en"),
     )
     pack = _pack_hop(
         spark, out_dir, checkpoint_dir,

@@ -835,3 +835,83 @@ def test_scheduled_compaction_cycle_is_bit_identical(spark, tmp_path: Path):
     # -1 bands bootstrap)
     assert len(list((tmp_path / "out_sched" / "scored").glob("_batch_id=*"))) == 1
     clean.unpersist()
+
+
+def test_nb_gate_drained_equals_batch(spark, tmp_path: Path):
+    """The trained-classifier gate composed into both pipelines: a
+    persisted NB model (trained on the full corpus, so 'en' predictions
+    exist on both sides by construction) gates the same drop through
+    curate_corpus(nb_model=...) and through the streaming twin — shards
+    must match row for row, and the gate must actually drop something
+    (otherwise this test proves nothing). A marker-less model dir fails
+    the stream at BUILD time."""
+    import pytest
+
+    from egal_yet_another_earthquake_project_spark.llm.classify import (
+        write_nb_model,
+    )
+
+    docs = read_table(spark, SF, "documents")
+    mdl = tmp_path / "nb_model"
+    write_nb_model(docs, str(mdl))
+
+    drop = _drop_frame(spark)
+    batch = curate.curate_corpus(
+        drop,
+        min_quality=0.5,
+        lang="en",
+        near_dedup=True,
+        jaccard_threshold=0.7,
+        keep="min_id",
+        ctx=256,
+        nb_model=str(mdl),
+        nb_keep_label="en",
+    )
+    assert batch.stats["after_nb_gate"] < batch.stats["after_dedup"], (
+        "fixture must exercise the gate: no doc was dropped"
+    )
+    want = {
+        tuple(r)
+        for r in batch.corpus.select(
+            "doc_id", "source", "text", "n_tokens", "start_tok", "pack_id"
+        ).collect()
+    }
+
+    src = tmp_path / "drop_in"
+    drop.selectExpr("doc_id", "source", "text", f"{TS} AS ingest_ts").coalesce(
+        1
+    ).write.parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+    drain_curate_stream(
+        spark,
+        str(src),
+        schema,
+        corpus=None,
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        model=None,
+        jaccard_threshold=0.7,
+        nb_model=str(mdl),
+        nb_keep_label="en",
+    )
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "out" / "shards"))
+        .select("doc_id", "source", "text", "n_tokens", "start_tok", "pack_id")
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+    bad = tmp_path / "partial_model"
+    (bad / "weights").mkdir(parents=True)
+    with pytest.raises(ValueError, match="_COMPLETE"):
+        drain_curate_stream(
+            spark,
+            str(src),
+            schema,
+            corpus=None,
+            out_dir=str(tmp_path / "out2"),
+            checkpoint_dir=str(tmp_path / "ck2"),
+            model=None,
+            nb_model=str(bad),
+        )
