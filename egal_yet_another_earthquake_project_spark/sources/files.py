@@ -122,3 +122,62 @@ def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+#: Interchange formats the lake reader/writer pair supports. Parquet and
+#: ORC are the columnar lake formats (predicate pushdown, column
+#: pruning); CSV and JSON-lines are the interchange edges (vendor drops,
+#: exports) a pipeline ingests once and converts.
+INTERCHANGE_FORMATS = ("parquet", "orc", "csv", "json")
+
+
+def write_format(
+    df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite"
+) -> None:
+    """Write ``df`` in any supported interchange format. CSV gets
+    header + RFC-4180 quoting (escape = double-quote) so text columns
+    containing commas/newlines/quotes round-trip; timestamps serialize
+    ISO-8601 in the session timezone both directions."""
+    if fmt not in INTERCHANGE_FORMATS:
+        raise ValueError(f"write_format: unsupported format {fmt!r}")
+    w = df.write.mode(mode)
+    if fmt == "csv":
+        w = w.option("header", "true").option("escape", '"')
+    w.format(fmt).save(path)
+
+
+def read_format(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """Batch scan of any supported interchange format.
+
+    Parquet/ORC are self-describing; CSV and JSON-lines REQUIRE an
+    explicit schema — at 100 TB, schema inference is a full extra pass
+    over the data AND nondeterministic across file samples, so refusing
+    to infer is the scale-correct default (the caller states the
+    contract; malformed rows then fail loudly instead of silently
+    retyping a column)."""
+    if fmt not in INTERCHANGE_FORMATS:
+        raise ValueError(f"read_format: unsupported format {fmt!r}")
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    elif fmt in ("csv", "json"):
+        raise ValueError(
+            f"read_format: {fmt} requires an explicit schema — inference "
+            "is an extra full scan and nondeterministic across files"
+        )
+    if fmt == "csv":
+        # multiLine: quoted fields may contain record separators, so a
+        # file cannot be split at newlines — each CSV file is one read
+        # unit. Right for interchange edges (write many medium files);
+        # the lake formats remain the splittable path.
+        r = (
+            r.option("header", "true")
+            .option("escape", '"')
+            .option("multiLine", "true")
+        )
+    return r.format(fmt).load(path)

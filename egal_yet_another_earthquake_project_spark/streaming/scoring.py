@@ -195,3 +195,34 @@ def nb_classify_sink(
         )
 
     return stream.writeStream.foreachBatch(_score)
+
+
+def dq_monitor_sink(
+    stream: DataFrame,
+    checks: list,
+    out_dir: str,
+) -> DataStreamWriter:
+    """``writeStream`` writer running a declarative data-quality suite
+    (``operators/quality.run_checks`` — null/unique/range/accepted-set
+    compiled into ONE aggregation scan) over EACH micro-batch and
+    landing the per-batch report into ``{out_dir}/_batch_id=N/`` — the
+    drift monitor a firehose runs continuously: the report is per-drop
+    by design (a whole-corpus metric would need the corpus; the monitor
+    answers "is THIS drop healthy"). Replay-idempotent via dynamic
+    partition overwrite, like the scoring sinks above; empty batches
+    write an empty partition (metrics NULL), never a crash."""
+    from egal_yet_another_earthquake_project_spark.operators.quality import (
+        run_checks,
+    )
+
+    def _report(batch: DataFrame, batch_id: int) -> None:
+        (
+            run_checks(batch, checks)
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_dir)
+        )
+
+    return stream.writeStream.foreachBatch(_report)

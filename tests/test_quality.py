@@ -90,3 +90,56 @@ def test_fk_check_empty_child_passes(spark):
 def test_run_checks_rejects_empty_suite(spark):
     with pytest.raises(ValueError):
         dq.run_checks(_frame(spark), [])
+
+
+def test_dq_monitor_stream_reports_per_batch(spark, tmp_path):
+    """Two triggers through dq_monitor_sink: each batch lands its own
+    report partition whose metrics equal run_checks on that batch
+    directly — the per-drop health monitor."""
+    from egal_yet_another_earthquake_project_spark.sources.files import (
+        stream_parquet_dir,
+    )
+    from egal_yet_another_earthquake_project_spark.streaming.scoring import (
+        dq_monitor_sink,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, "a", 5.0), (2, None, 15.0)], "id long, name string, val double"
+    )
+    b2 = spark.createDataFrame(
+        [(3, "c", 5.0), (4, "d", 5.0), (4, "e", 5.0)],
+        "id long, name string, val double",
+    )
+    src = tmp_path / "dq_in"
+    b1.coalesce(1).write.parquet(str(src / "b1"))
+    b2.coalesce(1).write.parquet(str(src / "b2"))
+    checks = [dq.not_null("name"), dq.unique("id"), dq.in_range("val", 0, 10)]
+    stream = stream_parquet_dir(
+        spark, str(src) + "/*", b1.schema, max_files_per_trigger=1
+    )
+    q = (
+        dq_monitor_sink(stream, checks, str(tmp_path / "dq_out"))
+        .option("checkpointLocation", str(tmp_path / "dq_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = spark.read.parquet(str(tmp_path / "dq_out"))
+    assert out.select("_batch_id").distinct().count() == 2
+    reports = {
+        (r._batch_id, r.check_name): (r.metric, r.passed)
+        for r in out.collect()
+    }
+    assert len(reports) == 6
+    # batch with the null name fails not_null at 0.5; the other passes
+    null_metrics = sorted(
+        m for (b, c), (m, _p) in reports.items() if c == "not_null(name)"
+    )
+    assert null_metrics == [0.0, 0.5]
+    dup_metrics = sorted(
+        m for (b, c), (m, _p) in reports.items() if c == "unique(id)"
+    )
+    assert dup_metrics[0] == 0.0 and abs(dup_metrics[1] - 1 / 3) < 1e-6

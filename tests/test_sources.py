@@ -118,3 +118,46 @@ def test_read_parquet_evolved_conforms_mixed_schema_files(spark, tmp_path):
     assert out.columns == ["id", "name", "score"]
     rows = {r.id: (r.name, r.score) for r in out.collect()}
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_interchange_formats_round_trip(spark, tmp_path):
+    """documents round-trips bit-identically through ORC, CSV (quoted
+    text with commas/quotes included), and JSON-lines with explicit
+    schemas; CSV/JSON without a schema are refused (inference = an
+    extra full pass, nondeterministic across files)."""
+    import pytest
+
+    from egal_yet_another_earthquake_project_spark.sources.files import (
+        read_format,
+        read_table,
+        write_format,
+    )
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    # plant hostile CSV content: commas, quotes, newline
+    hostile = docs.limit(5).selectExpr(
+        "doc_id + 1000000 AS doc_id",
+        """concat(text, ', "quoted, part"\nsecond line') AS text""",
+        "lang", "source", "n_chars",
+    )
+    frame = docs.select("doc_id", "text", "lang", "source", "n_chars").unionByName(
+        hostile
+    )
+    want = {tuple(r) for r in frame.collect()}
+    schema = frame.schema
+    for fmt in ("orc", "csv", "json"):
+        path = str(tmp_path / fmt)
+        write_format(frame, path, fmt)
+        got = {
+            tuple(r)
+            for r in read_format(spark, path, fmt, schema=schema)
+            .select("doc_id", "text", "lang", "source", "n_chars")
+            .collect()
+        }
+        assert got == want, f"{fmt} round trip diverged"
+
+    for fmt in ("csv", "json"):
+        with pytest.raises(ValueError, match="explicit schema"):
+            read_format(spark, str(tmp_path / fmt), fmt)
+    with pytest.raises(ValueError, match="unsupported"):
+        write_format(frame, str(tmp_path / "x"), "avro")
