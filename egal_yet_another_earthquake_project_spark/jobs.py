@@ -270,6 +270,24 @@ def _parser() -> argparse.ArgumentParser:
     ds.add_argument("--out", default=None, help="write scores here (default: show)")
     ds.add_argument("--top-k", type=int, default=None)
 
+    nt = sub.add_parser(
+        "nb-train",
+        help="train a multinomial Naive-Bayes classifier (language-ID / "
+        "quality gate) and persist it (weights/consts parquet + _COMPLETE)",
+    )
+    nt.add_argument("--source-dir", required=True, help="dir holding documents.parquet")
+    nt.add_argument("--out", required=True, help="model artifact directory")
+    nt.add_argument("--label-col", default="lang")
+
+    ns = sub.add_parser(
+        "nb-score",
+        help="classify a parquet of documents against a persisted nb-train "
+        "artifact (argmax class per doc)",
+    )
+    ns.add_argument("--model", required=True, help="nb-train artifact directory")
+    ns.add_argument("--docs", required=True, help="parquet of (doc_id, text) rows")
+    ns.add_argument("--out", default=None, help="write predictions here (default: show)")
+
     x = sub.add_parser(
         "explain",
         help="plan-property audit of a declared query (shuffles, joins, "
@@ -496,6 +514,35 @@ def main(argv: list[str] | None = None) -> int:
                 target_rows_per_file=args.target_rows,
             )
             print(json.dumps({"out": args.out, **res}))
+        elif args.cmd == "nb-train":
+            import json
+
+            from egal_yet_another_earthquake_project_spark.llm.classify import (
+                write_nb_model,
+            )
+
+            docs = spark.read.parquet(f"{args.source_dir}/documents.parquet")
+            write_nb_model(docs, args.out, label_col=args.label_col)
+            n_cls = spark.read.parquet(f"{args.out}/consts").count()
+            n_tok = spark.read.parquet(f"{args.out}/weights").count()
+            print(json.dumps(
+                {"out": args.out, "classes": n_cls, "token_class_rows": n_tok}
+            ))
+        elif args.cmd == "nb-score":
+            from egal_yet_another_earthquake_project_spark.llm.classify import (
+                nb_classify_with_model,
+                read_nb_model,
+            )
+
+            weights, consts = read_nb_model(spark, args.model)
+            preds = nb_classify_with_model(
+                spark.read.parquet(args.docs), weights, consts
+            )
+            if args.out:
+                preds.write.mode("overwrite").parquet(args.out)
+                print(f"predictions to {args.out}")
+            else:
+                preds.show(50, truncate=False)
         elif args.cmd == "lm-train":
             import json
 

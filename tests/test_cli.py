@@ -577,3 +577,48 @@ def test_cli_curate_decontaminate_flag(spark, tmp_path: Path, capsys):
         r.doc_id for r in spark.read.parquet(out).collect()
     }
     assert not shard_ids & {0, 1, 2}
+
+
+def test_cli_nb_train_and_score_round_trip(spark, tmp_path, capsys):
+    """nb-train persists a _COMPLETE-marked model; nb-score classifies
+    a docs parquet against it and the predictions match the in-process
+    classifier."""
+    import json
+
+    from egal_yet_another_earthquake_project_spark import jobs
+    from egal_yet_another_earthquake_project_spark.llm.classify import (
+        nb_classify,
+    )
+    from egal_yet_another_earthquake_project_spark.sources.files import (
+        read_table,
+    )
+
+    mdl = tmp_path / "nb_model"
+    real_stop = spark.stop
+    spark.stop = lambda: None  # main() would kill the shared test session
+    try:
+        rc = jobs.main(
+            ["nb-train", "--source-dir", "/root/testdata/sf0.001",
+             "--out", str(mdl)]
+        )
+        assert rc == 0
+        line = capsys.readouterr().out.strip().splitlines()[-1]
+        meta = json.loads(line)
+        assert meta["classes"] >= 2 and meta["token_class_rows"] > 0
+        assert (mdl / "_COMPLETE").exists()
+
+        out = tmp_path / "preds"
+        rc = jobs.main(
+            ["nb-score", "--model", str(mdl),
+             "--docs", "/root/testdata/sf0.001/documents.parquet",
+             "--out", str(out)]
+        )
+        assert rc == 0
+    finally:
+        spark.stop = real_stop
+    got = {
+        r.doc_id: r.pred_label for r in spark.read.parquet(str(out)).collect()
+    }
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    want = {r.doc_id: r.pred_label for r in nb_classify(docs).collect()}
+    assert got == want and len(want) > 0
