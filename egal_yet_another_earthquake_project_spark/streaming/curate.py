@@ -966,3 +966,43 @@ def compact_curate_outputs(
             layout,
         )
     return results
+
+
+def committed_batches(spark: SparkSession, out_dir: str) -> list[int]:
+    """Hop-2 batch ids with a commit manifest, ascending — the
+    pipeline's visibility ledger. Manifests are one tiny file per
+    batch, so this read is bounded by the number of committed batches,
+    not by data volume."""
+    try:
+        rows = spark.read.format("text").load(
+            f"{out_dir}/scored_commits"
+        ).collect()
+    except AnalysisException as exc:
+        get_cls = getattr(exc, "getCondition", None) or getattr(
+            exc, "getErrorClass", None
+        )
+        cls = get_cls() if callable(get_cls) else None
+        if cls in _NO_HISTORY or "Path does not exist" in str(exc):
+            return []
+        raise
+    return sorted({int(r.value.strip()) for r in rows if r.value.strip()})
+
+
+def read_scored_asof(
+    spark: SparkSession, out_dir: str, upto_batch: int | None = None
+) -> DataFrame:
+    """Snapshot (time-travel) read of the curated corpus AS OF a hop-2
+    commit: only ``_batch_id`` partitions whose manifest exists — and,
+    with ``upto_batch``, only those ≤ it — are visible. A partition a
+    replayed/crashed batch wrote WITHOUT committing its manifest is
+    invisible, exactly as it is to hop 3: the manifest IS the commit.
+    The ``isin`` on partition values is a static partition filter —
+    Spark lists only the named directories, so reading an old snapshot
+    costs that snapshot's data, not the table's."""
+    ids = committed_batches(spark, out_dir)
+    if upto_batch is not None:
+        ids = [i for i in ids if i <= upto_batch]
+    scored = spark.read.parquet(f"{out_dir}/scored")
+    if not ids:
+        return scored.filter(F.lit(False))
+    return scored.filter(F.col("_batch_id").isin(ids))

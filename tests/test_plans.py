@@ -137,6 +137,21 @@ _ALLOWED_NESTED_LOOP = {
     # one-row count frames (the lsh_recall shape).
     "pq_index_topk",
     "pq_recall",
+    # NB classifier family: the ≤#classes constants frame and the
+    # one-row vocabulary/total aggregates broadcast-cross into the
+    # doc/token frames — bounded K×n / 1×n by construction; the eval
+    # metrics additionally cross one-row count frames (lsh_recall
+    # shape). Fightin-Words crosses the one-row corpus-total frame.
+    "nb_langid",
+    "nb_confusion",
+    "nb_model_score",
+    "nb_class_prf",
+    "nb_auc",
+    "nb_pr_auc",
+    "nb_calibration",
+    "class_keywords",
+    # The FK orphan-fraction rows cross two ONE-row count aggregates.
+    "dq_report",
     "top_parts_by_value",
     "acctbal_opportunity",
     # BM25 joins the one-row global (N, Σdl) statistics frame into the

@@ -915,3 +915,67 @@ def test_nb_gate_drained_equals_batch(spark, tmp_path: Path):
             model=None,
             nb_model=str(bad),
         )
+
+
+def test_read_scored_asof_time_travel_and_manifest_visibility(
+    spark, tmp_path: Path
+):
+    """Two drops drained into one out_dir: the as-of-first-commit
+    snapshot returns exactly the first drop's scored rows; the full
+    read returns both; a scored partition WITHOUT a commit manifest
+    (a crashed batch's orphan) is invisible to every snapshot."""
+    from egal_yet_another_earthquake_project_spark.streaming.curate import (
+        committed_batches,
+        read_scored_asof,
+    )
+
+    drop = _drop_frame(spark)
+    cut = drop.agg(F.percentile_approx("doc_id", 0.5).alias("c")).collect()[0].c
+    d1 = drop.filter(F.col("doc_id") < F.lit(cut))
+    d2 = drop.filter(F.col("doc_id") >= F.lit(cut))
+
+    src = tmp_path / "in"
+    out, ck = tmp_path / "out", tmp_path / "ck"
+    d1.selectExpr("doc_id", "source", "text", f"{TS} AS ingest_ts").coalesce(
+        1
+    ).write.parquet(str(src / "d1"))
+    schema = spark.read.parquet(str(src / "d1")).schema
+    drain_curate_stream(
+        spark, str(src) + "/*", schema, corpus=None,
+        out_dir=str(out), checkpoint_dir=str(ck), model=None,
+    )
+    first_commits = committed_batches(spark, str(out))
+    assert first_commits, "first drain committed nothing"
+    first_ids = {
+        r.doc_id for r in read_scored_asof(spark, str(out)).collect()
+    }
+
+    d2.selectExpr("doc_id", "source", "text", f"{TS} AS ingest_ts").coalesce(
+        1
+    ).write.parquet(str(src / "d2"))
+    drain_curate_stream(
+        spark, str(src) + "/*", schema, corpus=None,
+        out_dir=str(out), checkpoint_dir=str(ck), model=None,
+    )
+    all_commits = committed_batches(spark, str(out))
+    assert len(all_commits) > len(first_commits)
+
+    snap = {
+        r.doc_id
+        for r in read_scored_asof(
+            spark, str(out), upto_batch=max(first_commits)
+        ).collect()
+    }
+    assert snap == first_ids
+    full = {r.doc_id for r in read_scored_asof(spark, str(out)).collect()}
+    assert full > snap
+
+    # orphan partition without manifest: invisible
+    orphan_id = max(all_commits) + 1000
+    spark.read.parquet(f"{out}/scored").limit(3).withColumn(
+        "_batch_id", F.lit(orphan_id)
+    ).write.mode("append").partitionBy("_batch_id").parquet(f"{out}/scored")
+    after = {r.doc_id for r in read_scored_asof(spark, str(out)).collect()}
+    assert after == full
+    raw = spark.read.parquet(f"{out}/scored")
+    assert raw.filter(F.col("_batch_id") == orphan_id).count() == 3
