@@ -200,6 +200,8 @@ HEADLINE = [
     # deequ-style expectations compiled to one scan per table
     "dq_report",
     "nb_class_prf",
+    # binned interval-overlap join (first-common-bucket, no dedup pass)
+    "interval_overlap",
 ]
 
 

@@ -195,3 +195,64 @@ def asof_join(
         for c in right_cols:
             out = out.withColumn(c, F.when(stale, F.lit(None)).otherwise(F.col(c)))
     return out.drop("_ts", "_side", "_asof_ts")
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_start: str = "a_start",
+    a_end: str = "a_end",
+    b_start: str = "b_start",
+    b_end: str = "b_end",
+    bucket_minutes: int = 5,
+    max_buckets: int = 10_000,
+) -> DataFrame:
+    """Interval × interval OVERLAP join (a_start < b_end AND
+    b_start < a_end) as an equi-join — the temporal-coverage shape
+    (outages × sessions, promotions × orders) that naive SQL plans as
+    an O(n·m) theta join.
+
+    Each interval explodes to the ``bucket_minutes``-wide buckets it
+    covers; candidates meet on the bucket key (ordinary hash join,
+    AQE-skew splittable). Two overlapping intervals share EVERY bucket
+    of their intersection, so the join is restricted to the FIRST
+    common bucket — ``greatest(floor(a_start/w), floor(b_start/w))`` —
+    which emits each pair exactly once: no distinct pass, no dedup
+    shuffle. The exact overlap predicate remains as a residual filter.
+
+    ``max_buckets`` bounds the per-row explosion: one interval spanning
+    years would otherwise fan out unboundedly (the skew cliff this
+    operator exists to avoid); violators fail loudly rather than
+    silently degrade the whole stage.
+    """
+    w = F.lit(int(bucket_minutes) * 60)
+
+    def buckets(start: str, end: str) -> F.Column:
+        lo = (F.unix_timestamp(start) / w).cast("long")
+        hi = (F.unix_timestamp(end) / w).cast("long")
+        guarded = F.when(
+            hi - lo < int(max_buckets), F.sequence(lo, hi)
+        ).otherwise(
+            F.raise_error(
+                F.format_string(
+                    "interval_overlap_join: interval spans more than "
+                    f"{int(max_buckets)} buckets (start=%s)", F.col(start)
+                )
+            )
+        )
+        return F.explode(guarded)
+
+    ea = a.withColumn("_b", buckets(a_start, a_end))
+    eb = b.withColumn("_b", buckets(b_start, b_end))
+    first_common = F.greatest(
+        (F.unix_timestamp(a_start) / w).cast("long"),
+        (F.unix_timestamp(b_start) / w).cast("long"),
+    )
+    overlap = (F.col(a_start) < F.col(b_end)) & (
+        F.col(b_start) < F.col(a_end)
+    )
+    return (
+        ea.join(eb, "_b")
+        .filter((F.col("_b") == first_common) & overlap)
+        .drop("_b")
+    )

@@ -1367,6 +1367,65 @@ ORDER BY o_custkey, valid_from, o_orderpriority
 """
 
 
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join (operators/joins
+    .interval_overlap_join): two interval sets derived from events
+    (deterministic id-keyed durations), paired where they overlap in
+    time — binned to 5-minute buckets, each pair emitted exactly once
+    at its first common bucket, residual-verified. The oracle runs the
+    naive theta join; equality proves the binning emits each
+    overlapping pair once and only once."""
+    from egal_yet_another_earthquake_project_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    secs = F.unix_timestamp("ts")
+    a = ev.where(F.col("event_id") % 13 == 0).select(
+        F.col("event_id").alias("a_id"),
+        F.col("ts").alias("a_start"),
+        F.timestamp_seconds(
+            secs + (F.col("event_id") % 50 + 10) * 60
+        ).alias("a_end"),
+    )
+    b = ev.where(F.col("event_id") % 17 == 0).select(
+        F.col("event_id").alias("b_id"),
+        F.col("ts").alias("b_start"),
+        F.timestamp_seconds(
+            secs + (F.col("event_id") % 30 + 10) * 60
+        ).alias("b_end"),
+    )
+    pairs = interval_overlap_join(a, b, bucket_minutes=5)
+    return pairs.select(
+        "a_id",
+        "b_id",
+        (
+            F.least(F.unix_timestamp("a_end"), F.unix_timestamp("b_end"))
+            - F.greatest(
+                F.unix_timestamp("a_start"), F.unix_timestamp("b_start")
+            )
+        ).alias("overlap_sec"),
+    ).orderBy("a_id", "b_id")
+
+
+_INTERVAL_OVERLAP_ORACLE = """
+WITH a AS (
+  SELECT event_id AS a_id, floor(epoch(ts))::BIGINT AS s,
+         floor(epoch(ts))::BIGINT + (event_id % 50 + 10) * 60 AS e
+  FROM events WHERE event_id % 13 = 0
+),
+b AS (
+  SELECT event_id AS b_id, floor(epoch(ts))::BIGINT AS s,
+         floor(epoch(ts))::BIGINT + (event_id % 30 + 10) * 60 AS e
+  FROM events WHERE event_id % 17 = 0
+)
+SELECT a_id, b_id,
+       least(a.e, b.e) - greatest(a.s, b.s) AS overlap_sec
+FROM a JOIN b ON a.s < b.e AND b.s < a.e
+ORDER BY a_id, b_id
+"""
+
+
 QUERIES = {
     "priority_history": q_priority_history,
     "zordered_band_scan": q_zordered_band_scan,
@@ -1394,6 +1453,7 @@ QUERIES = {
     "orders_with_returns": q_orders_with_returns,
     "customers_without_orders": q_customers_without_orders,
     "event_deltas": q_event_deltas,
+    "interval_overlap": q_interval_overlap,
     "replicated_dim_join": q_replicated_dim_join,
     "bloom_pruned_join": q_bloom_pruned_join,
     "funnel_conversion": q_funnel_conversion,
@@ -1433,6 +1493,7 @@ ORACLES = {
     "orders_with_returns": _SEMI_JOIN_ORACLE,
     "customers_without_orders": _ANTI_JOIN_ORACLE,
     "event_deltas": _EVENT_DELTAS_ORACLE,
+    "interval_overlap": _INTERVAL_OVERLAP_ORACLE,
     "replicated_dim_join": _REPLICATED_JOIN_ORACLE,
     "bloom_pruned_join": _BLOOM_JOIN_ORACLE,
     "funnel_conversion": _FUNNEL_ORACLE,

@@ -180,3 +180,55 @@ def test_quarantine_split_routes_malformed_payloads(spark):
         ("", "null_payload"),
         (None, "null_payload"),
     }
+
+
+def test_interval_overlap_join_semantics(spark):
+    """Binned interval join: overlapping pairs found exactly once (even
+    when they share many buckets), touching endpoints are NOT overlaps
+    (strict inequalities), containment counts, and an interval spanning
+    more than max_buckets fails loudly instead of exploding a stage."""
+    from egal_yet_another_earthquake_project_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    def iv(rows, pfx):
+        return spark.createDataFrame(
+            [(i, f"2024-01-01 {s}", f"2024-01-01 {e}") for i, s, e in rows],
+            f"{pfx}_id long, start string, end string",
+        ).selectExpr(
+            f"{pfx}_id",
+            f"CAST(start AS TIMESTAMP) AS {pfx}_start",
+            f"CAST(end AS TIMESTAMP) AS {pfx}_end",
+        )
+
+    a = iv(
+        [
+            (1, "00:00:00", "02:00:00"),   # long: 24 five-min buckets
+            (2, "03:00:00", "03:10:00"),
+            (3, "05:00:00", "05:01:00"),
+        ],
+        "a",
+    )
+    b = iv(
+        [
+            (10, "00:30:00", "01:40:00"),  # contained in a1, many shared buckets
+            (11, "03:10:00", "03:20:00"),  # touches a2 endpoint: NOT overlap
+            (12, "04:59:00", "05:30:00"),  # overlaps a3
+            (13, "23:00:00", "23:30:00"),  # overlaps nothing
+        ],
+        "b",
+    )
+    pairs = {
+        (r.a_id, r.b_id)
+        for r in interval_overlap_join(a, b).select("a_id", "b_id").collect()
+    }
+    assert pairs == {(1, 10), (3, 12)}
+
+    # the long pair (1, 10) shares 14+ buckets — exactly-once asserted
+    rows = interval_overlap_join(a, b).filter("a_id = 1 AND b_id = 10").count()
+    assert rows == 1
+
+    with pytest.raises(Exception, match="more than"):
+        interval_overlap_join(a, b, bucket_minutes=5, max_buckets=10).filter(
+            "a_id = 1"
+        ).count()
