@@ -202,6 +202,8 @@ HEADLINE = [
     "nb_class_prf",
     # binned interval-overlap join (first-common-bucket, no dedup pass)
     "interval_overlap",
+    # PSI drift gate (frozen-reference equal-width bins)
+    "psi_drift",
 ]
 
 

@@ -66,3 +66,99 @@ def global_extrema(df: DataFrame, col: str) -> DataFrame:
         F.max(col).cast("double").alias(f"max_{col}"),
         F.min(col).cast("double").alias(f"min_{col}"),
     )
+
+
+def psi_reference_stats(ref: DataFrame, col: str) -> dict:
+    """Frozen reference statistics for :func:`psi_profile`: the
+    reference's [min, max] range (two scalars — a bounded one-row
+    collect, the frozen-artifact pattern of ``lm.ppl_cutoffs``). The
+    monitor's bin edges must come from the TRUSTED distribution, not
+    drift with whatever batch arrives."""
+    row = ref.agg(
+        F.min(F.col(col)).cast("double").alias("lo"),
+        F.max(F.col(col)).cast("double").alias("hi"),
+    ).collect()[0]
+    if row.lo is None:
+        raise ValueError("psi_reference_stats: empty reference frame")
+    return {"col": col, "lo": float(row.lo), "hi": float(row.hi)}
+
+
+def _psi_bin(col: str, stats: dict, bins: int):
+    """Equal-width bin id over the FROZEN reference range; values
+    outside the range clamp into the edge bins (they are exactly the
+    drift signal — a new bin would change the reference proportions)."""
+    span = stats["hi"] - stats["lo"] or 1.0
+    raw = F.floor(
+        (F.col(col) - F.lit(stats["lo"])) * bins / F.lit(span)
+    ).cast("int")
+    return F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw))
+
+
+def psi_profile(
+    incoming: DataFrame,
+    ref: DataFrame,
+    col: str,
+    group_col: str | None = None,
+    bins: int = 10,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Population Stability Index of ``col``'s distribution per group
+    vs the reference — the ML-ops drift gate (rule of thumb: < 0.1
+    stable, 0.1–0.25 shifting, > 0.25 drifted)::
+
+        PSI = Σ_bins (p_i − q_i) · ln(p_i / q_i)
+
+    with p the group's and q the reference's Laplace-smoothed bin
+    proportions ((cnt + 1) / (n + bins) — no ln(0) without clipping
+    constants). Bins are equal-width over the FROZEN reference range
+    (``stats`` from :func:`psi_reference_stats`; computed here when not
+    given); out-of-range values clamp into the edge bins, so new-range
+    drift shows up instead of silently re-binning. Shape: one aggregate
+    per side over (group, bin) — two shuffles, a ≤bins-row broadcast,
+    no windows."""
+    stats = psi_reference_stats(ref, col) if stats is None else stats
+    gb = [group_col] if group_col is not None else []
+    q = (
+        ref.withColumn("_bin", _psi_bin(col, stats, bins))
+        .groupBy("_bin")
+        .agg(F.count("*").alias("_qc"))
+    )
+    q_tot = ref.agg(F.count("*").alias("_qn"))
+    p = (
+        incoming.withColumn("_bin", _psi_bin(col, stats, bins))
+        .groupBy(*gb, "_bin")
+        .agg(F.count("*").alias("_pc"))
+    )
+    p_tot = incoming.groupBy(*gb).agg(F.count("*").alias("_pn"))
+    all_bins = incoming.sparkSession.range(bins).select(
+        F.col("id").cast("int").alias("_bin")
+    )
+    grid = p_tot.crossJoin(F.broadcast(all_bins))
+    full = (
+        grid.join(p, gb + ["_bin"], "left")
+        .join(F.broadcast(q), "_bin", "left")
+        .crossJoin(F.broadcast(q_tot))
+        .withColumn(
+            "_p",
+            (F.coalesce(F.col("_pc"), F.lit(0)) + 1)
+            / (F.col("_pn") + F.lit(bins)).cast("double"),
+        )
+        .withColumn(
+            "_q",
+            (F.coalesce(F.col("_qc"), F.lit(0)) + 1)
+            / (F.col("_qn") + F.lit(bins)).cast("double"),
+        )
+    )
+    return (
+        full.groupBy(*gb, "_pn")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("_p") - F.col("_q"))
+                    * F.log(F.col("_p") / F.col("_q"))
+                ),
+                4,
+            ).alias("psi")
+        )
+        .select(*gb, F.col("_pn").alias("n"), "psi")
+    )

@@ -226,3 +226,40 @@ def dq_monitor_sink(
         )
 
     return stream.writeStream.foreachBatch(_report)
+
+
+def psi_monitor_sink(
+    stream: DataFrame,
+    ref: DataFrame,
+    col: str,
+    out_dir: str,
+    bins: int = 10,
+) -> DataStreamWriter:
+    """``writeStream`` writer computing the Population Stability Index
+    of each micro-batch's ``col`` distribution against a FROZEN
+    reference (``operators/stats.psi_profile``; the reference range is
+    collected once at sink build — the frozen-cutoffs pattern of
+    :func:`ppl_bucket_sink`) into ``{out_dir}/_batch_id=N/`` — the
+    per-drop drift gate: a drop whose PSI exceeds the pipeline's
+    threshold gets quarantined before it pollutes the corpus. The
+    reference frame should be a materialized table (its bin histogram
+    is re-read per batch as an artifact scan, never recomputed
+    lineage). Replay-idempotent via dynamic partition overwrite."""
+    from egal_yet_another_earthquake_project_spark.operators.stats import (
+        psi_profile,
+        psi_reference_stats,
+    )
+
+    stats = psi_reference_stats(ref, col)
+
+    def _psi(batch: DataFrame, batch_id: int) -> None:
+        (
+            psi_profile(batch, ref, col, bins=bins, stats=stats)
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_dir)
+        )
+
+    return stream.writeStream.foreachBatch(_psi)

@@ -1224,6 +1224,57 @@ FROM banded GROUP BY band ORDER BY band
 """
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Population Stability Index of the document-length
+    distribution vs the whole-corpus reference (operators/stats
+    .psi_profile): equal-width bins over the frozen reference range,
+    Laplace-smoothed proportions — the standard ML-ops drift gate as
+    two aggregates and a ≤bins broadcast, no windows."""
+    from egal_yet_another_earthquake_project_spark.operators import stats as st
+
+    docs = _docs(spark, sf_dir)
+    return st.psi_profile(
+        docs, docs, "n_chars", group_col="source", bins=10
+    ).orderBy("source")
+
+
+_PSI_DRIFT_ORACLE = """
+WITH stats AS (
+  SELECT CAST(min(n_chars) AS DOUBLE) AS lo,
+         CAST(max(n_chars) AS DOUBLE) AS hi,
+         count(*) AS qn
+  FROM documents
+),
+binned AS (
+  SELECT d.source,
+         least(9, greatest(0, CAST(floor(
+           (d.n_chars - s.lo) * 10
+           / (CASE WHEN s.hi - s.lo = 0 THEN 1.0 ELSE s.hi - s.lo END)
+         ) AS INTEGER))) AS bin
+  FROM documents d CROSS JOIN stats s
+),
+q AS (SELECT bin, count(*) AS qc FROM binned GROUP BY bin),
+p AS (SELECT source, bin, count(*) AS pc FROM binned GROUP BY source, bin),
+pt AS (SELECT source, count(*) AS pn FROM binned GROUP BY source),
+grid AS (
+  SELECT pt.source, pt.pn, CAST(b.b AS INTEGER) AS bin
+  FROM pt CROSS JOIN (SELECT unnest(range(0, 10)) AS b) b
+),
+filled AS (
+  SELECT g.source, g.pn,
+         (coalesce(p.pc, 0) + 1) / CAST(g.pn + 10 AS DOUBLE) AS pp,
+         (coalesce(q.qc, 0) + 1) / CAST(s.qn + 10 AS DOUBLE) AS qq
+  FROM grid g
+  LEFT JOIN p ON p.source = g.source AND p.bin = g.bin
+  LEFT JOIN q ON q.bin = g.bin
+  CROSS JOIN stats s
+)
+SELECT source, CAST(pn AS BIGINT) AS n,
+       round(sum((pp - qq) * ln(pp / qq)), 4) AS psi
+FROM filled GROUP BY source, pn ORDER BY source
+"""
+
+
 QUERIES = {
     "doc_chunks": q_doc_chunks,
     "repetition_profile": q_repetition_profile,
@@ -1249,6 +1300,7 @@ QUERIES = {
     "nb_pr_auc": q_nb_pr_auc,
     "class_keywords": q_class_keywords,
     "nb_class_prf": q_nb_class_prf,
+    "psi_drift": q_psi_drift,
 }
 
 ORACLES = {
@@ -1276,4 +1328,5 @@ ORACLES = {
     "nb_pr_auc": _NB_PR_AUC_ORACLE,
     "class_keywords": _CLASS_KEYWORDS_ORACLE,
     "nb_class_prf": _NB_PRF_ORACLE,
+    "psi_drift": _PSI_DRIFT_ORACLE,
 }

@@ -143,3 +143,71 @@ def test_dq_monitor_stream_reports_per_batch(spark, tmp_path):
         m for (b, c), (m, _p) in reports.items() if c == "unique(id)"
     )
     assert dup_metrics[0] == 0.0 and abs(dup_metrics[1] - 1 / 3) < 1e-6
+
+
+def test_psi_profile_identical_and_shifted_distributions(spark):
+    """PSI semantics on planted distributions: a group drawn identically
+    to the reference scores near zero; a group concentrated in one tail
+    bin scores high; out-of-range values clamp into edge bins instead
+    of vanishing."""
+    from egal_yet_another_earthquake_project_spark.operators.stats import (
+        psi_profile,
+        psi_reference_stats,
+    )
+
+    ref = spark.range(1000).selectExpr("CAST(id % 100 AS DOUBLE) AS x")
+    same = ref.selectExpr("'same' AS g", "x")
+    shifted = spark.range(500).selectExpr(
+        "'shifted' AS g", "CAST(95 + id % 5 AS DOUBLE) AS x"
+    )
+    outside = spark.range(500).selectExpr(
+        "'outside' AS g", "CAST(1000 + id AS DOUBLE) AS x"
+    )
+    incoming = same.unionByName(shifted).unionByName(outside)
+    out = {r.g: r for r in psi_profile(incoming, ref, "x", "g").collect()}
+    assert out["same"].psi < 0.01
+    assert out["shifted"].psi > 1.0
+    assert out["outside"].psi > 1.0  # clamped to the top bin, not dropped
+    assert out["outside"].n == 500
+
+    stats = psi_reference_stats(ref, "x")
+    assert (stats["lo"], stats["hi"]) == (0.0, 99.0)
+    import pytest
+
+    with pytest.raises(ValueError, match="empty reference"):
+        psi_reference_stats(ref.filter("x < 0"), "x")
+
+
+def test_psi_monitor_stream_flags_drifted_batch(spark, tmp_path):
+    """Two triggers: a batch resampled from the reference scores low;
+    a tail-concentrated batch scores high — the per-drop drift gate."""
+    from egal_yet_another_earthquake_project_spark.sources.files import (
+        stream_parquet_dir,
+    )
+    from egal_yet_another_earthquake_project_spark.streaming.scoring import (
+        psi_monitor_sink,
+    )
+
+    ref = spark.range(1000).selectExpr("CAST(id % 100 AS DOUBLE) AS x")
+    good = spark.range(400).selectExpr("CAST(id % 100 AS DOUBLE) AS x")
+    bad = spark.range(400).selectExpr("CAST(90 + id % 10 AS DOUBLE) AS x")
+    src = tmp_path / "psi_in"
+    good.coalesce(1).write.parquet(str(src / "b1"))
+    bad.coalesce(1).write.parquet(str(src / "b2"))
+    stream = stream_parquet_dir(
+        spark, str(src) + "/*", good.schema, max_files_per_trigger=1
+    )
+    q = (
+        psi_monitor_sink(stream, ref, "x", str(tmp_path / "psi_out"))
+        .option("checkpointLocation", str(tmp_path / "psi_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = sorted(
+        (r.psi for r in spark.read.parquet(str(tmp_path / "psi_out")).collect())
+    )
+    assert len(rows) == 2
+    assert rows[0] < 0.05 and rows[1] > 1.0
