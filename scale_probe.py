@@ -332,6 +332,28 @@ def probes():
         )
         return _mm.extract_frame_features(corpus, stride=2)
 
+    def interval_join(spark, ev):
+        from egal_yet_another_earthquake_project_spark.operators.joins import (
+            interval_overlap_join,
+        )
+
+        secs = F.unix_timestamp("ts")
+        a = ev.where(F.col("event_id") % 13 == 0).select(
+            F.col("event_id").alias("a_id"),
+            F.col("ts").alias("a_start"),
+            F.timestamp_seconds(
+                secs + (F.col("event_id") % 50 + 10) * 60
+            ).alias("a_end"),
+        )
+        b = ev.where(F.col("event_id") % 17 == 0).select(
+            F.col("event_id").alias("b_id"),
+            F.col("ts").alias("b_start"),
+            F.timestamp_seconds(
+                secs + (F.col("event_id") % 30 + 10) * 60
+            ).alias("b_end"),
+        )
+        return interval_overlap_join(a, b, bucket_minutes=5)
+
     def nb_classify(spark, docs):
         from egal_yet_another_earthquake_project_spark.llm import (
             classify as _cls,
@@ -408,6 +430,11 @@ def probes():
         # (grouped counts, one token join fanning ≤ #classes, per-doc
         # argmax); 10× docs must stay ~row-linear.
         ("NB language-ID train+classify", _documents, nb_classify, ROW_RATIO),
+        # interval overlap: events x10 replicate into the SAME time
+        # window, so the overlapping-PAIR mass grows ~100x by
+        # construction (both sides densify) — allowance sized to the
+        # pair growth like the near-dup families, not to row count.
+        ("interval overlap join (binned)", _events, interval_join, 150.0),
         ("video frame features (multi-frame GIF)", _documents, video_frames, ROW_RATIO),
     ]
 
