@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -29,6 +29,9 @@ __all__ = [
     "accepted_values",
     "run_checks",
     "fk_check",
+    "quality_metrics",
+    "observed",
+    "observed_stream",
 ]
 
 
@@ -135,3 +138,53 @@ def fk_check(
             <= F.lit(float(max_orphan_frac))
         ).alias("passed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# In-flight load audits via ``Dataset.observe`` — the zero-extra-pass
+# counterpart of the suites above: run_checks answers "audit this table"
+# (its own scan); observe rides an EXISTING job's plan and folds the
+# audit into the same pass (batch: Observation.get after the first
+# action; streams: per-micro-batch ``observedMetrics`` in every
+# StreamingQueryProgress — the monitoring/alerting hook).
+# ---------------------------------------------------------------------------
+
+
+def quality_metrics(
+    df: DataFrame,
+    ts_col: str | None = None,
+    not_null_cols: tuple[str, ...] = (),
+) -> list:
+    """The standard load-audit aggregate set: row count, per-column null
+    counts, and the event-time high-water mark."""
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    for c in not_null_cols:
+        metrics.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"n_null_{c}")
+        )
+    if ts_col is not None:
+        metrics.append(F.max(ts_col).alias("max_ts"))
+    return metrics
+
+
+def observed(
+    df: DataFrame,
+    ts_col: str | None = None,
+    not_null_cols: tuple[str, ...] = (),
+) -> tuple[DataFrame, Observation]:
+    """Batch: attach the audit metrics; read ``observation.get`` after
+    the first action on the returned frame."""
+    obs = Observation()
+    out = df.observe(obs, *quality_metrics(df, ts_col, not_null_cols))
+    return out, obs
+
+
+def observed_stream(
+    df: DataFrame,
+    name: str = "quality",
+    ts_col: str | None = None,
+    not_null_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Streaming: attach the audit metrics under ``name``; they appear in
+    each progress event's ``observedMetrics[name]``."""
+    return df.observe(name, *quality_metrics(df, ts_col, not_null_cols))
