@@ -152,6 +152,9 @@ _ALLOWED_NESTED_LOOP = {
     "class_keywords",
     # The FK orphan-fraction rows cross two ONE-row count aggregates.
     "dq_report",
+    # PSI crosses the ≤bins-row bin grid and the one-row reference
+    # total into the per-group frame — bounded K×n / 1×n broadcasts.
+    "psi_drift",
     "top_parts_by_value",
     "acctbal_opportunity",
     # BM25 joins the one-row global (N, Σdl) statistics frame into the
