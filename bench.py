@@ -204,6 +204,8 @@ HEADLINE = [
     "interval_overlap",
     # PSI drift gate (frozen-reference equal-width bins)
     "psi_drift",
+    # per-slice AUC (fairness/debug breakdown)
+    "nb_auc_by_source",
 ]
 
 

@@ -40,6 +40,7 @@ from egal_yet_another_earthquake_project_spark.operators.rowids import (
 
 __all__ = [
     "binary_auc",
+    "binary_auc_by_group",
     "average_precision",
     "prf_from_confusion",
     "calibration_table",
@@ -155,6 +156,66 @@ def average_precision(
             / F.when(F.col("n_pos") > 0, F.col("n_pos").cast("double")),
             6,
         ).alias("ap"),
+    )
+
+
+def binary_auc_by_group(
+    df: DataFrame,
+    group_col: str,
+    score_col: str = "score",
+    label_col: str = "label",
+    round_scores: int = 4,
+) -> DataFrame:
+    """Per-slice ROC-AUC — the fairness/debug breakdown (AUC per
+    source, per language, per cohort): the same midrank rank-sum as
+    :func:`binary_auc`, with the cumulative pass as a window PARTITIONED
+    BY GROUP over the frame grouped to one row per (group, distinct
+    rounded score). The window's partition sees at most the group's
+    distinct 4 dp scores — grouped-frame scale, never row scale (the
+    global variant needs the bucketed cumsum only because it has no
+    partition key at all). Returns one row per group: (group, n_pos,
+    n_neg, auc); groups missing a class get NULL."""
+    from pyspark.sql.window import Window
+
+    s = F.round(F.col(score_col), round_scores)
+    y = F.col(label_col).cast("int")
+    g = (
+        df.select(F.col(group_col).alias("_g"), s.alias("_s"), y.alias("_y"))
+        .groupBy("_g", "_s")
+        .agg(F.sum("_y").alias("_pos"), F.count("*").alias("_tot"))
+    )
+    w = (
+        Window.partitionBy("_g")
+        .orderBy(F.col("_s").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = g.withColumn("_cumtot", F.sum("_tot").over(w))
+    agg = cum.groupBy("_g").agg(
+        F.sum("_pos").alias("n_pos"),
+        F.sum(F.col("_tot") - F.col("_pos")).alias("n_neg"),
+        F.sum(
+            F.col("_pos")
+            * (
+                (F.col("_cumtot") - F.col("_tot")).cast("double")
+                + (F.col("_tot") + 1) / 2.0
+            )
+        ).alias("_ranksum"),
+    )
+    return agg.select(
+        F.col("_g").alias(group_col),
+        "n_pos",
+        "n_neg",
+        F.round(
+            (
+                F.col("_ranksum")
+                - F.col("n_pos").cast("double") * (F.col("n_pos") + 1) / 2.0
+            )
+            / F.when(
+                (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                F.col("n_pos").cast("double") * F.col("n_neg"),
+            ),
+            6,
+        ).alias("auc"),
     )
 
 

@@ -1224,6 +1224,53 @@ FROM banded GROUP BY band ORDER BY band
 """
 
 
+def q_nb_auc_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SLICE ROC-AUC of the NB 'en'-vs-rest score, one row per
+    source (llm.metrics.binary_auc_by_group) — the fairness/debug
+    breakdown every eval report carries; the cumulative pass windows
+    over the per-group distinct-score frame, never row-scale data."""
+    from egal_yet_another_earthquake_project_spark.llm import classify as lcls
+    from egal_yet_another_earthquake_project_spark.llm import metrics as lmet
+
+    scores = (
+        lcls.nb_scores(_docs(spark, sf_dir))
+        .where(F.col("cls") == "en")
+        .select(
+            "doc_id",
+            "score",
+            (F.col("true_label") == "en").alias("label"),
+        )
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    return lmet.binary_auc_by_group(
+        scores.join(docs, "doc_id"), "source"
+    ).orderBy("source")
+
+
+_NB_AUC_BY_SOURCE_ORACLE = f"""
+WITH {_NB_EN_SLICE_SQL},
+en_src AS (
+  SELECT en.s, en.y, d.source FROM en JOIN documents d USING (doc_id)
+),
+midranked AS (
+  SELECT source, y, avg(rn) OVER (PARTITION BY source, s) AS midrank
+  FROM (SELECT source, s, y,
+               row_number() OVER (PARTITION BY source ORDER BY s) AS rn
+        FROM en_src)
+),
+agg AS (
+  SELECT source, sum(y) AS n_pos, sum(1 - y) AS n_neg,
+         sum(CASE WHEN y = 1 THEN midrank END) AS ranksum
+  FROM midranked GROUP BY source
+)
+SELECT source, CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+       round(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         (ranksum - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2)
+         / (CAST(n_pos AS DOUBLE) * n_neg) END, 6) AS auc
+FROM agg ORDER BY source
+"""
+
+
 def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source Population Stability Index of the document-length
     distribution vs the whole-corpus reference (operators/stats
@@ -1301,6 +1348,7 @@ QUERIES = {
     "class_keywords": q_class_keywords,
     "nb_class_prf": q_nb_class_prf,
     "psi_drift": q_psi_drift,
+    "nb_auc_by_source": q_nb_auc_by_source,
 }
 
 ORACLES = {
@@ -1329,4 +1377,5 @@ ORACLES = {
     "class_keywords": _CLASS_KEYWORDS_ORACLE,
     "nb_class_prf": _NB_PRF_ORACLE,
     "psi_drift": _PSI_DRIFT_ORACLE,
+    "nb_auc_by_source": _NB_AUC_BY_SOURCE_ORACLE,
 }

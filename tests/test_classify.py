@@ -9,6 +9,8 @@ to the prior, and ties break deterministically on the class label.
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from egal_yet_another_earthquake_project_spark.llm import classify as lcls
 
 
@@ -307,3 +309,30 @@ def test_prf_from_confusion_hand_case_and_never_predicted(spark):
     assert rows["b"].recall == 1.0
     assert rows["c"].predicted == 0 and rows["c"].precision is None
     assert rows["c"].recall == 0.0 and rows["c"].f1 is None
+
+
+def test_binary_auc_by_group_matches_per_group_global(spark):
+    """Each group's sliced AUC equals binary_auc run on that group's
+    rows alone — the partitioned window and the bucketed-cumsum global
+    form compute the same rank-sum."""
+    import random
+
+    from egal_yet_another_earthquake_project_spark.llm import metrics as lmet
+
+    rng = random.Random(23)
+    rows = [
+        (i, "g" + str(i % 3),
+         round(rng.choice([0.2, 0.5, 0.5, 1.1, 1.8]), 4),
+         rng.random() < 0.45)
+        for i in range(240)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, grp string, score double, label boolean"
+    )
+    sliced = {
+        r.grp: (r.n_pos, r.n_neg, r.auc)
+        for r in lmet.binary_auc_by_group(df, "grp").collect()
+    }
+    for gname in ("g0", "g1", "g2"):
+        solo = lmet.binary_auc(df.where(F.col("grp") == gname)).collect()[0]
+        assert sliced[gname] == (solo.n_pos, solo.n_neg, solo.auc), gname
