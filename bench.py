@@ -206,6 +206,7 @@ HEADLINE = [
     "psi_drift",
     # per-slice AUC (fairness/debug breakdown)
     "nb_auc_by_source",
+    "dq_corpus",
 ]
 
 

@@ -1224,6 +1224,69 @@ FROM banded GROUP BY band ORDER BY band
 """
 
 
+def q_dq_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publish-gate expectations for the corpus tables: one-scan suite
+    over documents (ids unique, text present, length/lang domains) plus
+    the embeddings→documents foreign key as an anti-join orphan
+    fraction — the LLM-side twin of the warehouse dq_report."""
+    from egal_yet_another_earthquake_project_spark.operators import quality as dq
+    from egal_yet_another_earthquake_project_spark.sources.files import (
+        read_table,
+    )
+
+    docs = _docs(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings")
+    checks = dq.run_checks(
+        docs,
+        [
+            dq.not_null("doc_id"),
+            dq.not_null("text"),
+            dq.unique("doc_id"),
+            dq.in_range("n_chars", 1, 100000),
+            dq.accepted_values("lang", ("de", "en", "es", "fr", "zh")),
+        ],
+    )
+    fk = dq.fk_check(emb, "vec_id", docs, "doc_id")
+    return checks.unionByName(fk).orderBy("check_name")
+
+
+_DQ_CORPUS_ORACLE = """
+WITH r AS (
+  SELECT 'not_null(doc_id)' AS check_name,
+         avg(CAST(doc_id IS NULL AS DOUBLE)) AS metric, 0.0 AS threshold
+  FROM documents
+  UNION ALL
+  SELECT 'not_null(text)', avg(CAST(text IS NULL AS DOUBLE)), 0.0
+  FROM documents
+  UNION ALL
+  SELECT 'unique(doc_id)',
+         1.0 - CAST(count(DISTINCT doc_id) AS DOUBLE) / count(*), 0.0
+  FROM documents
+  UNION ALL
+  SELECT 'in_range(n_chars,1,100000)',
+         avg(CAST(n_chars IS NOT NULL
+                  AND n_chars NOT BETWEEN 1 AND 100000 AS DOUBLE)), 0.0
+  FROM documents
+  UNION ALL
+  SELECT 'accepted_values(lang)',
+         avg(CAST(lang IS NOT NULL
+                  AND lang NOT IN ('de','en','es','fr','zh') AS DOUBLE)), 0.0
+  FROM documents
+  UNION ALL
+  SELECT 'fk(vec_id)',
+         CAST((SELECT count(*) FROM embeddings e
+               WHERE e.vec_id IS NOT NULL
+                 AND NOT EXISTS (SELECT 1 FROM documents d
+                                 WHERE d.doc_id = e.vec_id)) AS DOUBLE)
+           / (SELECT count(*) FROM embeddings), 0.0
+)
+SELECT check_name, round(metric, 6) AS metric,
+       CAST(threshold AS DOUBLE) AS threshold,
+       metric <= threshold AS passed
+FROM r ORDER BY check_name
+"""
+
+
 def q_nb_auc_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-SLICE ROC-AUC of the NB 'en'-vs-rest score, one row per
     source (llm.metrics.binary_auc_by_group) — the fairness/debug
@@ -1349,6 +1412,7 @@ QUERIES = {
     "nb_class_prf": q_nb_class_prf,
     "psi_drift": q_psi_drift,
     "nb_auc_by_source": q_nb_auc_by_source,
+    "dq_corpus": q_dq_corpus,
 }
 
 ORACLES = {
@@ -1378,4 +1442,5 @@ ORACLES = {
     "nb_class_prf": _NB_PRF_ORACLE,
     "psi_drift": _PSI_DRIFT_ORACLE,
     "nb_auc_by_source": _NB_AUC_BY_SOURCE_ORACLE,
+    "dq_corpus": _DQ_CORPUS_ORACLE,
 }

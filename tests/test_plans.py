@@ -147,11 +147,13 @@ _ALLOWED_NESTED_LOOP = {
     "nb_model_score",
     "nb_class_prf",
     "nb_auc",
+    "nb_auc_by_source",
     "nb_pr_auc",
     "nb_calibration",
     "class_keywords",
     # The FK orphan-fraction rows cross two ONE-row count aggregates.
     "dq_report",
+    "dq_corpus",
     # PSI crosses the ≤bins-row bin grid and the one-row reference
     # total into the per-group frame — bounded K×n / 1×n broadcasts.
     "psi_drift",
