@@ -6,10 +6,19 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Noise-proof measurement policy (round-6 hardening):
 
-* Each query is timed THREE times (count() forces the full plan) and the
-  reported figure is the MEDIAN — a single shot is at the mercy of
-  episodic JVM stalls, and min-of-2 still let one lucky run mask a
-  host-contended window.
+* Each query is timed THREE times and the reported figure is the
+  MEDIAN — a single shot is at the mercy of episodic JVM stalls, and
+  min-of-2 still let one lucky run mask a host-contended window.
+* The timed thunk MATERIALIZES every output column (bit_xor of the
+  64-bit row hash over all columns, one driver row), not ``count()`` — under
+  count, Catalyst eliminates cardinality-preserving joins, windows and
+  generates, so 22 of r10's 119 rows timed a cheaper plan than the
+  declared query (asof_join lost 2 joins + 5 windows). A per-row plan
+  audit (Join/Window/Generate counts, full vs timed optimized plan)
+  runs before timing and ABORTS the regen on any deficit, so the
+  artifact can never silently under-measure again. r11 numbers are
+  therefore NOT comparable to ≤r10 numbers for the affected rows —
+  BENCH_HONESTY_r11.json maps old-form to new-form times in one epoch.
 * An A/A calibration pair brackets the suite: the SAME fixed CPU-bound
   reference job (no I/O, no shuffle) runs immediately before the first
   timed query and immediately after the last. Their ratio stamps the
@@ -294,6 +303,53 @@ def _bench_bpe200(spark, sf_dir: str):
     return merges.count()
 
 
+def _force(df):
+    """Materialize EVERY output column of ``df``: one aggregate over the
+    64-bit row hash of all columns, collected to a single driver row.
+
+    Why not ``count()``: Catalyst satisfies a count from the smallest
+    subtree that preserves cardinality — cardinality-preserving joins
+    (left joins to unique keys), windows, and generates are ELIMINATED
+    under count (r10 judge plan-audit: 22 of 119 bench rows timed
+    cheaper plans than the declared query; asof_join lost 2 joins + 5
+    windows). The row hash references every output column, so every
+    operator that produces any output column must execute; the BIT_XOR
+    aggregate keeps the driver transfer at one row regardless of result
+    size and cannot overflow under ANSI mode (a SUM of 64-bit hashes
+    does). Map/variant columns (not hashable by xxhash64) are rendered
+    through to_json first.
+    """
+    return _forced_form(df).collect()
+
+
+def _plan_nodes(df) -> dict:
+    """Join/Window/Generate node counts of the optimized logical plan —
+    the audit signature used to prove the timed form executes the same
+    heavy operators as the declared query."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    return {
+        "join": sum(line.strip().lstrip("+-: ").startswith("Join") for line in plan.splitlines()),
+        "window": sum(line.strip().lstrip("+-: ").startswith("Window") for line in plan.splitlines()),
+        "generate": sum(line.strip().lstrip("+-: ").startswith("Generate") for line in plan.splitlines()),
+    }
+
+
+def _forced_form(df):
+    """The exact frame :func:`_force` aggregates — exposed so the plan
+    audit inspects what the timed thunk will run."""
+    from pyspark.sql import functions as F
+
+    cols = []
+    for name, dtype in df.dtypes:
+        if dtype.startswith("map") or dtype.startswith("variant"):
+            cols.append(F.to_json(F.col(name)))
+        else:
+            cols.append(F.col(name))
+    return df.select(F.xxhash64(*cols).alias("_row_hash")).agg(
+        F.expr("bit_xor(_row_hash)")
+    )
+
+
 def _release_storage(spark) -> None:
     """Drop every cached table AND every persistent RDD block.
 
@@ -339,7 +395,7 @@ def main() -> None:
         if fn is None:
             continue
         try:
-            fn(spark, warmup_dir).count()
+            _force(fn(spark, warmup_dir))
         except Exception:
             pass
         spark.catalog.clearCache()
@@ -401,11 +457,36 @@ def main() -> None:
         timings[name] = round(samples[len(samples) // 2], 3)
         runs_detail[name] = [round(x, 3) for x in samples]
 
+    # Per-row honesty audit: the timed form (hash-of-all-columns
+    # aggregate) must carry at least as many Join/Window/Generate nodes
+    # as the declared query's own optimized plan. A deficit means
+    # Catalyst still eliminated work under the timed thunk — the r10
+    # judge finding this materializer exists to close — and the row's
+    # number would be a lie; the regen FAILS rather than emit it.
+    plan_audit_failures: list[str] = []
     for name in HEADLINE:
         fn = workloads.QUERIES.get(name)
         if fn is None:
             continue
-        _timed(name, lambda fn=fn: fn(spark, sf_dir).count())
+        try:
+            full = _plan_nodes(fn(spark, sf_dir))
+            timed = _plan_nodes(_forced_form(fn(spark, sf_dir)))
+        except Exception as exc:
+            plan_audit_failures.append(f"{name}: audit error: {exc}")
+            continue
+        deficit = {k: (full[k], timed[k]) for k in full if timed[k] < full[k]}
+        if deficit:
+            plan_audit_failures.append(f"{name}: timed plan drops {deficit}")
+    if plan_audit_failures:
+        for msg in plan_audit_failures:
+            print(f"bench: PLAN AUDIT FAILED: {msg}", file=sys.stderr)
+        raise SystemExit(2)
+
+    for name in HEADLINE:
+        fn = workloads.QUERIES.get(name)
+        if fn is None:
+            continue
+        _timed(name, lambda fn=fn: _force(fn(spark, sf_dir)))
 
     # The composed curate job: not a declared query (it writes shards),
     # timed as its own row so the end-to-end path the two round-3 scale
@@ -436,6 +517,12 @@ def main() -> None:
         ) if calibration else None,
         "runs_per_query": RUNS,
         "stat": "median",
+        # r11+: full-materialization timing (sum of row hashes over all
+        # output columns) with a pre-flight plan audit; rows are not
+        # comparable to <=r10 count()-form numbers where the audit
+        # found eliminated subtrees (see BENCH_HONESTY_r11.json).
+        "materialization": "xxhash64-all-columns-bitxor",
+        "plan_audit": "pass",
     }
     print(json.dumps(payload))
 

@@ -231,11 +231,12 @@ def interval_overlap_join(
         lo = (F.unix_timestamp(start) / w).cast("long")
         hi = (F.unix_timestamp(end) / w).cast("long")
         guarded = F.when(
-            hi - lo < int(max_buckets), F.sequence(lo, hi)
+            (hi >= lo) & (hi - lo < int(max_buckets)), F.sequence(lo, hi)
         ).otherwise(
             F.raise_error(
                 F.format_string(
-                    "interval_overlap_join: interval spans more than "
+                    "interval_overlap_join: interval is inverted (end "
+                    "before start) or spans more than "
                     f"{int(max_buckets)} buckets (start=%s)", F.col(start)
                 )
             )

@@ -60,9 +60,13 @@ def not_null(col: str, max_null_frac: float = 0.0) -> Check:
 
 
 def unique(col: str, max_dup_frac: float = 0.0) -> Check:
-    """Fraction of rows carrying a duplicated ``col`` value must be ≤
-    the threshold: 1 − distinct/count (exact, one count_distinct)."""
-    frac = 1.0 - F.count_distinct(F.col(col)) / F.count(F.lit(1))
+    """EXCESS-copy fraction among non-null values must be ≤ the
+    threshold: 1 − distinct/count over non-null rows (exact, one
+    count_distinct). Two duplicate values in 100 rows score 0.01 (the
+    one excess copy), not 0.02. NULLs are excluded entirely — NULL
+    handling belongs to :func:`not_null`, so a nullable column cannot
+    fail uniqueness purely from NULL density."""
+    frac = 1.0 - F.count_distinct(F.col(col)) / F.count(F.col(col))
     return Check(f"unique({col})", frac, max_dup_frac)
 
 

@@ -1002,7 +1002,27 @@ def read_scored_asof(
     ids = committed_batches(spark, out_dir)
     if upto_batch is not None:
         ids = [i for i in ids if i <= upto_batch]
-    scored = spark.read.parquet(f"{out_dir}/scored")
+    try:
+        scored = spark.read.parquet(f"{out_dir}/scored")
+    except AnalysisException:
+        if not ids:
+            # Nothing ever committed AND the scored dir was never
+            # created: the empty snapshot, same contract as the
+            # no-commits case below — not an error. The real column
+            # set is pipeline-configured (it carries the input's
+            # columns), so the pre-first-commit snapshot exposes the
+            # minimal stable columns every scored table has.
+            return spark.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField("n_bigrams", T.LongType()),
+                        T.StructField("nll", T.DoubleType()),
+                        T.StructField("_batch_id", T.LongType()),
+                    ]
+                ),
+            )
+        raise
     if not ids:
         return scored.filter(F.lit(False))
     return scored.filter(F.col("_batch_id").isin(ids))

@@ -1260,7 +1260,7 @@ WITH r AS (
   FROM documents
   UNION ALL
   SELECT 'unique(doc_id)',
-         1.0 - CAST(count(DISTINCT doc_id) AS DOUBLE) / count(*), 0.0
+         1.0 - CAST(count(DISTINCT doc_id) AS DOUBLE) / count(doc_id), 0.0
   FROM documents
   UNION ALL
   SELECT 'in_range(n_chars,1,100000)',
@@ -1385,6 +1385,160 @@ FROM filled GROUP BY source, pn ORDER BY source
 """
 
 
+def q_lr_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature LOGISTIC REGRESSION trained by distributed batch
+    gradient descent (llm.lr; VERDICT r10 'Next round' #3) — the
+    discriminative fastText-style quality gate beside the generative
+    NB family. Each of the 8 epochs is two exact integer aggregations
+    (margins per doc, gradient per bucket) with the ≤1025-row model
+    broadcast; the one float step (sigmoid) is quantized back to an
+    integer grid per doc before entering any sum, so the DuckDB oracle
+    unrolling the same epochs reproduces the weights BIT-FOR-BIT —
+    the strongest possible parity statement for iterative training."""
+    from egal_yet_another_earthquake_project_spark.llm import lr as llr
+
+    return llr.lr_train(_docs(spark, sf_dir)).orderBy("bucket")
+
+
+def q_lr_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inference with the GD-trained LR model: per-doc margin (exact
+    integer dot product, reported in real units) + the planted
+    en-vs-rest label + the p ≥ 0.5 decision (margin sign — no sigmoid
+    needed at inference)."""
+    from egal_yet_another_earthquake_project_spark.llm import lr as llr
+
+    docs = _docs(spark, sf_dir)
+    w = llr.lr_train(docs)
+    return (
+        llr.lr_scores(docs, w)
+        .select(
+            "doc_id",
+            F.round(F.col("score") / llr.SCALE, 6).alias("score"),
+            "label",
+            (F.col("score") >= 0).alias("pred"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_lr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the LR margin on the SAME planted en-vs-rest
+    labels the NB eval family uses (nb_auc) — the discriminative-vs-
+    generative comparison row, through the same bucketed midrank
+    rank-sum (no data-scale ranking window)."""
+    from egal_yet_another_earthquake_project_spark.llm import lr as llr
+    from egal_yet_another_earthquake_project_spark.llm import metrics as lmet
+
+    docs = _docs(spark, sf_dir)
+    w = llr.lr_train(docs)
+    sliced = llr.lr_scores(docs, w).select(
+        "doc_id", (F.col("score") / llr.SCALE).alias("score"), "label"
+    )
+    return lmet.binary_auc(sliced)
+
+
+def _lr_sql_chain() -> str:
+    """The LR training loop unrolled into DuckDB CTEs — one
+    (margins, residuals, gradient, update) quartet per epoch, same
+    integer grids and explicit truncate-toward-zero division as the
+    Spark plan (llm/lr.py). The trade_pagerank replay pattern applied
+    to gradient descent."""
+    from egal_yet_another_earthquake_project_spark.llm import lr as llr
+
+    d, s, g = llr.DIM, llr.SCALE, llr.GRID
+    lrn, lrd = llr.LR_NUM, llr.LR_DEN
+    parts = [
+        f"""
+feats AS (
+  SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS x FROM (
+    SELECT doc_id,
+           CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) % {d} AS bucket
+    FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+  ) GROUP BY doc_id, bucket
+  UNION ALL
+  SELECT doc_id, {d} AS bucket, CAST(1 AS BIGINT) AS x FROM documents
+),
+labels AS (SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS y FROM documents),
+tot AS (SELECT count(*) AS n FROM documents),
+w0 AS (SELECT CAST(unnest(range(0, {d + 1})) AS BIGINT) AS bucket,
+              CAST(0 AS BIGINT) AS w)"""
+    ]
+    for i in range(1, llr.EPOCHS + 1):
+        parts.append(
+            f""",
+m{i} AS (SELECT f.doc_id, sum(f.x * w.w) AS m
+         FROM feats f JOIN w{i - 1} w USING (bucket) GROUP BY f.doc_id),
+r{i} AS (SELECT l.doc_id,
+                CAST(round((1.0 / (1.0 + exp(-(CAST(coalesce(m.m, 0) AS DOUBLE)
+                                               / {s}.0)))
+                            - l.y) * {g}.0, 0) AS BIGINT) AS r
+         FROM labels l LEFT JOIN m{i} m USING (doc_id)),
+g{i} AS (SELECT f.bucket, sum(r.r * f.x) AS grad
+         FROM feats f JOIN r{i} r USING (doc_id) GROUP BY f.bucket),
+gb{i} AS (SELECT w.bucket, w.w, coalesce(g.grad, 0) AS grad, t.n
+          FROM w{i - 1} w LEFT JOIN g{i} g USING (bucket) CROSS JOIN tot t),
+gd{i} AS (SELECT bucket, w,
+                 CASE WHEN grad >= 0 THEN grad // n
+                      ELSE -((-grad) // n) END AS gbar
+          FROM gb{i}),
+w{i} AS (SELECT bucket,
+                CAST(w - (CASE WHEN gbar >= 0
+                               THEN ({lrn} * gbar * {s}) // ({g} * {lrd})
+                               ELSE -(({lrn} * -gbar * {s}) // ({g} * {lrd}))
+                          END) AS BIGINT) AS w
+         FROM gd{i})"""
+        )
+    return "".join(parts)
+
+
+def _lr_oracles() -> tuple:
+    from egal_yet_another_earthquake_project_spark.llm import lr as llr
+
+    chain = _lr_sql_chain()
+    last = f"w{llr.EPOCHS}"
+    weights = f"""
+WITH {chain}
+SELECT bucket, w FROM {last} ORDER BY bucket
+"""
+    score = f"""
+WITH {chain},
+mf AS (SELECT f.doc_id, sum(f.x * w.w) AS m
+       FROM feats f JOIN {last} w USING (bucket) GROUP BY f.doc_id)
+SELECT d.doc_id,
+       round(CAST(coalesce(m.m, 0) AS DOUBLE) / {llr.SCALE}.0, 6) AS score,
+       d.lang = 'en' AS label,
+       coalesce(m.m, 0) >= 0 AS pred
+FROM documents d LEFT JOIN mf m USING (doc_id)
+ORDER BY doc_id
+"""
+    auc = f"""
+WITH {chain},
+mf AS (SELECT f.doc_id, sum(f.x * w.w) AS m
+       FROM feats f JOIN {last} w USING (bucket) GROUP BY f.doc_id),
+en AS (SELECT l.doc_id,
+              round(CAST(coalesce(m.m, 0) AS DOUBLE) / {llr.SCALE}.0, 4) AS s,
+              CAST(l.y AS INT) AS y
+       FROM labels l LEFT JOIN mf m USING (doc_id)),
+midranked AS (
+  SELECT y, avg(rn) OVER (PARTITION BY s) AS midrank
+  FROM (SELECT s, y, row_number() OVER (ORDER BY s) AS rn FROM en)
+),
+agg AS (
+  SELECT sum(y) AS n_pos, sum(1 - y) AS n_neg,
+         sum(CASE WHEN y = 1 THEN midrank END) AS ranksum
+  FROM midranked
+)
+SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+       round((ranksum - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2)
+             / (CAST(n_pos AS DOUBLE) * n_neg), 6) AS auc
+FROM agg
+"""
+    return weights, score, auc
+
+
+_LR_WEIGHTS_ORACLE, _LR_SCORE_ORACLE, _LR_AUC_ORACLE = _lr_oracles()
+
+
 QUERIES = {
     "doc_chunks": q_doc_chunks,
     "repetition_profile": q_repetition_profile,
@@ -1413,6 +1567,9 @@ QUERIES = {
     "psi_drift": q_psi_drift,
     "nb_auc_by_source": q_nb_auc_by_source,
     "dq_corpus": q_dq_corpus,
+    "lr_weights": q_lr_weights,
+    "lr_score": q_lr_score,
+    "lr_auc": q_lr_auc,
 }
 
 ORACLES = {
@@ -1443,4 +1600,7 @@ ORACLES = {
     "psi_drift": _PSI_DRIFT_ORACLE,
     "nb_auc_by_source": _NB_AUC_BY_SOURCE_ORACLE,
     "dq_corpus": _DQ_CORPUS_ORACLE,
+    "lr_weights": _LR_WEIGHTS_ORACLE,
+    "lr_score": _LR_SCORE_ORACLE,
+    "lr_auc": _LR_AUC_ORACLE,
 }

@@ -1487,6 +1487,89 @@ def q_gif_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GIF_DECODE_ORACLE = _PNG_DECODE_ORACLE
 
 
+def q_jpeg_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third COMPRESSED media decode end-to-end, and the first LOSSY
+    industry codec (llm.multimodal._decode_jpeg; VERDICT r10 "What's
+    missing #3"): one deterministic 16×16 baseline JFIF JPEG per
+    document — four luma blocks in one MCU grid under 4:2:0, entropy stream
+    REALLY Huffman-coded (Annex-K tables transmitted in DHT, DC
+    prediction across 4 blocks, two ZRL runs per block ahead of the
+    F(4,4) coefficient, EOB, byte stuffing) and REALLY decoded (tables
+    rebuilt from the stream, EXTEND, dequantize, float IDCT, chroma
+    upsample, YCbCr→RGB).
+
+    Lossy-codec oracle trick (the GIF lane's integer-grid idea applied
+    to the DCT): each 8×8 luma block is base_b + amp_b·s(x)·s(y), where
+    s is the sign pattern of the (4,4) DCT basis — its transform is
+    EXACTLY DC = 8·(base−128) and F(4,4) = 8·amp, and the uniform-8
+    quant table divides both losslessly, so decode(encode(p)) == p
+    bit-for-bit while every stage of the codec stays real. Grayscale
+    pixels make the YCbCr round trip exact (Y = v, Cb = Cr = 128) and
+    the constant-128 chroma planes quantize to all-zero blocks. The
+    oracle replays the pixel formula analytically; a hash mismatch
+    means the Huffman/IDCT path misread real bytes."""
+    import pandas as _pd
+
+    from egal_yet_another_earthquake_project_spark.llm import multimodal as _mm
+
+    width = height = 16
+    sgn = [1 if x % 8 in (0, 3, 4, 7) else -1 for x in range(width)]
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rows = []
+                for y in range(height):
+                    row = []
+                    for x in range(width):
+                        blk = (y // 8) * (width // 8) + (x // 8)
+                        base = 16 + (did * 37 + blk * 59) % 208
+                        amp = 1 + (did * 11 + blk * 7) % 13
+                        v = base + amp * sgn[x] * sgn[y]
+                        row.append((v, v, v))
+                    rows.append(row)
+                payloads.append(_mm.encode_jpeg(width, height, rows))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    corpus = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .mapInPandas(build, "doc_id long, payload binary")
+    )
+    feats = lmm.extract_features(corpus)
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("bucket", "ratio")
+    )
+
+
+_JPEG_DECODE_ORACLE = """
+WITH px AS (
+  SELECT d.doc_id,
+         16 + (d.doc_id * 37
+               + ((p.p // 16 // 8) * 2 + (p.p % 16 // 8)) * 59) % 208
+         + (1 + (d.doc_id * 11
+                 + ((p.p // 16 // 8) * 2 + (p.p % 16 // 8)) * 7) % 13)
+           * (CASE WHEN (p.p % 16) % 8 IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+           * (CASE WHEN (p.p // 16) % 8 IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+           AS lum
+  FROM documents d, unnest(range(0, 256)) AS p(p)
+),
+counts AS (
+  SELECT doc_id, lum * 8 // 256 AS bucket, count(*) AS c
+  FROM px GROUP BY doc_id, bucket
+),
+buckets AS (SELECT unnest(range(0, 8)) AS bucket)
+SELECT d.doc_id AS doc_id,
+       CAST(b.bucket AS INTEGER) AS bucket,
+       CAST(coalesce(c.c, 0) AS DOUBLE) / 256 AS ratio
+FROM documents d
+CROSS JOIN buckets b
+LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.bucket = b.bucket
+"""
+
+
 def q_video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The VIDEO lane end-to-end (llm.multimodal.extract_frame_features):
     one deterministic 3-frame 8×4 animated GIF per document — per-frame
@@ -2731,6 +2814,7 @@ QUERIES = {
     "media_decode_features": q_media_decode_features,
     "png_decode_features": q_png_decode_features,
     "gif_decode_features": q_gif_decode_features,
+    "jpeg_decode_features": q_jpeg_decode_features,
     "video_frame_features": q_video_frame_features,
     "audio_decode_features": q_audio_decode_features,
     "media_thumbnail": q_media_thumbnail,
@@ -2780,6 +2864,7 @@ ORACLES = {
     "media_decode_features": _MEDIA_DECODE_ORACLE,
     "png_decode_features": _PNG_DECODE_ORACLE,
     "gif_decode_features": _GIF_DECODE_ORACLE,
+    "jpeg_decode_features": _JPEG_DECODE_ORACLE,
     "video_frame_features": _VIDEO_FRAMES_ORACLE,
     "audio_decode_features": _AUDIO_DECODE_ORACLE,
     "media_thumbnail": _MEDIA_THUMBNAIL_ORACLE,

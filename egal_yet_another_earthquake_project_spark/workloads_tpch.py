@@ -957,7 +957,7 @@ WITH o AS (
          avg(CAST(o_custkey IS NULL AS DOUBLE)), 0.0 FROM orders
   UNION ALL
   SELECT 'unique(o_orderkey)',
-         1.0 - CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*), 0.0
+         1.0 - CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(o_orderkey), 0.0
   FROM orders
   UNION ALL
   SELECT 'in_range(o_totalprice,0,600000)',

@@ -361,6 +361,12 @@ def probes():
 
         return _cls.nb_classify(docs)
 
+    def lr_gd(spark, docs):
+        from egal_yet_another_earthquake_project_spark.llm import lr as _lr
+
+        w = _lr.lr_train(docs)
+        return _lr.lr_classify(docs, w)
+
     # (name, input, op, allowed wall ratio). The near-dup construction
     # multiplies candidate-PAIR mass ~45-100× (every 10-copy cluster is
     # 45 pairs; same-prefix blocks grow 10× → up to 100× in-block
@@ -430,6 +436,10 @@ def probes():
         # (grouped counts, one token join fanning ≤ #classes, per-doc
         # argmax); 10× docs must stay ~row-linear.
         ("NB language-ID train+classify", _documents, nb_classify, ROW_RATIO),
+        # LR batch GD: per epoch two aggregations linear in the (doc,
+        # bucket) feature stream; model side fixed at 1025 rows, so the
+        # row allowance binds.
+        ("LR gradient-descent train+score", _documents, lr_gd, ROW_RATIO),
         # interval overlap: events x10 replicate into the SAME time
         # window, so the overlapping-PAIR mass grows ~100x by
         # construction (both sides densify) — allowance sized to the

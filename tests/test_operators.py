@@ -232,3 +232,11 @@ def test_interval_overlap_join_semantics(spark):
         interval_overlap_join(a, b, bucket_minutes=5, max_buckets=10).filter(
             "a_id = 1"
         ).count()
+
+    # INVERTED interval (end before start): |span| is negative, so the
+    # old span-only guard passed it and F.sequence generated a huge
+    # DESCENDING fan-out — the exact skew cliff the guard exists for.
+    # Must fail loudly, same as the over-span case.
+    bad = iv([(99, "12:00:00", "00:05:00")], "a")  # end 11h55m BEFORE start
+    with pytest.raises(Exception, match="inverted|more than"):
+        interval_overlap_join(bad, b).count()

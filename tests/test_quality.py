@@ -52,6 +52,22 @@ def test_run_checks_exact_fractions_and_threshold_flips(spark):
     assert relaxed.passed
 
 
+def test_unique_ignores_nulls_and_counts_excess_copies(spark):
+    """unique() measures the EXCESS-copy fraction over NON-NULL rows:
+    NULL density cannot fail a uniqueness check (that is not_null()'s
+    job), and k duplicate copies of one value count as k-1 excess."""
+    rows = [(1,), (2,), (None,), (None,), (None,), (3,), (3,), (3,)]
+    df = spark.createDataFrame(rows, "id long")
+    report = {
+        r.check_name: r
+        for r in dq.run_checks(df, [dq.unique("id", 0.5)]).collect()
+    }
+    # 5 non-null rows, 3 distinct -> 2 excess copies / 5 = 0.4; the
+    # three NULLs contribute nothing.
+    assert report["unique(id)"].metric == pytest.approx(0.4)
+    assert report["unique(id)"].passed
+
+
 def test_run_checks_is_one_aggregation_scan(spark):
     """However many expectations the suite declares, the physical plan
     aggregates the input exactly once (one partial+final HashAggregate

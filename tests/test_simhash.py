@@ -543,3 +543,103 @@ def test_extract_frame_features_one_row_per_sampled_frame(spark):
     assert all(r.n_frames == 3 for r in rows.values())
     assert rows[0].features == [1.0, 0, 0, 0, 0, 0, 0, 0.0]
     assert rows[2].features == rows[0].features
+
+
+def _jpeg_exact_pattern(did: int, width: int = 16, height: int = 16):
+    """The DC + F(4,4)-checkerboard pattern whose JPEG round trip is
+    exact by construction (see q_jpeg_decode_features): grayscale, each
+    8x8 block = base_b + amp_b * s(x) * s(y) with s the (4,4) basis
+    sign pattern, quantized losslessly by the uniform-8 table."""
+    sgn = [1 if x % 8 in (0, 3, 4, 7) else -1 for x in range(max(width, height))]
+    rows = []
+    for y in range(height):
+        row = []
+        for x in range(width):
+            blk = (y // 8) * (width // 8) + (x // 8)
+            base = 16 + (did * 37 + blk * 59) % 208
+            amp = 1 + (did * 11 + blk * 7) % 13
+            v = base + amp * sgn[x] * sgn[y]
+            row.append((v, v, v))
+        rows.append(row)
+    return rows
+
+
+def test_jpeg_roundtrip_exact_on_dct_grid_420_and_444():
+    """encode_jpeg → decode_payload is bit-exact on the DCT-grid
+    pattern through BOTH subsampling modes: real Huffman entropy coding
+    (DC prediction across the 4-block MCU, two ZRL runs before the
+    F(4,4) coefficient, EOB), dequantize, float IDCT, 4:2:0 chroma
+    upsample, YCbCr→RGB."""
+    from egal_yet_another_earthquake_project_spark.llm import multimodal as lmm
+
+    for did in (0, 1, 7, 42, 1999):
+        px = _jpeg_exact_pattern(did)
+        for sub in ("420", "444"):
+            got = lmm.decode_payload(lmm.encode_jpeg(16, 16, px, subsampling=sub))
+            assert got["format"] == "jpeg" and got["maxval"] == 255
+            assert (got["width"], got["height"]) == (16, 16)
+            assert got["pixels"] == px, f"did={did} sub={sub}"
+
+
+def test_jpeg_lossy_error_is_quant_bounded():
+    """On arbitrary pixels JPEG is lossy, but 4:4:4 with the uniform-8
+    table must reconstruct within a small per-channel bound (~q): a
+    blow-up means the entropy coding or IDCT misreads real bytes, not
+    just quantization noise."""
+    import random
+
+    from egal_yet_another_earthquake_project_spark.llm import multimodal as lmm
+
+    rng = random.Random(7)
+    px = [
+        [(rng.randrange(256),) * 3 for _ in range(16)] for _ in range(16)
+    ]
+    got = lmm.decode_payload(lmm.encode_jpeg(16, 16, px, subsampling="444"))
+    err = max(
+        abs(a - b)
+        for ry, dy in zip(px, got["pixels"])
+        for pa, pb in zip(ry, dy)
+        for a, b in zip(pa, pb)
+    )
+    assert err <= 16
+
+
+def test_jpeg_strict_rejection():
+    """Corrupt/unsupported JPEGs are rejected, never half-decoded:
+    progressive SOF2, truncation, trailing garbage, missing Huffman
+    table, restart intervals, bare SOI+EOI."""
+    import pytest
+
+    from egal_yet_another_earthquake_project_spark.llm import multimodal as lmm
+
+    good = lmm.encode_jpeg(16, 16, _jpeg_exact_pattern(3))
+    assert lmm.decode_payload(good)["format"] == "jpeg"
+
+    cases = [
+        good[:-1],                                      # truncated before EOI
+        good + b"??",                                   # trailing garbage
+        good.replace(b"\xff\xc0", b"\xff\xc2", 1),       # progressive
+        good.replace(b"\xff\xc4", b"\xff\xfe", 1),       # DHT -> COM: tables missing
+        b"\xff\xd8" + b"\xff\xdd\x00\x04\x00\x10" + good[2:],  # DRI
+        b"\xff\xd8\xff\xd9",                             # no scan at all
+    ]
+    for bad in cases:
+        with pytest.raises(NotImplementedError):
+            lmm.decode_payload(bad)
+
+
+def test_extract_features_routes_jpeg_to_pixel_histogram(spark):
+    """The unified features lane decodes JPEG payloads to REAL pixel
+    luminance features, identical to the same exact-grid image shipped
+    as PNG — compressed entropy bytes would histogram to noise."""
+    from egal_yet_another_earthquake_project_spark.llm import multimodal as lmm
+
+    px = _jpeg_exact_pattern(11)
+    jpg = lmm.encode_jpeg(16, 16, px)
+    png = lmm.encode_png(16, 16, px, filter_types=1)
+    df = spark.createDataFrame(
+        [(1, bytearray(jpg)), (2, bytearray(png))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r.features for r in lmm.extract_features(df).collect()}
+    assert rows[1] == rows[2]

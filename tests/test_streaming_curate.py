@@ -979,3 +979,19 @@ def test_read_scored_asof_time_travel_and_manifest_visibility(
     assert after == full
     raw = spark.read.parquet(f"{out}/scored")
     assert raw.filter(F.col("_batch_id") == orphan_id).count() == 3
+
+
+def test_read_scored_asof_fresh_out_dir_is_empty_snapshot(
+    spark, tmp_path: Path
+):
+    """An out_dir where NO batch ever committed and the scored
+    directory was never created returns the empty snapshot, not an
+    AnalysisException — same contract as committed_batches' missing-
+    manifest-dir guard."""
+    from egal_yet_another_earthquake_project_spark.streaming.curate import (
+        read_scored_asof,
+    )
+
+    snap = read_scored_asof(spark, str(tmp_path / "never_ran"))
+    assert snap.count() == 0
+    assert "_batch_id" in snap.columns
