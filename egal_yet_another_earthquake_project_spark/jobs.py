@@ -202,6 +202,13 @@ def _parser() -> argparse.ArgumentParser:
     )
     cs.add_argument("--nb-keep-label", default="en")
     cs.add_argument(
+        "--monitor",
+        action="store_true",
+        help="land per-drop monitoring tables under {out}/metrics: the "
+        "DQ expectation report and (with --corpus) PSI drift of the "
+        "kept text-length distribution vs the frozen corpus reference",
+    )
+    cs.add_argument(
         "--compact-every",
         type=int,
         default=None,
@@ -219,6 +226,23 @@ def _parser() -> argparse.ArgumentParser:
     cc.add_argument("--checkpoint", required=True)
     cc.add_argument("--source-col", default="source")
     cc.add_argument("--target-rows", type=int, default=1_000_000)
+
+    cv = sub.add_parser(
+        "curate-vacuum",
+        help="retention vacuum for curate-stream snapshot history: "
+        "compact scored history down to the last N commits and expire "
+        "the dead manifest ledger (run with the pipeline stopped)",
+    )
+    cv.add_argument("--out", required=True, help="pipeline output root")
+    cv.add_argument("--checkpoint", required=True)
+    cv.add_argument(
+        "--keep-last",
+        type=int,
+        default=0,
+        help="retain per-batch time travel for the newest N commits and "
+        "merge+expire everything older; 0 = only expire manifests already "
+        "dead from prior compactions",
+    )
 
     lt = sub.add_parser(
         "lm-train",
@@ -473,6 +497,7 @@ def main(argv: list[str] | None = None) -> int:
                 semantic_nprobe=args.semantic_nprobe,
                 nb_model=args.nb_model,
                 nb_keep_label=args.nb_keep_label,
+                monitor=args.monitor,
             )
             if args.compact_every is not None:
                 stats = drain_with_scheduled_compaction(
@@ -512,6 +537,20 @@ def main(argv: list[str] | None = None) -> int:
                 args.checkpoint,
                 source_col=args.source_col,
                 target_rows_per_file=args.target_rows,
+            )
+            print(json.dumps({"out": args.out, **res}))
+        elif args.cmd == "curate-vacuum":
+            import json
+
+            from egal_yet_another_earthquake_project_spark.streaming.curate import (
+                vacuum_scored_history,
+            )
+
+            res = vacuum_scored_history(
+                spark,
+                args.out,
+                args.checkpoint,
+                keep_last=args.keep_last,
             )
             print(json.dumps({"out": args.out, **res}))
         elif args.cmd == "nb-train":

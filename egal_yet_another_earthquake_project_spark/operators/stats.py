@@ -94,13 +94,33 @@ def _psi_bin(col: str, stats: dict, bins: int):
     return F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw))
 
 
+def psi_reference_hist(
+    ref: DataFrame, col: str, bins: int = 10, stats: dict | None = None
+) -> DataFrame:
+    """The reference side of :func:`psi_profile` as a ≤``bins``-row
+    frame (_bin, _qc, _qn) — compute it ONCE from the trusted corpus
+    and hand it to every monitoring call so a streaming monitor never
+    re-scans the reference per micro-batch (localCheckpoint it: it is
+    bins rows). ``psi_profile(incoming, ref)`` and ``psi_profile(
+    incoming, None, ref_hist=psi_reference_hist(ref, col))`` are
+    identical by construction."""
+    stats = psi_reference_stats(ref, col) if stats is None else stats
+    q = (
+        ref.withColumn("_bin", _psi_bin(col, stats, bins))
+        .groupBy("_bin")
+        .agg(F.count("*").alias("_qc"))
+    )
+    return q.crossJoin(F.broadcast(ref.agg(F.count("*").alias("_qn"))))
+
+
 def psi_profile(
     incoming: DataFrame,
-    ref: DataFrame,
+    ref: DataFrame | None,
     col: str,
     group_col: str | None = None,
     bins: int = 10,
     stats: dict | None = None,
+    ref_hist: DataFrame | None = None,
 ) -> DataFrame:
     """Population Stability Index of ``col``'s distribution per group
     vs the reference — the ML-ops drift gate (rule of thumb: < 0.1
@@ -115,15 +135,28 @@ def psi_profile(
     given); out-of-range values clamp into the edge bins, so new-range
     drift shows up instead of silently re-binning. Shape: one aggregate
     per side over (group, bin) — two shuffles, a ≤bins-row broadcast,
-    no windows."""
-    stats = psi_reference_stats(ref, col) if stats is None else stats
+    no windows. Pass ``ref_hist`` (from :func:`psi_reference_hist`,
+    with matching ``stats``/``bins``) to skip the reference scan —
+    required when monitoring a stream against a big frozen corpus."""
+    if ref_hist is not None:
+        if stats is None:
+            raise ValueError(
+                "psi_profile: ref_hist requires the frozen stats it was "
+                "built with"
+            )
+        q = ref_hist.select("_bin", "_qc")
+        q_tot = ref_hist.select("_qn").limit(1)
+    else:
+        if ref is None:
+            raise ValueError("psi_profile: need ref or ref_hist")
+        stats = psi_reference_stats(ref, col) if stats is None else stats
+        q = (
+            ref.withColumn("_bin", _psi_bin(col, stats, bins))
+            .groupBy("_bin")
+            .agg(F.count("*").alias("_qc"))
+        )
+        q_tot = ref.agg(F.count("*").alias("_qn"))
     gb = [group_col] if group_col is not None else []
-    q = (
-        ref.withColumn("_bin", _psi_bin(col, stats, bins))
-        .groupBy("_bin")
-        .agg(F.count("*").alias("_qc"))
-    )
-    q_tot = ref.agg(F.count("*").alias("_qn"))
     p = (
         incoming.withColumn("_bin", _psi_bin(col, stats, bins))
         .groupBy(*gb, "_bin")

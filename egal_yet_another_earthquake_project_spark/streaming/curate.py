@@ -236,8 +236,28 @@ def _score_hop(
     semantic_nprobe: int = 4,
     nb_model: str | None = None,
     nb_keep_label: str = "en",
+    monitor: bool = False,
 ):
     """Hop 2: near-duplicate DROP + frozen-LM scoring, per micro-batch.
+
+    With ``monitor=True`` each batch additionally lands its monitoring
+    rows (VERDICT r10 'Next round' #6) — the tables a production
+    pipeline alerts on, not print-scale progress events:
+
+    * ``{out}/metrics/dq/_batch_id=N``  — the publish-gate expectation
+      suite (non-null / unique ids, non-null text) over the batch's
+      KEPT rows, one ``run_checks`` scan;
+    * ``{out}/metrics/psi/_batch_id=N`` — PSI drift of the kept text-
+      length distribution vs the FROZEN corpus reference (bin edges and
+      the reference histogram computed ONCE at hop build and
+      localCheckpointed — ≤bins rows — so monitoring never re-scans the
+      corpus per drop; skipped when there is no corpus).
+
+    Both are replay-idempotent dynamic partition overwrites like every
+    hop output, and both equal their batch-mode counterparts
+    (``run_checks`` / ``psi_profile``) on the batch's scored partition
+    — the aggregates are deterministic (drained≡batch test in
+    tests/test_streaming_curate.py).
 
     The batch is SIGNED ONCE — one ``minhash_signatures`` pass whose
     band frame feeds all three consumers: the within-batch self-join
@@ -261,6 +281,21 @@ def _score_hop(
         )
 
         nb_frames = read_nb_model(spark, nb_model)
+    psi_frozen = None
+    if monitor and corpus is not None:
+        from egal_yet_another_earthquake_project_spark.operators.stats import (
+            psi_reference_hist,
+            psi_reference_stats,
+        )
+
+        ref_len = corpus.select(
+            F.length(F.col(text_col)).cast("double").alias("_mlen")
+        )
+        stats = psi_reference_stats(ref_len, "_mlen")
+        hist = psi_reference_hist(
+            ref_len, "_mlen", stats=stats
+        ).localCheckpoint(eager=True)
+        psi_frozen = (stats, hist)
     admitted_schema = _ADMITTED_FIELDS.format(
         id=id_col, idt=id_type, src=source_col, txt=text_col, et=event_time
     )
@@ -425,6 +460,49 @@ def _score_hop(
                 .partitionBy("_batch_id")
                 .parquet(f"{out_dir}/bands")
             )
+            if monitor:
+                from egal_yet_another_earthquake_project_spark.operators import (
+                    quality as dqx,
+                )
+
+                checks = [
+                    dqx.not_null(id_col),
+                    dqx.unique(id_col),
+                    dqx.not_null(text_col),
+                ]
+                (
+                    dqx.run_checks(kept, checks)
+                    .withColumn("_batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("_batch_id")
+                    .parquet(f"{out_dir}/metrics/dq")
+                )
+                if psi_frozen is not None:
+                    from egal_yet_another_earthquake_project_spark.operators.stats import (
+                        psi_profile,
+                    )
+
+                    stats, hist = psi_frozen
+                    (
+                        psi_profile(
+                            kept.select(
+                                F.length(F.col(text_col))
+                                .cast("double")
+                                .alias("_mlen")
+                            ),
+                            None,
+                            "_mlen",
+                            stats=stats,
+                            ref_hist=hist,
+                        )
+                        .withColumn("_batch_id", F.lit(batch_id))
+                        .write.mode("overwrite")
+                        .option("partitionOverwriteMode", "dynamic")
+                        .partitionBy("_batch_id")
+                        .parquet(f"{out_dir}/metrics/psi")
+                    )
+
             # manifest LAST — hop 3 must only ever see a batch whose data
             # AND index writes are complete. Create-once: a replay that
             # already committed the manifest leaves it untouched, so hop 3
@@ -675,6 +753,7 @@ def _build_hops(
         semantic_nprobe=kw.get("semantic_nprobe", 4),
         nb_model=kw.get("nb_model"),
         nb_keep_label=kw.get("nb_keep_label", "en"),
+        monitor=kw.get("monitor", False),
     )
     pack = _pack_hop(
         spark, out_dir, checkpoint_dir,
@@ -913,12 +992,97 @@ def _pack_consumed_upto(spark: SparkSession, out_dir: str, checkpoint_dir: str) 
     return unconsumed[0] - 1
 
 
+def scored_horizon(spark: SparkSession, out_dir: str) -> int | None:
+    """The retention horizon of the curated corpus: the LOWEST
+    ``_batch_id`` still addressable by time travel. Compaction advances
+    it when it merges scored partitions (the merge physically destroys
+    per-batch snapshot granularity below the merge point); snapshots
+    below the horizon raise in :func:`read_scored_asof` instead of
+    returning a silently partial result. Markers are tiny monotone
+    ``horizon-N.txt`` files (write-once, max wins) so advancing is an
+    atomic create, never an in-place rewrite."""
+    best = None
+    for n in fsutil.list_names(spark, f"{out_dir}/scored_horizon"):
+        if n.startswith("horizon-") and n.endswith(".txt"):
+            v = int(n[len("horizon-") : -len(".txt")])
+            best = v if best is None else max(best, v)
+    return best
+
+
+def _advance_scored_horizon(spark: SparkSession, out_dir: str, h: int) -> None:
+    cur = scored_horizon(spark, out_dir)
+    if cur is not None and cur >= h:
+        return
+    fsutil.write_text_once(
+        spark, f"{out_dir}/scored_horizon/horizon-{h}.txt", f"{h}\n"
+    )
+
+
+def vacuum_scored_history(
+    spark: SparkSession,
+    out_dir: str,
+    checkpoint_dir: str,
+    keep_last: int = 0,
+) -> dict:
+    """Retention vacuum for the curated corpus' snapshot ledger
+    (VERDICT r10 'Next round' #5): at one manifest per trigger, a year
+    of minutely drops leaves ~500k tiny ledger files that every
+    snapshot read must list. Vacuum (1) optionally compacts scored
+    history down to the last ``keep_last`` commits (older per-batch
+    partitions merge into the oldest retained commit's PREDECESSOR
+    id, advancing the horizon), then (2) deletes expired manifests and
+    consumption markers — ONLY those whose ``_batch_id`` partition no
+    longer exists, because a live (unmerged) partition is reachable
+    exclusively through its manifest and deleting that manifest would
+    drop rows from every snapshot. The horizon marker is the WAL: it
+    advances (atomic create) before any ledger delete, so a crash
+    mid-vacuum leaves only dead manifests behind and a re-run finishes
+    the deletes idempotently. Hop-3 WAL invariants hold by
+    construction: manifests hop 3 has not consumed are never expired
+    (the compaction merge point is already bounded by
+    :func:`_pack_consumed_upto`, and the partition-absence check
+    refuses everything else). Run with the pipeline STOPPED, like
+    compaction."""
+    if keep_last:
+        compact_curate_outputs(
+            spark,
+            out_dir,
+            checkpoint_dir,
+            scored_keep_last=keep_last,
+        )
+    horizon = scored_horizon(spark, out_dir)
+    stats = {"horizon": horizon, "manifests_deleted": 0, "markers_deleted": 0}
+    if horizon is None:
+        return stats
+    for n in fsutil.list_names(spark, f"{out_dir}/scored_commits"):
+        if not (n.startswith("batch-") and n.endswith(".txt")):
+            continue
+        bid = int(n[len("batch-") : -len(".txt")])
+        if bid >= horizon:
+            continue
+        if fsutil.exists(spark, f"{out_dir}/scored/_batch_id={bid}"):
+            # a live partition's only reachability is its manifest —
+            # refuse, loudly visible in the stats, rather than orphan it
+            continue
+        fsutil.delete(spark, f"{out_dir}/scored_commits/{n}")
+        stats["manifests_deleted"] += 1
+        if fsutil.delete(spark, f"{out_dir}/pack_consumed/{n}"):
+            stats["markers_deleted"] += 1
+    # prune superseded horizon markers (max wins; keep only the max)
+    for n in fsutil.list_names(spark, f"{out_dir}/scored_horizon"):
+        if n.startswith("horizon-") and n.endswith(".txt"):
+            if int(n[len("horizon-") : -len(".txt")]) < horizon:
+                fsutil.delete(spark, f"{out_dir}/scored_horizon/{n}")
+    return stats
+
+
 def compact_curate_outputs(
     spark: SparkSession,
     out_dir: str,
     checkpoint_dir: str,
     source_col: str = "source",
     target_rows_per_file: int = 1_000_000,
+    scored_keep_last: int = 0,
 ) -> dict:
     """Maintenance compaction over the pipeline's batched outputs
     (VERDICT r7 #4): a year of triggers leaves thousands of one-batch
@@ -948,8 +1112,23 @@ def compact_curate_outputs(
         ("shards", "pack", [source_col], shard_layout),
     ):
         safe = last_committed_batch(spark, checkpoint_dir, hop)
-        if name == "scored" and consumed_upto is not None:
-            safe = consumed_upto if safe is None else min(safe, consumed_upto)
+        if name == "scored":
+            if consumed_upto is not None:
+                safe = (
+                    consumed_upto if safe is None else min(safe, consumed_upto)
+                )
+            if scored_keep_last > 0 and safe is not None:
+                # retention: the newest keep_last commits keep their own
+                # partitions (stay time-travelable); the merge target is
+                # the newest commit OUTSIDE the retained window — a real
+                # manifest id, so the merged rows stay visible.
+                ids = [
+                    i for i in committed_batches(spark, out_dir) if i <= safe
+                ]
+                if len(ids) <= scored_keep_last:
+                    results[name] = {"merged_partitions": 0}
+                    continue
+                safe = ids[-(scored_keep_last + 1)]
         if (
             safe is None
             or safe < 0
@@ -965,6 +1144,11 @@ def compact_curate_outputs(
             target_rows_per_file,
             layout,
         )
+        if name == "scored" and results[name]["merged_partitions"] > 1:
+            # the merge destroyed per-batch snapshot granularity below
+            # the merge point: record it BEFORE anyone can time-travel
+            # into the now-partial range
+            _advance_scored_horizon(spark, out_dir, results[name]["into"])
     return results
 
 
@@ -998,7 +1182,24 @@ def read_scored_asof(
     invisible, exactly as it is to hop 3: the manifest IS the commit.
     The ``isin`` on partition values is a static partition filter —
     Spark lists only the named directories, so reading an old snapshot
-    costs that snapshot's data, not the table's."""
+    costs that snapshot's data, not the table's.
+
+    Snapshots below the retention horizon (advanced by compaction /
+    :func:`vacuum_scored_history`, whose merge physically destroys
+    per-batch granularity) raise instead of returning a silently
+    PARTIAL result — the merged rows all carry the merge point's id,
+    so a sub-horizon ``isin`` would miss them."""
+    horizon = scored_horizon(spark, out_dir)
+    if (
+        upto_batch is not None
+        and horizon is not None
+        and upto_batch < horizon
+    ):
+        raise ValueError(
+            f"read_scored_asof: snapshot as of batch {upto_batch} has been "
+            f"compacted away — the retention horizon is {horizon}; only "
+            "snapshots at or above it are reconstructable"
+        )
     ids = committed_batches(spark, out_dir)
     if upto_batch is not None:
         ids = [i for i in ids if i <= upto_batch]

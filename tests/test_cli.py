@@ -422,6 +422,36 @@ def test_cli_curate_stream(spark, tmp_path: Path, capsys):
     assert after == before
     assert len(list((tmp_path / "out" / "scored").glob("_batch_id=*"))) == 1
 
+    # retention vacuum: the compaction above left one dead manifest
+    # (its partition merged away); curate-vacuum expires it and the
+    # corpus read is unchanged
+    from egal_yet_another_earthquake_project_spark.streaming.curate import (
+        read_scored_asof,
+    )
+
+    full = {
+        r.doc_id for r in read_scored_asof(spark, str(tmp_path / "out")).collect()
+    }
+    spark.stop = lambda: None
+    try:
+        rc = jobs.main(
+            [
+                "curate-vacuum",
+                "--out", str(tmp_path / "out"),
+                "--checkpoint", str(tmp_path / "ck"),
+            ]
+        )
+    finally:
+        spark.stop = real_stop
+    assert rc == 0
+    vres = json.loads(
+        [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    )
+    assert vres["manifests_deleted"] == 1 and vres["horizon"] is not None
+    assert {
+        r.doc_id for r in read_scored_asof(spark, str(tmp_path / "out")).collect()
+    } == full
+
 
 def test_cli_lm_train_cutoffs_and_bucket_score(spark, tmp_path: Path, capsys):
     """lm-train --cutoffs freezes (c33, c67) into the artifact meta;
