@@ -558,3 +558,24 @@ def test_perplexity_buckets_never_sorts_or_cartesians_the_corpus(spark):
 
     for m in re.finditer(r"Exchange rangepartitioning\(([^)]*)\)", plan):
         assert "bucket" in m.group(1), m.group(0)
+
+
+def test_bench_materializer_preserves_count_eliminated_subtrees(spark):
+    """The r10 bench-honesty hole and its fix, pinned as a plan
+    property: under count() Catalyst eliminates asof_join's
+    cardinality-preserving joins and windows (so a count-timed bench
+    row measured a cheaper plan than the declared query), while the
+    bit_xor-of-row-hash materializer bench.py now times references
+    every output column and preserves every heavy node."""
+    import bench
+
+    df = _q(spark, "asof_join")
+    full = bench._plan_nodes(df)
+    counted = bench._plan_nodes(df.groupBy().count())
+    forced = bench._plan_nodes(bench._forced_form(df))
+    assert full["join"] > 0 and full["window"] > 0
+    # the hole: count() drops joins AND windows from the plan
+    assert counted["join"] < full["join"]
+    assert counted["window"] < full["window"]
+    # the fix: the timed form carries them all
+    assert all(forced[k] >= full[k] for k in full), (forced, full)
