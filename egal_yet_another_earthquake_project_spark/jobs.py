@@ -312,6 +312,30 @@ def _parser() -> argparse.ArgumentParser:
     ns.add_argument("--docs", required=True, help="parquet of (doc_id, text) rows")
     ns.add_argument("--out", default=None, help="write predictions here (default: show)")
 
+    lrt = sub.add_parser(
+        "lr-train",
+        help="train the hashed-feature logistic-regression gate by batch "
+        "GD (integer-grid, bit-replayable) and persist it "
+        "(weights parquet + _COMPLETE)",
+    )
+    lrt.add_argument("--source-dir", required=True, help="dir holding documents.parquet")
+    lrt.add_argument("--out", required=True, help="model artifact directory")
+    lrt.add_argument(
+        "--label-lang",
+        default="en",
+        help="positive class: label = (lang == LABEL_LANG)",
+    )
+    lrt.add_argument("--epochs", type=int, default=None)
+
+    lrs = sub.add_parser(
+        "lr-score",
+        help="score a parquet of documents against a persisted lr-train "
+        "artifact (margin sign = p >= 0.5 decision)",
+    )
+    lrs.add_argument("--model", required=True, help="lr-train artifact directory")
+    lrs.add_argument("--docs", required=True, help="parquet of (doc_id, text) rows")
+    lrs.add_argument("--out", default=None, help="write predictions here (default: show)")
+
     x = sub.add_parser(
         "explain",
         help="plan-property audit of a declared query (shuffles, joins, "
@@ -577,6 +601,41 @@ def main(argv: list[str] | None = None) -> int:
             preds = nb_classify_with_model(
                 spark.read.parquet(args.docs), weights, consts
             )
+            if args.out:
+                preds.write.mode("overwrite").parquet(args.out)
+                print(f"predictions to {args.out}")
+            else:
+                preds.show(50, truncate=False)
+        elif args.cmd == "lr-train":
+            import json
+
+            from pyspark.sql import functions as _F
+
+            from egal_yet_another_earthquake_project_spark.llm import lr as llr
+
+            docs = spark.read.parquet(f"{args.source_dir}/documents.parquet")
+            llr.write_lr_model(
+                docs,
+                args.out,
+                label=_F.col("lang") == args.label_lang,
+                epochs=args.epochs if args.epochs else llr.EPOCHS,
+            )
+            w = spark.read.parquet(f"{args.out}/weights")
+            nz = w.filter(_F.col("w") != 0).count()
+            print(json.dumps(
+                {"out": args.out, "weights": w.count(), "nonzero": nz}
+            ))
+        elif args.cmd == "lr-score":
+            from pyspark.sql import functions as _F
+
+            from egal_yet_another_earthquake_project_spark.llm import lr as llr
+
+            weights = llr.read_lr_model(spark, args.model)
+            preds = llr.lr_classify(
+                spark.read.parquet(args.docs),
+                weights,
+                label=_F.lit(None).cast("boolean"),
+            ).drop("label")
             if args.out:
                 preds.write.mode("overwrite").parquet(args.out)
                 print(f"predictions to {args.out}")

@@ -51,6 +51,8 @@ __all__ = [
     "lr_margins",
     "lr_scores",
     "lr_classify",
+    "write_lr_model",
+    "read_lr_model",
 ]
 
 #: hashed feature dimensionality (buckets 0..DIM-1; bucket DIM = bias)
@@ -221,6 +223,40 @@ def lr_scores(
             "label",
         )
     )
+
+
+def write_lr_model(
+    docs: DataFrame,
+    model_dir: str,
+    text_col: str = "text",
+    label: F.Column | None = None,
+    epochs: int = EPOCHS,
+) -> None:
+    """Train and persist the model: ``{model_dir}/weights`` (DIM+1
+    integer-grid rows — trivially a parquet dim table) with a
+    ``_COMPLETE`` marker written last so a crash mid-write is never
+    mistaken for a model (the nb-model / ann_index staging
+    convention)."""
+    from egal_yet_another_earthquake_project_spark import fsutil
+
+    spark = docs.sparkSession
+    lr_train(docs, text_col, label, epochs=epochs).write.mode(
+        "overwrite"
+    ).parquet(f"{model_dir}/weights")
+    fsutil.write_text_overwrite(spark, f"{model_dir}/_COMPLETE", "lr-model\n")
+
+
+def read_lr_model(spark, model_dir: str) -> DataFrame:
+    """The persisted weights frame; refuses a marker-less (partially
+    written) directory."""
+    from egal_yet_another_earthquake_project_spark import fsutil
+
+    if fsutil.read_text(spark, f"{model_dir}/_COMPLETE") is None:
+        raise ValueError(
+            f"read_lr_model: {model_dir} has no _COMPLETE marker "
+            "(missing or partially written model)"
+        )
+    return spark.read.parquet(f"{model_dir}/weights")
 
 
 def lr_classify(

@@ -197,6 +197,48 @@ def nb_classify_sink(
     return stream.writeStream.foreachBatch(_score)
 
 
+def lr_classify_sink(
+    stream: DataFrame,
+    model_dir: str,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataStreamWriter:
+    """``writeStream`` writer scoring each micro-batch against a
+    PERSISTED logistic-regression model (``llm.lr.write_lr_model``:
+    integer-grid weights under a ``_COMPLETE`` marker) into
+    ``{out_dir}/_batch_id=N/`` — the discriminative twin of
+    :func:`nb_classify_sink`. Inference is one broadcast join of the
+    ≤DIM+1-row model against the batch's hashed features plus a per-doc
+    integer sum — exact arithmetic, per-document independent, so a
+    drained stream equals ``lr_classify`` on the union of batches
+    (drained≡batch test in tests/test_streaming_scoring.py).
+    ``read_lr_model`` refuses a marker-less model at sink BUILD time.
+    Replay-idempotent via dynamic partition overwrite."""
+    from egal_yet_another_earthquake_project_spark.llm.lr import (
+        lr_classify,
+        read_lr_model,
+    )
+
+    weights = read_lr_model(stream.sparkSession, model_dir)
+
+    def _score(batch: DataFrame, batch_id: int) -> None:
+        if id_col != "doc_id":
+            batch = batch.withColumnRenamed(id_col, "doc_id")
+        scored = lr_classify(
+            batch, weights, text_col, label=F.lit(None).cast("boolean")
+        ).drop("label")
+        (
+            scored.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_dir)
+        )
+
+    return stream.writeStream.foreachBatch(_score)
+
+
 def dq_monitor_sink(
     stream: DataFrame,
     checks: list,

@@ -652,3 +652,49 @@ def test_cli_nb_train_and_score_round_trip(spark, tmp_path, capsys):
     docs = read_table(spark, "/root/testdata/sf0.001", "documents")
     want = {r.doc_id: r.pred_label for r in nb_classify(docs).collect()}
     assert got == want and len(want) > 0
+
+
+def test_cli_lr_train_and_score_round_trip(spark, tmp_path, capsys):
+    """lr-train persists a _COMPLETE-marked integer-grid model;
+    lr-score classifies a docs parquet against it and the predictions
+    match the in-process classifier."""
+    import json
+
+    from egal_yet_another_earthquake_project_spark import jobs
+    from egal_yet_another_earthquake_project_spark.llm import lr as llr
+
+    mdl = tmp_path / "lr_model"
+    real_stop = spark.stop
+    spark.stop = lambda: None  # main() would kill the shared test session
+    try:
+        rc = jobs.main(
+            ["lr-train", "--source-dir", "/root/testdata/sf0.001",
+             "--out", str(mdl)]
+        )
+        assert rc == 0
+        line = capsys.readouterr().out.strip().splitlines()[-1]
+        meta = json.loads(line)
+        assert meta["weights"] == llr.DIM + 1 and meta["nonzero"] > 0
+        assert (mdl / "_COMPLETE").exists()
+
+        docs_p = str(tmp_path / "docs_in")
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        docs.select("doc_id", "text").write.parquet(docs_p)
+        out = tmp_path / "lr_preds"
+        rc = jobs.main(
+            ["lr-score", "--model", str(mdl), "--docs", docs_p,
+             "--out", str(out)]
+        )
+        assert rc == 0
+    finally:
+        spark.stop = real_stop
+
+    got = {r.doc_id: r.pred for r in spark.read.parquet(str(out)).collect()}
+    weights = llr.read_lr_model(spark, str(mdl))
+    want = {
+        r.doc_id: r.pred
+        for r in llr.lr_classify(
+            docs, weights, label=F.lit(None).cast("boolean")
+        ).collect()
+    }
+    assert got == want and len(want) > 0

