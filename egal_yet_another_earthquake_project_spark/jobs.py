@@ -38,6 +38,13 @@ three-hop streaming curation pipeline (``streaming/curate.py``);
 ``curate-compact`` merges the pipeline outputs' committed
 ``_batch_id`` partitions (the stopped-pipeline maintenance pass —
 replay semantics preserved via the checkpoint commit watermark);
+``curate-vacuum --keep-last N`` retains per-batch time travel for the
+newest N commits and merges + expires everything older (the horizon
+marker makes expired snapshots raise instead of silently shrinking);
+``curate-stream --monitor`` lands per-drop DQ/PSI monitoring tables
+under ``{out}/metrics``; ``nb-train``/``nb-score`` and
+``lr-train``/``lr-score`` persist and apply the generative and
+discriminative classifier gates (``llm/classify.py``, ``llm/lr.py``);
 ``lm-train``/``lm-score`` freeze an interpolated-bigram LM as a parquet
 artifact and score documents against it (``llm/lm.py``); ``lm-train
 --cutoffs`` additionally freezes the CCNet tercile bucket boundaries

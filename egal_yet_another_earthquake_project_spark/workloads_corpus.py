@@ -1437,6 +1437,59 @@ def q_lr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lmet.binary_auc(sliced)
 
 
+def _lr_model_cache(sf_dir: str) -> str:
+    """Fingerprint-keyed cache path for the persisted LR model over
+    ``sf_dir``'s documents (the _nb_model_cache re-entrancy pattern)."""
+    import hashlib
+    from pathlib import Path
+
+    src = Path(sf_dir) / "documents.parquet"
+    h = hashlib.md5()
+    for f in sorted(src.rglob("*")) if src.is_dir() else [src]:
+        st = f.stat()
+        h.update(f"{f.name}:{st.st_size}:{st.st_mtime_ns}".encode())
+    fp = h.hexdigest()[:10]
+    root = Path(__file__).resolve().parent.parent / "spark-warehouse"
+    return str(root / f"lrmodel_{Path(sf_dir).name}_{fp}")
+
+
+def q_lr_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION LR path: train ONCE into a persisted model dir
+    (``write_lr_model``: integer-grid weights under a ``_COMPLETE``
+    marker, built at most once per input fingerprint via temp-dir +
+    atomic rename), then score by loading the model — amortized
+    inference, the train/score split a firehose pipeline runs. The
+    integer-grid training is bit-replayable, so the SAME unrolled-epoch
+    oracle that verifies the in-process ``lr_score`` verifies the
+    persist → load → score round trip."""
+    import os
+    import shutil
+    import uuid
+    from pathlib import Path
+
+    from egal_yet_another_earthquake_project_spark.llm import lr as llr
+
+    mdl = _lr_model_cache(sf_dir)
+    if not (Path(mdl) / "_COMPLETE").exists():
+        tmp = f"{mdl}.tmp-{uuid.uuid4().hex[:8]}"
+        llr.write_lr_model(_docs(spark, sf_dir), tmp)
+        try:
+            os.rename(tmp, mdl)
+        except OSError:  # concurrent builder won the rename; use theirs
+            shutil.rmtree(tmp, ignore_errors=True)
+    weights = llr.read_lr_model(spark, mdl)
+    return (
+        llr.lr_scores(_docs(spark, sf_dir), weights)
+        .select(
+            "doc_id",
+            F.round(F.col("score") / llr.SCALE, 6).alias("score"),
+            "label",
+            (F.col("score") >= 0).alias("pred"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _lr_sql_chain() -> str:
     """The LR training loop unrolled into DuckDB CTEs — one
     (margins, residuals, gradient, update) quartet per epoch, same
@@ -1570,6 +1623,7 @@ QUERIES = {
     "lr_weights": q_lr_weights,
     "lr_score": q_lr_score,
     "lr_auc": q_lr_auc,
+    "lr_model_score": q_lr_model_score,
 }
 
 ORACLES = {
@@ -1603,4 +1657,5 @@ ORACLES = {
     "lr_weights": _LR_WEIGHTS_ORACLE,
     "lr_score": _LR_SCORE_ORACLE,
     "lr_auc": _LR_AUC_ORACLE,
+    "lr_model_score": _LR_SCORE_ORACLE,
 }
