@@ -24,6 +24,7 @@ stays identical for both lanes.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Iterator
 
 import pandas as pd
@@ -990,7 +991,14 @@ QUANT_UNIFORM8 = [[8] * 8 for _ in range(8)]
 
 def _huff_codes(bits: list[int], vals: list[int]) -> dict:
     """Canonical Huffman code assignment (T.81 §C.2): symbols in `vals`
-    order get consecutive codes within each length."""
+    order get consecutive codes within each length. Memoized on the
+    table spec — a corpus decode would otherwise rebuild the same four
+    Annex-K tables for every image."""
+    return _huff_codes_impl(tuple(bits), tuple(vals))
+
+
+@functools.lru_cache(maxsize=64)
+def _huff_codes_impl(bits: tuple, vals: tuple) -> dict:
     codes: dict[int, tuple] = {}
     code = 0
     k = 0
@@ -1016,11 +1024,34 @@ _COS = _dct_cos()
 _DCT_C = [0.7071067811865476] + [1.0] * 7  # C(0)=1/√2
 
 
+def _dct_matrix():
+    """A[u, x] = C(u)·cos((2x+1)uπ/16): 2-D DCT-II is 0.25·A·X·Aᵀ and
+    the inverse is 0.25·Aᵀ·F·A — two 8×8 matmuls per block instead of
+    the O(8⁴) scalar quadruple loop (numpy when present: ~10× on the
+    decode lane's hot path; the list fallback keeps the module
+    dependency-free)."""
+    try:
+        import numpy as np
+
+        return np.array(
+            [[_DCT_C[u] * _COS[u][x] for x in range(8)] for u in range(8)]
+        )
+    except ImportError:  # pragma: no cover - numpy is baked in here
+        return None
+
+
+_DCT_A = _dct_matrix()
+
+
 def _fdct8(block: list[list[float]]) -> list[list[float]]:
     """Forward 8×8 DCT-II (T.81 §A.3.3), separable float form."""
+    if _DCT_A is not None:
+        import numpy as np
+
+        return (0.25 * (_DCT_A @ np.asarray(block, dtype=float) @ _DCT_A.T)).tolist()
     tmp = [
         [
-            sum(block[y][x] * _COS[u][x] for x in range(8))
+            sum(block[y][x] * _DCT_C[u] * _COS[u][x] for x in range(8))
             for u in range(8)
         ]
         for y in range(8)
@@ -1028,7 +1059,6 @@ def _fdct8(block: list[list[float]]) -> list[list[float]]:
     return [
         [
             0.25
-            * _DCT_C[u]
             * _DCT_C[v]
             * sum(tmp[y][u] * _COS[v][y] for y in range(8))
             for u in range(8)
@@ -1039,6 +1069,10 @@ def _fdct8(block: list[list[float]]) -> list[list[float]]:
 
 def _idct8(coef: list[list[float]]) -> list[list[float]]:
     """Inverse 8×8 DCT (T.81 §A.3.3)."""
+    if _DCT_A is not None:
+        import numpy as np
+
+        return (0.25 * (_DCT_A.T @ np.asarray(coef, dtype=float) @ _DCT_A)).tolist()
     tmp = [
         [
             sum(_DCT_C[u] * coef[v][u] * _COS[u][x] for u in range(8))

@@ -1533,9 +1533,16 @@ def q_jpeg_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(_mm.encode_jpeg(width, height, rows))
             yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
+    # the codec is the most CPU-expensive per-row lane in the suite and
+    # the input is a handful of parquet files — spread the doc_id-only
+    # frame across the cluster BEFORE the Arrow stage so the encode+
+    # decode work parallelizes (the r10 semdedup lesson: input layout
+    # silently serializes downstream compute)
+    par = spark.sparkContext.defaultParallelism
     corpus = (
         _docs(spark, sf_dir)
         .select("doc_id")
+        .repartition(par)
         .mapInPandas(build, "doc_id long, payload binary")
     )
     feats = lmm.extract_features(corpus)
