@@ -221,6 +221,8 @@ HEADLINE = [
     # round-11: logistic-regression GD train + exact AUC (8 epochs,
     # two integer aggregations each, broadcastable 1025-row model)
     "lr_auc",
+    # round-11: hybrid retrieval (BM25 + dense cosine, RRF fusion)
+    "hybrid_search",
 ]
 
 

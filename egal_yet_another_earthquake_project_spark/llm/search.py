@@ -69,3 +69,62 @@ def bm25_scores(
         F.round(F.sum(contrib), 4).alias("score"),
         F.count("*").alias("n_terms"),
     )
+
+
+def rrf_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    query_col: str = "query_id",
+    item_col: str = "doc_id",
+    rank_col: str = "rank",
+    rrf_k: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two per-query rankings — the standard
+    hybrid-retrieval combiner (Cormack/Clarke/Buettcher 2009: score =
+    Σ_sides 1/(k + rank), k=60): items surfaced by BOTH the lexical and
+    the dense ranker beat items one side loved, without score
+    calibration between incomparable scales.
+
+    Scale shape: both inputs are CANDIDATE frames (≤ queries × k_side
+    rows — the output of a top-k, never a corpus) so the full-outer
+    join on (query, item) is candidate-scale; the per-query cut is a
+    rank window over ≤ 2·k_side rows per query (WindowGroupLimit).
+    Deterministic: the fused score is one fixed-shape arithmetic
+    expression (two coalesced terms, no aggregation order), ranked
+    rounded with the item id as tiebreak.
+
+    Returns (query_col, item_col, rrf_score, rank_a, rank_b, rank) —
+    rank_a/rank_b NULL when only one side surfaced the item.
+    """
+    ra = a.select(
+        query_col, item_col, F.col(rank_col).alias("rank_a")
+    )
+    rb = b.select(
+        query_col, item_col, F.col(rank_col).alias("rank_b")
+    )
+    fused = (
+        ra.join(rb, [query_col, item_col], "full_outer")
+        .withColumn(
+            "rrf_score",
+            F.round(
+                F.coalesce(
+                    1.0 / (F.lit(int(rrf_k)) + F.col("rank_a")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    1.0 / (F.lit(int(rrf_k)) + F.col("rank_b")), F.lit(0.0)
+                ),
+                6,
+            ),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("rrf_score").desc(), F.col(item_col).asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(topk))
+        .select(query_col, item_col, "rrf_score", "rank_a", "rank_b", "rank")
+    )

@@ -713,6 +713,117 @@ QUALIFY rank <= 5
 """
 
 
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval (llm.search.rrf_fuse): the lexical BM25 top-20
+    and the dense cosine top-20 fused per query by reciprocal-rank
+    fusion (Cormack et al. 2009, k=60) — the standard RAG-era combiner
+    for rankers with incomparable score scales. Five query vectors
+    (vec_id < 5, ids coordinated with doc_id) share the corpus-probe
+    term list; per-query terms compose identically. Both fusion inputs
+    are CANDIDATE frames (queries × 20 rows), so the fusion join and
+    the per-query cut never touch corpus-scale data."""
+    from egal_yet_another_earthquake_project_spark.llm import search as _srch
+    from egal_yet_another_earthquake_project_spark.workloads_corpus import (
+        BM25_TERMS,
+    )
+
+    emb = _emb(spark, sf_dir)
+    dense = (
+        lsim.brute_force_topk(emb.filter(F.col("vec_id") < 5), emb, k=20)
+        .select(
+            F.col("query_id"), F.col("neighbor_id").alias("doc_id"), "rank"
+        )
+    )
+    from pyspark.sql.window import Window as _W
+
+    # top-20 cut FIRST (TakeOrderedAndProject — per-partition heaps),
+    # THEN the rank window over the surviving 20 rows: the global-order
+    # window never sees more than the cut
+    lex_ranked = (
+        _srch.bm25_scores(_docs(spark, sf_dir), BM25_TERMS)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                _W.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            ),
+        )
+        .select("doc_id", "rank")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id")
+    )
+    lexical = queries.crossJoin(F.broadcast(lex_ranked))
+    return _srch.rrf_fuse(lexical, dense, topk=10).orderBy(
+        "query_id", "rank"
+    )
+
+
+_HYBRID_SEARCH_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) = 0
+              THEN [] ELSE string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') END AS toks
+  FROM documents
+),
+lens AS (SELECT doc_id, len(toks) AS dl FROM base),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM base)
+  WHERE term IN ('join', 'hash', 'scan', 'filter')
+  GROUP BY doc_id, term
+),
+stats AS (SELECT sum(dl) AS sdl, count(*) AS ndocs FROM lens),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+bm AS (
+  SELECT doc_id,
+         round(sum(
+           ln((ndocs - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * 2.2)
+           / (tf + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * ndocs / sdl)))
+         ), 4) AS score
+  FROM tf JOIN lens USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats
+  GROUP BY doc_id, dl, ndocs, sdl
+),
+lex0 AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank_a
+  FROM bm
+),
+lex AS (
+  SELECT q.vec_id AS query_id, l.doc_id, l.rank_a
+  FROM (SELECT vec_id FROM embeddings WHERE vec_id < 5) q
+  CROSS JOIN lex0 l WHERE l.rank_a <= 20
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dense0 AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(q.v, c.v), 4) DESC,
+                      c.vec_id ASC) AS rank_b
+  FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+),
+dense AS (SELECT * FROM dense0 WHERE rank_b <= 20),
+fused AS (
+  SELECT coalesce(lex.query_id, dense.query_id) AS query_id,
+         coalesce(lex.doc_id, dense.doc_id) AS doc_id,
+         lex.rank_a, dense.rank_b,
+         round(coalesce(1.0 / (60 + lex.rank_a), 0.0)
+               + coalesce(1.0 / (60 + dense.rank_b), 0.0), 6) AS rrf_score
+  FROM lex FULL OUTER JOIN dense
+    ON lex.query_id = dense.query_id AND lex.doc_id = dense.doc_id
+)
+SELECT query_id, doc_id, rrf_score,
+       CAST(rank_a AS INTEGER) AS rank_a, CAST(rank_b AS INTEGER) AS rank_b,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY rrf_score DESC, doc_id ASC) AS INTEGER) AS rank
+FROM fused
+QUALIFY rank <= 10
+ORDER BY query_id, rank
+"""
+
+
 #: IVF parameters of the declared query — mirrored verbatim in the oracle.
 _IVF_CELLS, _IVF_NPROBE = 16, 4
 
@@ -2809,6 +2920,7 @@ QUERIES = {
     "novelty_profile": q_novelty_profile,
     "top_tokens": q_top_tokens,
     "embedding_topk": q_embedding_topk,
+    "hybrid_search": q_hybrid_search,
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_neardup": q_embedding_neardup,
     "semantic_gate": q_semantic_gate,
@@ -2863,6 +2975,7 @@ ORACLES = {
     "novelty_profile": _NOVELTY_PROFILE_ORACLE,
     "top_tokens": _TOP_TOKENS_ORACLE,
     "embedding_topk": _TOPK_ORACLE,
+    "hybrid_search": _HYBRID_SEARCH_ORACLE,
     "embedding_ivf_topk": _IVF_TOPK_ORACLE,
     "embedding_neardup": _NEARDUP_ORACLE,
     "semantic_neardup": _SEMANTIC_NEARDUP_ORACLE,

@@ -679,3 +679,30 @@ def test_zipf_slope_recovers_planted_exponent(spark):
     assert abs(got["zipf"].alpha - 1.0) < 0.1
     assert abs(got["flat"].alpha) < 0.05
     assert got["zipf"].n_ranked == 50
+
+
+def test_rrf_fuse_semantics(spark):
+    """Reciprocal-rank fusion: an item BOTH rankers surface outranks an
+    item only one side loved (at comparable ranks), missing-side ranks
+    come through as NULL, the per-query cut holds, and the fused score
+    is the textbook sum 1/(60+r_a) + 1/(60+r_b)."""
+    from egal_yet_another_earthquake_project_spark.llm.search import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, doc_id long, rank int",
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2), (1, 12, 3)],
+        "query_id long, doc_id long, rank int",
+    )
+    rows = {r.doc_id: r for r in rrf_fuse(a, b, topk=3).collect()}
+    # 11 is rank 2+1 (both sides) -> beats 10 (rank 1, one side only)
+    assert rows[11].rank == 1 and rows[11].rank_a == 2 and rows[11].rank_b == 1
+    assert rows[11].rrf_score == round(1 / 62 + 1 / 61, 6)
+    # 12 in both (3+3) also beats single-sided 10 at rank 1
+    assert rows[12].rank == 2
+    assert rows[10].rank == 3 and rows[10].rank_b is None
+    assert rows[10].rrf_score == round(1 / 61, 6)
+    # topk=3 cut: doc 13 (single side, rank 2) is out
+    assert 13 not in rows
