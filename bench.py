@@ -223,6 +223,8 @@ HEADLINE = [
     "lr_auc",
     # round-11: hybrid retrieval (BM25 + dense cosine, RRF fusion)
     "hybrid_search",
+    # round-11: retrieval quality metric (nDCG@10 vs planted labels)
+    "retrieval_ndcg",
 ]
 
 

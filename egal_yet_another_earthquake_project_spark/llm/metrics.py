@@ -299,3 +299,71 @@ def calibration_table(
             F.round(F.avg(F.col("_y").cast("double")), 4).alias("frac_pos"),
         )
     )
+
+
+def ndcg_at_k(
+    ranked: DataFrame,
+    query_col: str = "query_id",
+    rel_col: str = "rel",
+    rank_col: str = "rank",
+    k: int = 10,
+) -> DataFrame:
+    """nDCG@k per query over a CANDIDATE ranking frame (one row per
+    (query, item) with its 1-based rank and graded relevance) — the
+    ranking-quality metric a retrieval stack reports next to recall.
+
+    DCG = Σ_{i≤k} rel_i / log2(i+1); IDCG re-sorts the SAME candidate
+    list by relevance (the standard within-list ideal — no corpus pass).
+    Both sums are LEFT FOLDS over rank-sorted arrays (sort_array on a
+    (rank, rel) struct, then F.aggregate), so the float addition order
+    is FIXED regardless of partitioning — the determinism device the
+    label-centroid/JL kernels use; an unordered SUM of doubles would be
+    partition-order dependent. Input stays candidate-scale: each query
+    group is ≤ k rows after the filter, and the one shuffle is the
+    groupBy on the query key.
+
+    Returns (query_col, n_rel, dcg, idcg, ndcg) — ndcg NULL when the
+    candidate list has no relevant item (undefined, not 0-faked).
+    """
+    capped = ranked.filter(F.col(rank_col) <= int(k)).select(
+        F.col(query_col),
+        F.col(rank_col).cast("int").alias("_rk"),
+        F.col(rel_col).cast("double").alias("_rel"),
+    )
+    grouped = capped.groupBy(query_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("_rk"), F.col("_rel")))
+        ).alias("_by_rank"),
+        F.sort_array(
+            F.collect_list(F.struct((-F.col("_rel")).alias("_negrel"), F.col("_rk"))),
+        ).alias("_by_rel"),
+        F.sum((F.col("_rel") > 0).cast("long")).alias("n_rel"),
+    )
+
+    def fold(arr, rel_field):
+        # positional discount: element i of the sorted array is rank i+1
+        return F.aggregate(
+            F.zip_with(
+                arr,
+                F.sequence(F.lit(1), F.size(arr)),
+                lambda s, i: s[rel_field] / F.log2(i.cast("double") + 1.0),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    out = grouped.select(
+        query_col,
+        "n_rel",
+        F.round(fold(F.col("_by_rank"), "_rel"), 6).alias("dcg"),
+        F.round(fold(F.col("_by_rel"), "_negrel") * -1.0, 6).alias("idcg"),
+    )
+    return out.select(
+        query_col,
+        "n_rel",
+        "dcg",
+        "idcg",
+        F.round(
+            F.when(F.col("idcg") != 0.0, F.col("dcg") / F.col("idcg")), 6
+        ).alias("ndcg"),
+    )

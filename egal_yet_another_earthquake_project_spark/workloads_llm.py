@@ -824,6 +824,78 @@ ORDER BY query_id, rank
 """
 
 
+def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking QUALITY of the dense retriever (llm.metrics.ndcg_at_k):
+    nDCG@10 of the brute-force cosine top-10 with binary relevance =
+    label match between query and neighbor (the planted ground truth
+    the embeddings table carries). DCG/IDCG are rank-sorted LEFT FOLDS
+    — fixed float order under any partitioning; the one shuffle is the
+    groupBy on query_id over ≤10-row groups."""
+    from egal_yet_another_earthquake_project_spark.llm import metrics as lmet
+
+    emb = _emb(spark, sf_dir)
+    topk = lsim.brute_force_topk(emb.filter(F.col("vec_id") < 10), emb, k=10)
+    labels = emb.select("vec_id", "label")
+    ranked = (
+        topk.join(
+            labels.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("_ql"),
+            ),
+            "query_id",
+        )
+        .join(
+            F.broadcast(
+                labels.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("label").alias("_nl"),
+                )
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "rank",
+            (F.col("_ql") == F.col("_nl")).cast("int").alias("rel"),
+        )
+    )
+    return lmet.ndcg_at_k(ranked, k=10).orderBy("query_id")
+
+
+_RETRIEVAL_NDCG_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+cands AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(q.label = c.label AS DOUBLE) AS rel,
+         row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(q.v, c.v), 4) DESC,
+                      c.vec_id ASC) AS rank
+  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+),
+capped AS (SELECT * FROM cands WHERE rank <= 10),
+ideal AS (
+  SELECT query_id, rel,
+         row_number() OVER (PARTITION BY query_id
+             ORDER BY rel DESC, rank ASC) AS irank
+  FROM capped
+),
+agg AS (
+  SELECT c.query_id,
+         sum(CAST(c.rel > 0 AS BIGINT)) AS n_rel,
+         round(sum(c.rel / log2(c.rank + 1.0)), 6) AS dcg
+  FROM capped c GROUP BY c.query_id
+),
+iagg AS (
+  SELECT query_id, round(sum(rel / log2(irank + 1.0)), 6) AS idcg
+  FROM ideal GROUP BY query_id
+)
+SELECT a.query_id, a.n_rel, a.dcg, i.idcg,
+       CASE WHEN i.idcg <> 0.0 THEN round(a.dcg / i.idcg, 6) END AS ndcg
+FROM agg a JOIN iagg i USING (query_id)
+ORDER BY a.query_id
+"""
+
+
 #: IVF parameters of the declared query — mirrored verbatim in the oracle.
 _IVF_CELLS, _IVF_NPROBE = 16, 4
 
@@ -2921,6 +2993,7 @@ QUERIES = {
     "top_tokens": q_top_tokens,
     "embedding_topk": q_embedding_topk,
     "hybrid_search": q_hybrid_search,
+    "retrieval_ndcg": q_retrieval_ndcg,
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_neardup": q_embedding_neardup,
     "semantic_gate": q_semantic_gate,
@@ -2976,6 +3049,7 @@ ORACLES = {
     "top_tokens": _TOP_TOKENS_ORACLE,
     "embedding_topk": _TOPK_ORACLE,
     "hybrid_search": _HYBRID_SEARCH_ORACLE,
+    "retrieval_ndcg": _RETRIEVAL_NDCG_ORACLE,
     "embedding_ivf_topk": _IVF_TOPK_ORACLE,
     "embedding_neardup": _NEARDUP_ORACLE,
     "semantic_neardup": _SEMANTIC_NEARDUP_ORACLE,

@@ -336,3 +336,37 @@ def test_binary_auc_by_group_matches_per_group_global(spark):
     for gname in ("g0", "g1", "g2"):
         solo = lmet.binary_auc(df.where(F.col("grp") == gname)).collect()[0]
         assert sliced[gname] == (solo.n_pos, solo.n_neg, solo.auc), gname
+
+
+def test_ndcg_at_k_hand_computed_and_partition_invariant(spark):
+    """nDCG@k (llm.metrics.ndcg_at_k): hand-computed DCG/IDCG on a
+    planted ranking, NULL when no relevant item, identical under
+    repartitioning (the rank-sorted fold fixes float addition order)."""
+    import math
+
+    from egal_yet_another_earthquake_project_spark.llm.metrics import (
+        ndcg_at_k,
+    )
+
+    rows = [
+        # query 1: rel at ranks 1 and 3 of 3 -> DCG = 1 + 1/log2(4)
+        (1, 1, 1.0), (1, 2, 0.0), (1, 3, 1.0),
+        # query 2: rel only at rank 2 -> DCG = 1/log2(3); IDCG = 1
+        (2, 1, 0.0), (2, 2, 1.0),
+        # query 3: nothing relevant -> ndcg NULL
+        (3, 1, 0.0), (3, 2, 0.0),
+    ]
+    df = spark.createDataFrame(rows, "query_id long, rank int, rel double")
+    got = {r.query_id: r for r in ndcg_at_k(df, k=10).collect()}
+    dcg1 = 1.0 + 1.0 / math.log2(4.0)
+    idcg1 = 1.0 + 1.0 / math.log2(3.0)
+    assert got[1].dcg == round(dcg1, 6) and got[1].idcg == round(idcg1, 6)
+    assert got[1].ndcg == round(round(dcg1, 6) / round(idcg1, 6), 6)
+    assert got[2].ndcg == round(round(1.0 / math.log2(3.0), 6) / 1.0, 6)
+    assert got[3].n_rel == 0 and got[3].ndcg is None
+    # partitioning invariance
+    again = {
+        r.query_id: r.ndcg
+        for r in ndcg_at_k(df.repartition(7, "rank"), k=10).collect()
+    }
+    assert again == {q: r.ndcg for q, r in got.items()}
