@@ -1425,7 +1425,18 @@ def q_lr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ROC-AUC of the LR margin on the SAME planted en-vs-rest
     labels the NB eval family uses (nb_auc) — the discriminative-vs-
     generative comparison row, through the same bucketed midrank
-    rank-sum (no data-scale ranking window)."""
+    rank-sum (no data-scale ranking window).
+
+    Bench note: this row deliberately pays the 8-epoch TRAINING
+    in-query (like pq_recall pays codebook training) — it is the
+    honest train+eval cost; the amortized production path is
+    ``lr_model_score`` (train once per input fingerprint). A
+    k-means-style broadcast-literal variant (weights as a 1025-element
+    literal array, one action per epoch) was measured SLOWER at sf0.1
+    (13.3 s vs 8.9 s median): per-epoch literal arrays defeat codegen
+    reuse and the constant-folding cost of 1025 literals × 8 epochs
+    exceeds the saved localCheckpoint actions. Frames + localCheckpoint
+    win here."""
     from egal_yet_another_earthquake_project_spark.llm import lr as llr
     from egal_yet_another_earthquake_project_spark.llm import metrics as lmet
 
