@@ -625,7 +625,7 @@ def main(argv: list[str] | None = None) -> int:
                 docs,
                 args.out,
                 label=_F.col("lang") == args.label_lang,
-                epochs=args.epochs if args.epochs else llr.EPOCHS,
+                epochs=args.epochs if args.epochs is not None else llr.EPOCHS,
             )
             w = spark.read.parquet(f"{args.out}/weights")
             nz = w.filter(_F.col("w") != 0).count()
@@ -633,15 +633,11 @@ def main(argv: list[str] | None = None) -> int:
                 {"out": args.out, "weights": w.count(), "nonzero": nz}
             ))
         elif args.cmd == "lr-score":
-            from pyspark.sql import functions as _F
-
             from egal_yet_another_earthquake_project_spark.llm import lr as llr
 
             weights = llr.read_lr_model(spark, args.model)
             preds = llr.lr_classify(
-                spark.read.parquet(args.docs),
-                weights,
-                label=_F.lit(None).cast("boolean"),
+                spark.read.parquet(args.docs), weights
             ).drop("label")
             if args.out:
                 preds.write.mode("overwrite").parquet(args.out)

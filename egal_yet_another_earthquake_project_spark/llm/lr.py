@@ -209,9 +209,16 @@ def lr_scores(
 ) -> DataFrame:
     """(doc_id, label, score): the exact integer margin as the score
     slice for eval metrics (AUC/PR-AUC take it as a double), with the
-    planted binary label alongside."""
+    planted binary label alongside. ``label=None`` defaults to the
+    planted lang='en' labels when the frame HAS a lang column and to a
+    NULL label otherwise — so pure (doc_id, text) inference frames
+    score without a sentinel-column dance (schema stays stable)."""
     if label is None:
-        label = F.col("lang") == "en"
+        label = (
+            F.col("lang") == "en"
+            if "lang" in docs.columns
+            else F.lit(None).cast("boolean")
+        )
     feats = hashed_features(docs, text_col)
     margins = lr_margins(feats, weights)
     return (

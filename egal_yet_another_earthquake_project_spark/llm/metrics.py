@@ -312,8 +312,11 @@ def ndcg_at_k(
     (query, item) with its 1-based rank and graded relevance) — the
     ranking-quality metric a retrieval stack reports next to recall.
 
-    DCG = Σ_{i≤k} rel_i / log2(i+1); IDCG re-sorts the SAME candidate
-    list by relevance (the standard within-list ideal — no corpus pass).
+    DCG = Σ_{rank≤k} rel / log2(rank+1) — the discount uses the CARRIED
+    rank value, so a candidate list with holes (unjudged docs filtered
+    upstream) keeps each item's true position. IDCG re-sorts the SAME
+    candidate list by relevance into positions 1..n (the standard
+    within-list ideal — no corpus pass).
     Both sums are LEFT FOLDS over rank-sorted arrays (sort_array on a
     (rank, rel) struct, then F.aggregate), so the float addition order
     is FIXED regardless of partitioning — the determinism device the
@@ -340,13 +343,25 @@ def ndcg_at_k(
         F.sum((F.col("_rel") > 0).cast("long")).alias("n_rel"),
     )
 
-    def fold(arr, rel_field):
-        # positional discount: element i of the sorted array is rank i+1
+    def fold_by_rank(arr):
+        # DCG discounts by the CARRIED rank value (non-contiguous ranks
+        # — unjudged docs filtered upstream — keep their true discount)
+        return F.aggregate(
+            F.transform(
+                arr,
+                lambda s: s["_rel"] / F.log2(s["_rk"].cast("double") + 1.0),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def fold_ideal(arr):
+        # IDCG: the ideal reordering occupies positions 1..n
         return F.aggregate(
             F.zip_with(
                 arr,
                 F.sequence(F.lit(1), F.size(arr)),
-                lambda s, i: s[rel_field] / F.log2(i.cast("double") + 1.0),
+                lambda s, i: -s["_negrel"] / F.log2(i.cast("double") + 1.0),
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
@@ -355,8 +370,8 @@ def ndcg_at_k(
     out = grouped.select(
         query_col,
         "n_rel",
-        F.round(fold(F.col("_by_rank"), "_rel"), 6).alias("dcg"),
-        F.round(fold(F.col("_by_rel"), "_negrel") * -1.0, 6).alias("idcg"),
+        F.round(fold_by_rank(F.col("_by_rank")), 6).alias("dcg"),
+        F.round(fold_ideal(F.col("_by_rel")), 6).alias("idcg"),
     )
     return out.select(
         query_col,

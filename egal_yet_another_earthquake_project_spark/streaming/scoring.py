@@ -225,9 +225,7 @@ def lr_classify_sink(
     def _score(batch: DataFrame, batch_id: int) -> None:
         if id_col != "doc_id":
             batch = batch.withColumnRenamed(id_col, "doc_id")
-        scored = lr_classify(
-            batch, weights, text_col, label=F.lit(None).cast("boolean")
-        ).drop("label")
+        scored = lr_classify(batch, weights, text_col).drop("label")
         (
             scored.withColumn("_batch_id", F.lit(batch_id))
             .write.mode("overwrite")

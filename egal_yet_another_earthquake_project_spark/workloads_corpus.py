@@ -992,9 +992,10 @@ ORDER BY true_label, pred_label
 """
 
 
-def _nb_model_cache(sf_dir: str) -> str:
-    """Cache path for the persisted NB model over ``sf_dir``'s documents,
-    keyed by input fingerprint (the _ivfpq_cache re-entrancy pattern)."""
+def _cached_model_dir(sf_dir: str, prefix: str) -> str:
+    """Cache path for a persisted model over ``sf_dir``'s documents,
+    keyed by input fingerprint (the _ivfpq_cache re-entrancy pattern) —
+    shared by the NB and LR model-score queries."""
     import hashlib
     from pathlib import Path
 
@@ -1005,7 +1006,26 @@ def _nb_model_cache(sf_dir: str) -> str:
         h.update(f"{f.name}:{st.st_size}:{st.st_mtime_ns}".encode())
     fp = h.hexdigest()[:10]
     root = Path(__file__).resolve().parent.parent / "spark-warehouse"
-    return str(root / f"nbmodel_{Path(sf_dir).name}_{fp}")
+    return str(root / f"{prefix}_{Path(sf_dir).name}_{fp}")
+
+
+def _ensure_model(mdl: str, build_fn) -> None:
+    """Build-at-most-once into ``mdl``: stage in a temp dir, atomic
+    rename; a concurrent builder winning the rename is not an error
+    (their artifact is byte-equivalent — training is deterministic)."""
+    import os
+    import shutil
+    import uuid
+    from pathlib import Path
+
+    if (Path(mdl) / "_COMPLETE").exists():
+        return
+    tmp = f"{mdl}.tmp-{uuid.uuid4().hex[:8]}"
+    build_fn(tmp)
+    try:
+        os.rename(tmp, mdl)
+    except OSError:  # concurrent builder won the rename; use theirs
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def q_nb_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1016,21 +1036,10 @@ def q_nb_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     amortized inference, the train/score split a firehose pipeline
     runs. Same predictions as the self-trained ``nb_langid``, so the
     same oracle verifies the persist → load → score round trip."""
-    import os
-    import shutil
-    import uuid
-    from pathlib import Path
-
     from egal_yet_another_earthquake_project_spark.llm import classify as lcls
 
-    mdl = _nb_model_cache(sf_dir)
-    if not (Path(mdl) / "_COMPLETE").exists():
-        tmp = f"{mdl}.tmp-{uuid.uuid4().hex[:8]}"
-        lcls.write_nb_model(_docs(spark, sf_dir), tmp)
-        try:
-            os.rename(tmp, mdl)
-        except OSError:  # concurrent builder won the rename; use theirs
-            shutil.rmtree(tmp, ignore_errors=True)
+    mdl = _cached_model_dir(sf_dir, "nbmodel")
+    _ensure_model(mdl, lambda tmp: lcls.write_nb_model(_docs(spark, sf_dir), tmp))
     weights, consts = lcls.read_nb_model(spark, mdl)
     return lcls.nb_classify_with_model(
         _docs(spark, sf_dir), weights, consts
@@ -1448,22 +1457,6 @@ def q_lr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lmet.binary_auc(sliced)
 
 
-def _lr_model_cache(sf_dir: str) -> str:
-    """Fingerprint-keyed cache path for the persisted LR model over
-    ``sf_dir``'s documents (the _nb_model_cache re-entrancy pattern)."""
-    import hashlib
-    from pathlib import Path
-
-    src = Path(sf_dir) / "documents.parquet"
-    h = hashlib.md5()
-    for f in sorted(src.rglob("*")) if src.is_dir() else [src]:
-        st = f.stat()
-        h.update(f"{f.name}:{st.st_size}:{st.st_mtime_ns}".encode())
-    fp = h.hexdigest()[:10]
-    root = Path(__file__).resolve().parent.parent / "spark-warehouse"
-    return str(root / f"lrmodel_{Path(sf_dir).name}_{fp}")
-
-
 def q_lr_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION LR path: train ONCE into a persisted model dir
     (``write_lr_model``: integer-grid weights under a ``_COMPLETE``
@@ -1473,21 +1466,12 @@ def q_lr_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-grid training is bit-replayable, so the SAME unrolled-epoch
     oracle that verifies the in-process ``lr_score`` verifies the
     persist → load → score round trip."""
-    import os
-    import shutil
-    import uuid
-    from pathlib import Path
-
     from egal_yet_another_earthquake_project_spark.llm import lr as llr
 
-    mdl = _lr_model_cache(sf_dir)
-    if not (Path(mdl) / "_COMPLETE").exists():
-        tmp = f"{mdl}.tmp-{uuid.uuid4().hex[:8]}"
-        llr.write_lr_model(_docs(spark, sf_dir), tmp)
-        try:
-            os.rename(tmp, mdl)
-        except OSError:  # concurrent builder won the rename; use theirs
-            shutil.rmtree(tmp, ignore_errors=True)
+    mdl = _cached_model_dir(sf_dir, "lrmodel")
+    _ensure_model(
+        mdl, lambda tmp: llr.write_lr_model(_docs(spark, sf_dir), tmp)
+    )
     weights = llr.read_lr_model(spark, mdl)
     return (
         llr.lr_scores(_docs(spark, sf_dir), weights)

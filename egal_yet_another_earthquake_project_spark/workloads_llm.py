@@ -835,24 +835,20 @@ def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     topk = lsim.brute_force_topk(emb.filter(F.col("vec_id") < 10), emb, k=10)
+    # broadcast the CANDIDATE frame (≤ queries × k rows) into the
+    # corpus-scale labels scan — never the label table itself, which is
+    # corpus-sized; the query-side labels prune to the query filter
     labels = emb.select("vec_id", "label")
+    q_labels = labels.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("_ql")
+    )
     ranked = (
-        topk.join(
-            labels.select(
-                F.col("vec_id").alias("query_id"),
-                F.col("label").alias("_ql"),
-            ),
-            "query_id",
+        labels.join(
+            F.broadcast(topk),
+            labels.vec_id == topk.neighbor_id,
         )
-        .join(
-            F.broadcast(
-                labels.select(
-                    F.col("vec_id").alias("neighbor_id"),
-                    F.col("label").alias("_nl"),
-                )
-            ),
-            "neighbor_id",
-        )
+        .select("query_id", "rank", F.col("label").alias("_nl"))
+        .join(F.broadcast(q_labels), "query_id")
         .select(
             "query_id",
             "rank",

@@ -370,3 +370,23 @@ def test_ndcg_at_k_hand_computed_and_partition_invariant(spark):
         for r in ndcg_at_k(df.repartition(7, "rank"), k=10).collect()
     }
     assert again == {q: r.ndcg for q, r in got.items()}
+
+
+def test_ndcg_at_k_discounts_by_carried_rank_not_position(spark):
+    """A candidate list with HOLES (unjudged docs filtered upstream)
+    keeps each item's true positional discount: rel at carried rank 3
+    contributes 1/log2(4), not 1/log2(3) — the array-position bug the
+    round-11 review caught."""
+    import math
+
+    from egal_yet_another_earthquake_project_spark.llm.metrics import (
+        ndcg_at_k,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1, 1.0), (1, 3, 1.0)], "query_id long, rank int, rel double"
+    )
+    row = ndcg_at_k(df, k=10).collect()[0]
+    assert row.dcg == round(1.0 + 1.0 / math.log2(4.0), 6)
+    # ideal packs the two relevant items into positions 1 and 2
+    assert row.idcg == round(1.0 + 1.0 / math.log2(3.0), 6)

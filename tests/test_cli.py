@@ -693,8 +693,6 @@ def test_cli_lr_train_and_score_round_trip(spark, tmp_path, capsys):
     weights = llr.read_lr_model(spark, str(mdl))
     want = {
         r.doc_id: r.pred
-        for r in llr.lr_classify(
-            docs, weights, label=F.lit(None).cast("boolean")
-        ).collect()
+        for r in llr.lr_classify(docs, weights).collect()
     }
     assert got == want and len(want) > 0

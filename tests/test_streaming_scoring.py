@@ -414,13 +414,9 @@ def test_lr_classify_stream_drained_equals_batch_from_artifact(
     weights = read_lr_model(spark, str(mdl))
     batch = {
         r.doc_id: r.pred
-        for r in lr_classify(
-            docs, weights, label=F.lit(None).cast("boolean")
-        ).collect()
+        for r in lr_classify(docs, weights).collect()
     }
     assert live == batch and len(batch) > 0
-    # the gate actually separates: both classes appear
-    assert set(live.values()) == {True, False} or len(set(live.values())) >= 1
 
     # partial model (no _COMPLETE) is refused at build time
     bad = tmp_path / "lr_partial"
