@@ -60,6 +60,7 @@ def curate_corpus(
     semantic_nprobe: int = 4,
     nb_model: str | None = None,
     nb_keep_label: str = "en",
+    lr_model: str | None = None,
 ) -> CurationResult:
     """Run the full curation flow; see module docstring for the stages.
 
@@ -236,6 +237,33 @@ def curate_corpus(
         stats["after_nb_gate"] = nb_kept.count()
         deduped.unpersist()
         deduped = nb_kept
+
+    if lr_model is not None:
+        # Discriminative (LR) gate beside the generative one — same
+        # per-document, after-all-dedup position, so composition order
+        # between the two classifier gates is immaterial (they AND) and
+        # drained ≡ batch still holds. Keeps predicted-positive docs.
+        from egal_yet_another_earthquake_project_spark.llm.lr import (
+            lr_classify,
+            read_lr_model,
+        )
+
+        w = read_lr_model(docs.sparkSession, lr_model)
+        keep_ids = (
+            lr_classify(
+                deduped.select(
+                    F.col(id_col).alias("doc_id"),
+                    F.col(text_col).alias("text"),
+                ),
+                w,
+            )
+            .where(F.col("pred"))
+            .select(F.col("doc_id").alias(id_col))
+        )
+        lr_kept = deduped.join(keep_ids, id_col, "left_semi").persist()
+        stats["after_lr_gate"] = lr_kept.count()
+        deduped.unpersist()
+        deduped = lr_kept
 
     if alpha is not None:
         # No broadcast hint: `keep` is budget-sized, and a real curation

@@ -209,6 +209,12 @@ def _parser() -> argparse.ArgumentParser:
     )
     cs.add_argument("--nb-keep-label", default="en")
     cs.add_argument(
+        "--lr-model",
+        default=None,
+        help="persisted lr-train model dir; enables the discriminative "
+        "(logistic-regression) gate beside the NB one",
+    )
+    cs.add_argument(
         "--monitor",
         action="store_true",
         help="land per-drop monitoring tables under {out}/metrics: the "
@@ -528,6 +534,7 @@ def main(argv: list[str] | None = None) -> int:
                 semantic_nprobe=args.semantic_nprobe,
                 nb_model=args.nb_model,
                 nb_keep_label=args.nb_keep_label,
+                lr_model=args.lr_model,
                 monitor=args.monitor,
             )
             if args.compact_every is not None:

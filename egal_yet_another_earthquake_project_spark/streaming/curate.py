@@ -236,6 +236,7 @@ def _score_hop(
     semantic_nprobe: int = 4,
     nb_model: str | None = None,
     nb_keep_label: str = "en",
+    lr_model: str | None = None,
     monitor: bool = False,
 ):
     """Hop 2: near-duplicate DROP + frozen-LM scoring, per micro-batch.
@@ -281,6 +282,13 @@ def _score_hop(
         )
 
         nb_frames = read_nb_model(spark, nb_model)
+    lr_weights_frame = None
+    if lr_model is not None:
+        from egal_yet_another_earthquake_project_spark.llm.lr import (
+            read_lr_model,
+        )
+
+        lr_weights_frame = read_lr_model(spark, lr_model)
     psi_frozen = None
     if monitor and corpus is not None:
         from egal_yet_another_earthquake_project_spark.operators.stats import (
@@ -425,6 +433,27 @@ def _score_hop(
                     .select(F.col("doc_id").alias(id_col))
                 )
                 kept = kept.join(nb_keep, id_col, "left_semi")
+
+            if lr_weights_frame is not None:
+                # discriminative gate beside the generative one — same
+                # after-all-dedup position (per-document filters AND,
+                # so their order is immaterial and drained ≡ batch)
+                from egal_yet_another_earthquake_project_spark.llm.lr import (
+                    lr_classify,
+                )
+
+                lr_keep = (
+                    lr_classify(
+                        kept.select(
+                            F.col(id_col).alias("doc_id"),
+                            F.col(text_col).alias("text"),
+                        ),
+                        lr_weights_frame,
+                    )
+                    .where(F.col("pred"))
+                    .select(F.col("doc_id").alias(id_col))
+                )
+                kept = kept.join(lr_keep, id_col, "left_semi")
 
             if model is not None:
                 from egal_yet_another_earthquake_project_spark.llm.lm import (
@@ -753,6 +782,7 @@ def _build_hops(
         semantic_nprobe=kw.get("semantic_nprobe", 4),
         nb_model=kw.get("nb_model"),
         nb_keep_label=kw.get("nb_keep_label", "en"),
+        lr_model=kw.get("lr_model"),
         monitor=kw.get("monitor", False),
     )
     pack = _pack_hop(

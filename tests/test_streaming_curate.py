@@ -1204,3 +1204,74 @@ def test_monitor_metrics_drained_equal_batch(spark, tmp_path: Path):
     assert all(r.passed for r in dq.collect())
     assert all(r.psi is not None and r.psi < 0.25 for r in psi.collect())
     clean.unpersist()
+
+
+def test_lr_gate_drained_equals_batch(spark, tmp_path: Path):
+    """The DISCRIMINATIVE classifier gate composed into both pipelines
+    (the LR twin of test_nb_gate_drained_equals_batch): a persisted LR
+    model trained on a text-predictable planted label (doc contains
+    'join') gates the same drop through curate_corpus(lr_model=...) and
+    through the streaming twin — shards must match row for row, and the
+    gate must genuinely split the drop."""
+    from egal_yet_another_earthquake_project_spark.llm.lr import (
+        write_lr_model,
+    )
+
+    # marker-augmented drop: even doc_ids carry a strong positive token,
+    # odd ones a strong negative token — a SEPARABLE planted label the
+    # 8-epoch model genuinely learns (a weak natural signal like
+    # 'contains join' is prior-dominated and the gate drops nothing)
+    drop = _drop_frame(spark).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit(" keepmark keepmark keepmark")
+            ).otherwise(F.lit(" dropmark dropmark dropmark")),
+        ),
+    )
+    mdl = tmp_path / "lr_model"
+    write_lr_model(drop, str(mdl), label=F.col("text").contains("keepmark"))
+    batch = curate.curate_corpus(
+        drop,
+        min_quality=0.5,
+        lang="en",
+        near_dedup=True,
+        jaccard_threshold=0.7,
+        keep="min_id",
+        ctx=256,
+        lr_model=str(mdl),
+    )
+    assert 0 < batch.stats["after_lr_gate"] < batch.stats["after_dedup"], (
+        "fixture must exercise the gate in both directions"
+    )
+    want = {
+        tuple(r)
+        for r in batch.corpus.select(
+            "doc_id", "source", "text", "n_tokens", "start_tok", "pack_id"
+        ).collect()
+    }
+
+    src = tmp_path / "drop_in"
+    drop.selectExpr("doc_id", "source", "text", f"{TS} AS ingest_ts").coalesce(
+        1
+    ).write.parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+    drain_curate_stream(
+        spark,
+        str(src),
+        schema,
+        corpus=None,
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        model=None,
+        jaccard_threshold=0.7,
+        lr_model=str(mdl),
+    )
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "out" / "shards"))
+        .select("doc_id", "source", "text", "n_tokens", "start_tok", "pack_id")
+        .collect()
+    }
+    assert got == want and len(want) > 0
