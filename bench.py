@@ -225,7 +225,18 @@ HEADLINE = [
     "hybrid_search",
     # round-11: retrieval quality metric (nDCG@10 vs planted labels)
     "retrieval_ndcg",
+    # round-12: per-query-text BM25 (terms extracted per query) and its
+    # amortized twin against the persisted term-bucketed inverted index
+    "bm25_per_query",
+    "bm25_index_topk",
 ]
+
+#: Declared-expensive AUDIT rows (VERDICT r11 #7): queries that pay
+#: in-query training / brute-force ground truth BY DECLARATION so their
+#: oracle can replay one statement (each has an amortized production
+#: twin or is itself the quality audit). Flagged in the bench payload so
+#: cross-round suite sums can be read with and without this class.
+AUDIT_ROWS = {"pq_topk", "pq_recall", "lr_auc"}
 
 
 #: Host-epoch probes (VERDICT r7 #5): queries whose PLAN has been
@@ -558,6 +569,13 @@ def main() -> None:
         # found eliminated subtrees (see BENCH_HONESTY_r11.json).
         "materialization": "xxhash64-all-columns-bitxor",
         "plan_audit": "pass",
+        # declared-expensive audit rows (in-query training / brute-force
+        # ground truth BY DESIGN; amortized twins exist) — subtract for
+        # a production-shaped suite sum (VERDICT r11 #7)
+        "audit_rows": sorted(AUDIT_ROWS & timings.keys()),
+        "value_ex_audit_rows": round(
+            total - sum(timings.get(n, 0.0) for n in AUDIT_ROWS), 3
+        ),
     }
     print(json.dumps(payload))
 

@@ -1,0 +1,337 @@
+"""Parity-time rounding-margin audits (VERDICT r11, "What's wrong" #1b).
+
+A declared query that RANKS or CUTS on a ``round(x, d)`` value is only
+cross-engine deterministic while no raw ``x`` sits within cross-engine
+float drift of a rounding boundary (the half-steps of the d-th decimal).
+Round 11's ``retrieval_ndcg`` hash flip was invisible to every local
+instrument precisely because the fragility lives where the driver's
+environment differs — so these audits measure, on the parity dataset
+itself, the distance of EVERY rank-key / emitted-float raw value to its
+nearest boundary and fail LOUDLY when any margin is ≤ :data:`MIN_MARGIN`.
+``parity.py`` runs them after the query sweep and refuses to write a
+green artifact over a fragile registry; ``tests/test_margin_audits.py``
+keeps them in the pytest gate.
+
+Audits recompute the RAW (pre-round) values with the exact production
+arithmetic (the ``*_raw`` split-outs in llm.search / llm.metrics /
+llm.quantize, and the same unit→fold-dot kernel as llm.similarity), so a
+margin here is a statement about the real plan, not a re-derivation.
+Everything is oracle-scale (sf0.01) — bounded collects only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from egal_yet_another_earthquake_project_spark.llm import metrics as lmet
+from egal_yet_another_earthquake_project_spark.llm import quantize as lq
+from egal_yet_another_earthquake_project_spark.llm import search as lsrch
+from egal_yet_another_earthquake_project_spark.llm import similarity as lsim
+from egal_yet_another_earthquake_project_spark.sources.files import read_table
+
+#: Minimum allowed distance of any raw value to its rounding boundary.
+#: Cross-engine drift between IEEE754 double pipelines is ulp-scale
+#: (~1e-16 relative); 1e-9 leaves 7 orders of magnitude of headroom
+#: while still catching genuinely boundary-straddling data.
+MIN_MARGIN = 1e-9
+
+
+def round_margin(raw: Column, digits: int) -> Column:
+    """Distance of ``raw`` to the nearest ``round(·, digits)`` boundary.
+
+    Boundaries sit at the half-steps ``(n + 0.5) · 10^-digits``; with
+    ``s = raw · 10^digits`` the fractional part ``s - floor(s)`` is in
+    [0, 1) and the one boundary in its unit interval is at 0.5, so the
+    scaled distance is ``|frac - 0.5|`` (≤ 0.5 by construction).
+    """
+    scale = F.lit(float(10**digits))
+    s = raw * scale
+    return F.abs(s - F.floor(s) - F.lit(0.5)) / scale
+
+
+def _min_margin(df: DataFrame, raw: Column, digits: int, what: str) -> DataFrame:
+    return (
+        df.select(round_margin(raw, digits).alias("_m"))
+        .agg(F.min("_m").alias("margin"))
+        .select(F.lit(what).alias("what"), "margin")
+    )
+
+
+def _unioned(parts: list[DataFrame]) -> DataFrame:
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "embeddings")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents")
+
+
+def _pair_cos_raw(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Raw (unrounded) engine cosine for every (query, corpus) pair with
+    distinct ids — the unit→ordered-fold-dot kernel of llm.similarity.
+    All-pairs is a SUPERSET of any cell-restricted candidate set, so a
+    wide margin here covers the IVF/gate variants too."""
+    q = lsim.unit(
+        queries.select(F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv")),
+        "_qv", "_uq",
+    ).drop("_qv")
+    c = lsim.unit(
+        corpus.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")),
+        "_cv", "_uc",
+    ).drop("_cv")
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("_qid") != F.col("_cid"))
+        .select(lsim._dots(F.col("_uq"), F.col("_uc")).alias("raw"))
+    )
+
+
+def _aug_neardup_emb(emb: DataFrame) -> DataFrame:
+    copies = emb.filter(F.col("vec_id") < 20).withColumn(
+        "vec_id", F.col("vec_id") + 10000
+    )
+    return emb.unionByName(copies)
+
+
+def _aug_semantic_emb(emb: DataFrame) -> DataFrame:
+    return emb.unionByName(
+        emb.filter(F.col("vec_id") < 50).withColumn("vec_id", F.col("vec_id") + 10000)
+    ).unionByName(
+        emb.filter(F.col("vec_id") < 30).withColumn("vec_id", F.col("vec_id") + 20000)
+    )
+
+
+def audit_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    pairs = _pair_cos_raw(emb.filter(F.col("vec_id") < 10), emb)
+    return _min_margin(pairs, F.col("raw"), 4, "cos@4")
+
+
+def audit_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from egal_yet_another_earthquake_project_spark.workloads_llm import (
+        _ndcg_ranked,
+    )
+
+    emb = _emb(spark, sf_dir)
+    pairs = _pair_cos_raw(emb.filter(F.col("vec_id") < 10), emb)
+    folds = lmet.ndcg_folds(_ndcg_ranked(spark, sf_dir), k=10)
+    # ndcg divides the ROUNDED dcg/idcg — audit that exact quotient
+    ndcg_raw = F.round(F.col("_dcg_raw"), 6) / F.round(F.col("_idcg_raw"), 6)
+    return _unioned([
+        _min_margin(pairs, F.col("raw"), 4, "cos@4"),
+        _min_margin(folds, F.col("_dcg_raw"), 6, "dcg@6"),
+        _min_margin(folds, F.col("_idcg_raw"), 6, "idcg@6"),
+        _min_margin(
+            folds.filter(F.round(F.col("_idcg_raw"), 6) != 0.0),
+            ndcg_raw, 6, "ndcg@6",
+        ),
+    ])
+
+
+def _rrf_grid_margin(spark: SparkSession, sides: int = 20, rrf_k: int = 60) -> DataFrame:
+    """RRF raw scores form a FINITE data-independent grid: rank_a,
+    rank_b ∈ 1..sides ∪ {absent}. Python doubles are the same IEEE754
+    arithmetic the JVM executes, so the grid margins are exact."""
+    vals = []
+    ranks: list[int | None] = [None] + list(range(1, sides + 1))
+    for ra in ranks:
+        for rb in ranks:
+            if ra is None and rb is None:
+                continue
+            a = 1.0 / (rrf_k + ra) if ra is not None else 0.0
+            b = 1.0 / (rrf_k + rb) if rb is not None else 0.0
+            vals.append((a + b,))
+    df = spark.createDataFrame(vals, "raw double")
+    return _min_margin(df, F.col("raw"), 6, "rrf@6")
+
+
+def _per_query_bm25_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from egal_yet_another_earthquake_project_spark.workloads_llm import (
+        _hybrid_queries_df,
+    )
+
+    return lsrch.bm25_scores_per_query_raw(
+        _docs(spark, sf_dir), _hybrid_queries_df(spark)
+    )
+
+
+def audit_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    pairs = _pair_cos_raw(emb.filter(F.col("vec_id") < 5), emb)
+    bm = _per_query_bm25_raw(spark, sf_dir)
+    return _unioned([
+        _min_margin(pairs, F.col("raw"), 4, "cos@4"),
+        _min_margin(bm, F.col("_score_raw"), 4, "bm25@4"),
+        _rrf_grid_margin(spark),
+    ])
+
+
+def audit_bm25_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bm = _per_query_bm25_raw(spark, sf_dir)
+    return _min_margin(bm, F.col("_score_raw"), 4, "bm25@4")
+
+
+def audit_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from egal_yet_another_earthquake_project_spark.workloads_corpus import (
+        BM25_TERMS,
+    )
+
+    bm = lsrch.bm25_scores_raw(_docs(spark, sf_dir), BM25_TERMS)
+    return _min_margin(bm, F.col("_score_raw"), 4, "bm25@4")
+
+
+def _ivf_cos_raw(
+    queries: DataFrame,
+    corpus: DataFrame,
+    num_cells: int,
+    nprobe: int,
+) -> DataFrame:
+    """Raw cosines of EVERY rank-cut key an IVF query evaluates: the
+    centroid-assignment scores (row × centroid, ranked at round(·,4))
+    for both sides, plus the within-cell candidate cosines the final
+    top-k / threshold cut sees. Mirrors ivf_trained_topk /
+    semantic_gate_inline's shape with the rounding stripped."""
+    cent = lsim.sample_centroids(corpus, num_cells)
+    ucent = lsim.unit(cent, "cv", "_ucv").drop("cv")
+
+    def assign_raw(df: DataFrame) -> DataFrame:
+        return (
+            lsim.unit(
+                df.select(F.col("vec_id").alias("_id"), F.col("embedding").alias("_v")),
+                "_v", "_uv",
+            )
+            .drop("_v")
+            .crossJoin(F.broadcast(ucent))
+            .select(
+                "_id", "cell", "_uv",
+                lsim._dots(F.col("_uv"), F.col("_ucv")).alias("raw"),
+            )
+        )
+
+    qa = assign_raw(queries)
+    ca = assign_raw(corpus)
+    wq = Window.partitionBy("_id").orderBy(
+        F.round(F.col("raw"), 4).desc(), F.col("cell").asc()
+    )
+    q_cells = (
+        qa.withColumn("_rk", F.row_number().over(wq))
+        .filter(F.col("_rk") <= int(nprobe))
+        .select(F.col("_id").alias("_qid"), "cell", F.col("_uv").alias("_uq"))
+    )
+    c_cells = (
+        ca.withColumn("_rk", F.row_number().over(wq))
+        .filter(F.col("_rk") <= 1)
+        .select(F.col("_id").alias("_cid"), "cell", F.col("_uv").alias("_uc"))
+    )
+    cand = (
+        c_cells.join(F.broadcast(q_cells), on="cell")
+        .filter(F.col("_qid") != F.col("_cid"))
+        .select(lsim._dots(F.col("_uq"), F.col("_uc")).alias("raw"))
+    )
+    return qa.select("raw").unionByName(ca.select("raw")).unionByName(cand)
+
+
+def _label_pair_cos_raw(aug: DataFrame) -> DataFrame:
+    """Raw cosines of the label-bucketed neardup candidate pairs
+    (a.label = b.label, id_a < id_b) — exactly neardup_pairs' join."""
+    a = lsim.unit(
+        aug.select(F.col("vec_id").alias("_ida"), "label", F.col("embedding").alias("_va")),
+        "_va", "_ua",
+    ).drop("_va")
+    b = lsim.unit(
+        aug.select(F.col("vec_id").alias("_idb"), "label", F.col("embedding").alias("_vb")),
+        "_vb", "_ub",
+    ).drop("_vb")
+    return (
+        a.join(b, on="label")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .select(lsim._dots(F.col("_ua"), F.col("_ub")).alias("raw"))
+    )
+
+
+def audit_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    pairs = _ivf_cos_raw(emb.filter(F.col("vec_id") < 10), emb, 16, 4)
+    return _min_margin(pairs, F.col("raw"), 4, "cos@4")
+
+
+def audit_semantic_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    inc = emb.filter(F.col("vec_id") < 30).unionByName(
+        emb.filter(F.col("vec_id") < 20).withColumn("vec_id", F.col("vec_id") + 10000)
+    )
+    pairs = _ivf_cos_raw(inc, emb, 16, 4)
+    return _min_margin(pairs, F.col("raw"), 4, "cos@4")
+
+
+def audit_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = _aug_neardup_emb(_emb(spark, sf_dir))
+    return _min_margin(_label_pair_cos_raw(aug), F.col("raw"), 4, "cos@4")
+
+
+def audit_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = _aug_semantic_emb(_emb(spark, sf_dir))
+    return _min_margin(_label_pair_cos_raw(aug), F.col("raw"), 4, "cos@4")
+
+
+def audit_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    pairs = _pair_cos_raw(emb.filter(F.col("vec_id") < 5), emb)
+    return _min_margin(pairs, F.col("raw"), 4, "cos@4(truth)")
+
+
+def audit_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = lq.quantize_int8_raw(_emb(spark, sf_dir))
+    return _unioned([
+        _min_margin(raw, F.col("_qscale_raw"), 6, "qscale@6"),
+        _min_margin(raw, F.col("_err_raw"), 6, "max_abs_err@6"),
+        _min_margin(raw, F.col("_cos_raw"), 4, "cos_dq@4"),
+    ])
+
+
+#: query name → margin-audit callable; names MUST be declared queries.
+MARGIN_AUDITS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "embedding_topk": audit_embedding_topk,
+    "retrieval_ndcg": audit_retrieval_ndcg,
+    "hybrid_search": audit_hybrid_search,
+    "bm25_search": audit_bm25_search,
+    "bm25_per_query": audit_bm25_per_query,
+    "embedding_ivf_topk": audit_embedding_ivf_topk,
+    "semantic_gate": audit_semantic_gate,
+    "embedding_neardup": audit_embedding_neardup,
+    "semantic_neardup": audit_semantic_neardup,
+    "pq_recall": audit_pq_recall,
+    "embedding_quantize": audit_embedding_quantize,
+}
+
+
+def run_margin_audits(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, dict[str, float | bool]]:
+    """Run every margin audit; returns
+    ``{query: {"min_margin": float, "pass": bool, "weakest": str}}``."""
+    out: dict[str, dict[str, float | bool]] = {}
+    for name in sorted(MARGIN_AUDITS):
+        rows = MARGIN_AUDITS[name](spark, sf_dir).collect()
+        weakest = min(rows, key=lambda r: r["margin"])
+        out[name] = {
+            "min_margin": float(weakest["margin"]),
+            "weakest": str(weakest["what"]),
+            "pass": bool(weakest["margin"] > MIN_MARGIN),
+        }
+    return out

@@ -256,6 +256,14 @@ def _parser() -> argparse.ArgumentParser:
         "merge+expire everything older; 0 = only expire manifests already "
         "dead from prior compactions",
     )
+    cv.add_argument(
+        "--metrics-keep-last",
+        type=int,
+        default=0,
+        help="also retain only the newest N per-drop partitions of every "
+        "monitoring table under {out}/metrics (dq/psi/...); 0 = leave "
+        "metrics history untouched",
+    )
 
     lt = sub.add_parser(
         "lm-train",
@@ -590,6 +598,14 @@ def main(argv: list[str] | None = None) -> int:
                 args.checkpoint,
                 keep_last=args.keep_last,
             )
+            if args.metrics_keep_last:
+                from egal_yet_another_earthquake_project_spark.streaming.curate import (
+                    vacuum_metrics_history,
+                )
+
+                res["metrics"] = vacuum_metrics_history(
+                    spark, args.out, keep_last=args.metrics_keep_last
+                )
             print(json.dumps({"out": args.out, **res}))
         elif args.cmd == "nb-train":
             import json

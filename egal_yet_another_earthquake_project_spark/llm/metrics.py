@@ -328,6 +328,35 @@ def ndcg_at_k(
     Returns (query_col, n_rel, dcg, idcg, ndcg) — ndcg NULL when the
     candidate list has no relevant item (undefined, not 0-faked).
     """
+    folds = ndcg_folds(ranked, query_col, rel_col, rank_col, k)
+    out = folds.select(
+        query_col,
+        "n_rel",
+        F.round(F.col("_dcg_raw"), 6).alias("dcg"),
+        F.round(F.col("_idcg_raw"), 6).alias("idcg"),
+    )
+    return out.select(
+        query_col,
+        "n_rel",
+        "dcg",
+        "idcg",
+        F.round(
+            F.when(F.col("idcg") != 0.0, F.col("dcg") / F.col("idcg")), 6
+        ).alias("ndcg"),
+    )
+
+
+def ndcg_folds(
+    ranked: DataFrame,
+    query_col: str = "query_id",
+    rel_col: str = "rel",
+    rank_col: str = "rank",
+    k: int = 10,
+) -> DataFrame:
+    """The RAW (unrounded) dcg/idcg folds behind :func:`ndcg_at_k` —
+    (query_col, n_rel, _dcg_raw, _idcg_raw). Split out so the parity
+    rounding-margin audit can measure each raw fold's distance to its
+    round(·,6) boundary with the exact production arithmetic."""
     capped = ranked.filter(F.col(rank_col) <= int(k)).select(
         F.col(query_col),
         F.col(rank_col).cast("int").alias("_rk"),
@@ -367,18 +396,9 @@ def ndcg_at_k(
             lambda acc, x: acc + x,
         )
 
-    out = grouped.select(
+    return grouped.select(
         query_col,
         "n_rel",
-        F.round(fold_by_rank(F.col("_by_rank")), 6).alias("dcg"),
-        F.round(fold_ideal(F.col("_by_rel")), 6).alias("idcg"),
-    )
-    return out.select(
-        query_col,
-        "n_rel",
-        "dcg",
-        "idcg",
-        F.round(
-            F.when(F.col("idcg") != 0.0, F.col("dcg") / F.col("idcg")), 6
-        ).alias("ndcg"),
+        fold_by_rank(F.col("_by_rank")).alias("_dcg_raw"),
+        fold_ideal(F.col("_by_rel")).alias("_idcg_raw"),
     )

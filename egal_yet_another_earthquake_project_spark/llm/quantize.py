@@ -37,6 +37,23 @@ def quantize_int8(
     — rounded 6/6/4. Shuffle-free: one projection per row, so it
     composes with any scan at any scale.
     """
+    raw = quantize_int8_raw(df, id_col, vec_col)
+    return raw.select(
+        F.col(id_col),
+        F.round(F.col("_qscale_raw"), 6).alias("qscale"),
+        F.round(F.col("_err_raw"), 6).alias("max_abs_err"),
+        F.round(F.col("_cos_raw"), 4).alias("cos_dq"),
+    )
+
+
+def quantize_int8_raw(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`quantize_int8` before the rounding — (id, _qscale_raw,
+    _err_raw, _cos_raw). Split out so the parity rounding-margin audit
+    can measure each raw metric's distance to its rounding boundary."""
     v = _dbl(F.col(vec_col))
     amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
     scale = amax / F.lit(127.0)
@@ -53,9 +70,9 @@ def quantize_int8(
     zero = amax == 0.0
     return df.select(
         F.col(id_col),
-        F.round(F.when(zero, F.lit(0.0)).otherwise(scale), 6).alias("qscale"),
-        F.round(F.when(zero, F.lit(0.0)).otherwise(err), 6).alias("max_abs_err"),
-        F.round(F.when(zero, F.lit(1.0)).otherwise(dot / (nv * nd)), 4).alias("cos_dq"),
+        F.when(zero, F.lit(0.0)).otherwise(scale).alias("_qscale_raw"),
+        F.when(zero, F.lit(0.0)).otherwise(err).alias("_err_raw"),
+        F.when(zero, F.lit(1.0)).otherwise(dot / (nv * nd)).alias("_cos_raw"),
     )
 
 

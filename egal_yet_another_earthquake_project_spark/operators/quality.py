@@ -65,8 +65,13 @@ def unique(col: str, max_dup_frac: float = 0.0) -> Check:
     count_distinct). Two duplicate values in 100 rows score 0.01 (the
     one excess copy), not 0.02. NULLs are excluded entirely — NULL
     handling belongs to :func:`not_null`, so a nullable column cannot
-    fail uniqueness purely from NULL density."""
-    frac = 1.0 - F.count_distinct(F.col(col)) / F.count(F.col(col))
+    fail uniqueness purely from NULL density. An all-NULL column has
+    zero non-null rows and therefore zero excess copies: the fraction
+    coalesces to 0.0 (ADVICE r11 — a NULL metric made ``passed`` NULL,
+    which a ``passed = false`` gate silently missed)."""
+    frac = F.coalesce(
+        1.0 - F.count_distinct(F.col(col)) / F.count(F.col(col)), F.lit(0.0)
+    )
     return Check(f"unique({col})", frac, max_dup_frac)
 
 

@@ -252,7 +252,14 @@ def _score_hop(
       length distribution vs the FROZEN corpus reference (bin edges and
       the reference histogram computed ONCE at hop build and
       localCheckpointed — ≤bins rows — so monitoring never re-scans the
-      corpus per drop; skipped when there is no corpus).
+      corpus per drop; skipped when there is no corpus);
+    * ``{out}/metrics/psi_lr/_batch_id=N`` — PSI drift of the LR gate's
+      PRE-gate margin distribution vs the trusted corpus's margins
+      under the frozen model (VERDICT r11 ask #6: a shifted margin
+      distribution is the first symptom of corpus drift poisoning the
+      gate; post-gate margins are censored at 0, so the pre-gate slice
+      is monitored). Same frozen-at-build ≤bins reference; emitted only
+      when BOTH ``monitor`` and ``lr_model`` are set.
 
     Both are replay-idempotent dynamic partition overwrites like every
     hop output, and both equal their batch-mode counterparts
@@ -290,6 +297,7 @@ def _score_hop(
 
         lr_weights_frame = read_lr_model(spark, lr_model)
     psi_frozen = None
+    psi_lr_frozen = None
     if monitor and corpus is not None:
         from egal_yet_another_earthquake_project_spark.operators.stats import (
             psi_reference_hist,
@@ -304,6 +312,30 @@ def _score_hop(
             ref_len, "_mlen", stats=stats
         ).localCheckpoint(eager=True)
         psi_frozen = (stats, hist)
+        if lr_weights_frame is not None:
+            # PSI on the LR gate's OWN margins (VERDICT r11 ask #6): a
+            # shifted margin distribution is the first symptom of corpus
+            # drift poisoning the gate, and nothing else watches the
+            # classifier itself. Reference = the trusted corpus's margins
+            # under the FROZEN model (the same distribution the gate was
+            # validated against), binned once at hop build — ≤bins rows
+            # localCheckpointed, never re-scored per drop.
+            from egal_yet_another_earthquake_project_spark.llm.lr import (
+                lr_scores,
+            )
+
+            ref_m = lr_scores(
+                corpus.select(
+                    F.col(id_col).alias("doc_id"),
+                    F.col(text_col).alias("text"),
+                ),
+                lr_weights_frame,
+            ).select(F.col("score").alias("_lrm"))
+            lr_stats = psi_reference_stats(ref_m, "_lrm")
+            lr_hist = psi_reference_hist(
+                ref_m, "_lrm", stats=lr_stats
+            ).localCheckpoint(eager=True)
+            psi_lr_frozen = (lr_stats, lr_hist)
     admitted_schema = _ADMITTED_FIELDS.format(
         id=id_col, idt=id_type, src=source_col, txt=text_col, et=event_time
     )
@@ -434,24 +466,36 @@ def _score_hop(
                 )
                 kept = kept.join(nb_keep, id_col, "left_semi")
 
+            lr_margin_batch = None
             if lr_weights_frame is not None:
                 # discriminative gate beside the generative one — same
                 # after-all-dedup position (per-document filters AND,
-                # so their order is immaterial and drained ≡ batch)
+                # so their order is immaterial and drained ≡ batch).
+                # Scored (not classified) so the monitor can see the
+                # PRE-gate margin distribution — post-gate margins are
+                # censored at 0 and would hide exactly the drift the
+                # PSI exists to catch.
                 from egal_yet_another_earthquake_project_spark.llm.lr import (
-                    lr_classify,
+                    lr_scores,
                 )
 
-                lr_keep = (
-                    lr_classify(
-                        kept.select(
-                            F.col(id_col).alias("doc_id"),
-                            F.col(text_col).alias("text"),
-                        ),
-                        lr_weights_frame,
+                scored_lr = lr_scores(
+                    kept.select(
+                        F.col(id_col).alias("doc_id"),
+                        F.col(text_col).alias("text"),
+                    ),
+                    lr_weights_frame,
+                )
+                if psi_lr_frozen is not None:
+                    # two consumers (gate + monitor): persist per the
+                    # multi-consumer caching rule, released in finally
+                    scored_lr = scored_lr.persist()
+                    reg.append(scored_lr)
+                    lr_margin_batch = scored_lr.select(
+                        F.col("score").alias("_lrm")
                     )
-                    .where(F.col("pred"))
-                    .select(F.col("doc_id").alias(id_col))
+                lr_keep = scored_lr.where(F.col("score") >= 0).select(
+                    F.col("doc_id").alias(id_col)
                 )
                 kept = kept.join(lr_keep, id_col, "left_semi")
 
@@ -472,8 +516,20 @@ def _score_hop(
             kept = kept.persist()
             reg.append(kept)
 
+            scored_out = kept.withColumn("_batch_id", F.lit(batch_id))
+            # persist the scored schema ONCE (create-only sidecar;
+            # underscore-prefixed, so parquet readers skip it):
+            # read_scored_asof's pre-first-commit empty snapshot returns
+            # THIS schema instead of a hardcoded minimal one — ADVICE
+            # r11: code selecting pipeline-configured columns must not
+            # throw only on a fresh out_dir.
+            fsutil.write_text_once(
+                spark,
+                f"{out_dir}/scored/_schema.json",
+                scored_out.schema.json() + "\n",
+            )
             (
-                kept.withColumn("_batch_id", F.lit(batch_id))
+                scored_out
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("_batch_id")
@@ -530,6 +586,26 @@ def _score_hop(
                         .option("partitionOverwriteMode", "dynamic")
                         .partitionBy("_batch_id")
                         .parquet(f"{out_dir}/metrics/psi")
+                    )
+                if lr_margin_batch is not None:
+                    from egal_yet_another_earthquake_project_spark.operators.stats import (
+                        psi_profile,
+                    )
+
+                    lr_stats, lr_hist = psi_lr_frozen
+                    (
+                        psi_profile(
+                            lr_margin_batch,
+                            None,
+                            "_lrm",
+                            stats=lr_stats,
+                            ref_hist=lr_hist,
+                        )
+                        .withColumn("_batch_id", F.lit(batch_id))
+                        .write.mode("overwrite")
+                        .option("partitionOverwriteMode", "dynamic")
+                        .partitionBy("_batch_id")
+                        .parquet(f"{out_dir}/metrics/psi_lr")
                     )
 
             # manifest LAST — hop 3 must only ever see a batch whose data
@@ -909,6 +985,26 @@ def last_committed_batch(
     return max(ids) if ids else None
 
 
+def _batch_partition_ids(spark: SparkSession, path: str, safe: int) -> list[int]:
+    """``_batch_id`` partition directories of ``path`` in ``[0, safe]``,
+    ascending — the set a compaction merge would consume. Shared with
+    :func:`compact_curate_outputs` so the scored-horizon WAL write can
+    key on the PRE-merge state (ADVICE r11: a crash between the merge
+    swap and the horizon advance, or a replay of a partially-completed
+    merge, must not complete the merge with the horizon unwritten)."""
+    ids = []
+    for name in fsutil.list_names(spark, path):
+        if not name.startswith("_batch_id="):
+            continue
+        try:
+            v = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if 0 <= v <= safe:
+            ids.append(v)
+    return sorted(ids)
+
+
 def _compact_batched_path(
     spark: SparkSession,
     path: str,
@@ -940,17 +1036,7 @@ def _compact_batched_path(
     dst = f"{path}/_batch_id={safe}"
 
     def _merge_ids() -> list[int]:
-        ids = []
-        for name in fsutil.list_names(spark, path):
-            if not name.startswith("_batch_id="):
-                continue
-            try:
-                v = int(name.split("=", 1)[1])
-            except ValueError:
-                continue
-            if 0 <= v <= safe:
-                ids.append(v)
-        return sorted(ids)
+        return _batch_partition_ids(spark, path, safe)
 
     if not fsutil.exists(spark, f"{stage}/_SUCCESS"):
         fsutil.delete(spark, stage)  # incomplete previous attempt
@@ -1106,6 +1192,51 @@ def vacuum_scored_history(
     return stats
 
 
+def vacuum_metrics_history(
+    spark: SparkSession,
+    out_dir: str,
+    keep_last: int = 10,
+) -> dict:
+    """Retention vacuum for the per-drop monitoring tables (VERDICT r11
+    ask #5): ``--monitor`` lands one ``_batch_id=N`` partition per
+    trigger under ``{out}/metrics/{dq,psi,...}`` — the same
+    one-dir-per-trigger growth the scored-history vacuum bounds, at
+    ~500k directories/year at minutely cadence. Keeps the newest
+    ``keep_last`` partitions of EVERY metric table under ``metrics/``
+    (generic over the family — an lr-margin PSI table added later is
+    covered automatically), deletes the rest.
+
+    No horizon marker: nothing time-travels metrics (reports are
+    per-drop health signals, not a snapshot source), so deletion needs
+    no WAL — each partition delete is independent and a crash mid-sweep
+    just leaves the remainder for the idempotent re-run. Run any time;
+    monitor sinks only ever (over)write their CURRENT batch id, which
+    retention never touches."""
+    if int(keep_last) < 1:
+        raise ValueError("vacuum_metrics_history: keep_last must be >= 1")
+    base = f"{out_dir}/metrics"
+    stats: dict[str, dict] = {}
+    for metric in sorted(fsutil.list_names(spark, base)):
+        mdir = f"{base}/{metric}"
+        ids = []
+        for n in fsutil.list_names(spark, mdir):
+            if not n.startswith("_batch_id="):
+                continue
+            try:
+                ids.append(int(n.split("=", 1)[1]))
+            except ValueError:
+                continue
+        ids.sort()
+        expired = ids[: -int(keep_last)] if len(ids) > int(keep_last) else []
+        deleted = sum(
+            1
+            for bid in expired
+            if fsutil.delete(spark, f"{mdir}/_batch_id={bid}")
+        )
+        stats[metric] = {"kept": len(ids) - len(expired), "deleted": deleted}
+    return stats
+
+
 def compact_curate_outputs(
     spark: SparkSession,
     out_dir: str,
@@ -1166,6 +1297,21 @@ def compact_curate_outputs(
         ):
             results[name] = {"merged_partitions": 0}
             continue
+        if (
+            name == "scored"
+            and len(_batch_partition_ids(spark, f"{out_dir}/{name}", safe)) > 1
+        ):
+            # horizon is the WAL for the merge (ADVICE r11, medium):
+            # write it BEFORE the merge destroys per-batch granularity.
+            # Early is safe — a merge that then fails only makes
+            # sub-merge snapshots raise conservatively — while late
+            # (the old post-hoc write) had a real hole: a crash after
+            # the swap, or a replay of a partially-completed merge
+            # (sources already deleted, so the rerun reports
+            # merged_partitions 0), completed the merge with the
+            # horizon unwritten and read_scored_asof served silently
+            # PARTIAL sub-merge snapshots.
+            _advance_scored_horizon(spark, out_dir, safe)
         results[name] = _compact_batched_path(
             spark,
             f"{out_dir}/{name}",
@@ -1174,11 +1320,6 @@ def compact_curate_outputs(
             target_rows_per_file,
             layout,
         )
-        if name == "scored" and results[name]["merged_partitions"] > 1:
-            # the merge destroyed per-batch snapshot granularity below
-            # the merge point: record it BEFORE anyone can time-travel
-            # into the now-partial range
-            _advance_scored_horizon(spark, out_dir, results[name]["into"])
     return results
 
 
@@ -1237,12 +1378,20 @@ def read_scored_asof(
         scored = spark.read.parquet(f"{out_dir}/scored")
     except AnalysisException:
         if not ids:
-            # Nothing ever committed AND the scored dir was never
-            # created: the empty snapshot, same contract as the
-            # no-commits case below — not an error. The real column
-            # set is pipeline-configured (it carries the input's
-            # columns), so the pre-first-commit snapshot exposes the
-            # minimal stable columns every scored table has.
+            # Nothing ever committed (or only uncommitted partials):
+            # the empty snapshot, same contract as the no-commits case
+            # below — not an error. The real column set is
+            # pipeline-configured (it carries the input's columns), so
+            # prefer the _schema.json sidecar hop 2 persists at its
+            # first write; the minimal stable columns are only the
+            # fallback for dirs that predate the sidecar (ADVICE r11).
+            import json as _json
+
+            sidecar = fsutil.read_text(spark, f"{out_dir}/scored/_schema.json")
+            if sidecar:
+                return spark.createDataFrame(
+                    [], T.StructType.fromJson(_json.loads(sidecar))
+                )
             return spark.createDataFrame(
                 [],
                 T.StructType(

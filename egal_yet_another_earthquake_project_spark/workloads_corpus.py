@@ -129,11 +129,13 @@ tf AS (
 stats AS (SELECT sum(dl) AS sdl, count(*) AS ndocs FROM lens),
 dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
 SELECT doc_id,
-       round(sum(
+       -- ordered left fold over term-sorted contributions: the exact
+       -- float addition order of the engine's bm25_scores_raw
+       round(list_reduce(list_transform(list_sort(list(ROW(term,
          ln((ndocs - df + 0.5) / (df + 0.5) + 1.0)
          * (tf * 2.2)
          / (tf + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * ndocs / sdl)))
-       ), 4) AS score,
+       ))), s -> s[2]), (a, b) -> a + b), 4) AS score,
        count(*) AS n_terms
 FROM tf
 JOIN lens USING (doc_id)

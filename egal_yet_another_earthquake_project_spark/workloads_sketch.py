@@ -16,7 +16,7 @@ from egal_yet_another_earthquake_project_spark.llm import sampling as lsamp
 from egal_yet_another_earthquake_project_spark.llm import sketches as lsk
 from egal_yet_another_earthquake_project_spark.llm import text as ltx
 from egal_yet_another_earthquake_project_spark.sources.files import read_table
-from egal_yet_another_earthquake_project_spark.workloads_llm import _TOKS
+from egal_yet_another_earthquake_project_spark.workloads_llm import _DOT_SQL, _TOKS
 
 KMV_K = 64
 CMS_DEPTH, CMS_WIDTH = 4, 1024
@@ -388,7 +388,7 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lq.quantize_int8(emb).orderBy("vec_id")
 
 
-_QUANTIZE_ORACLE = """
+_QUANTIZE_ORACLE = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 m AS (
   SELECT vec_id, v,
@@ -407,7 +407,9 @@ SELECT vec_id,
          list_max(list_transform(range(1, len(v) + 1),
                                  i -> abs(v[i] - dq[i]))) END, 6) AS max_abs_err,
        round(CASE WHEN amax = 0 THEN 1.0 ELSE
-         list_cosine_similarity(v, dq) END, 4) AS cos_dq
+         {_DOT_SQL.format(a='v', b='dq')}
+         / (sqrt({_DOT_SQL.format(a='v', b='v')})
+            * sqrt({_DOT_SQL.format(a='dq', b='dq')})) END, 4) AS cos_dq
 FROM q
 ORDER BY vec_id
 """

@@ -77,6 +77,24 @@ def main() -> int:
         print(f"  {name}: {flag}", flush=True)
 
     n_total = len(results)
+    # Rounding-margin audits (VERDICT r11 #1b): every rounded-rank query
+    # must keep all raw rank keys / emitted floats > MIN_MARGIN from
+    # their rounding boundary on THIS dataset — fragility is detected at
+    # parity time, never suffered as an unexplainable driver hash flip.
+    from egal_yet_another_earthquake_project_spark.audits import (
+        MIN_MARGIN,
+        run_margin_audits,
+    )
+
+    margins = run_margin_audits(spark, SF_DIR)
+    n_margin_fail = sum(1 for m in margins.values() if not m["pass"])
+    for name, m in sorted(margins.items()):
+        flag = "ok" if m["pass"] else "MARGIN-FAIL"
+        print(
+            f"  margin {name}: {flag} ({m['weakest']} = {m['min_margin']:.3e})",
+            flush=True,
+        )
+
     n_green = sum(1 for r in results.values() if not r["err"])
     summary = {
         "round": rnd,
@@ -84,13 +102,18 @@ def main() -> int:
         "total_queries": n_total,
         "green": n_green,
         "with_sql_oracle": sum(1 for r in results.values() if r["oracle"]),
+        "margin_min": MIN_MARGIN,
+        "margin_fails": n_margin_fail,
         "elapsed_sec": round(time.time() - t0, 1),
     }
     with open(out_path, "w") as f:
-        json.dump({"summary": summary, "queries": results}, f, indent=1, sort_keys=True)
+        json.dump(
+            {"summary": summary, "queries": results, "margin_audits": margins},
+            f, indent=1, sort_keys=True,
+        )
     print(json.dumps(summary))
     spark.stop()
-    return 0 if n_green == n_total else 1
+    return 0 if n_green == n_total and n_margin_fail == 0 else 1
 
 
 if __name__ == "__main__":

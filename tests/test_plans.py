@@ -126,12 +126,14 @@ _ALLOWED_NESTED_LOOP = {
     "trailing_week",
     "embedding_ivf_topk",
     # hybrid retrieval: the dense side IS brute_force_topk (the
-    # embedding_topk shape), and the lexical side deliberately
-    # crossJoins the ≤20-row broadcast BM25 cut into the 5-row query
-    # frame — bounded K×K by construction. nDCG rides the same dense
-    # brute-force baseline.
+    # embedding_topk shape), and the per-query lexical side joins the
+    # one-row global (N, Σdl) statistics frame into the query-term
+    # postings (bm25_search's bounded 1×n shape). nDCG rides the same
+    # dense brute-force baseline.
     "hybrid_search",
     "retrieval_ndcg",
+    # same 1×n stats broadcast as bm25_search, per query text
+    "bm25_per_query",
     # Same quantizer shape as embedding_ivf_topk: assign_cells crossJoins
     # the ≤ num_cells centroid frame into both the corpus and the gated
     # batch — bounded K×n broadcast by construction.

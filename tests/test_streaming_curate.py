@@ -1275,3 +1275,173 @@ def test_lr_gate_drained_equals_batch(spark, tmp_path: Path):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_lr_margin_psi_drained_equals_batch(spark, tmp_path: Path):
+    """PSI on the LR gate's own margins (VERDICT r11 ask #6): with
+    --monitor AND an LR model, each drained drop lands a psi_lr report
+    vs the trusted corpus's margins under the frozen model — and the
+    monitored slice is the PRE-gate margin distribution (the admitted
+    batch after dedup, BEFORE the score>=0 cut), replayed here exactly
+    from the admitted partition. A mixed drop whose negative half the
+    gate removes pins the pre-gate semantics: the scored-partition
+    (post-gate) replay must NOT match."""
+    from egal_yet_another_earthquake_project_spark.llm.lr import (
+        lr_scores,
+        write_lr_model,
+    )
+    from egal_yet_another_earthquake_project_spark.operators.stats import (
+        psi_profile,
+        psi_reference_stats,
+    )
+    from egal_yet_another_earthquake_project_spark.streaming.curate import (
+        committed_batches,
+    )
+
+    clean = _drop_frame(spark).persist()
+    cut = clean.agg(F.percentile_approx("doc_id", 0.5).alias("c")).first().c
+    corpus = clean.filter(F.col("doc_id") < F.lit(cut))
+    # mixed drop: even ids strongly positive, odd strongly negative —
+    # the gate genuinely removes the negative half
+    drop = clean.filter(F.col("doc_id") >= F.lit(cut)).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit(" keepmark keepmark keepmark")
+            ).otherwise(F.lit(" dropmark dropmark dropmark")),
+        ),
+    )
+    mdl = tmp_path / "lr_model"
+    write_lr_model(drop, str(mdl), label=F.col("text").contains("keepmark"))
+
+    src = tmp_path / "in"
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    drop.selectExpr(
+        "doc_id", "source", "text", f"{TS} AS ingest_ts"
+    ).coalesce(1).write.parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+    # jaccard_threshold > 1 neutralizes near-dedup (round(j,4) >= 1.01
+    # never holds), so the hop's pre-gate frame == the admitted batch —
+    # the one frame the test can reconstruct exactly from disk
+    drain_curate_stream(
+        spark, str(src), schema, corpus=corpus, out_dir=out,
+        checkpoint_dir=ck, model=None, monitor=True, lr_model=str(mdl),
+        jaccard_threshold=1.01,
+    )
+
+    ids = committed_batches(spark, out)
+    assert len(ids) == 1
+    bid = ids[0]
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(f"{out}/metrics/psi_lr")
+        .filter(F.col("_batch_id") == bid)
+        .drop("_batch_id")
+        .collect()
+    }
+    assert len(got) == 1
+
+    from egal_yet_another_earthquake_project_spark.llm.lr import read_lr_model
+
+    weights = read_lr_model(spark, str(mdl))
+    ref_m = lr_scores(
+        corpus.select("doc_id", "text"), weights
+    ).select(F.col("score").alias("_lrm"))
+    frozen = psi_reference_stats(ref_m, "_lrm")
+
+    # pre-gate frame = the admitted batch (dup-free fixture, no NB gate;
+    # single-drain test, so the admitted table IS this batch)
+    pre_gate = spark.read.parquet(f"{out}/admitted").select("doc_id", "text")
+    want = {
+        tuple(r)
+        for r in psi_profile(
+            lr_scores(pre_gate, weights).select(F.col("score").alias("_lrm")),
+            ref_m,
+            "_lrm",
+            stats=frozen,
+        ).collect()
+    }
+    assert got == want
+
+    # post-gate replay (scored partition only) must NOT match: the gate
+    # removed the negative half, and monitoring censored margins would
+    # hide exactly the drift psi_lr exists to catch
+    post_gate = (
+        spark.read.parquet(f"{out}/scored")
+        .filter(F.col("_batch_id") == bid)
+        .select("doc_id", "text")
+    )
+    assert post_gate.count() < pre_gate.count() > 0
+    censored = {
+        tuple(r)
+        for r in psi_profile(
+            lr_scores(post_gate, weights).select(F.col("score").alias("_lrm")),
+            ref_m,
+            "_lrm",
+            stats=frozen,
+        ).collect()
+    }
+    assert censored != want
+    # the planted bimodal drop is real drift vs the unmarked corpus
+    psi_val = next(iter(got))
+    assert any(
+        isinstance(v, float) and v > 0.25 for v in psi_val if v is not None
+    )
+    clean.unpersist()
+
+
+def test_vacuum_metrics_history_retention_and_crash_idempotence(
+    spark, tmp_path: Path
+):
+    """vacuum_metrics_history (VERDICT r11 ask #5): keeps the newest
+    keep_last per-drop partitions of EVERY metrics table, is generic
+    over the metric family, survives a crash mid-sweep (partial deletes
+    finish on the idempotent re-run), and refuses keep_last < 1."""
+    import os
+
+    import pytest
+
+    from egal_yet_another_earthquake_project_spark.streaming.curate import (
+        vacuum_metrics_history,
+    )
+
+    out = str(tmp_path / "out")
+    one = spark.range(1)
+    for metric in ("dq", "psi", "psi_lr"):
+        for bid in range(6):
+            one.write.parquet(f"{out}/metrics/{metric}/_batch_id={bid}")
+
+    res = vacuum_metrics_history(spark, out, keep_last=2)
+    assert res == {
+        m: {"kept": 2, "deleted": 4} for m in ("dq", "psi", "psi_lr")
+    }
+    for metric in ("dq", "psi", "psi_lr"):
+        left = sorted(os.listdir(f"{out}/metrics/{metric}"))
+        assert [n for n in left if n.startswith("_batch_id=")] == [
+            "_batch_id=4", "_batch_id=5",
+        ]
+    # the kept partitions still read
+    assert spark.read.parquet(f"{out}/metrics/dq").count() == 2
+
+    # idempotent re-run: nothing more to delete
+    res2 = vacuum_metrics_history(spark, out, keep_last=2)
+    assert all(v == {"kept": 2, "deleted": 0} for v in res2.values())
+
+    # crash mid-sweep: simulate by adding history then hand-deleting a
+    # prefix (what a crashed first pass leaves) — the re-run finishes
+    for bid in range(6, 10):
+        one.write.parquet(f"{out}/metrics/dq/_batch_id={bid}")
+    import shutil
+
+    shutil.rmtree(f"{out}/metrics/dq/_batch_id=4")  # "crashed" partial
+    res3 = vacuum_metrics_history(spark, out, keep_last=2)
+    assert res3["dq"] == {"kept": 2, "deleted": 3}  # 5,6,7 go; 8,9 stay
+    assert sorted(
+        n
+        for n in os.listdir(f"{out}/metrics/dq")
+        if n.startswith("_batch_id=")
+    ) == ["_batch_id=8", "_batch_id=9"]
+
+    with pytest.raises(ValueError, match="keep_last"):
+        vacuum_metrics_history(spark, out, keep_last=0)
