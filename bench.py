@@ -229,6 +229,9 @@ HEADLINE = [
     # amortized twin against the persisted term-bucketed inverted index
     "bm25_per_query",
     "bm25_index_topk",
+    # round-12: the fully-amortized hybrid stack (persisted BM25 index +
+    # persisted IVF index + RRF)
+    "hybrid_index_search",
 ]
 
 #: Declared-expensive AUDIT rows (VERDICT r11 #7): queries that pay

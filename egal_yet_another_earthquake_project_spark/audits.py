@@ -186,6 +186,20 @@ def audit_bm25_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _min_margin(bm, F.col("_score_raw"), 4, "bm25@4")
 
 
+def audit_hybrid_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # lexical side == bm25_per_query's raw scores (the index path is
+    # bit-identical by construction); dense side = the IVF candidate
+    # keys for the 5 hybrid queries; fusion = the finite RRF grid
+    emb = _emb(spark, sf_dir)
+    ivf = _ivf_cos_raw(emb.filter(F.col("vec_id") < 5), emb, 16, 4)
+    bm = _per_query_bm25_raw(spark, sf_dir)
+    return _unioned([
+        _min_margin(ivf, F.col("raw"), 4, "cos@4"),
+        _min_margin(bm, F.col("_score_raw"), 4, "bm25@4"),
+        _rrf_grid_margin(spark),
+    ])
+
+
 def audit_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from egal_yet_another_earthquake_project_spark.workloads_corpus import (
         BM25_TERMS,
@@ -311,6 +325,7 @@ MARGIN_AUDITS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_search": audit_hybrid_search,
     "bm25_search": audit_bm25_search,
     "bm25_per_query": audit_bm25_per_query,
+    "hybrid_index_search": audit_hybrid_index_search,
     "embedding_ivf_topk": audit_embedding_ivf_topk,
     "semantic_gate": audit_semantic_gate,
     "embedding_neardup": audit_embedding_neardup,

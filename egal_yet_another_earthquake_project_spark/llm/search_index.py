@@ -130,6 +130,14 @@ def build_bm25_index(
     )
     fsutil.write_text_overwrite(spark, f"{root}/_COMPLETE", "complete\n")
     _set_current(index_dir, version)
+    # GC: keep the new version and its immediate predecessor (grace for
+    # in-flight readers that resolved before the pointer flip) — the
+    # ann_index rebuild discipline, so repeated rebuilds don't accrete
+    # dead postings copies
+    keep = {version, version - 1}
+    for v in _list_versions(index_dir):
+        if v not in keep:
+            fsutil.delete(spark, f"{index_dir}/v={v}")
 
 
 def search_bm25_index(

@@ -955,6 +955,128 @@ ORDER BY query_id, rank
 """
 
 
+#: IVF parameters of the declared query — mirrored verbatim in the oracle.
+_IVF_CELLS, _IVF_NPROBE = 16, 4
+
+
+def q_hybrid_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION hybrid-retrieval stack end-to-end: BOTH ranker
+    sides come from persisted indexes — the term-bucketed BM25 inverted
+    index (llm.search_index) for the lexical top-20 and the
+    cell-partitioned IVF index (llm.ann_index, ``method="exact"``) for
+    the dense top-20 — fused by the same RRF combiner as
+    ``hybrid_search``. Each index builds at most once per input
+    fingerprint; the steady-state cost is two pruned index scans
+    (static partition filters on term buckets / probed cells) plus the
+    candidate-scale fusion. Dense candidates are IVF-probed (nprobe=4
+    of 16 cells), so ranks can differ from the brute-force
+    ``hybrid_search`` where a neighbor fell outside the probed cells —
+    the oracle replays the trained-quantizer path exactly."""
+    import os
+    import shutil
+    import uuid
+    from pathlib import Path
+
+    from egal_yet_another_earthquake_project_spark.llm import (
+        ann_index as ai,
+        search as _srch,
+        search_index as si,
+    )
+    from pyspark.sql.window import Window as _W
+
+    bm_idx = _index_cache(sf_dir, "documents", "bm25idx")
+    if not (Path(bm_idx) / "CURRENT").exists():
+        tmp = f"{bm_idx}.tmp-{uuid.uuid4().hex[:8]}"
+        si.build_bm25_index(_docs(spark, sf_dir), tmp)
+        try:
+            os.rename(tmp, bm_idx)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    lex = (
+        si.search_bm25_index(spark, bm_idx, _hybrid_queries_df(spark))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                _W.partitionBy("query_id").orderBy(
+                    F.col("score").desc(), F.col("doc_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rank") <= 20)
+        .select("query_id", "doc_id", "rank")
+    )
+
+    ivf_idx = _ivfpq_cache(sf_dir)
+    if not (Path(ivf_idx) / "CURRENT").exists():
+        tmp = f"{ivf_idx}.tmp-{uuid.uuid4().hex[:8]}"
+        ai.build_ivf_index(
+            _emb(spark, sf_dir),
+            tmp,
+            num_cells=_IVF_CELLS,
+            pq_m=_PQ_M,
+            pq_k=_PQ_K,
+        )
+        try:
+            os.rename(tmp, ivf_idx)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    queries = _emb(spark, sf_dir).filter(F.col("vec_id") < 5)
+    dense = ai.search_ivf_index(
+        spark, ivf_idx, queries, k=20, nprobe=_IVF_NPROBE, method="exact"
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+
+    return _srch.rrf_fuse(lex, dense, topk=10).orderBy("query_id", "rank")
+
+
+_HYBRID_INDEX_SEARCH_ORACLE = f"""
+WITH {_LEX_PER_QUERY_CTES},
+e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (SELECT vec_id, {_UNIT_SQL.format(v='v')} AS u FROM e0),
+cent AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell,
+         u AS cu
+  FROM e
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {_IVF_CELLS}
+),
+ca AS (
+  SELECT e.vec_id, e.u, cent.cell,
+         row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY round({_DOT_SQL.format(a='e.u', b='cent.cu')}, 4) DESC,
+                     cent.cell ASC) AS rk
+  FROM e CROSS JOIN cent
+),
+corp AS (SELECT vec_id AS doc_id, u AS cu2, cell FROM ca WHERE rk = 1),
+qa AS (SELECT vec_id AS query_id, u AS qu, cell
+       FROM ca WHERE rk <= {_IVF_NPROBE} AND vec_id < 5),
+dense0 AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+             ORDER BY round({_DOT_SQL.format(a='qu', b='cu2')}, 4) DESC,
+                      doc_id ASC) AS rank_b
+  FROM corp JOIN qa USING (cell)
+  WHERE query_id <> doc_id
+),
+dense AS (SELECT * FROM dense0 WHERE rank_b <= 20),
+fused AS (
+  SELECT coalesce(lex.query_id, dense.query_id) AS query_id,
+         coalesce(lex.doc_id, dense.doc_id) AS doc_id,
+         lex.rank_a, dense.rank_b,
+         round(coalesce(1.0 / (60 + lex.rank_a), 0.0)
+               + coalesce(1.0 / (60 + dense.rank_b), 0.0), 6) AS rrf_score
+  FROM lex FULL OUTER JOIN dense
+    ON lex.query_id = dense.query_id AND lex.doc_id = dense.doc_id
+)
+SELECT query_id, doc_id, rrf_score,
+       CAST(rank_a AS INTEGER) AS rank_a, CAST(rank_b AS INTEGER) AS rank_b,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY rrf_score DESC, doc_id ASC) AS INTEGER) AS rank
+FROM fused
+QUALIFY rank <= 10
+ORDER BY query_id, rank
+"""
+
+
 def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking QUALITY of the dense retriever (llm.metrics.ndcg_at_k):
     nDCG@10 of the brute-force cosine top-10 with binary relevance =
@@ -1032,10 +1154,6 @@ FROM (
 )
 ORDER BY query_id
 """
-
-
-#: IVF parameters of the declared query — mirrored verbatim in the oracle.
-_IVF_CELLS, _IVF_NPROBE = 16, 4
 
 
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3250,6 +3368,7 @@ QUERIES = {
     "hybrid_search": q_hybrid_search,
     "bm25_per_query": q_bm25_per_query,
     "bm25_index_topk": q_bm25_index_topk,
+    "hybrid_index_search": q_hybrid_index_search,
     "retrieval_ndcg": q_retrieval_ndcg,
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_neardup": q_embedding_neardup,
@@ -3310,6 +3429,7 @@ ORACLES = {
     "hybrid_search": _HYBRID_SEARCH_ORACLE,
     "bm25_per_query": _BM25_PER_QUERY_ORACLE,
     "bm25_index_topk": _BM25_PER_QUERY_ORACLE,
+    "hybrid_index_search": _HYBRID_INDEX_SEARCH_ORACLE,
     "retrieval_ndcg": _RETRIEVAL_NDCG_ORACLE,
     "embedding_ivf_topk": _IVF_TOPK_ORACLE,
     "embedding_neardup": _NEARDUP_ORACLE,

@@ -134,6 +134,10 @@ _ALLOWED_NESTED_LOOP = {
     "retrieval_ndcg",
     # same 1×n stats broadcast as bm25_search, per query text
     "bm25_per_query",
+    # persisted-index hybrid: assign_cells crossJoins the ≤num_cells
+    # centroid frame (the embedding_ivf_topk bounded shape); both index
+    # scans are statically pruned
+    "hybrid_index_search",
     # Same quantizer shape as embedding_ivf_topk: assign_cells crossJoins
     # the ≤ num_cells centroid frame into both the corpus and the gated
     # batch — bounded K×n broadcast by construction.
