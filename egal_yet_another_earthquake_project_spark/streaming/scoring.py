@@ -303,3 +303,89 @@ def psi_monitor_sink(
         )
 
     return stream.writeStream.foreachBatch(_psi)
+
+
+def hybrid_search_sink(
+    queries_stream: DataFrame,
+    bm25_index_dir: str,
+    ivf_index_dir: str,
+    out_dir: str,
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+    vec_col: str = "embedding",
+    topk: int = 10,
+    k_side: int = 20,
+    nprobe: int = 4,
+) -> DataStreamWriter:
+    """``writeStream`` writer serving HYBRID retrieval over a query
+    stream — the production shape of the ``hybrid_index_search``
+    declared query: each micro-batch of (query_id, qtext, embedding)
+    rows is ranked against the PERSISTED BM25 inverted index (lexical
+    side, static term-bucket pruning) and the PERSISTED IVF index
+    (dense side, probed-cell pruning), RRF-fused, and landed under
+    ``{out_dir}/_batch_id=N`` — the retrieval-API backend a RAG stack
+    batches against.
+
+    Stateless per query (a query arrives whole in one row), so zero
+    streaming state — the micro-batch plan IS the batch plan, which is
+    exactly what the drained≡batch test asserts. Index versions resolve
+    per batch (one CURRENT read), so a rebuild cuts over cleanly
+    between triggers. Replay-idempotent via dynamic partition
+    overwrite, like every scoring sink in this module."""
+    from pyspark.sql.window import Window
+
+    from egal_yet_another_earthquake_project_spark.llm.ann_index import (
+        search_ivf_index,
+    )
+    from egal_yet_another_earthquake_project_spark.llm.search import rrf_fuse
+    from egal_yet_another_earthquake_project_spark.llm.search_index import (
+        search_bm25_index,
+    )
+
+    def _search(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if batch.isEmpty():
+            return
+        lex = (
+            search_bm25_index(
+                spark,
+                bm25_index_dir,
+                batch.select(query_id_col, query_text_col),
+                query_id_col=query_id_col,
+                query_text_col=query_text_col,
+            )
+            .withColumn(
+                "rank",
+                F.row_number().over(
+                    Window.partitionBy(query_id_col).orderBy(
+                        F.col("score").desc(), F.col("doc_id").asc()
+                    )
+                ),
+            )
+            .filter(F.col("rank") <= int(k_side))
+            .select(query_id_col, "doc_id", "rank")
+        )
+        dense = search_ivf_index(
+            spark,
+            ivf_index_dir,
+            batch.select(
+                F.col(query_id_col).alias("vec_id"), F.col(vec_col)
+            ),
+            k=int(k_side),
+            nprobe=int(nprobe),
+            method="exact",
+        ).select(
+            F.col("query_id").alias(query_id_col),
+            F.col("neighbor_id").alias("doc_id"),
+            "rank",
+        )
+        (
+            rrf_fuse(lex, dense, query_col=query_id_col, topk=int(topk))
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_dir)
+        )
+
+    return queries_stream.writeStream.foreachBatch(_search)

@@ -423,3 +423,102 @@ def test_lr_classify_stream_drained_equals_batch_from_artifact(
     (bad / "weights").mkdir(parents=True)
     with pytest.raises(ValueError, match="_COMPLETE"):
         lr_classify_sink(stream, str(bad), str(out))
+
+
+def test_hybrid_search_stream_drained_equals_batch(spark, tmp_path: Path):
+    """Retrieval serving (round 12): a query stream through
+    hybrid_search_sink — PERSISTED BM25 index lexical side + PERSISTED
+    IVF index dense side, RRF-fused per micro-batch — drained over two
+    triggers must equal the batch composition row for row (the sink is
+    stateless per query, so the micro-batch plan IS the batch plan),
+    with _batch_id partitions proving replay idempotence."""
+    from pyspark.sql.window import Window
+
+    from egal_yet_another_earthquake_project_spark.llm.ann_index import (
+        build_ivf_index,
+        search_ivf_index,
+    )
+    from egal_yet_another_earthquake_project_spark.llm.search import rrf_fuse
+    from egal_yet_another_earthquake_project_spark.llm.search_index import (
+        build_bm25_index,
+        search_bm25_index,
+    )
+    from egal_yet_another_earthquake_project_spark.streaming.scoring import (
+        hybrid_search_sink,
+    )
+    from egal_yet_another_earthquake_project_spark.workloads_llm import (
+        HYBRID_QUERY_TEXTS,
+    )
+
+    docs = read_table(spark, SF, "documents")
+    emb = read_table(spark, SF, "embeddings")
+    bm_idx, ivf_idx = str(tmp_path / "bm25"), str(tmp_path / "ivf")
+    build_bm25_index(docs, bm_idx, n_buckets=16)
+    build_ivf_index(emb, ivf_idx, num_cells=16)
+
+    texts = spark.createDataFrame(
+        list(HYBRID_QUERY_TEXTS), "query_id long, qtext string"
+    )
+    queries = texts.join(
+        emb.select(F.col("vec_id").alias("query_id"), "embedding"),
+        "query_id",
+    )
+
+    def batch_side(qdf):
+        lex = (
+            search_bm25_index(spark, bm_idx, qdf.select("query_id", "qtext"))
+            .withColumn(
+                "rank",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(
+                        F.col("score").desc(), F.col("doc_id").asc()
+                    )
+                ),
+            )
+            .filter(F.col("rank") <= 20)
+            .select("query_id", "doc_id", "rank")
+        )
+        dense = search_ivf_index(
+            spark,
+            ivf_idx,
+            qdf.select(F.col("query_id").alias("vec_id"), "embedding"),
+            k=20,
+            nprobe=4,
+            method="exact",
+        ).select(
+            "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+        )
+        return rrf_fuse(lex, dense, topk=10)
+
+    want = {
+        tuple(r)
+        for r in batch_side(queries)
+        .select("query_id", "doc_id", "rrf_score", "rank")
+        .collect()
+    }
+
+    src, out = tmp_path / "q_in", tmp_path / "results"
+    queries.filter("query_id < 3").coalesce(1).write.parquet(str(src / "b1"))
+    queries.filter("query_id >= 3").coalesce(1).write.parquet(str(src / "b2"))
+    stream = stream_parquet_dir(
+        spark, str(src) + "/*", queries.schema, max_files_per_trigger=1
+    )
+    q = (
+        hybrid_search_sink(stream, bm_idx, ivf_idx, str(out))
+        .option("checkpointLocation", str(tmp_path / "q_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    results = spark.read.parquet(str(out))
+    got = {
+        tuple(r)
+        for r in results.select(
+            "query_id", "doc_id", "rrf_score", "rank"
+        ).collect()
+    }
+    assert got == want and len(want) == 50  # 5 queries × top-10
+    assert {r._batch_id for r in results.select("_batch_id").distinct().collect()} == {0, 1}
