@@ -232,6 +232,12 @@ HEADLINE = [
     # round-12: the fully-amortized hybrid stack (persisted BM25 index +
     # persisted IVF index + RRF)
     "hybrid_index_search",
+    # round-12: incremental BM25 maintenance — base segment + O(delta)
+    # update segment, searched through the atomic manifest commit —
+    # and O(delta) deletes (tombstones + negative df/Σdl/N sidecars,
+    # exact post-delete scores)
+    "bm25_update_search",
+    "bm25_delete_search",
 ]
 
 #: Declared-expensive AUDIT rows (VERDICT r11 #7): queries that pay

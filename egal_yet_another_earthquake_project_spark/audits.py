@@ -186,6 +186,20 @@ def audit_bm25_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _min_margin(bm, F.col("_score_raw"), 4, "bm25@4")
 
 
+def audit_bm25_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # post-delete scores == from-scratch over the remaining corpus, so
+    # the rank keys' margins are those of the filtered-corpus raw scores
+    from egal_yet_another_earthquake_project_spark.workloads_llm import (
+        _hybrid_queries_df,
+    )
+
+    bm = lsrch.bm25_scores_per_query_raw(
+        _docs(spark, sf_dir).filter(F.col("doc_id") % 5 != 0),
+        _hybrid_queries_df(spark),
+    )
+    return _min_margin(bm, F.col("_score_raw"), 4, "bm25@4")
+
+
 def audit_hybrid_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lexical side == bm25_per_query's raw scores (the index path is
     # bit-identical by construction); dense side = the IVF candidate
@@ -325,6 +339,11 @@ MARGIN_AUDITS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_search": audit_hybrid_search,
     "bm25_search": audit_bm25_search,
     "bm25_per_query": audit_bm25_per_query,
+    # bm25_update_search's scores are bit-identical to bm25_per_query's
+    # (segmented df/Σdl/N integer-sum to the full-corpus values), so the
+    # same raw-score margins govern its round(·,4) rank keys
+    "bm25_update_search": audit_bm25_per_query,
+    "bm25_delete_search": audit_bm25_delete_search,
     "hybrid_index_search": audit_hybrid_index_search,
     "embedding_ivf_topk": audit_embedding_ivf_topk,
     "semantic_gate": audit_semantic_gate,

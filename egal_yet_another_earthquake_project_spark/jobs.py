@@ -171,6 +171,48 @@ def _parser() -> argparse.ArgumentParser:
     s.add_argument("--k", type=int, default=5)
     s.add_argument("--nprobe", type=int, default=4)
 
+    bi = sub.add_parser(
+        "bm25-index", help="documents parquet → term-bucketed BM25 inverted index"
+    )
+    bi.add_argument("--docs", required=True, help="parquet of (doc_id, text)")
+    bi.add_argument("--out", required=True, help="index directory")
+    bi.add_argument("--n-buckets", type=int, default=64)
+
+    bu = sub.add_parser(
+        "bm25-update",
+        help="tokenize ONLY a new-document batch into an immutable segment "
+        "and commit it to an existing BM25 index by an atomic manifest flip "
+        "(O(delta) — base postings are never rewritten)",
+    )
+    bu.add_argument("--index", required=True, help="index directory")
+    bu.add_argument("--docs", required=True, help="parquet of new (doc_id, text)")
+    bu.add_argument(
+        "--compact-if-segments",
+        type=int,
+        default=None,
+        metavar="N",
+        help="fold the segment list back to one when it exceeds N "
+        "(index-linear merge, no re-tokenize)",
+    )
+
+    bd = sub.add_parser(
+        "bm25-delete",
+        help="tombstone a document batch out of an existing BM25 index "
+        "(O(delta): negative df/stats sidecars, exact post-delete scores; "
+        "pass the docs exactly as ingested)",
+    )
+    bd.add_argument("--index", required=True, help="index directory")
+    bd.add_argument(
+        "--docs", required=True, help="parquet of the deleted (doc_id, text)"
+    )
+
+    bs = sub.add_parser(
+        "bm25-search", help="per-query BM25 top-k against a persisted index"
+    )
+    bs.add_argument("--index", required=True, help="index directory")
+    bs.add_argument("--queries", required=True, help="parquet of (query_id, qtext)")
+    bs.add_argument("--k", type=int, default=10)
+
     g = sub.add_parser(
         "compact", help="rewrite a fragmented parquet dataset as balanced files"
     )
@@ -497,6 +539,74 @@ def main(argv: list[str] | None = None) -> int:
             search_ivf_index(
                 spark, args.index, queries, k=args.k, nprobe=args.nprobe
             ).show(50, truncate=False)
+        elif args.cmd == "bm25-index":
+            import json
+
+            from egal_yet_another_earthquake_project_spark.llm.search_index import (
+                build_bm25_index,
+            )
+
+            build_bm25_index(
+                spark.read.parquet(args.docs), args.out, n_buckets=args.n_buckets
+            )
+            print(json.dumps({"out": args.out, "n_buckets": args.n_buckets}))
+        elif args.cmd == "bm25-update":
+            import json
+
+            from egal_yet_another_earthquake_project_spark.llm.search_index import (
+                compact_bm25_index,
+                update_bm25_index,
+            )
+            from egal_yet_another_earthquake_project_spark.llm.search_index import (
+                _segment_paths,
+            )
+            from egal_yet_another_earthquake_project_spark.llm.ann_index import (
+                resolve_index_dir,
+            )
+
+            version = update_bm25_index(spark.read.parquet(args.docs), args.index)
+            out = {"index": args.index, "version": version}
+            n_segs = len(
+                _segment_paths(spark, args.index, resolve_index_dir(args.index))
+            )
+            out["segments"] = n_segs
+            if (
+                args.compact_if_segments is not None
+                and n_segs > args.compact_if_segments
+            ):
+                out["compaction"] = compact_bm25_index(spark, args.index)
+            print(json.dumps(out))
+        elif args.cmd == "bm25-delete":
+            import json
+
+            from egal_yet_another_earthquake_project_spark.llm.search_index import (
+                delete_from_bm25_index,
+            )
+
+            version = delete_from_bm25_index(
+                spark.read.parquet(args.docs), args.index
+            )
+            print(json.dumps({"index": args.index, "version": version}))
+        elif args.cmd == "bm25-search":
+            from pyspark.sql import functions as _F
+            from pyspark.sql.window import Window as _W
+
+            from egal_yet_another_earthquake_project_spark.llm.search_index import (
+                search_bm25_index,
+            )
+
+            scores = search_bm25_index(
+                spark, args.index, spark.read.parquet(args.queries)
+            )
+            w = _W.partitionBy("query_id").orderBy(
+                _F.col("score").desc(), _F.col("doc_id").asc()
+            )
+            (
+                scores.withColumn("rank", _F.row_number().over(w))
+                .filter(_F.col("rank") <= args.k)
+                .orderBy("query_id", "rank")
+                .show(100, truncate=False)
+            )
         elif args.cmd == "compact":
             import json
 

@@ -389,3 +389,56 @@ def hybrid_search_sink(
         )
 
     return queries_stream.writeStream.foreachBatch(_search)
+
+
+def bm25_update_sink(
+    docs_stream: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    compact_if_segments: int | None = None,
+) -> DataStreamWriter:
+    """``writeStream`` writer that keeps a persisted BM25 inverted
+    index CURRENT as documents arrive — streaming index MAINTENANCE
+    (``hybrid_search_sink`` is the serving side). Each micro-batch
+    tokenizes ALONE into an immutable segment named ``b=<batch_id>``
+    and commits by the atomic manifest flip: O(batch) work, the base
+    postings never rewritten, and a reader (including a concurrent
+    ``hybrid_search_sink``) always resolves one complete version.
+
+    Replay-idempotent WITHOUT dynamic partition overwrite: the segment
+    name is the batch id, so a replayed batch whose commit already
+    landed is a manifest no-op, and one whose commit crashed before the
+    flip re-stages the same segment and commits — exactly once in
+    effect, per ``update_bm25_index``'s ``segment_name`` contract.
+    ``compact_if_segments`` folds the accreted segments back to one
+    whenever the count exceeds it (the small-files compaction cadence,
+    inline because maintenance is single-writer)."""
+    from egal_yet_another_earthquake_project_spark.llm.search_index import (
+        _segment_paths,
+        compact_bm25_index,
+        update_bm25_index,
+    )
+    from egal_yet_another_earthquake_project_spark.llm.ann_index import (
+        resolve_index_dir,
+    )
+
+    def _update(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if batch.isEmpty():
+            return
+        update_bm25_index(
+            batch.select(id_col, text_col),
+            index_dir,
+            id_col=id_col,
+            text_col=text_col,
+            segment_name=f"b={batch_id}",
+        )
+        if compact_if_segments is not None:
+            n = len(
+                _segment_paths(spark, index_dir, resolve_index_dir(index_dir))
+            )
+            if n > int(compact_if_segments):
+                compact_bm25_index(spark, index_dir)
+
+    return docs_stream.writeStream.foreachBatch(_update)

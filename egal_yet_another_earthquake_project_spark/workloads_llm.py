@@ -838,6 +838,92 @@ def q_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_update_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL index maintenance (llm.search_index.update_bm25_index,
+    round 12): the base index is built over ~4/5 of the corpus, the
+    remaining ~1/5 arrives later as a delta — tokenized ALONE into an
+    immutable segment and committed by an atomic manifest flip; the base
+    postings are never read or rewritten (O(delta), the economics that
+    make daily ingest into a 100 TB index affordable). Search unions the
+    segments' bucket-pruned postings and integer-sums df/Σdl/N across
+    the sidecars, so scores are BIT-identical to a from-scratch build
+    over the full corpus — which is exactly what the oracle asserts: it
+    shares ``bm25_per_query``'s full-corpus SQL verbatim."""
+    import os
+    import shutil
+    import uuid
+    from pathlib import Path
+
+    from egal_yet_another_earthquake_project_spark.llm import (
+        search_index as si,
+    )
+    from pyspark.sql.window import Window as _W
+
+    idx = _index_cache(sf_dir, "documents", "bm25seg")
+    if not (Path(idx) / "CURRENT").exists():
+        tmp = f"{idx}.tmp-{uuid.uuid4().hex[:8]}"
+        d = _docs(spark, sf_dir)
+        late = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(5)) == 0
+        si.build_bm25_index(d.filter(~late), tmp)
+        si.update_bm25_index(d.filter(late), tmp)
+        try:
+            os.rename(tmp, idx)
+        except OSError:  # concurrent builder won the rename; use theirs
+            shutil.rmtree(tmp, ignore_errors=True)
+    scores = si.search_bm25_index(spark, idx, _hybrid_queries_df(spark))
+    w = _W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("query_id", "doc_id", "score", "n_terms", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def q_bm25_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index DELETES (llm.search_index.delete_from_bm25_index, round
+    12): the full corpus is indexed, then every fifth document (doc_id %
+    5 == 0) is deleted — O(delta): a tombstone list plus the deleted
+    docs' exact per-term df and Σdl/N as NEGATIVE sidecars, committed by
+    the same atomic manifest flip, postings untouched until compaction.
+    Search anti-joins the tombstones and integer-subtracts the sidecars,
+    so surviving scores are BIT-identical to a from-scratch build over
+    the remaining corpus — the oracle runs ``bm25_per_query``'s SQL over
+    ``documents WHERE doc_id % 5 <> 0`` and must hash-match."""
+    import os
+    import shutil
+    import uuid
+    from pathlib import Path
+
+    from egal_yet_another_earthquake_project_spark.llm import (
+        search_index as si,
+    )
+    from pyspark.sql.window import Window as _W
+
+    idx = _index_cache(sf_dir, "documents", "bm25del")
+    if not (Path(idx) / "CURRENT").exists():
+        tmp = f"{idx}.tmp-{uuid.uuid4().hex[:8]}"
+        d = _docs(spark, sf_dir)
+        si.build_bm25_index(d, tmp)
+        si.delete_from_bm25_index(d.filter(F.col("doc_id") % 5 == 0), tmp)
+        try:
+            os.rename(tmp, idx)
+        except OSError:  # concurrent builder won the rename; use theirs
+            shutil.rmtree(tmp, ignore_errors=True)
+    scores = si.search_bm25_index(spark, idx, _hybrid_queries_df(spark))
+    w = _W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("query_id", "doc_id", "score", "n_terms", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HYBRID retrieval (llm.search.rrf_fuse): the PER-QUERY lexical
     BM25 top-20 (each query's own text — VERDICT r11 ask #3) and the
@@ -922,6 +1008,15 @@ SELECT query_id, doc_id, score, n_terms,
 FROM lex
 ORDER BY query_id, rank
 """
+
+#: bm25_delete_search: the SAME per-query BM25 SQL over the REMAINING
+#: corpus — the engine side serves tombstones + negative sidecars, the
+#: oracle simply never sees the deleted rows; hash-match proves the
+#: delete path reproduces from-scratch arithmetic exactly. (The corpus
+#: filter lands in the one `FROM documents` site of the shared CTE.)
+_BM25_DELETE_ORACLE = _BM25_PER_QUERY_ORACLE.replace(
+    "FROM documents", "FROM documents WHERE doc_id % 5 <> 0"
+)
 
 
 _HYBRID_SEARCH_ORACLE = f"""
@@ -3368,6 +3463,8 @@ QUERIES = {
     "hybrid_search": q_hybrid_search,
     "bm25_per_query": q_bm25_per_query,
     "bm25_index_topk": q_bm25_index_topk,
+    "bm25_update_search": q_bm25_update_search,
+    "bm25_delete_search": q_bm25_delete_search,
     "hybrid_index_search": q_hybrid_index_search,
     "retrieval_ndcg": q_retrieval_ndcg,
     "embedding_ivf_topk": q_embedding_ivf_topk,
@@ -3429,6 +3526,8 @@ ORACLES = {
     "hybrid_search": _HYBRID_SEARCH_ORACLE,
     "bm25_per_query": _BM25_PER_QUERY_ORACLE,
     "bm25_index_topk": _BM25_PER_QUERY_ORACLE,
+    "bm25_update_search": _BM25_PER_QUERY_ORACLE,
+    "bm25_delete_search": _BM25_DELETE_ORACLE,
     "hybrid_index_search": _HYBRID_INDEX_SEARCH_ORACLE,
     "retrieval_ndcg": _RETRIEVAL_NDCG_ORACLE,
     "embedding_ivf_topk": _IVF_TOPK_ORACLE,

@@ -181,6 +181,100 @@ def test_cli_index_and_search(spark, tmp_path: Path, capsys):
         spark.stop = real_stop
 
 
+def test_cli_bm25_index_update_search(spark, tmp_path: Path, capsys):
+    """bm25-index builds the term-bucketed inverted index; bm25-update
+    commits an O(delta) segment by manifest flip (and compacts past the
+    segment threshold); bm25-search ranks against the result."""
+    import json
+
+    from egal_yet_another_earthquake_project_spark import jobs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark joins a hash join with a sort merge join"),
+            (2, "the scan filter pushes the filter into the scan"),
+            (3, "hash partitioning beats a global sort for a join"),
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(str(tmp_path / "base_docs"))
+    spark.createDataFrame(
+        [(4, "a filter after a scan"), (5, "join the hash club")],
+        "doc_id long, text string",
+    ).write.parquet(str(tmp_path / "new_docs"))
+    spark.createDataFrame(
+        [(0, "join hash"), (1, "scan filter")], "query_id long, qtext string"
+    ).write.parquet(str(tmp_path / "queries"))
+
+    real_stop = spark.stop
+    spark.stop = lambda: None
+    try:
+        rc = jobs.main(
+            [
+                "bm25-index",
+                "--docs", str(tmp_path / "base_docs"),
+                "--out", str(tmp_path / "bm25"),
+                "--n-buckets", "8",
+            ]
+        )
+        assert rc == 0
+        assert (tmp_path / "bm25" / "CURRENT").exists()
+        rc = jobs.main(
+            [
+                "bm25-update",
+                "--index", str(tmp_path / "bm25"),
+                "--docs", str(tmp_path / "new_docs"),
+                "--compact-if-segments", "1",
+            ]
+        )
+        assert rc == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["version"] == 2 and rep["segments"] == 2
+        assert rep["compaction"]["compacted"] is True
+        rc = jobs.main(
+            [
+                "bm25-search",
+                "--index", str(tmp_path / "bm25"),
+                "--queries", str(tmp_path / "queries"),
+                "--k", "3",
+            ]
+        )
+        assert rc == 0
+        out = capsys.readouterr().out
+        # delta docs are retrievable through the compacted index
+        assert "query_id" in out and "score" in out and "4" in out
+
+        # tombstone doc 5 (pass it exactly as ingested); it leaves the
+        # rankings while everything else stays searchable
+        spark.createDataFrame(
+            [(5, "join the hash club")], "doc_id long, text string"
+        ).write.parquet(str(tmp_path / "dead_docs"))
+        rc = jobs.main(
+            [
+                "bm25-delete",
+                "--index", str(tmp_path / "bm25"),
+                "--docs", str(tmp_path / "dead_docs"),
+            ]
+        )
+        assert rc == 0
+        assert '"version": 4' in capsys.readouterr().out
+        from egal_yet_another_earthquake_project_spark.llm.search_index import (
+            search_bm25_index,
+        )
+
+        res = search_bm25_index(
+            spark,
+            str(tmp_path / "bm25"),
+            spark.createDataFrame(
+                [(0, "join hash")], "query_id long, qtext string"
+            ),
+        ).collect()
+        assert res and all(r.doc_id != 5 for r in res)  # doc 5 gone
+        assert any(r.doc_id == 1 for r in res)  # others still ranked
+    finally:
+        spark.stop = real_stop
+
+
 def test_cli_compact(spark, tmp_path: Path, capsys):
     src = tmp_path / "frag"
     df = spark.range(1000).selectExpr("id", "id % 3 AS g")

@@ -98,6 +98,212 @@ def test_no_matching_terms_returns_typed_empty(spark, tmp_path, docs):
     assert set(out.columns) == {"query_id", "doc_id", "score", "n_terms"}
 
 
+def test_update_matches_full_rebuild_and_is_delta_only(
+    spark, tmp_path, docs, queries
+):
+    # incremental maintenance: base index on 3 docs, update with the
+    # other 2 -> scores BIT-identical to (a) the from-scratch scorer and
+    # (b) a full rebuild over all 5; the staged version is manifest-only
+    # (no postings were rewritten) and the base segment's files are
+    # untouched
+    import os
+
+    base = docs.filter(F.col("doc_id") <= 3)
+    delta = docs.filter(F.col("doc_id") > 3)
+    idx = str(tmp_path / "bm25")
+    si.build_bm25_index(base, idx, n_buckets=8)
+    base_files = {
+        os.path.join(r, f): os.stat(os.path.join(r, f)).st_mtime_ns
+        for r, _, fs in os.walk(f"{idx}/v=1/postings")
+        for f in fs
+    }
+    v = si.update_bm25_index(delta, idx)
+    assert v == 2 and resolve_index_dir(idx).endswith("v=2")
+    assert not os.path.exists(f"{idx}/v=2/postings")  # manifest-only
+    after = {
+        os.path.join(r, f): os.stat(os.path.join(r, f)).st_mtime_ns
+        for r, _, fs in os.walk(f"{idx}/v=1/postings")
+        for f in fs
+    }
+    assert after == base_files  # base postings never rewritten
+    got = _by_key(si.search_bm25_index(spark, idx, queries).collect())
+    want = _by_key(lsrch.bm25_scores_per_query(docs, queries).collect())
+    assert got == want and got
+    full = str(tmp_path / "bm25full")
+    si.build_bm25_index(docs, full, n_buckets=8)
+    assert got == _by_key(si.search_bm25_index(spark, full, queries).collect())
+
+
+def test_update_crash_before_cutover_serves_old_version(
+    spark, tmp_path, docs, queries
+):
+    base = docs.filter(F.col("doc_id") <= 3)
+    delta = docs.filter(F.col("doc_id") > 3)
+    idx = str(tmp_path / "bm25")
+    si.build_bm25_index(base, idx, n_buckets=8)
+    want = _by_key(si.search_bm25_index(spark, idx, queries).collect())
+
+    class Boom(RuntimeError):
+        pass
+
+    def _crash():
+        raise Boom()
+
+    import pytest as _pt
+
+    with _pt.raises(Boom):
+        si.update_bm25_index(delta, idx, _before_cutover=_crash)
+    # every reader still resolves the old complete version; a retried
+    # update then lands cleanly (the orphaned segment is just GC fodder)
+    assert resolve_index_dir(idx).endswith("v=1")
+    assert _by_key(si.search_bm25_index(spark, idx, queries).collect()) == want
+    si.update_bm25_index(delta, idx)
+    got = _by_key(si.search_bm25_index(spark, idx, queries).collect())
+    assert got == _by_key(lsrch.bm25_scores_per_query(docs, queries).collect())
+
+
+def test_compaction_preserves_scores_then_gc_drops_dead_segments(
+    spark, tmp_path, docs, queries
+):
+    import os
+
+    idx = str(tmp_path / "bm25")
+    si.build_bm25_index(docs.filter(F.col("doc_id") <= 2), idx, n_buckets=8)
+    si.update_bm25_index(docs.filter(F.col("doc_id") == 3), idx)
+    si.update_bm25_index(docs.filter(F.col("doc_id") >= 4), idx)
+    before = _by_key(si.search_bm25_index(spark, idx, queries).collect())
+    res = si.compact_bm25_index(spark, idx)
+    assert res["compacted"] and res["segments"] == 3
+    assert _by_key(si.search_bm25_index(spark, idx, queries).collect()) == before
+    # predecessor grace: the pre-compaction manifest still references
+    # the legacy v=1 segment and s=1/s=2, so they survive this GC …
+    assert os.path.exists(f"{idx}/v=1/postings")
+    # … and die once the NEXT maintenance call advances the window
+    si.update_bm25_index(
+        spark.createDataFrame([(9, "join scan")], "doc_id long, text string"),
+        idx,
+    )
+    assert not os.path.exists(f"{idx}/v=1")
+    assert not os.path.exists(f"{idx}/segments/s=1")
+    assert not os.path.exists(f"{idx}/segments/s=2")
+    # compacting a monolithic index is a no-op
+    mono = str(tmp_path / "mono")
+    si.build_bm25_index(docs, mono, n_buckets=8)
+    assert si.compact_bm25_index(spark, mono) == {
+        "compacted": False,
+        "segments": 1,
+    }
+
+
+def test_update_requires_existing_index(spark, tmp_path, docs):
+    with pytest.raises(ValueError, match="build first"):
+        si.update_bm25_index(docs, str(tmp_path / "nope"))
+
+
+def test_delete_matches_from_scratch_over_remaining(
+    spark, tmp_path, docs, queries
+):
+    # tombstones + NEGATIVE df/Σdl/N sidecars: post-delete scores must
+    # equal a from-scratch build over the remaining corpus — exact df,
+    # not Lucene's stale-until-merge approximation
+    idx = str(tmp_path / "bm25")
+    si.build_bm25_index(docs, idx, n_buckets=8)
+    doomed = docs.filter(F.col("doc_id").isin(2, 4))
+    v = si.delete_from_bm25_index(doomed, idx)
+    assert v == 2
+    remaining = docs.filter(~F.col("doc_id").isin(2, 4))
+    got = _by_key(si.search_bm25_index(spark, idx, queries).collect())
+    want = _by_key(lsrch.bm25_scores_per_query(remaining, queries).collect())
+    assert got == want and got
+    assert not any(d in (2, 4) for (_, d) in got)
+
+
+def test_delete_of_terms_sole_doc_makes_term_unsearchable(
+    spark, tmp_path, docs
+):
+    q = spark.createDataFrame(
+        [(0, "prose")], "query_id long, qtext string"
+    )
+    idx = str(tmp_path / "bm25")
+    si.build_bm25_index(docs, idx, n_buckets=8)
+    assert si.search_bm25_index(spark, idx, q).count() == 1  # doc 5
+    si.delete_from_bm25_index(docs.filter(F.col("doc_id") == 5), idx)
+    assert si.search_bm25_index(spark, idx, q).count() == 0
+
+
+def test_delete_then_compact_physically_purges(spark, tmp_path, docs, queries):
+    import os
+
+    idx = str(tmp_path / "bm25")
+    si.build_bm25_index(docs, idx, n_buckets=8)
+    si.delete_from_bm25_index(docs.filter(F.col("doc_id") == 2), idx)
+    before = _by_key(si.search_bm25_index(spark, idx, queries).collect())
+    res = si.compact_bm25_index(spark, idx)  # 1 segment but live deletes
+    assert res["compacted"] is True
+    assert _by_key(si.search_bm25_index(spark, idx, queries).collect()) == before
+    # the merged segment holds NO tombstoned rows
+    merged = spark.read.parquet(f"{idx}/segments/s=1/postings")
+    assert merged.filter(F.col("doc_id") == 2).count() == 0
+    # next maintenance advances the GC window past the delete segment
+    si.update_bm25_index(
+        spark.createDataFrame([(9, "join scan")], "doc_id long, text string"),
+        idx,
+    )
+    assert not os.path.exists(f"{idx}/segments/d=1")
+    got = _by_key(si.search_bm25_index(spark, idx, queries).collect())
+    want = _by_key(
+        lsrch.bm25_scores_per_query(
+            docs.filter(F.col("doc_id") != 2).unionByName(
+                spark.createDataFrame(
+                    [(9, "join scan")], "doc_id long, text string"
+                )
+            ),
+            queries,
+        ).collect()
+    )
+    assert got == want
+
+
+def test_delete_crash_before_cutover_serves_old_version(
+    spark, tmp_path, docs, queries
+):
+    idx = str(tmp_path / "bm25")
+    si.build_bm25_index(docs, idx, n_buckets=8)
+    want = _by_key(si.search_bm25_index(spark, idx, queries).collect())
+
+    class Boom(RuntimeError):
+        pass
+
+    def _crash():
+        raise Boom()
+
+    with pytest.raises(Boom):
+        si.delete_from_bm25_index(
+            docs.filter(F.col("doc_id") == 1), idx, _before_cutover=_crash
+        )
+    assert resolve_index_dir(idx).endswith("v=1")
+    assert _by_key(si.search_bm25_index(spark, idx, queries).collect()) == want
+
+
+def test_named_segment_commit_is_replay_idempotent(
+    spark, tmp_path, docs, queries
+):
+    # the streaming-maintenance contract: a replayed named commit is a
+    # no-op even after a compaction folded the segment away
+    idx = str(tmp_path / "bm25")
+    si.build_bm25_index(docs.filter(F.col("doc_id") <= 3), idx, n_buckets=8)
+    delta = docs.filter(F.col("doc_id") > 3)
+    v1 = si.update_bm25_index(delta, idx, segment_name="b=0")
+    want = _by_key(si.search_bm25_index(spark, idx, queries).collect())
+    assert si.update_bm25_index(delta, idx, segment_name="b=0") == v1  # no-op
+    assert _by_key(si.search_bm25_index(spark, idx, queries).collect()) == want
+    res = si.compact_bm25_index(spark, idx)
+    assert res["compacted"] is True
+    # b=0 is no longer in the manifest, but last_applied remembers it
+    assert si.update_bm25_index(delta, idx, segment_name="b=0") == v1 + 1
+    assert _by_key(si.search_bm25_index(spark, idx, queries).collect()) == want
+
+
 def test_stats_are_frozen_at_build(spark, tmp_path, docs, queries):
     # searching v=1 after the corpus GREW (but before a rebuild) must
     # use v=1's df/ndocs/sdl — the index is a snapshot, staleness is

@@ -522,3 +522,75 @@ def test_hybrid_search_stream_drained_equals_batch(spark, tmp_path: Path):
     }
     assert got == want and len(want) == 50  # 5 queries × top-10
     assert {r._batch_id for r in results.select("_batch_id").distinct().collect()} == {0, 1}
+
+
+def test_bm25_update_stream_drained_equals_full_build(spark, tmp_path: Path):
+    """Streaming index MAINTENANCE (round 12): documents arriving over
+    two triggers through bm25_update_sink — each micro-batch an O(batch)
+    named-segment commit (b=<batch_id>), compaction inline past the
+    segment threshold — must leave an index whose scores are
+    BIT-identical to a from-scratch build over the full corpus, and a
+    replayed commit must be a no-op even after compaction folded the
+    segment away."""
+    from egal_yet_another_earthquake_project_spark.llm.search import (
+        bm25_scores_per_query,
+    )
+    from egal_yet_another_earthquake_project_spark.llm.search_index import (
+        _segment_paths,
+        build_bm25_index,
+        search_bm25_index,
+        update_bm25_index,
+    )
+    from egal_yet_another_earthquake_project_spark.llm.ann_index import (
+        resolve_index_dir,
+    )
+    from egal_yet_another_earthquake_project_spark.streaming.scoring import (
+        bm25_update_sink,
+    )
+    from egal_yet_another_earthquake_project_spark.workloads_llm import (
+        HYBRID_QUERY_TEXTS,
+    )
+
+    docs = read_table(spark, SF, "documents").select("doc_id", "text")
+    base = docs.filter("doc_id % 3 = 0")
+    d1 = docs.filter("doc_id % 3 = 1")
+    d2 = docs.filter("doc_id % 3 = 2")
+    idx = str(tmp_path / "bm25")
+    build_bm25_index(base, idx, n_buckets=16)
+
+    src = tmp_path / "docs_in"
+    d1.coalesce(1).write.parquet(str(src / "b1"))
+    d2.coalesce(1).write.parquet(str(src / "b2"))
+    stream = stream_parquet_dir(
+        spark, str(src) + "/*", docs.schema, max_files_per_trigger=1
+    )
+    q = (
+        bm25_update_sink(stream, idx, compact_if_segments=2)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    queries = spark.createDataFrame(
+        list(HYBRID_QUERY_TEXTS), "query_id long, qtext string"
+    )
+
+    def key(rows):
+        return {(r.query_id, r.doc_id): (r.score, r.n_terms) for r in rows}
+
+    got = key(search_bm25_index(spark, idx, queries).collect())
+    want = key(bm25_scores_per_query(docs, queries).collect())
+    assert got == want and got
+    # the threshold fired: base + b=0 + b=1 folded back to one segment
+    segs = _segment_paths(spark, idx, resolve_index_dir(idx))
+    assert len(segs) == 1 and not segs[0].startswith("v=")
+    # replayed last commit (crash-after-compaction window): manifest no
+    # longer lists b=1, last_applied remembers it -> no-op
+    cur = resolve_index_dir(idx)
+    assert update_bm25_index(d2, idx, segment_name="b=1") == int(
+        cur.rsplit("v=", 1)[1]
+    )
+    assert key(search_bm25_index(spark, idx, queries).collect()) == want
