@@ -238,6 +238,14 @@ HEADLINE = [
     # exact post-delete scores)
     "bm25_update_search",
     "bm25_delete_search",
+    # round-12: IVF takedown — tombstoned ids anti-joined out of every
+    # probed cell, physical purge deferred to the next rebuild
+    "ivf_delete_topk",
+    # round-12: HTML → text extraction (the crawl pipeline's first
+    # stage) — render + real-parser strip + md5-verified text — and the
+    # fused WARC → HTML → text front end over spec-shaped containers
+    "html_extract",
+    "warc_extract",
 ]
 
 #: Declared-expensive AUDIT rows (VERDICT r11 #7): queries that pay

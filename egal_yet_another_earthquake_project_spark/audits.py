@@ -346,6 +346,10 @@ MARGIN_AUDITS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_delete_search": audit_bm25_delete_search,
     "hybrid_index_search": audit_hybrid_index_search,
     "embedding_ivf_topk": audit_embedding_ivf_topk,
+    # ivf_delete_topk ranks a SUBSET of embedding_ivf_topk's probed
+    # candidates (tombstones only remove rows; quantizer unchanged), so
+    # the unfiltered audit's min margin lower-bounds the delete query's
+    "ivf_delete_topk": audit_embedding_ivf_topk,
     "semantic_gate": audit_semantic_gate,
     "embedding_neardup": audit_embedding_neardup,
     "semantic_neardup": audit_semantic_neardup,

@@ -95,8 +95,19 @@ def _parser() -> argparse.ArgumentParser:
         "curate",
         help="documents parquet → gated/deduped/resampled/packed shards",
     )
-    d.add_argument("--source-dir", required=True, help="dir holding documents.parquet")
+    d.add_argument(
+        "--source-dir",
+        required=True,
+        help="dir holding documents.parquet, or a parquet path itself "
+        "(e.g. crawl-extract's --out)",
+    )
     d.add_argument("--out", required=True, help="output shard directory")
+    d.add_argument(
+        "--id-col",
+        default="doc_id",
+        help="document id column (use 'url' for crawl-extract output)",
+    )
+    d.add_argument("--text-col", default="text")
     d.add_argument("--min-quality", type=float, default=0.5)
     d.add_argument("--lang", default="en", help="language gate; 'any' disables")
     d.add_argument("--near-dedup", action="store_true")
@@ -165,11 +176,36 @@ def _parser() -> argparse.ArgumentParser:
         help="rebuild the index when post-append max/mean cell occupancy exceeds N",
     )
 
+    ad = sub.add_parser(
+        "index-delete",
+        help="tombstone a vector-id batch out of an existing IVF index "
+        "(O(delta); physical purge happens at the next rebuild)",
+    )
+    ad.add_argument("--index", required=True, help="index directory")
+    ad.add_argument("--ids", required=True, help="parquet carrying vec_id")
+
     s = sub.add_parser("search", help="top-k ANN against a persisted IVF index")
     s.add_argument("--index", required=True, help="index directory")
     s.add_argument("--queries", required=True, help="parquet of query vectors")
     s.add_argument("--k", type=int, default=5)
     s.add_argument("--nprobe", type=int, default=4)
+
+    ce = sub.add_parser(
+        "crawl-extract",
+        help="WARC files → (url, status, title, text, quality signals) "
+        "parquet — the crawl front end; chain its output into `curate`",
+    )
+    ce.add_argument(
+        "--warcs", required=True, help="directory (or glob) of .warc files"
+    )
+    ce.add_argument("--out", required=True, help="output parquet directory")
+    ce.add_argument(
+        "--min-status",
+        type=int,
+        default=200,
+        help="keep records with http_status in [min,max]",
+    )
+    ce.add_argument("--max-status", type=int, default=299)
 
     bi = sub.add_parser(
         "bm25-index", help="documents parquet → term-bucketed BM25 inverted index"
@@ -452,9 +488,16 @@ def main(argv: list[str] | None = None) -> int:
 
             from egal_yet_another_earthquake_project_spark import curate
 
-            docs = spark.read.parquet(f"{args.source_dir}/documents.parquet")
+            from egal_yet_another_earthquake_project_spark import fsutil
+
+            src = f"{args.source_dir}/documents.parquet"
+            if not fsutil.exists(spark, src):
+                src = args.source_dir  # a parquet path directly
+            docs = spark.read.parquet(src)
             result = curate.curate_corpus(
                 docs,
+                id_col=args.id_col,
+                text_col=args.text_col,
                 min_quality=args.min_quality,
                 lang=None if args.lang == "any" else args.lang,
                 near_dedup=args.near_dedup,
@@ -530,6 +573,18 @@ def main(argv: list[str] | None = None) -> int:
                     {"imbalance": "max"}
                 ).collect()[0][0]
                 print(json.dumps({"index": args.index, "imbalance": imb}))
+        elif args.cmd == "index-delete":
+            import json
+
+            from egal_yet_another_earthquake_project_spark.llm.ann_index import (
+                delete_from_ivf_index,
+            )
+
+            ids = spark.read.parquet(args.ids)
+            delete_from_ivf_index(spark, args.index, ids)
+            print(
+                json.dumps({"index": args.index, "deleted": ids.count()})
+            )
         elif args.cmd == "search":
             from egal_yet_another_earthquake_project_spark.llm.ann_index import (
                 search_ivf_index,
@@ -539,6 +594,49 @@ def main(argv: list[str] | None = None) -> int:
             search_ivf_index(
                 spark, args.index, queries, k=args.k, nprobe=args.nprobe
             ).show(50, truncate=False)
+        elif args.cmd == "crawl-extract":
+            import json
+
+            from pyspark.sql import functions as _F
+
+            from egal_yet_another_earthquake_project_spark.llm.html import (
+                extract_text_from_html,
+            )
+            from egal_yet_another_earthquake_project_spark.llm.warc import (
+                extract_warc_pages,
+            )
+
+            # binaryFile source: one row per .warc with the bytes in
+            # `content` — the input files ARE the parallelism, and both
+            # stages below are pure Arrow map lanes (zero shuffles
+            # before the first downstream dedup)
+            warcs = (
+                spark.read.format("binaryFile")
+                .load(args.warcs)
+                .select(_F.col("content").alias("payload"))
+            )
+            pages = extract_warc_pages(warcs).filter(
+                _F.col("http_status").between(args.min_status, args.max_status)
+            )
+            out = extract_text_from_html(
+                pages.select(_F.col("target_uri").alias("url"), "html"),
+                id_col="url",
+            ).withColumn(
+                # host as the curation source key, so the output chains
+                # straight into `curate --id-col url --source-col source`
+                # (per-source quality, alpha resampling, mixtures)
+                "source",
+                _F.parse_url(_F.col("url"), _F.lit("HOST")),
+            )
+            out.write.mode("overwrite").parquet(args.out)
+            print(
+                json.dumps(
+                    {
+                        "out": args.out,
+                        "pages": spark.read.parquet(args.out).count(),
+                    }
+                )
+            )
         elif args.cmd == "bm25-index":
             import json
 

@@ -312,6 +312,9 @@ def search_ivf_index(
     cells = spark.read.parquet(f"{root}/cells").filter(
         F.col("cell").isin(probed)
     )
+    tombs = _tombstones(spark, root)
+    if tombs is not None:
+        cells = cells.join(tombs, "neighbor_id", "anti")
     if method == "adc":
         from pyspark.sql import Window
 
@@ -419,6 +422,9 @@ def semantic_gate_hits(
     cells = spark.read.parquet(f"{root}/cells").filter(
         F.col("cell").isin(probed)
     )
+    tombs = _tombstones(spark, root)
+    if tombs is not None:
+        cells = cells.join(tombs, "neighbor_id", "anti")
     return (
         cells.join(qa, on="cell")
         .filter(F.col("_gate_id") != F.col("neighbor_id"))
@@ -491,6 +497,45 @@ def append_ivf_index(
     )
 
 
+def _tombstones(spark: SparkSession, root: str) -> DataFrame | None:
+    """The live version's tombstoned ``neighbor_id`` frame, or None when
+    no delete has ever landed (the common case — absence costs one
+    existence check, never a scan)."""
+    if not fsutil.exists(spark, f"{root}/tombstones"):
+        return None
+    return spark.read.parquet(f"{root}/tombstones").select("neighbor_id")
+
+
+def delete_from_ivf_index(
+    spark: SparkSession,
+    index_dir: str,
+    ids: DataFrame,
+    id_col: str = "vec_id",
+) -> None:
+    """Remove vectors from the index WITHOUT a rebuild — the takedown
+    path (GDPR erasure, dedup retro-purge) a production vector store
+    needs as much as append. O(delta): the ids land in the live
+    version's ``tombstones`` sidecar (dynamic append, the same
+    single-writer contract as :func:`append_ivf_index`); search and the
+    semantic gate anti-join them out of every probed cell, so deleted
+    vectors stop being retrievable immediately. The physical rows stay
+    in the cell partitions until the next rebuild
+    (:func:`maybe_rebuild_ivf_index` re-trains on the LIVE rows only
+    and writes tombstone-free cells) — the Lucene live-docs trade,
+    which is exact here because IVF search has no corpus statistics to
+    go stale (unlike BM25's df, which is why the BM25 delete carries
+    negative sidecars). Deleting an id not in the index is a harmless
+    no-op; re-adding a deleted id requires a rebuild first (tombstones
+    apply to all cells, so the re-added row would be invisible)."""
+    root = resolve_index_dir(index_dir)
+    (
+        ids.select(F.col(id_col).alias("neighbor_id"))
+        .distinct()
+        .write.mode("append")
+        .parquet(f"{root}/tombstones")
+    )
+
+
 def maybe_rebuild_ivf_index(
     spark: SparkSession,
     index_dir: str,
@@ -548,7 +593,14 @@ def maybe_rebuild_ivf_index(
 
     cent = spark.read.parquet(f"{root}/centroids")
     k = num_cells or cent.count()
-    corpus = spark.read.parquet(f"{root}/cells").select(
+    corpus = spark.read.parquet(f"{root}/cells")
+    tombs = _tombstones(spark, root)
+    if tombs is not None:
+        # the rebuild is the physical purge: train on LIVE rows only and
+        # write tombstone-free cells — deleted vectors leave the new
+        # version entirely (its tombstones sidecar starts empty)
+        corpus = corpus.join(tombs, "neighbor_id", "anti")
+    corpus = corpus.select(
         F.col("neighbor_id").alias("vec_id"), F.col("uv").alias("embedding")
     )
     # an IVF-PQ index stays IVF-PQ across the cutover: re-train the
@@ -581,8 +633,11 @@ def maybe_rebuild_ivf_index(
 def ivf_cell_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     """Per-cell vector counts + the max/mean imbalance ratio — the
     rebuild trigger metric for :func:`append_ivf_index` (a cell at many
-    times the mean probes slow and recalls poorly). Empty on an empty
-    or unbuilt index (callers must treat a missing first() as healthy)."""
+    times the mean probes slow and recalls poorly). Counts are PHYSICAL
+    rows including tombstoned ones — deleted vectors still occupy probe
+    bytes until the rebuild purges them, and probe cost is what this
+    metric exists to bound. Empty on an empty or unbuilt index (callers
+    must treat a missing first() as healthy)."""
     root = resolve_index_dir(index_dir)
     try:
         cells = spark.read.parquet(f"{root}/cells")

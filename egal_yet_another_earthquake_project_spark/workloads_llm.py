@@ -1302,6 +1302,213 @@ QUALIFY rank <= 5
 """
 
 
+def q_ivf_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index DELETES (llm.ann_index.delete_from_ivf_index, round
+    12): the persisted IVF index is built over the full corpus, then
+    every fifth vector (vec_id % 5 == 0) is tombstoned — O(delta): the
+    ids append to the live version's sidecar, cells untouched; search
+    anti-joins them out of every probed cell so deleted vectors stop
+    being retrievable immediately (the takedown/GDPR path; physical
+    purge happens at the next rebuild). The quantizer is unchanged —
+    IVF has no corpus statistics to go stale — so the oracle replays
+    the FULL-corpus trained quantizer with only the candidate set
+    filtered, and must hash-match."""
+    import os
+    import shutil
+    import uuid
+    from pathlib import Path
+
+    from egal_yet_another_earthquake_project_spark.llm import ann_index as ai
+
+    idx = _index_cache(sf_dir, "embeddings", "ivfdel")
+    if not (Path(idx) / "CURRENT").exists():
+        tmp = f"{idx}.tmp-{uuid.uuid4().hex[:8]}"
+        emb = _emb(spark, sf_dir)
+        ai.build_ivf_index(emb, tmp, num_cells=_IVF_CELLS)
+        ai.delete_from_ivf_index(
+            spark, tmp, emb.filter(F.col("vec_id") % 5 == 0)
+        )
+        try:
+            os.rename(tmp, idx)
+        except OSError:  # concurrent builder won the rename; use theirs
+            shutil.rmtree(tmp, ignore_errors=True)
+    queries = _emb(spark, sf_dir).filter(F.col("vec_id") < 10)
+    return ai.search_ivf_index(
+        spark, idx, queries, k=5, nprobe=_IVF_NPROBE, method="exact"
+    ).orderBy("query_id", "rank")
+
+
+#: the IVF oracle with ONLY the candidate side filtered — centroids and
+#: cell assignment still come from the full corpus (deletes never
+#: re-train the quantizer), which is exactly what makes the engine's
+#: tombstone anti-join bit-reproducible here.
+_IVF_DELETE_ORACLE = _IVF_TOPK_ORACLE.replace(
+    "WHERE query_id <> neighbor_id",
+    "WHERE query_id <> neighbor_id AND neighbor_id % 5 <> 0",
+)
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (llm/html.py, round 12) — the stage every
+    crawl-derived pretraining pipeline runs FIRST and the reference's
+    REST-fed world never needed. Each document's text is rendered into
+    a deterministic page (escaped 10-word <p> paragraphs inside a
+    title/nav/script/style/comment/footer boilerplate frame), the REAL
+    stdlib parser strips it back (char-ref decode, skip-subtree
+    handling, whitespace normalization), and the EXTRACTED TEXT itself
+    is md5-verified: the oracle replays the construction analytically
+    ('home about ' + whitespace-collapsed text + ' copyright'), so a
+    hash mismatch means the parser misread real markup. Signals
+    (title, link/paragraph/word counts) verify alongside. Arrow-batched
+    mapInPandas both directions, zero shuffle — a pure map lane."""
+    import pandas as _pd
+
+    from egal_yet_another_earthquake_project_spark.llm import html as lhtml
+
+    def build(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "html": [
+                        lhtml.render_test_page(int(i), t)
+                        for i, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    pages = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .mapInPandas(build, "doc_id long, html string")
+    )
+    ext = lhtml.extract_text_from_html(pages)
+    return ext.select(
+        "doc_id",
+        "title",
+        "n_links",
+        "n_paragraphs",
+        "n_words",
+        F.md5("text").alias("text_md5"),
+    ).orderBy("doc_id")
+
+
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl front end END TO END (llm/warc.py + llm/html.py, round
+    12): documents render into deterministic HTML pages, pack 10-to-a-
+    file into spec-shaped WARC/1.0 containers (warcinfo + HTTP response
+    records, exact Content-Length framing — what Common Crawl actually
+    ships), and the extraction side walks the framing STRICTLY, splits
+    the HTTP head, and strips the markup — WARC → HTML → text fused in
+    ONE Arrow stage (the scale shape: a crawl's first pass runs at scan
+    parallelism with zero shuffles; the WARC build here needs one
+    grouping shuffle only because the query must construct its own
+    input). The extracted text md5, the HTTP status, and the page
+    signals all hash-verify against the analytic replay."""
+    import hashlib
+
+    import pandas as _pd
+
+    from egal_yet_another_earthquake_project_spark.llm import html as lhtml
+    from egal_yet_another_earthquake_project_spark.llm import warc as lwarc
+
+    def build(pdf: "_pd.DataFrame") -> "_pd.DataFrame":
+        pdf = pdf.sort_values("doc_id")
+        pages = [
+            (
+                f"http://example.com/doc/{int(i)}",
+                lhtml.render_test_page(int(i), t).encode("utf-8"),
+            )
+            for i, t in zip(pdf["doc_id"], pdf["text"])
+        ]
+        return _pd.DataFrame(
+            {"gid": [int(pdf["gid"].iloc[0])], "payload": [lwarc.encode_warc(pages)]}
+        )
+
+    warcs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text", F.floor(F.col("doc_id") / 10).alias("gid"))
+        .groupBy("gid")
+        .applyInPandas(build, "gid long, payload binary")
+    )
+
+    cols = ["doc_id", "http_status", "title", "n_paragraphs", "n_words", "text_md5"]
+
+    def extract(batches):
+        for pdf in batches:
+            rows = []
+            for blob in pdf["payload"]:
+                for rec in lwarc.parse_warc(bytes(blob)):
+                    if rec["warc_type"] != "response":
+                        continue
+                    page = lhtml.parse_html(rec["body"])
+                    rows.append(
+                        {
+                            "doc_id": int(rec["target_uri"].rsplit("/", 1)[1]),
+                            "http_status": rec["http_status"],
+                            "title": page["title"],
+                            "n_paragraphs": page["n_paragraphs"],
+                            "n_words": page["n_words"],
+                            "text_md5": hashlib.md5(
+                                page["text"].encode("utf-8")
+                            ).hexdigest(),
+                        }
+                    )
+            yield _pd.DataFrame(rows, columns=cols)
+
+    return warcs.mapInPandas(
+        extract,
+        "doc_id long, http_status int, title string, n_paragraphs int, "
+        "n_words int, text_md5 string",
+    ).orderBy("doc_id")
+
+
+_WARC_EXTRACT_ORACLE = """
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+  FROM documents
+),
+counted AS (
+  SELECT doc_id, t,
+         CASE WHEN t = '' THEN 0 ELSE len(string_split(t, ' ')) END AS nw
+  FROM norm
+)
+SELECT doc_id,
+       CAST(200 AS INTEGER) AS http_status,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       CAST((nw + 9) // 10 AS INTEGER) AS n_paragraphs,
+       CAST(nw + 3 AS INTEGER) AS n_words,
+       md5(CASE WHEN t = '' THEN 'home about copyright'
+                ELSE 'home about ' || t || ' copyright' END) AS text_md5
+FROM counted
+ORDER BY doc_id
+"""
+
+
+_HTML_EXTRACT_ORACLE = """
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+  FROM documents
+),
+counted AS (
+  SELECT doc_id, t,
+         CASE WHEN t = '' THEN 0 ELSE len(string_split(t, ' ')) END AS nw
+  FROM norm
+)
+SELECT doc_id,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       CAST(2 AS INTEGER) AS n_links,
+       CAST((nw + 9) // 10 AS INTEGER) AS n_paragraphs,
+       CAST(nw + 3 AS INTEGER) AS n_words,
+       md5(CASE WHEN t = '' THEN 'home about copyright'
+                ELSE 'home about ' || t || ' copyright' END) AS text_md5
+FROM counted
+ORDER BY doc_id
+"""
+
+
 _PQ_M, _PQ_K, _PQ_DSUB = 4, 16, 16
 
 
@@ -3468,6 +3675,9 @@ QUERIES = {
     "hybrid_index_search": q_hybrid_index_search,
     "retrieval_ndcg": q_retrieval_ndcg,
     "embedding_ivf_topk": q_embedding_ivf_topk,
+    "ivf_delete_topk": q_ivf_delete_topk,
+    "html_extract": q_html_extract,
+    "warc_extract": q_warc_extract,
     "embedding_neardup": q_embedding_neardup,
     "semantic_gate": q_semantic_gate,
     "pq_topk": q_pq_topk,
@@ -3531,6 +3741,9 @@ ORACLES = {
     "hybrid_index_search": _HYBRID_INDEX_SEARCH_ORACLE,
     "retrieval_ndcg": _RETRIEVAL_NDCG_ORACLE,
     "embedding_ivf_topk": _IVF_TOPK_ORACLE,
+    "ivf_delete_topk": _IVF_DELETE_ORACLE,
+    "html_extract": _HTML_EXTRACT_ORACLE,
+    "warc_extract": _WARC_EXTRACT_ORACLE,
     "embedding_neardup": _NEARDUP_ORACLE,
     "semantic_neardup": _SEMANTIC_NEARDUP_ORACLE,
     "multimodal_meta": _MULTIMODAL_META_ORACLE,

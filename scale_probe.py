@@ -332,6 +332,151 @@ def probes():
         )
         return _mm.extract_frame_features(corpus, stride=2)
 
+    def jpeg_decode(spark, docs):
+        import pandas as _pd
+
+        from egal_yet_another_earthquake_project_spark.llm import (
+            multimodal as _mm,
+        )
+
+        width = height = 16
+        sgn = [1 if x % 8 in (0, 3, 4, 7) else -1 for x in range(width)]
+
+        def build(batches):
+            for pdf in batches:
+                payloads = []
+                for did in pdf["doc_id"]:
+                    did = int(did)
+                    rows = []
+                    for y in range(height):
+                        row = []
+                        for x in range(width):
+                            blk = (y // 8) * 2 + (x // 8)
+                            base = 16 + (did * 37 + blk * 59) % 208
+                            amp = 1 + (did * 11 + blk * 7) % 13
+                            v = base + amp * sgn[x] * sgn[y]
+                            row.append((v, v, v))
+                        rows.append(row)
+                    payloads.append(_mm.encode_jpeg(width, height, rows))
+                yield _pd.DataFrame(
+                    {"doc_id": pdf["doc_id"], "payload": payloads}
+                )
+
+        par = spark.sparkContext.defaultParallelism
+        corpus = (
+            docs.select("doc_id")
+            .repartition(par)
+            .mapInPandas(build, "doc_id long, payload binary")
+        )
+        return _mm.extract_features(corpus)
+
+    def mp3_demux(spark, docs):
+        import pandas as _pd
+
+        from egal_yet_another_earthquake_project_spark.llm import (
+            multimodal as _mm,
+        )
+
+        def build(batches):
+            for pdf in batches:
+                payloads = [
+                    _mm.encode_mp3_frames(
+                        6 + int(did) % 5, with_crc=True, seed=int(did)
+                    )
+                    for did in pdf["doc_id"]
+                ]
+                yield _pd.DataFrame(
+                    {"doc_id": pdf["doc_id"], "payload": payloads}
+                )
+
+        corpus = docs.select("doc_id").mapInPandas(
+            build, "doc_id long, payload binary"
+        )
+        return _mm.extract_mp3_features(corpus)
+
+    def mp4_parse(spark, docs):
+        import pandas as _pd
+
+        from egal_yet_another_earthquake_project_spark.llm import (
+            multimodal as _mm,
+        )
+
+        def build(batches):
+            for pdf in batches:
+                payloads = [
+                    _mm.encode_mp4_boxes(
+                        1000 + int(did) % 977,
+                        n_tracks=1 + int(did) % 3,
+                        mdat_bytes=32 + int(did) % 64,
+                    )
+                    for did in pdf["doc_id"]
+                ]
+                yield _pd.DataFrame(
+                    {"doc_id": pdf["doc_id"], "payload": payloads}
+                )
+
+        corpus = docs.select("doc_id").mapInPandas(
+            build, "doc_id long, payload binary"
+        )
+        return _mm.extract_mp4_features(corpus)
+
+    def html_extract(spark, docs):
+        import pandas as _pd
+
+        from egal_yet_another_earthquake_project_spark.llm import html as _lh
+
+        def build(batches):
+            for pdf in batches:
+                yield _pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "html": [
+                            _lh.render_test_page(int(i), t)
+                            for i, t in zip(pdf["doc_id"], pdf["text"])
+                        ],
+                    }
+                )
+
+        pages = docs.select("doc_id", "text").mapInPandas(
+            build, "doc_id long, html string"
+        )
+        return _lh.extract_text_from_html(pages)
+
+    def warc_extract(spark, docs):
+        import pandas as _pd
+
+        from egal_yet_another_earthquake_project_spark.llm import html as _lh
+        from egal_yet_another_earthquake_project_spark.llm import warc as _lw
+
+        def build(pdf):
+            pdf = pdf.sort_values("doc_id")
+            pages = [
+                (
+                    f"http://example.com/doc/{int(i)}",
+                    _lh.render_test_page(int(i), t).encode("utf-8"),
+                )
+                for i, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            return _pd.DataFrame(
+                {
+                    "gid": [int(pdf["gid"].iloc[0])],
+                    "payload": [_lw.encode_warc(pages)],
+                }
+            )
+
+        warcs = (
+            docs.select(
+                "doc_id", "text", F.floor(F.col("doc_id") / 10).alias("gid")
+            )
+            .groupBy("gid")
+            .applyInPandas(build, "gid long, payload binary")
+        )
+        pages = _lw.extract_warc_pages(warcs)
+        return _lh.extract_text_from_html(
+            pages.select(F.col("target_uri").alias("url"), "html"),
+            id_col="url",
+        )
+
     def interval_join(spark, ev):
         from egal_yet_another_earthquake_project_spark.operators.joins import (
             interval_overlap_join,
@@ -446,7 +591,95 @@ def probes():
         # pair growth like the near-dup families, not to row count.
         ("interval overlap join (binned)", _events, interval_join, 150.0),
         ("video frame features (multi-frame GIF)", _documents, video_frames, ROW_RATIO),
+        # round-12 additions: the three newest codec lanes — all
+        # Arrow-batched map-only passes whose cost lives in Python
+        # (JPEG pays a real Huffman+DCT round trip per payload; MP3/MP4
+        # are header walks) — must stay row-linear like the other lanes.
+        ("JPEG decode features (Huffman+IDCT lane)", _documents, jpeg_decode, ROW_RATIO),
+        ("MP3 frame demux (CBR walk, CRC verify)", _documents, mp3_demux, ROW_RATIO),
+        ("MP4 box parse (ISO BMFF tiling)", _documents, mp4_parse, ROW_RATIO),
+        # crawl front end: render+strip is a pure map lane; the WARC
+        # variant adds the 10-docs-per-file grouping shuffle on the
+        # build side (query-construction cost, not extraction cost) and
+        # the strict container walk per file — both must stay row-linear
+        ("HTML text extraction (render+strip)", _documents, html_extract, ROW_RATIO),
+        ("WARC->HTML->text front end", _documents, warc_extract, ROW_RATIO),
     ]
+
+
+def bm25_maintenance_probe(spark) -> list[dict]:
+    """Two rows for the round-12 incremental index lane:
+
+    * **O(delta) update** — the SAME fixed delta committed against a 1×
+      base index and a 10× base index; the wall must be ~flat (the
+      whole point of segment-manifest maintenance is that update cost
+      is independent of base-corpus size). Allowance 3× absorbs
+      job-launch noise and the manifest/GC listing, which grows with
+      version count, not corpus size.
+    * **index search vs 10× corpus** — the probed buckets' postings
+      grow ~10× (same term distribution, 10× docs), so the row
+      allowance binds like any linear scan family.
+    """
+    import shutil
+    import tempfile
+
+    from egal_yet_another_earthquake_project_spark.llm import (
+        search_index as si,
+    )
+
+    queries = spark.createDataFrame(
+        [(0, "join hash"), (1, "scan filter"), (2, "hash join filter")],
+        "query_id long, qtext string",
+    )
+    # the delta is the SAME frame for both scales: ids disjoint from
+    # both corpora (negative), text from the 1× corpus so terms overlap
+    delta = (
+        _documents(spark, 1)
+        .limit(200)
+        .select((-F.col("doc_id") - 1).alias("doc_id"), "text")
+        .localCheckpoint(eager=True)
+    )
+    walls: dict[int, dict[str, float]] = {}
+    for k in (1, 10):
+        tmpd = tempfile.mkdtemp(prefix=f"bm25probe{k}_")
+        idx = f"{tmpd}/idx"
+        corpus = _documents(spark, k).localCheckpoint(eager=True)
+        si.build_bm25_index(corpus, idx)
+        corpus.unpersist()
+        si.search_bm25_index(spark, idx, queries).count()  # codegen warmup
+        t0 = time.time()
+        si.update_bm25_index(delta, idx)
+        t_upd = round(time.time() - t0, 2)
+        t0 = time.time()
+        si.search_bm25_index(spark, idx, queries).count()
+        t_srch = round(time.time() - t0, 2)
+        walls[k] = {"update": t_upd, "search": t_srch}
+        shutil.rmtree(tmpd, ignore_errors=True)
+    delta.unpersist()
+    rows = []
+    for what, allowed in (("update", 3.0), ("search", ROW_RATIO)):
+        ratio = round(
+            walls[10][what] / max(walls[1][what], 1e-9), 1
+        )
+        name = (
+            "BM25 O(delta) update vs 10x base corpus"
+            if what == "update"
+            else "BM25 index search vs 10x corpus"
+        )
+        rows.append(
+            {
+                "operator": name,
+                "t1": walls[1][what],
+                "t10": walls[10][what],
+                "ratio": ratio,
+                "allowed": allowed,
+            }
+        )
+        print(
+            f"| {name} | {walls[1][what]} s | {walls[10][what]} s | {ratio}x |",
+            flush=True,
+        )
+    return rows
 
 
 def curate_stream_probe(spark) -> dict:
@@ -607,6 +840,10 @@ def main() -> int:
     if crow["ratio"] > crow["allowed"]:
         failed.append(crow["operator"])
     rows.append(crow)
+    for brow in bm25_maintenance_probe(spark):
+        if brow["ratio"] > brow["allowed"]:
+            failed.append(brow["operator"])
+        rows.append(brow)
     out = {
         "sf_dir": SF_DIR,
         "failed": failed,

@@ -177,6 +177,105 @@ def test_cli_index_and_search(spark, tmp_path: Path, capsys):
             ).count()
             == n_after + 300
         )
+
+        # index-delete: tombstoned ids leave the results immediately
+        emb.orderBy("vec_id").limit(2).select("vec_id").write.parquet(
+            str(tmp_path / "dead_ids")
+        )
+        dead = {
+            r.vec_id
+            for r in spark.read.parquet(str(tmp_path / "dead_ids")).collect()
+        }
+        rc = jobs.main(
+            [
+                "index-delete",
+                "--index", str(tmp_path / "ivf"),
+                "--ids", str(tmp_path / "dead_ids"),
+            ]
+        )
+        assert rc == 0
+        assert '"deleted": 2' in capsys.readouterr().out
+        from egal_yet_another_earthquake_project_spark.llm.ann_index import (
+            search_ivf_index,
+        )
+
+        hits = search_ivf_index(
+            spark,
+            str(tmp_path / "ivf"),
+            spark.read.parquet(str(tmp_path / "queries")),
+            k=50,
+            nprobe=8,
+        ).collect()
+        assert hits and all(r.neighbor_id not in dead for r in hits)
+    finally:
+        spark.stop = real_stop
+
+
+def test_cli_crawl_extract(spark, tmp_path: Path, capsys):
+    """crawl-extract: .warc files on disk → (url, text, signals)
+    parquet, non-2xx records filtered — the front end whose output
+    chains into `curate`."""
+    import json
+
+    from egal_yet_another_earthquake_project_spark import jobs
+    from egal_yet_another_earthquake_project_spark.llm.html import (
+        render_test_page,
+    )
+    from egal_yet_another_earthquake_project_spark.llm.warc import encode_warc
+
+    wdir = tmp_path / "warcs"
+    wdir.mkdir()
+    (wdir / "a.warc").write_bytes(
+        encode_warc(
+            [
+                ("http://x/doc/1", render_test_page(1, "alpha beta").encode()),
+                ("http://x/doc/2", render_test_page(2, "gamma").encode()),
+            ]
+        )
+    )
+    (wdir / "b.warc").write_bytes(
+        encode_warc(
+            [("http://x/doc/3", render_test_page(3, "delta").encode())]
+        )
+    )
+    real_stop = spark.stop
+    spark.stop = lambda: None
+    try:
+        rc = jobs.main(
+            [
+                "crawl-extract",
+                "--warcs", str(wdir),
+                "--out", str(tmp_path / "pages"),
+            ]
+        )
+        assert rc == 0
+        assert json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1]
+        )["pages"] == 3
+        rows = {
+            r.url: r for r in spark.read.parquet(str(tmp_path / "pages")).collect()
+        }
+        assert rows["http://x/doc/1"].text == "home about alpha beta copyright"
+        assert rows["http://x/doc/3"].title == "Doc 3"
+        assert all(r.n_links == 2 and r.ok for r in rows.values())
+        assert all(r.source == "x" for r in rows.values())  # URL host
+
+        # … and the output chains straight into the curation pipeline
+        rc = jobs.main(
+            [
+                "curate",
+                "--source-dir", str(tmp_path / "pages"),
+                "--out", str(tmp_path / "shards"),
+                "--id-col", "url",
+                "--min-quality", "0",
+                "--lang", "any",
+            ]
+        )
+        assert rc == 0
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["out"] == str(tmp_path / "shards")
+        shards = spark.read.parquet(str(tmp_path / "shards"))
+        assert shards.count() > 0
     finally:
         spark.stop = real_stop
 

@@ -138,6 +138,10 @@ _ALLOWED_NESTED_LOOP = {
     # centroid frame (the embedding_ivf_topk bounded shape); both index
     # scans are statically pruned
     "hybrid_index_search",
+    # same persisted-index search shape (assign_cells × ≤num_cells
+    # centroid frame on the query batch); the tombstone anti-join is an
+    # equi hash join and adds no nested loop
+    "ivf_delete_topk",
     # Same quantizer shape as embedding_ivf_topk: assign_cells crossJoins
     # the ≤ num_cells centroid frame into both the corpus and the gated
     # batch — bounded K×n broadcast by construction.
