@@ -246,6 +246,9 @@ HEADLINE = [
     # fused WARC → HTML → text front end over spec-shaped containers
     "html_extract",
     "warc_extract",
+    # round-12: URL canonicalization — pure codegen expressions, the
+    # crawl-dedup key derivation
+    "url_canonical",
 ]
 
 #: Declared-expensive AUDIT rows (VERDICT r11 #7): queries that pay

@@ -86,3 +86,57 @@ def is_gap(col: Column | str) -> Column:
     /root/reference/electricraw.py:134-138)."""
     c = F.col(col) if isinstance(col, str) else col
     return c == F.lit(0.0)
+
+
+#: tracking parameters a crawl canonicalizer strips before URL dedup —
+#: the standard analytics/click-id families; everything else is kept
+#: because it may be content-addressing (page=2, q=term).
+TRACKING_PARAMS_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|ref)="
+
+
+def canonical_url(url: Column | str) -> Column:
+    """Canonical form of a URL for crawl-level dedup (round 12): strip
+    the fragment, lowercase scheme and host, drop default ports
+    (http:80 / https:443), collapse duplicate path slashes, default an
+    empty path to '/', sort the query parameters, and drop tracking
+    parameters (:data:`TRACKING_PARAMS_RE`). Two fetches of the same
+    resource — differing only in case, fragment, utm tags, or query
+    order — canonicalize to the SAME string, which is what makes
+    exact-dedup on the canonical key catch URL-level duplicates before
+    any content hashing.
+
+    Pure built-in expressions end to end (regexp + higher-order array
+    functions): whole-stage codegen, no UDF, no shuffle — at 100 TB
+    this is a free map expression on the crawl frame."""
+    u = F.regexp_replace(url, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    hostport = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == F.lit("http")) & (port == F.lit("80")))
+        & ~((scheme == F.lit("https")) & (port == F.lit("443")))
+    )
+    pathq = F.regexp_replace(rest, r"^[^/?]*", "")
+    path0 = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    path = F.when(path0 == "", F.lit("/")).otherwise(
+        F.regexp_replace(path0, "/{2,}", "/")
+    )
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAMS_RE),
+    )
+    sorted_q = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(sorted_q != "", F.concat(F.lit("?"), sorted_q)).otherwise(
+            F.lit("")
+        ),
+    )

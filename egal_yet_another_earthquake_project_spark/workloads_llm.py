@@ -1486,6 +1486,112 @@ ORDER BY doc_id
 """
 
 
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions.canonical_url, round 12) — the
+    prerequisite of crawl-level dedup: fragment stripped, scheme/host
+    lowercased, default ports dropped, duplicate path slashes
+    collapsed, empty path defaulted, query params sorted and tracking
+    params (utm_*, gclid, …) removed. Four dirty-URL shapes are built
+    deterministically per document (case noise + default port, sorted-
+    query violation, non-default port kept, tracking-only query
+    erased); the oracle builds the SAME strings and replays the
+    canonicalization in SQL. Pure built-in expressions — whole-stage
+    codegen, no UDF, zero shuffle."""
+    from egal_yet_another_earthquake_project_spark.functions import (
+        canonical_url,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    variant = F.col("doc_id") % 4
+    url = (
+        F.when(
+            variant == 0,
+            F.concat(
+                F.lit("HTTP://Example.COM:80//a//b/page"),
+                sid,
+                F.lit("?utm_source=feed&b=2&a=1#frag"),
+            ),
+        )
+        .when(
+            variant == 1,
+            F.concat(
+                F.lit("https://Sub.Example.com:443/path/"),
+                sid,
+                F.lit("/?z=9&y=8&utm_campaign=x"),
+            ),
+        )
+        .when(
+            variant == 2,
+            F.concat(F.lit("http://example.com:8080/p"), sid),
+        )
+        .otherwise(
+            F.concat(F.lit("https://example.com?gclid=abc"), F.lit(""))
+        )
+    )
+    return (
+        d.withColumn("url", url)
+        .withColumn("canon", canonical_url(F.col("url")))
+        .select("doc_id", "url", "canon")
+        .orderBy("doc_id")
+    )
+
+
+_URL_CANONICAL_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'HTTP://Example.COM:80//a//b/page' || CAST(doc_id AS VARCHAR)
+                       || '?utm_source=feed&b=2&a=1#frag'
+           WHEN 1 THEN 'https://Sub.Example.com:443/path/' || CAST(doc_id AS VARCHAR)
+                       || '/?z=9&y=8&utm_campaign=x'
+           WHEN 2 THEN 'http://example.com:8080/p' || CAST(doc_id AS VARCHAR)
+           ELSE 'https://example.com?gclid=abc'
+         END AS url
+  FROM documents
+),
+s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u FROM d),
+parts AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+         regexp_replace(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') AS rest
+  FROM s1
+),
+hp AS (
+  SELECT *,
+         regexp_extract(rest, '^([^/?]*)', 1) AS hostport,
+         regexp_replace(rest, '^[^/?]*', '') AS pathq
+  FROM parts
+),
+fields AS (
+  SELECT doc_id, url, scheme,
+         lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
+         regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+         regexp_extract(pathq, '^([^?]*)', 1) AS path0,
+         regexp_extract(pathq, '\\?(.*)$', 1) AS query
+  FROM hp
+),
+canon AS (
+  SELECT doc_id, url,
+         scheme || '://' || host
+         || CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+                      AND NOT (scheme = 'https' AND port = '443')
+                 THEN ':' || port ELSE '' END
+         || CASE WHEN path0 = '' THEN '/'
+                 ELSE regexp_replace(path0, '/{2,}', '/', 'g') END
+         || CASE WHEN sq <> '' THEN '?' || sq ELSE '' END AS canon
+  FROM (
+    SELECT *,
+           array_to_string(list_sort(list_filter(string_split(query, '&'),
+             p -> p <> '' AND NOT regexp_matches(p,
+               '^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|ref)='))), '&') AS sq
+    FROM fields
+  )
+)
+SELECT doc_id, url, canon FROM canon ORDER BY doc_id
+"""
+
+
 _HTML_EXTRACT_ORACLE = """
 WITH norm AS (
   SELECT doc_id,
@@ -3678,6 +3784,7 @@ QUERIES = {
     "ivf_delete_topk": q_ivf_delete_topk,
     "html_extract": q_html_extract,
     "warc_extract": q_warc_extract,
+    "url_canonical": q_url_canonical,
     "embedding_neardup": q_embedding_neardup,
     "semantic_gate": q_semantic_gate,
     "pq_topk": q_pq_topk,
@@ -3744,6 +3851,7 @@ ORACLES = {
     "ivf_delete_topk": _IVF_DELETE_ORACLE,
     "html_extract": _HTML_EXTRACT_ORACLE,
     "warc_extract": _WARC_EXTRACT_ORACLE,
+    "url_canonical": _URL_CANONICAL_ORACLE,
     "embedding_neardup": _NEARDUP_ORACLE,
     "semantic_neardup": _SEMANTIC_NEARDUP_ORACLE,
     "multimodal_meta": _MULTIMODAL_META_ORACLE,

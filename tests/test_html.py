@@ -79,3 +79,29 @@ def test_spark_lane_round_trips_rendered_pages(spark):
     # pure map lane: no exchange in the plan
     plan = extract_text_from_html(pages)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_canonical_url_unifies_duplicate_fetches(spark):
+    """Two fetches of the same resource differing only in case, default
+    port, fragment, tracking params, and query order must canonicalize
+    to the SAME key — and the expression must stay a pure map (no
+    exchange, no Python UDF)."""
+    from egal_yet_another_earthquake_project_spark.functions import (
+        canonical_url,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "HTTP://News.Example.COM:80/a//b?utm_source=x&q=spark&page=2#top"),
+            (2, "http://news.example.com/a/b?page=2&q=spark"),
+            (3, "http://news.example.com/a/b?page=3&q=spark"),  # different page
+        ],
+        "id long, url string",
+    )
+    out = df.withColumn("canon", canonical_url("url"))
+    canon = {r.id: r.canon for r in out.collect()}
+    assert canon[1] == canon[2] == "http://news.example.com/a/b?page=2&q=spark"
+    assert canon[3] != canon[1]  # content-addressing params survive
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan

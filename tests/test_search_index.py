@@ -314,3 +314,23 @@ def test_stats_are_frozen_at_build(spark, tmp_path, docs, queries):
     # (no rebuild) — results must be byte-stable however often we ask
     again = _by_key(si.search_bm25_index(spark, idx, queries).collect())
     assert before == again
+
+
+def test_segmented_search_prunes_buckets_statically_per_segment(
+    spark, tmp_path, docs, queries
+):
+    # the update must not cost the pruning: EVERY segment's postings
+    # scan carries the query buckets as a STATIC partition filter
+    import re
+
+    idx = str(tmp_path / "bm25")
+    si.build_bm25_index(docs.filter(F.col("doc_id") <= 3), idx, n_buckets=8)
+    si.update_bm25_index(docs.filter(F.col("doc_id") > 3), idx)
+    plan = (
+        si.search_bm25_index(spark, idx, queries)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    filters = re.findall(r"PartitionFilters: \[[^\]]*_tb[^\]]*IN[^\]]*\]", plan)
+    assert len(filters) == 2, plan[:2000]  # one per segment, both pruned
