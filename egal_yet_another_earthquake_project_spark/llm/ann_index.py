@@ -309,9 +309,7 @@ def search_ivf_index(
         "uq",
     ).drop("_q")
     probed = [r.cell for r in qa.select("cell").distinct().collect()]
-    cells = spark.read.parquet(f"{root}/cells").filter(
-        F.col("cell").isin(probed)
-    )
+    cells = _read_cells(spark, root).filter(F.col("cell").isin(probed))
     tombs = _tombstones(spark, root)
     if tombs is not None:
         cells = cells.join(tombs, "neighbor_id", "anti")
@@ -419,9 +417,7 @@ def semantic_gate_hits(
         "uq",
     ).drop("_q")
     probed = [r.cell for r in qa.select("cell").distinct().collect()]
-    cells = spark.read.parquet(f"{root}/cells").filter(
-        F.col("cell").isin(probed)
-    )
+    cells = _read_cells(spark, root).filter(F.col("cell").isin(probed))
     tombs = _tombstones(spark, root)
     if tombs is not None:
         cells = cells.join(tombs, "neighbor_id", "anti")
@@ -467,6 +463,24 @@ def append_ivf_index(
     layout, so probes see them immediately.
     """
     root = resolve_index_dir(index_dir)
+    (
+        _assign_for_append(spark, root, new_vectors, id_col, vec_col)
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{root}/cells")
+    )
+
+
+def _assign_for_append(
+    spark: SparkSession,
+    root: str,
+    new_vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Frozen-quantizer cell assignment (+ PQ codes when the version
+    carries codebooks) for an append batch — shared by the in-place
+    batch append and the staged streaming append."""
     cent = spark.read.parquet(f"{root}/centroids")
     assigned = unit(
         assign_cells(new_vectors, cent, 1, id_col, vec_col).select(
@@ -490,11 +504,78 @@ def append_ivf_index(
             assigned, books, id_col="neighbor_id", vec_col="uv"
         )
         assigned = assigned.join(codes, "neighbor_id")
+    return assigned
+
+
+def staged_append_ivf_index(
+    spark: SparkSession,
+    index_dir: str,
+    new_vectors: DataFrame,
+    batch_name: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> bool:
+    """EXACTLY-ONCE-in-effect append for streaming maintenance: the
+    batch lands as its own staged sub-index
+    ``{version}/appends/{batch_name}/cells`` and becomes visible only
+    when its ``_COMPLETE`` marker is written LAST — so a crash mid-write
+    leaves an invisible dir the replay simply overwrites, and a
+    replayed batch whose commit already landed (marker present, or the
+    name recorded in ``applied.json`` by a rebuild that folded it) is a
+    no-op. Returns False for the no-op replay, True when the batch
+    landed. The in-place :func:`append_ivf_index` stays the single-shot
+    batch path; this is its ``foreachBatch``-safe twin
+    (``streaming.scoring.ivf_update_sink``)."""
+    root = resolve_index_dir(index_dir)
+    stage = f"{root}/appends/{batch_name}"
+    if (
+        fsutil.exists(spark, f"{stage}/_COMPLETE")
+        or batch_name in _applied_appends(spark, root)
+    ):
+        return False
     (
-        assigned.write.mode("append")
+        _assign_for_append(spark, root, new_vectors, id_col, vec_col)
+        .write.mode("overwrite")
         .partitionBy("cell")
-        .parquet(f"{root}/cells")
+        .parquet(f"{stage}/cells")
     )
+    fsutil.write_text_overwrite(spark, f"{stage}/_COMPLETE", "complete\n")
+    return True
+
+
+def _complete_appends(spark: SparkSession, root: str) -> list[str]:
+    """Names of the version's staged append batches whose ``_COMPLETE``
+    marker exists — the visibility gate that makes streaming appends
+    exactly-once-in-effect (a crash mid-write leaves a marker-less dir
+    no reader ever selects; the replay overwrites it and marks)."""
+    return sorted(
+        n
+        for n in fsutil.list_names(spark, f"{root}/appends")
+        if fsutil.exists(spark, f"{root}/appends/{n}/_COMPLETE")
+    )
+
+
+def _applied_appends(spark: SparkSession, root: str) -> set[str]:
+    """Append-batch names a rebuild already FOLDED into this version's
+    cells (recorded at cutover) — the replay memo that survives the
+    fold, exactly like the BM25 manifest's ``last_applied``."""
+    import json as _json
+
+    text = fsutil.read_text(spark, f"{root}/applied.json")
+    return set(_json.loads(text)) if text else set()
+
+
+def _read_cells(spark: SparkSession, root: str) -> DataFrame:
+    """The version's full cell frame: the base ``cells`` plus every
+    COMPLETE staged append. All read-side consumers (search, the
+    semantic gate, cell stats, the rebuild's corpus) go through here so
+    streaming appends become visible everywhere at once."""
+    cells = spark.read.parquet(f"{root}/cells")
+    for name in _complete_appends(spark, root):
+        cells = cells.unionByName(
+            spark.read.parquet(f"{root}/appends/{name}/cells")
+        )
+    return cells
 
 
 def _tombstones(spark: SparkSession, root: str) -> DataFrame | None:
@@ -593,12 +674,15 @@ def maybe_rebuild_ivf_index(
 
     cent = spark.read.parquet(f"{root}/centroids")
     k = num_cells or cent.count()
-    corpus = spark.read.parquet(f"{root}/cells")
+    # the rebuild folds EVERYTHING the readers see: base cells, staged
+    # streaming appends, minus tombstones (the physical purge) — the new
+    # version starts with clean cells, no appends, no tombstones
+    corpus = _read_cells(spark, root)
+    folded_appends = _complete_appends(spark, root) + sorted(
+        _applied_appends(spark, root)
+    )
     tombs = _tombstones(spark, root)
     if tombs is not None:
-        # the rebuild is the physical purge: train on LIVE rows only and
-        # write tombstone-free cells — deleted vectors leave the new
-        # version entirely (its tombstones sidecar starts empty)
         corpus = corpus.join(tombs, "neighbor_id", "anti")
     corpus = corpus.select(
         F.col("neighbor_id").alias("vec_id"), F.col("uv").alias("embedding")
@@ -617,6 +701,20 @@ def maybe_rebuild_ivf_index(
         corpus, f"{index_dir}/v={next_v}", k, refine_iters, "vec_id", "embedding",
         pq_m=pq_m, pq_k=pq_k or 16,
     )
+    if folded_appends:
+        # the replay memo: a streaming append whose batch dir this
+        # rebuild just folded into the new cells must stay a no-op if
+        # its micro-batch replays after the cutover (the same
+        # crash-after-fold window the BM25 manifest's last_applied
+        # covers). Carried forward across rebuilds so the memo never
+        # shrinks under a live checkpoint.
+        import json as _json
+
+        fsutil.write_text_overwrite(
+            spark,
+            f"{index_dir}/v={next_v}/applied.json",
+            _json.dumps(sorted(set(folded_appends))) + "\n",
+        )
     if _before_cutover is not None:
         _before_cutover()
     _set_current(index_dir, next_v)
@@ -640,7 +738,7 @@ def ivf_cell_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     must treat a missing first() as healthy)."""
     root = resolve_index_dir(index_dir)
     try:
-        cells = spark.read.parquet(f"{root}/cells")
+        cells = _read_cells(spark, root)
     except Exception:
         return spark.createDataFrame(
             [], "cell int, n long, imbalance double"

@@ -442,3 +442,52 @@ def bm25_update_sink(
                 compact_bm25_index(spark, index_dir)
 
     return docs_stream.writeStream.foreachBatch(_update)
+
+
+def ivf_update_sink(
+    vectors_stream: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rebuild_if_imbalance: float | None = None,
+) -> DataStreamWriter:
+    """``writeStream`` writer that keeps a persisted IVF index CURRENT
+    as vectors arrive — the ANN side of the maintenance matrix
+    (``bm25_update_sink`` is the lexical side, ``hybrid_search_sink``
+    the serving side). Each micro-batch is assigned to the FROZEN
+    quantizer and lands as a staged sub-index ``appends/b=<batch_id>``
+    whose ``_COMPLETE`` marker is written LAST — exactly-once in
+    effect: a replayed batch whose commit landed (marker present, or
+    the name folded into ``applied.json`` by an interleaved rebuild) is
+    a no-op, and a crash mid-write leaves an invisible dir the replay
+    overwrites. Readers (search, the semantic gate, cell stats) see
+    base cells ∪ complete appends atomically per batch.
+
+    ``rebuild_if_imbalance`` runs the imbalance-triggered rebuild after
+    each commit (single-writer maintenance, like ``bm25_update_sink``'s
+    inline compaction): the rebuild folds base + appends − tombstones
+    into clean cells for the next version and cuts over atomically
+    between triggers."""
+    from egal_yet_another_earthquake_project_spark.llm.ann_index import (
+        maybe_rebuild_ivf_index,
+        staged_append_ivf_index,
+    )
+
+    def _update(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if batch.isEmpty():
+            return
+        staged_append_ivf_index(
+            spark,
+            index_dir,
+            batch.select(id_col, vec_col),
+            batch_name=f"b={batch_id}",
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        if rebuild_if_imbalance is not None:
+            maybe_rebuild_ivf_index(
+                spark, index_dir, threshold=float(rebuild_if_imbalance)
+            )
+
+    return vectors_stream.writeStream.foreachBatch(_update)

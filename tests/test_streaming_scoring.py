@@ -594,3 +594,94 @@ def test_bm25_update_stream_drained_equals_full_build(spark, tmp_path: Path):
         cur.rsplit("v=", 1)[1]
     )
     assert key(search_bm25_index(spark, idx, queries).collect()) == want
+
+
+def test_ivf_update_stream_appends_exactly_once_and_rebuild_folds(
+    spark, tmp_path: Path
+):
+    """Streaming ANN maintenance (round 12): vectors arriving over two
+    triggers through ivf_update_sink must equal the batch append twin
+    (same frozen quantizer), a replayed commit must be a no-op both
+    before AND after a rebuild folds the staged appends away, and a
+    marker-less (crashed) append must stay invisible."""
+    from egal_yet_another_earthquake_project_spark.llm import ann_index as ai
+    from egal_yet_another_earthquake_project_spark.streaming.scoring import (
+        ivf_update_sink,
+    )
+
+    emb = read_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    base = emb.filter("vec_id % 3 = 0")
+    d1 = emb.filter("vec_id % 3 = 1")
+    d2 = emb.filter("vec_id % 3 = 2")
+
+    idx = str(tmp_path / "ivf")
+    twin = str(tmp_path / "ivf_twin")
+    ai.build_ivf_index(base, idx, num_cells=8)
+    ai.build_ivf_index(base, twin, num_cells=8)
+    ai.append_ivf_index(spark, twin, d1)
+    ai.append_ivf_index(spark, twin, d2)
+
+    src = tmp_path / "vec_in"
+    d1.coalesce(1).write.parquet(str(src / "b1"))
+    d2.coalesce(1).write.parquet(str(src / "b2"))
+    stream = stream_parquet_dir(
+        spark, str(src) + "/*", emb.schema, max_files_per_trigger=1
+    )
+    q = (
+        ivf_update_sink(stream, idx)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    queries = emb.filter("vec_id < 5")
+
+    def topk(index_dir):
+        return sorted(
+            map(
+                tuple,
+                ai.search_ivf_index(spark, index_dir, queries, k=5, nprobe=8)
+                .select("query_id", "neighbor_id", "cos", "rank")
+                .collect(),
+            )
+        )
+
+    drained = topk(idx)
+    assert drained == topk(twin) and drained  # sink ≡ batch append twin
+
+    # replayed last commit: marker present -> no-op (False)
+    from egal_yet_another_earthquake_project_spark.llm.ann_index import (
+        staged_append_ivf_index,
+    )
+
+    assert staged_append_ivf_index(spark, idx, d2, batch_name="b=1") is False
+    assert topk(idx) == drained
+
+    # a crashed (marker-less) append stays invisible to every reader
+    import os
+
+    root = ai.resolve_index_dir(idx)
+    os.makedirs(f"{root}/appends/b=9", exist_ok=True)
+    d2.limit(3).selectExpr(
+        "vec_id AS neighbor_id", "embedding AS uv", "CAST(0 AS INT) AS cell"
+    ).write.parquet(f"{root}/appends/b=9/cells")
+    assert topk(idx) == drained
+
+    # rebuild folds appends into clean cells; replay after the fold is
+    # still a no-op (applied.json memo), and results are unchanged
+    # because unit vectors re-train to the same candidate geometry
+    res = ai.maybe_rebuild_ivf_index(spark, idx, threshold=0.0)
+    assert res["rebuilt"] is True
+    root2 = ai.resolve_index_dir(idx)
+    assert root2 != root
+    assert not os.path.exists(f"{root2}/appends") or not os.listdir(
+        f"{root2}/appends"
+    )
+    assert staged_append_ivf_index(spark, idx, d2, batch_name="b=1") is False
+    n_after = (
+        spark.read.parquet(f"{root2}/cells").count()
+    )
+    assert n_after == base.count() + d1.count() + d2.count()  # no dup rows
