@@ -51,6 +51,16 @@ artifact and score documents against it (``llm/lm.py``); ``lm-train
 into the artifact so ``lm-score --bucket`` (and the streaming
 ``ppl_bucket_sink``) label drops head/middle/tail against the trusted
 reference distribution.
+
+Round-12 additions: ``crawl-extract`` runs the WARC→HTML→text front end
+over a directory of .warc files and lands (url, source=host, text,
+quality signals) parquet that chains into ``curate --id-col url``;
+``bm25-index``/``bm25-update``/``bm25-delete``/``bm25-search`` manage
+the persisted inverted index (O(delta) segment commits, exact
+tombstone deletes, compaction); ``index-delete`` tombstones vectors out
+of the IVF index; ``bm25-stream``/``index-stream`` drain drop
+directories into the live indexes with replay-idempotent per-batch
+commits (``streaming/scoring.py``).
 Kafka variants use the same code paths with the gated reader
 (sources/kafka.py) once a broker and the connector jar are present.
 """
@@ -248,6 +258,28 @@ def _parser() -> argparse.ArgumentParser:
     bs.add_argument("--index", required=True, help="index directory")
     bs.add_argument("--queries", required=True, help="parquet of (query_id, qtext)")
     bs.add_argument("--k", type=int, default=10)
+
+    bst = sub.add_parser(
+        "bm25-stream",
+        help="drain a document drop directory into an existing BM25 index "
+        "(one O(batch) named-segment commit per micro-batch, replay-"
+        "idempotent; optional inline compaction)",
+    )
+    bst.add_argument("--source-dir", required=True, help="parquet drop directory")
+    bst.add_argument("--index", required=True, help="index directory")
+    bst.add_argument("--checkpoint", required=True)
+    bst.add_argument("--compact-if-segments", type=int, default=None)
+
+    ist = sub.add_parser(
+        "index-stream",
+        help="drain a vector drop directory into an existing IVF index "
+        "(exactly-once staged appends against the frozen quantizer; "
+        "optional inline imbalance-triggered rebuild)",
+    )
+    ist.add_argument("--source-dir", required=True, help="parquet drop directory")
+    ist.add_argument("--index", required=True, help="index directory")
+    ist.add_argument("--checkpoint", required=True)
+    ist.add_argument("--rebuild-if-imbalance", type=float, default=None)
 
     g = sub.add_parser(
         "compact", help="rewrite a fragmented parquet dataset as balanced files"
@@ -685,6 +717,99 @@ def main(argv: list[str] | None = None) -> int:
                 spark.read.parquet(args.docs), args.index
             )
             print(json.dumps({"index": args.index, "version": version}))
+        elif args.cmd == "bm25-stream":
+            import json
+
+            from egal_yet_another_earthquake_project_spark.llm.search_index import (
+                _segment_paths,
+            )
+            from egal_yet_another_earthquake_project_spark.llm.ann_index import (
+                resolve_index_dir,
+            )
+            from egal_yet_another_earthquake_project_spark.sources.files import (
+                stream_parquet_dir,
+            )
+            from egal_yet_another_earthquake_project_spark.streaming.scoring import (
+                bm25_update_sink,
+            )
+
+            schema = (
+                spark.read.option("recursiveFileLookup", "true")
+                .parquet(args.source_dir)
+                .schema
+            )
+            stream = stream_parquet_dir(
+                spark, f"{args.source_dir}/*", schema, max_files_per_trigger=1
+            )
+            q = (
+                bm25_update_sink(
+                    stream,
+                    args.index,
+                    compact_if_segments=args.compact_if_segments,
+                )
+                .option("checkpointLocation", args.checkpoint)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            print(
+                json.dumps(
+                    {
+                        "index": args.index,
+                        "version": resolve_index_dir(args.index),
+                        "segments": len(
+                            _segment_paths(
+                                spark, args.index, resolve_index_dir(args.index)
+                            )
+                        ),
+                    }
+                )
+            )
+        elif args.cmd == "index-stream":
+            import json
+
+            from egal_yet_another_earthquake_project_spark.llm.ann_index import (
+                ivf_cell_stats,
+                resolve_index_dir,
+            )
+            from egal_yet_another_earthquake_project_spark.sources.files import (
+                stream_parquet_dir,
+            )
+            from egal_yet_another_earthquake_project_spark.streaming.scoring import (
+                ivf_update_sink,
+            )
+
+            schema = (
+                spark.read.option("recursiveFileLookup", "true")
+                .parquet(args.source_dir)
+                .schema
+            )
+            stream = stream_parquet_dir(
+                spark, f"{args.source_dir}/*", schema, max_files_per_trigger=1
+            )
+            q = (
+                ivf_update_sink(
+                    stream,
+                    args.index,
+                    rebuild_if_imbalance=args.rebuild_if_imbalance,
+                )
+                .option("checkpointLocation", args.checkpoint)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            row = ivf_cell_stats(spark, args.index).select("imbalance").first()
+            print(
+                json.dumps(
+                    {
+                        "index": args.index,
+                        "version": resolve_index_dir(args.index),
+                        "imbalance": (
+                            float(row.imbalance) if row is not None else None
+                        ),
+                    }
+                )
+            )
         elif args.cmd == "bm25-search":
             from pyspark.sql import functions as _F
             from pyspark.sql.window import Window as _W

@@ -211,6 +211,100 @@ def test_cli_index_and_search(spark, tmp_path: Path, capsys):
         spark.stop = real_stop
 
 
+def test_cli_index_maintenance_streams(spark, tmp_path: Path, capsys):
+    """bm25-stream / index-stream: drop-directory drains keep the
+    persisted indexes current (named-segment / staged-append commits),
+    and the drained index answers like its batch-built twin."""
+    import json
+
+    from egal_yet_another_earthquake_project_spark import jobs
+    from egal_yet_another_earthquake_project_spark.llm import ann_index as ai
+    from egal_yet_another_earthquake_project_spark.llm import (
+        search as lsrch,
+        search_index as si,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark joins a hash join with a sort merge join"),
+            (2, "the scan filter pushes the filter into the scan"),
+            (3, "hash partitioning beats a global sort for a join"),
+            (4, "a filter after a scan"),
+        ],
+        "doc_id long, text string",
+    )
+    si.build_bm25_index(docs.filter("doc_id <= 2"), str(tmp_path / "bm25"))
+    drop = tmp_path / "doc_drop"
+    docs.filter("doc_id = 3").coalesce(1).write.parquet(str(drop / "b1"))
+    docs.filter("doc_id = 4").coalesce(1).write.parquet(str(drop / "b2"))
+
+    real_stop = spark.stop
+    spark.stop = lambda: None
+    try:
+        rc = jobs.main(
+            [
+                "bm25-stream",
+                "--source-dir", str(drop),
+                "--index", str(tmp_path / "bm25"),
+                "--checkpoint", str(tmp_path / "ck_bm25"),
+                "--compact-if-segments", "2",
+            ]
+        )
+        assert rc == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["segments"] == 1  # the threshold folded them back
+        queries = spark.createDataFrame(
+            [(0, "join hash"), (1, "scan filter")],
+            "query_id long, qtext string",
+        )
+        got = {
+            (r.query_id, r.doc_id): r.score
+            for r in si.search_bm25_index(
+                spark, str(tmp_path / "bm25"), queries
+            ).collect()
+        }
+        want = {
+            (r.query_id, r.doc_id): r.score
+            for r in lsrch.bm25_scores_per_query(docs, queries).collect()
+        }
+        assert got == want and got
+
+        from egal_yet_another_earthquake_project_spark.sources.files import (
+            read_table,
+        )
+
+        emb = read_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+            "vec_id", "embedding"
+        )
+        ai.build_ivf_index(emb.filter("vec_id % 2 = 0"), str(tmp_path / "ivf"),
+                           num_cells=8)
+        vdrop = tmp_path / "vec_drop"
+        emb.filter("vec_id % 2 = 1").coalesce(1).write.parquet(
+            str(vdrop / "b1")
+        )
+        rc = jobs.main(
+            [
+                "index-stream",
+                "--source-dir", str(vdrop),
+                "--index", str(tmp_path / "ivf"),
+                "--checkpoint", str(tmp_path / "ck_ivf"),
+            ]
+        )
+        assert rc == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["imbalance"] is not None
+        hits = ai.search_ivf_index(
+            spark,
+            str(tmp_path / "ivf"),
+            emb.filter("vec_id < 3"),
+            k=5,
+            nprobe=8,
+        ).collect()
+        assert any(r.neighbor_id % 2 == 1 for r in hits)  # drained vectors rank
+    finally:
+        spark.stop = real_stop
+
+
 def test_cli_crawl_extract(spark, tmp_path: Path, capsys):
     """crawl-extract: .warc files on disk → (url, text, signals)
     parquet, non-2xx records filtered — the front end whose output
