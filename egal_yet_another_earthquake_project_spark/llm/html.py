@@ -107,10 +107,14 @@ def parse_html(markup: str | bytes) -> dict:
     """Extract main text + quality signals from one HTML document.
 
     Never raises on malformed markup (the stdlib parser recovers);
-    ``ok`` is False only when the bytes are not decodable UTF-8 (with
-    the usual latin-1 last-resort, so binary garbage still yields a
-    row the quality gates can drop on density)."""
+    ``ok`` is False only when the input is null or the bytes are not
+    decodable UTF-8 (with the usual latin-1 last-resort, so binary
+    garbage still yields a row the quality gates can drop on
+    density) — a crawl frame with a null body must not kill the
+    task."""
     ok = True
+    if markup is None:
+        markup, ok = "", False
     if isinstance(markup, (bytes, bytearray)):
         try:
             markup = bytes(markup).decode("utf-8")

@@ -105,3 +105,21 @@ def test_canonical_url_unifies_duplicate_fetches(spark):
     assert canon[3] != canon[1]  # content-addressing params survive
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_null_html_yields_flagged_empty_row(spark):
+    # a crawl frame with a null body must produce an ok=false row, not
+    # a task failure
+    from egal_yet_another_earthquake_project_spark.llm.html import (
+        extract_text_from_html,
+        parse_html,
+    )
+
+    r = parse_html(None)
+    assert r["ok"] is False and r["text"] == "" and r["n_words"] == 0
+    pages = spark.createDataFrame(
+        [(1, "<p>x</p>"), (2, None)], "doc_id long, html string"
+    )
+    got = {r.doc_id: r for r in extract_text_from_html(pages).collect()}
+    assert got[1].text == "x" and got[1].ok
+    assert got[2].ok is False and got[2].text == ""
