@@ -726,9 +726,6 @@ def main(argv: list[str] | None = None) -> int:
             from egal_yet_another_earthquake_project_spark.llm.ann_index import (
                 resolve_index_dir,
             )
-            from egal_yet_another_earthquake_project_spark.sources.files import (
-                stream_parquet_dir,
-            )
             from egal_yet_another_earthquake_project_spark.streaming.scoring import (
                 bm25_update_sink,
             )
@@ -771,9 +768,6 @@ def main(argv: list[str] | None = None) -> int:
             from egal_yet_another_earthquake_project_spark.llm.ann_index import (
                 ivf_cell_stats,
                 resolve_index_dir,
-            )
-            from egal_yet_another_earthquake_project_spark.sources.files import (
-                stream_parquet_dir,
             )
             from egal_yet_another_earthquake_project_spark.streaming.scoring import (
                 ivf_update_sink,
