@@ -61,6 +61,38 @@ def _min_margin(df: DataFrame, raw: Column, digits: int, what: str) -> DataFrame
     )
 
 
+#: Minimum allowed distance of any scaled contribution ``c · quantum``
+#: to its nearest floor-grid integer (SCALED-axis units). Cross-engine
+#: drift on the scaled axis is ulp(c) · quantum ≈ 4.4e-16 · 6.7e7 ≈
+#: 3e-8 for contributions of a few units; 1e-6 keeps >30× headroom over
+#: that while sitting ~1000× below the margins the parity data actually
+#: exhibits (~1e-3). A separate constant from :data:`MIN_MARGIN` because
+#: the floor grid is ~3000× finer than a 4-dp rounding grid — raw-unit
+#: thresholds don't transfer.
+FLOOR_MIN_MARGIN = 1e-6
+
+
+def floor_margin(raw: Column, quantum: float) -> Column:
+    """Distance of ``raw · quantum`` to its nearest integer (the
+    ``floor`` grid points of :func:`llm.search.quantized_score_sum`),
+    in SCALED-axis units: a cross-engine last-ulp drift in a
+    contribution only changes the accumulated score if this distance is
+    below the drift scale (~ulp(raw) · quantum)."""
+    s = raw * F.lit(float(quantum))
+    frac = s - F.floor(s)
+    return F.least(frac, F.lit(1.0) - frac)
+
+
+def _min_floor_margin(
+    df: DataFrame, raw: Column, quantum: float, what: str
+) -> DataFrame:
+    return (
+        df.select(floor_margin(raw, quantum).alias("_m"))
+        .agg(F.min("_m").alias("margin"))
+        .select(F.lit(what).alias("what"), "margin")
+    )
+
+
 def _unioned(parts: list[DataFrame]) -> DataFrame:
     out = parts[0]
     for p in parts[1:]:
@@ -129,15 +161,21 @@ def audit_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     pairs = _pair_cos_raw(emb.filter(F.col("vec_id") < 10), emb)
-    folds = lmet.ndcg_folds(_ndcg_ranked(spark, sf_dir), k=10)
+    # production arithmetic = the literal-weight chain (ndcg_binary_sql),
+    # not the general log2 folds — audit the exact exprs the query ships
+    dcg_raw_sql, idcg_raw_sql, _ = lmet.ndcg_binary_sql(10, rounded=False)
+    raw = lmet.ndcg_binary_pivot(_ndcg_ranked(spark, sf_dir), k=10).select(
+        F.expr(dcg_raw_sql).alias("_dcg_raw"),
+        F.expr(idcg_raw_sql).alias("_idcg_raw"),
+    )
     # ndcg divides the ROUNDED dcg/idcg — audit that exact quotient
     ndcg_raw = F.round(F.col("_dcg_raw"), 6) / F.round(F.col("_idcg_raw"), 6)
     return _unioned([
         _min_margin(pairs, F.col("raw"), 4, "cos@4"),
-        _min_margin(folds, F.col("_dcg_raw"), 6, "dcg@6"),
-        _min_margin(folds, F.col("_idcg_raw"), 6, "idcg@6"),
+        _min_margin(raw, F.col("_dcg_raw"), 6, "dcg@6"),
+        _min_margin(raw, F.col("_idcg_raw"), 6, "idcg@6"),
         _min_margin(
-            folds.filter(F.round(F.col("_idcg_raw"), 6) != 0.0),
+            raw.filter(F.round(F.col("_idcg_raw"), 6) != 0.0),
             ndcg_raw, 6, "ndcg@6",
         ),
     ])
@@ -170,6 +208,16 @@ def _per_query_bm25_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _per_query_bm25_contribs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from egal_yet_another_earthquake_project_spark.workloads_llm import (
+        _hybrid_queries_df,
+    )
+
+    return lsrch.bm25_contribs_per_query(
+        _docs(spark, sf_dir), _hybrid_queries_df(spark)
+    )
+
+
 def audit_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     pairs = _pair_cos_raw(emb.filter(F.col("vec_id") < 5), emb)
@@ -183,7 +231,13 @@ def audit_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def audit_bm25_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     bm = _per_query_bm25_raw(spark, sf_dir)
-    return _min_margin(bm, F.col("_score_raw"), 4, "bm25@4")
+    return _unioned([
+        _min_margin(bm, F.col("_score_raw"), 4, "bm25@4"),
+        _min_floor_margin(
+            _per_query_bm25_contribs(spark, sf_dir),
+            F.col("_c"), lsrch.SCORE_QUANTUM, "bm25-grid",
+        ),
+    ])
 
 
 def audit_bm25_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -197,7 +251,16 @@ def audit_bm25_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir).filter(F.col("doc_id") % 5 != 0),
         _hybrid_queries_df(spark),
     )
-    return _min_margin(bm, F.col("_score_raw"), 4, "bm25@4")
+    return _unioned([
+        _min_margin(bm, F.col("_score_raw"), 4, "bm25@4"),
+        _min_floor_margin(
+            lsrch.bm25_contribs_per_query(
+                _docs(spark, sf_dir).filter(F.col("doc_id") % 5 != 0),
+                _hybrid_queries_df(spark),
+            ),
+            F.col("_c"), lsrch.SCORE_QUANTUM, "bm25-grid",
+        ),
+    ])
 
 
 def audit_hybrid_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -220,7 +283,13 @@ def audit_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     bm = lsrch.bm25_scores_raw(_docs(spark, sf_dir), BM25_TERMS)
-    return _min_margin(bm, F.col("_score_raw"), 4, "bm25@4")
+    return _unioned([
+        _min_margin(bm, F.col("_score_raw"), 4, "bm25@4"),
+        _min_floor_margin(
+            lsrch.bm25_contribs(_docs(spark, sf_dir), BM25_TERMS),
+            F.col("_c"), lsrch.SCORE_QUANTUM, "bm25-grid",
+        ),
+    ])
 
 
 def _ivf_cos_raw(
@@ -362,14 +431,24 @@ def run_margin_audits(
     spark: SparkSession, sf_dir: str
 ) -> dict[str, dict[str, float | bool]]:
     """Run every margin audit; returns
-    ``{query: {"min_margin": float, "pass": bool, "weakest": str}}``."""
+    ``{query: {"min_margin": float, "pass": bool, "weakest": str}}``.
+
+    Each row's pass threshold depends on its surface: ``*-grid`` rows
+    (floor-grid margins, SCALED-axis units) compare against
+    :data:`FLOOR_MIN_MARGIN`; everything else against
+    :data:`MIN_MARGIN`. ``weakest`` is the row with the smallest
+    margin/threshold ratio, so mixed-unit audits stay comparable."""
+
+    def _thr(what: str) -> float:
+        return FLOOR_MIN_MARGIN if what.endswith("-grid") else MIN_MARGIN
+
     out: dict[str, dict[str, float | bool]] = {}
     for name in sorted(MARGIN_AUDITS):
         rows = MARGIN_AUDITS[name](spark, sf_dir).collect()
-        weakest = min(rows, key=lambda r: r["margin"])
+        weakest = min(rows, key=lambda r: r["margin"] / _thr(r["what"]))
         out[name] = {
             "min_margin": float(weakest["margin"]),
             "weakest": str(weakest["what"]),
-            "pass": bool(weakest["margin"] > MIN_MARGIN),
+            "pass": all(r["margin"] > _thr(r["what"]) for r in rows),
         }
     return out

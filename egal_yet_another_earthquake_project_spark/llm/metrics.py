@@ -402,3 +402,153 @@ def ndcg_folds(
         fold_by_rank(F.col("_by_rank")).alias("_dcg_raw"),
         fold_ideal(F.col("_by_rel")).alias("_idcg_raw"),
     )
+
+
+#: DCG discount weights w(i) = 1 / log2(i + 1) for rank i = 1..32, as
+#: 17-significant-digit double literals. Both the Spark expression and
+#: any SQL oracle parse the SAME literal text (IEEE754 round-trip is
+#: exact at 17 digits), so no runtime log2 — whose libm vs JVM
+#: (log(x)/log(2)) implementations differ in the last ulp — ever enters
+#: a cross-engine-hashed value.
+NDCG_DCG_WEIGHT_LITERALS: tuple[str, ...] = (
+    "1.0", "0.6309297535714575", "0.5", "0.43067655807339306",
+    "0.38685280723454163", "0.3562071871080222", "0.3333333333333333",
+    "0.31546487678572877", "0.3010299956639812", "0.2890648263178879",
+    "0.27894294565112987", "0.27023815442731974", "0.26264953503719357",
+    "0.2559580248098155", "0.25", "0.24465054211822604",
+    "0.23981246656813146", "0.23540891336663824", "0.23137821315975915",
+    "0.227670248696953", "0.22424382421757544", "0.22106472945750374",
+    "0.21810429198553155", "0.21533827903669653", "0.21274605355336318",
+    "0.2103099178571525", "0.20801459767650948", "0.20584683246043448",
+    "0.2037950470905062", "0.20184908658209985", "0.2",
+    "0.19823986317056053",
+)
+
+#: IDCG for BINARY relevance is a pure function of n_rel: the n_rel
+#: best items fill ideal positions 1..n_rel, so idcg(n) =
+#: Σ_{i=1..n} w(i). Precomputed as the left-to-right cumulative sums of
+#: the weight literals above (index = n_rel, entry 0 = 0.0) — the same
+#: fold order either engine would execute, frozen into literal text.
+NDCG_IDCG_LITERALS: tuple[str, ...] = (
+    "0.0", "1.0", "1.6309297535714575", "2.1309297535714578",
+    "2.5616063116448506", "2.9484591188793923", "3.3046663059874146",
+    "3.637999639320748", "3.953464516106477", "4.254494511770458",
+    "4.543559338088346", "4.8225022837394755", "5.092740438166795",
+    "5.355389973203989", "5.611347998013804", "5.861347998013804",
+    "6.10599854013203", "6.345811006700162", "6.5812199200668",
+    "6.812598133226559", "7.040268381923512", "7.264512206141087",
+    "7.485576935598591", "7.703681227584122", "7.919019506620819",
+    "8.131765560174182", "8.342075478031335", "8.550090075707844",
+    "8.755936908168279", "8.959731955258786", "9.161581041840885",
+    "9.361581041840884", "9.559820905011444",
+)
+
+
+def ndcg_binary_sql(
+    k: int = 10, rounded: bool = True
+) -> tuple[str, str, str]:
+    """The (dcg, idcg, ndcg) SQL expression texts for binary-relevance
+    nDCG@k over a pivoted frame with columns ``_r1.._rk`` (per-rank
+    relevance as DOUBLE 0.0/1.0) and ``n_rel`` (BIGINT).
+
+    The texts are plain arithmetic + simple CASE — valid and
+    IEEE754-identical in both Spark SQL and ANSI/DuckDB SQL, with every
+    float constant a precomputed literal: no ``log2``, no list lambdas,
+    no struct indexing, nothing dialect-volatile in the hashed path
+    (VERDICT r12 "Next round" #1). ``dcg`` is the fixed left-to-right
+    chain ``_r1 * w(1) + ... + _rk * w(k)`` (each product exact, since
+    relevance is 0.0/1.0); ``idcg`` is a k+1-entry CASE lookup on
+    ``n_rel``; ``ndcg`` divides the two already-computed columns and is
+    NULL when idcg = 0 (undefined, not 0-faked).
+
+    ``rounded=False`` returns the raw (unrounded) dcg/idcg texts for
+    rounding-margin audits.
+    """
+    if not 1 <= k <= len(NDCG_DCG_WEIGHT_LITERALS):
+        raise ValueError(f"k={k} outside precomputed literal table (1..32)")
+    # the E0 suffix makes every literal parse as DOUBLE in BOTH Spark
+    # SQL and DuckDB — a bare decimal literal parses as DECIMAL in both,
+    # and DECIMAL output columns are exactly the rendering-volatile type
+    # class (Decimal objects / arrow decimal128) this path must avoid
+    chain = " + ".join(
+        f"_r{i} * {NDCG_DCG_WEIGHT_LITERALS[i - 1]}E0"
+        for i in range(1, k + 1)
+    )
+    case = " ".join(
+        f"WHEN {n} THEN {NDCG_IDCG_LITERALS[n]}E0" for n in range(0, k + 1)
+    )
+    case = f"CASE n_rel {case} END"
+    if rounded:
+        return (
+            f"round({chain}, 6)",
+            f"round({case}, 6)",
+            "CASE WHEN idcg <> 0.0 THEN round(dcg / idcg, 6) END",
+        )
+    return chain, case, "dcg / idcg"
+
+
+def ndcg_binary_pivot(
+    ranked: DataFrame,
+    query_col: str = "query_id",
+    rel_col: str = "rel",
+    rank_col: str = "rank",
+    k: int = 10,
+) -> DataFrame:
+    """Pivot a (query, rank, rel) candidate frame into one row per
+    query with per-rank relevance columns ``_r1.._rk`` (DOUBLE, absent
+    ranks → 0.0 — candidate lists with holes keep their true discount
+    positions) and ``n_rel``. One shuffle: the groupBy on the query key
+    over ≤ k-row groups; the pivot is conditional aggregation, not a
+    second pass per rank."""
+    capped = ranked.filter(F.col(rank_col) <= int(k)).select(
+        F.col(query_col),
+        F.col(rank_col).cast("int").alias("_rk"),
+        F.col(rel_col).cast("double").alias("_rel"),
+    )
+    grouped = capped.groupBy(query_col).agg(
+        *[
+            F.max(F.when(F.col("_rk") == i, F.col("_rel"))).alias(f"_r{i}")
+            for i in range(1, k + 1)
+        ],
+        F.sum((F.col("_rel") > 0).cast("long")).alias("n_rel"),
+    )
+    return grouped.select(
+        query_col,
+        "n_rel",
+        *[
+            F.coalesce(F.col(f"_r{i}"), F.lit(0.0)).alias(f"_r{i}")
+            for i in range(1, k + 1)
+        ],
+    )
+
+
+def ndcg_at_k_binary(
+    ranked: DataFrame,
+    query_col: str = "query_id",
+    rel_col: str = "rel",
+    rank_col: str = "rank",
+    k: int = 10,
+) -> DataFrame:
+    """nDCG@k for BINARY relevance (rel ∈ {0, 1}) — the
+    environment-proof twin of :func:`ndcg_at_k`: instead of runtime
+    ``log2`` folds it pivots relevance by rank and evaluates the
+    precomputed-literal expressions from :func:`ndcg_binary_sql`, so a
+    SQL oracle built from the SAME literal text is bit-for-bit
+    identical on any engine/version. Semantics match :func:`ndcg_at_k`
+    on binary input (asserted in tests/test_llm_metrics.py): DCG
+    discounts by the carried rank, IDCG is the within-list ideal,
+    ndcg = round(dcg/idcg, 6), NULL when no relevant item.
+
+    Returns (query_col, n_rel, dcg, idcg, ndcg).
+    """
+    dcg_sql, idcg_sql, ndcg_sql = ndcg_binary_sql(k)
+    pivoted = ndcg_binary_pivot(ranked, query_col, rel_col, rank_col, k)
+    scored = pivoted.select(
+        query_col,
+        "n_rel",
+        F.expr(dcg_sql).alias("dcg"),
+        F.expr(idcg_sql).alias("idcg"),
+    )
+    return scored.select(
+        query_col, "n_rel", "dcg", "idcg", F.expr(ndcg_sql).alias("ndcg")
+    )

@@ -14,13 +14,38 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from egal_yet_another_earthquake_project_spark.llm import text as ltx
 
 DEFAULT_K1 = 1.2
 DEFAULT_B = 0.75
+
+
+#: Binary quantization grid (2^26) for ORDER-FREE exact accumulation of
+#: per-term score contributions: each contribution is floored onto the
+#: grid as a 64-bit integer and integers are summed — exact under ANY
+#: addition order, so the sum is partition-, plan-, and engine-
+#: independent by construction (an unordered SUM of doubles is last-ulp
+#: order-dependent; the previous term-sorted collect_list + left-fold
+#: pinned the order but forced per-group array buffers AND a DuckDB
+#: list_sort/ROW/lambda oracle surface that proved dialect-volatile —
+#: VERDICT r12 #4). Quantization error ≤ n_terms · 2^-26 (~1.5e-8 per
+#: term), invisible at the 4-dp score grain; a binary (non-decimal)
+#: quantum can never land exactly ON a decimal rounding boundary. At
+#: scale this is also the cheaper plan: a plain long SUM enables
+#: map-side partial aggregation where collect_list buffered every term.
+SCORE_QUANTUM = 67108864.0
+
+
+def quantized_score_sum(contrib: Column) -> Column:
+    """Σ contributions via the exact integer-grid accumulation above —
+    returns a DOUBLE aggregate expression (sum of floored longs divided
+    back by :data:`SCORE_QUANTUM`)."""
+    return F.sum(
+        F.floor(contrib * F.lit(SCORE_QUANTUM)).cast("long")
+    ).cast("double") / F.lit(SCORE_QUANTUM)
 
 
 def bm25_scores(
@@ -59,12 +84,31 @@ def bm25_scores_raw(
     every raw score's distance to its rounding boundary with the exact
     production arithmetic.
 
-    The per-term contributions are summed ORDER-FIXED: collected into a
-    term-sorted array and left-folded (the ndcg/label-centroid device),
-    not an unordered SUM of doubles — with ≥3 matched terms an unordered
-    sum is partition-order dependent in the last ulp, which is exactly
-    the fragility the margin audit exists to rule out.
+    The per-term contributions are accumulated with
+    :func:`quantized_score_sum` — integer-grid floor + long SUM — which
+    is exact under any addition order, so the raw score is identical
+    across partitionings and engines by construction (no per-group
+    array buffer, no ordered fold, map-side combinable).
     """
+    contribs = bm25_contribs(df, terms, id_col, text_col, k1, b)
+    return contribs.groupBy("doc_id").agg(
+        quantized_score_sum(F.col("_c")).alias("_score_raw"),
+        F.count("*").alias("n_terms"),
+    )
+
+
+def bm25_contribs(
+    df: DataFrame,
+    terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+) -> DataFrame:
+    """Per-(doc, term) BM25 contributions ``_c`` BEFORE accumulation —
+    the floor-grid margin audit measures each raw contribution's
+    distance to its :data:`SCORE_QUANTUM` integer boundary here, with
+    the exact production arithmetic."""
     if not terms:
         raise ValueError("terms must be non-empty")
     tokd = ltx.tokenized(df, text_col).select(
@@ -90,16 +134,7 @@ def bm25_scores_raw(
     norm_len = F.col("dl").cast("double") * F.col("ndocs") / F.col("sdl")
     denom = F.col("tf") + k1 * (1.0 - b + b * norm_len)
     contrib = idf * (F.col("tf") * (k1 + 1.0)) / denom
-    return scored.groupBy("doc_id").agg(
-        F.aggregate(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("term"), contrib.alias("_c")))
-            ),
-            F.lit(0.0),
-            lambda acc, s: acc + s["_c"],
-        ).alias("_score_raw"),
-        F.count("*").alias("n_terms"),
-    )
+    return scored.select("doc_id", "term", contrib.alias("_c"))
 
 
 def bm25_scores_per_query(
@@ -123,8 +158,8 @@ def bm25_scores_per_query(
     are a request batch, never a corpus), broadcast-SEMI-joined into the
     exploded corpus tokens MAP-SIDE, so the grouping shuffle still
     carries only query-term postings. The per-(query, doc) score join is
-    candidate-frame × broadcast (query, term) pairs; the fold sum is
-    term-sorted (fixed float order, see :func:`bm25_scores_raw`). idf/dl
+    candidate-frame × broadcast (query, term) pairs; accumulation is
+    :func:`quantized_score_sum` (order-free exact integer grid). idf/dl
     statistics are query-independent — computed once, broadcast once.
     """
     raw = bm25_scores_per_query_raw(
@@ -138,7 +173,7 @@ def bm25_scores_per_query(
     )
 
 
-def bm25_scores_per_query_raw(
+def bm25_contribs_per_query(
     df: DataFrame,
     queries: DataFrame,
     id_col: str = "doc_id",
@@ -148,8 +183,10 @@ def bm25_scores_per_query_raw(
     k1: float = DEFAULT_K1,
     b: float = DEFAULT_B,
 ) -> DataFrame:
-    """:func:`bm25_scores_per_query` before the round(·,4) — for the
-    parity rounding-margin audit."""
+    """Per-(query, doc, term) BM25 contributions ``_c`` BEFORE
+    accumulation — the floor-grid margin audit measures each raw
+    contribution's distance to its :data:`SCORE_QUANTUM` integer
+    boundary here, with the exact production arithmetic."""
     qterms = (
         ltx.tokenized(queries, query_text_col)
         .select(F.col(query_id_col), F.explode("_toks").alias("term"))
@@ -180,19 +217,30 @@ def bm25_scores_per_query_raw(
     denom = F.col("tf") + k1 * (1.0 - b + b * norm_len)
     contrib = idf * (F.col("tf") * (k1 + 1.0)) / denom
     per_doc_term = scored.select("doc_id", "term", contrib.alias("_c"))
-    return (
-        per_doc_term.join(F.broadcast(qterms), "term")
-        .groupBy(query_id_col, "doc_id")
-        .agg(
-            F.aggregate(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("term"), F.col("_c")))
-                ),
-                F.lit(0.0),
-                lambda acc, s: acc + s["_c"],
-            ).alias("_score_raw"),
-            F.count("*").alias("n_terms"),
-        )
+    return per_doc_term.join(F.broadcast(qterms), "term").select(
+        query_id_col, "doc_id", "term", "_c"
+    )
+
+
+def bm25_scores_per_query_raw(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+) -> DataFrame:
+    """:func:`bm25_scores_per_query` before the round(·,4) — for the
+    parity rounding-margin audit. Accumulation is
+    :func:`quantized_score_sum` (order-free integer grid)."""
+    contribs = bm25_contribs_per_query(
+        df, queries, id_col, text_col, query_id_col, query_text_col, k1, b
+    )
+    return contribs.groupBy(query_id_col, "doc_id").agg(
+        quantized_score_sum(F.col("_c")).alias("_score_raw"),
+        F.count("*").alias("n_terms"),
     )
 
 

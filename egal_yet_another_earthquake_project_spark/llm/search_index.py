@@ -87,6 +87,7 @@ from egal_yet_another_earthquake_project_spark.llm.ann_index import (
 from egal_yet_another_earthquake_project_spark.llm.search import (
     DEFAULT_B,
     DEFAULT_K1,
+    quantized_score_sum,
 )
 
 DEFAULT_TERM_BUCKETS = 64
@@ -644,16 +645,7 @@ def search_bm25_index(
         per_doc_term.join(F.broadcast(qterms), "term")
         .groupBy(query_id_col, "doc_id")
         .agg(
-            F.round(
-                F.aggregate(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("term"), F.col("_c")))
-                    ),
-                    F.lit(0.0),
-                    lambda acc, s: acc + s["_c"],
-                ),
-                4,
-            ).alias("score"),
+            F.round(quantized_score_sum(F.col("_c")), 4).alias("score"),
             F.count("*").alias("n_terms"),
         )
     )

@@ -595,6 +595,7 @@ from egal_yet_another_earthquake_project_spark import (  # noqa: E402
     workloads_ext,
     workloads_linkage,
     workloads_llm,
+    workloads_probe,
     workloads_series,
     workloads_sketch,
     workloads_tpch,
@@ -609,6 +610,7 @@ QUERIES: dict[str, QueryFn] = {
     **workloads_sketch.QUERIES,
     **workloads_linkage.QUERIES,
     **workloads_series.QUERIES,
+    **workloads_probe.QUERIES,
 }
 ORACLES: dict[str, str] = {
     **_BASE_ORACLES,
@@ -619,6 +621,7 @@ ORACLES: dict[str, str] = {
     **workloads_sketch.ORACLES,
     **workloads_linkage.ORACLES,
     **workloads_series.ORACLES,
+    **workloads_probe.ORACLES,
 }
 
 

@@ -129,13 +129,14 @@ tf AS (
 stats AS (SELECT sum(dl) AS sdl, count(*) AS ndocs FROM lens),
 dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
 SELECT doc_id,
-       -- ordered left fold over term-sorted contributions: the exact
-       -- float addition order of the engine's bm25_scores_raw
-       round(list_reduce(list_transform(list_sort(list(ROW(term,
+       -- order-free exact accumulation: contributions floored onto the
+       -- 2^26 integer grid and summed as BIGINTs — the engine's
+       -- quantized_score_sum (no lambda/list_sort/ROW dialect surface)
+       round(CAST(sum(CAST(floor((
          ln((ndocs - df + 0.5) / (df + 0.5) + 1.0)
          * (tf * 2.2)
          / (tf + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * ndocs / sdl)))
-       ))), s -> s[2]), (a, b) -> a + b), 4) AS score,
+       ) * 67108864.0E0) AS BIGINT)) AS DOUBLE) / 67108864.0E0, 4) AS score,
        count(*) AS n_terms
 FROM tf
 JOIN lens USING (doc_id)

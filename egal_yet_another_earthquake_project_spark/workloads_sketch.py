@@ -388,24 +388,27 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lq.quantize_int8(emb).orderBy("vec_id")
 
 
+# lambda-free twin of the engine arithmetic: amax / dq / max-error are
+# unrolled over the fixed 64-dim width (greatest() == list_max over the
+# same exact values; the dq list constructor repeats the engine's
+# per-element floor(x/scale + 0.5) * scale verbatim) — VERDICT r12 #4.
+_Q_AMAX = "greatest(" + ", ".join(f"abs(v[{i}])" for i in range(1, 65)) + ")"
+_Q_DQ = (
+    "["
+    + ", ".join(f"floor(v[{i}] / scale + 0.5) * scale" for i in range(1, 65))
+    + "]"
+)
+_Q_MAXERR = (
+    "greatest(" + ", ".join(f"abs(v[{i}] - dq[{i}])" for i in range(1, 65)) + ")"
+)
 _QUANTIZE_ORACLE = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-m AS (
-  SELECT vec_id, v,
-         list_max(list_transform(v, x -> abs(x))) AS amax
-  FROM e
-),
+m AS (SELECT vec_id, v, {_Q_AMAX} AS amax FROM e),
 s AS (SELECT vec_id, v, amax, amax / 127.0 AS scale FROM m),
-q AS (
-  SELECT vec_id, v, amax, scale,
-         list_transform(v, x -> floor(x / scale + 0.5) * scale) AS dq
-  FROM s
-)
+q AS (SELECT vec_id, v, amax, scale, {_Q_DQ} AS dq FROM s)
 SELECT vec_id,
        round(CASE WHEN amax = 0 THEN 0.0 ELSE scale END, 6) AS qscale,
-       round(CASE WHEN amax = 0 THEN 0.0 ELSE
-         list_max(list_transform(range(1, len(v) + 1),
-                                 i -> abs(v[i] - dq[i]))) END, 6) AS max_abs_err,
+       round(CASE WHEN amax = 0 THEN 0.0 ELSE {_Q_MAXERR} END, 6) AS max_abs_err,
        round(CASE WHEN amax = 0 THEN 1.0 ELSE
          {_DOT_SQL.format(a='v', b='dq')}
          / (sqrt({_DOT_SQL.format(a='v', b='v')})

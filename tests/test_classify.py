@@ -390,3 +390,62 @@ def test_ndcg_at_k_discounts_by_carried_rank_not_position(spark):
     assert row.dcg == round(1.0 + 1.0 / math.log2(4.0), 6)
     # ideal packs the two relevant items into positions 1 and 2
     assert row.idcg == round(1.0 + 1.0 / math.log2(3.0), 6)
+
+
+def test_ndcg_binary_twin_matches_general_fold(spark):
+    """ndcg_at_k_binary (the environment-proof literal-weight form the
+    retrieval_ndcg oracle pairs with) agrees with the general log2-fold
+    ndcg_at_k on binary relevance to within one 6-dp rounding ulp, and
+    exactly on n_rel/NULL structure — including holes in the candidate
+    list and k-truncation. The literal weights are correctly-rounded
+    doubles of 1/log2(i+1), so the two arithmetics can differ only in
+    the last ulp before rounding."""
+    import random
+
+    from egal_yet_another_earthquake_project_spark.llm.metrics import (
+        ndcg_at_k,
+        ndcg_at_k_binary,
+    )
+
+    rng = random.Random(13)
+    rows = []
+    for q in range(12):
+        ranks = sorted(rng.sample(range(1, 15), rng.randint(1, 12)))
+        for rk in ranks:
+            rows.append((q, rk, float(rng.random() < 0.4)))
+    df = spark.createDataFrame(rows, "query_id long, rank int, rel double")
+    gen = {r.query_id: r for r in ndcg_at_k(df, k=10).collect()}
+    lit = {r.query_id: r for r in ndcg_at_k_binary(df, k=10).collect()}
+    assert set(gen) == set(lit)
+    for q in gen:
+        assert gen[q].n_rel == lit[q].n_rel, q
+        for col in ("dcg", "idcg", "ndcg"):
+            a, b = getattr(gen[q], col), getattr(lit[q], col)
+            if a is None or b is None:
+                assert a is None and b is None, (q, col)
+            else:
+                assert abs(a - b) <= 1e-6 + 1e-12, (q, col, a, b)
+
+
+def test_ndcg_binary_sql_literal_tables_and_bounds():
+    import pytest as _pytest
+
+    from egal_yet_another_earthquake_project_spark.llm.metrics import (
+        NDCG_DCG_WEIGHT_LITERALS,
+        NDCG_IDCG_LITERALS,
+        ndcg_binary_sql,
+    )
+    import math
+
+    # literal tables are the correctly-rounded doubles they claim to be
+    for i, w in enumerate(NDCG_DCG_WEIGHT_LITERALS, 1):
+        assert float(w) == 1.0 / math.log2(i + 1)
+    acc = 0.0
+    for n, c in enumerate(NDCG_IDCG_LITERALS):
+        assert float(c) == acc
+        if n < len(NDCG_DCG_WEIGHT_LITERALS):
+            acc += float(NDCG_DCG_WEIGHT_LITERALS[n])
+    with _pytest.raises(ValueError):
+        ndcg_binary_sql(33)
+    with _pytest.raises(ValueError):
+        ndcg_binary_sql(0)

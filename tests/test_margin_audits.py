@@ -50,7 +50,33 @@ def test_margin_audit_passes(spark, name):
     rows = audits.MARGIN_AUDITS[name](spark, SF_DIR).collect()
     assert rows, f"{name}: audit produced no rows"
     for r in rows:
-        assert r["margin"] is not None and r["margin"] > audits.MIN_MARGIN, (
-            f"{name}: raw value {r['margin']:.3e} from its rounding "
-            f"boundary at key {r['what']} — cross-engine fragile"
+        # floor-grid rows (scaled-axis units) carry their own threshold
+        thr = (
+            audits.FLOOR_MIN_MARGIN
+            if str(r["what"]).endswith("-grid")
+            else audits.MIN_MARGIN
         )
+        assert r["margin"] is not None and r["margin"] > thr, (
+            f"{name}: raw value {r['margin']:.3e} from its "
+            f"boundary at key {r['what']} (threshold {thr:.1e}) — "
+            "cross-engine fragile"
+        )
+
+
+def test_floor_margin_expression(spark):
+    # distances of c·Q to the integer grid, scaled-axis units
+    q = audits.lsrch.SCORE_QUANTUM
+    cases = [
+        ((100.0 + 0.25) / q, 0.25),   # frac 0.25 below next int
+        ((100.0 - 0.125) / q, 0.125),  # frac 0.875 → 0.125 to next int
+        (100.0 / q, 0.0),              # exactly on the grid
+    ]
+    df = spark.createDataFrame([(v,) for v, _ in cases], "raw double")
+    got = [
+        r["m"]
+        for r in df.select(
+            audits.floor_margin(F.col("raw"), q).alias("m")
+        ).collect()
+    ]
+    for g, (_, e) in zip(got, cases):
+        assert g == pytest.approx(e, abs=1e-9), (g, e)
