@@ -246,9 +246,18 @@ HEADLINE = [
     # fused WARC → HTML → text front end over spec-shaped containers
     "html_extract",
     "warc_extract",
+    # round-13: Common Crawl's per-record-gzip WARC framing and the
+    # charset-sniffing (meta/Content-Type, strict fallback accounting)
+    # extraction twin
+    "warc_gzip_extract",
+    "html_charset_extract",
     # round-12: URL canonicalization — pure codegen expressions, the
     # crawl-dedup key derivation
     "url_canonical",
+    # round-13: oracle-dialect + render probes — constant-input canaries
+    # that pinpoint a driver-side DuckDB construct/rendering change
+    "oracle_dialect_probe",
+    "oracle_render_probe",
 ]
 
 #: Declared-expensive AUDIT rows (VERDICT r11 #7): queries that pay

@@ -259,6 +259,21 @@ def _parser() -> argparse.ArgumentParser:
     bs.add_argument("--queries", required=True, help="parquet of (query_id, qtext)")
     bs.add_argument("--k", type=int, default=10)
 
+    ih = sub.add_parser(
+        "index-health",
+        help="staleness/segment/tombstone health rows for a persisted "
+        "index (BM25 or IVF) as one JSON object per metric",
+    )
+    ih.add_argument("--index", required=True, help="index directory")
+    ih.add_argument(
+        "--kind",
+        choices=("bm25", "ivf"),
+        required=True,
+        help="index flavor (BM25 segment-manifest vs IVF cells)",
+    )
+    ih.add_argument("--max-segments", type=int, default=None)
+    ih.add_argument("--max-tombstone-fraction", type=float, default=None)
+
     bst = sub.add_parser(
         "bm25-stream",
         help="drain a document drop directory into an existing BM25 index "
@@ -269,6 +284,8 @@ def _parser() -> argparse.ArgumentParser:
     bst.add_argument("--index", required=True, help="index directory")
     bst.add_argument("--checkpoint", required=True)
     bst.add_argument("--compact-if-segments", type=int, default=None)
+    bst.add_argument("--app-id", default=None, help="per-query segment namespace")
+    bst.add_argument("--health-dir", default=None, help="per-commit health rows")
 
     ist = sub.add_parser(
         "index-stream",
@@ -280,6 +297,8 @@ def _parser() -> argparse.ArgumentParser:
     ist.add_argument("--index", required=True, help="index directory")
     ist.add_argument("--checkpoint", required=True)
     ist.add_argument("--rebuild-if-imbalance", type=float, default=None)
+    ist.add_argument("--app-id", default=None, help="per-query batch namespace")
+    ist.add_argument("--health-dir", default=None, help="per-commit health rows")
 
     g = sub.add_parser(
         "compact", help="rewrite a fragmented parquet dataset as balanced files"
@@ -743,6 +762,8 @@ def main(argv: list[str] | None = None) -> int:
                     stream,
                     args.index,
                     compact_if_segments=args.compact_if_segments,
+                    app_id=args.app_id,
+                    health_dir=args.health_dir,
                 )
                 .option("checkpointLocation", args.checkpoint)
                 .start()
@@ -786,6 +807,8 @@ def main(argv: list[str] | None = None) -> int:
                     stream,
                     args.index,
                     rebuild_if_imbalance=args.rebuild_if_imbalance,
+                    app_id=args.app_id,
+                    health_dir=args.health_dir,
                 )
                 .option("checkpointLocation", args.checkpoint)
                 .start()
@@ -824,6 +847,34 @@ def main(argv: list[str] | None = None) -> int:
                 .orderBy("query_id", "rank")
                 .show(100, truncate=False)
             )
+        elif args.cmd == "index-health":
+            import json
+
+            from egal_yet_another_earthquake_project_spark.llm import (
+                index_health as _ih,
+            )
+
+            kwargs = {}
+            if args.max_segments is not None:
+                kwargs["max_segments"] = args.max_segments
+            if args.max_tombstone_fraction is not None:
+                kwargs["max_tombstone_fraction"] = args.max_tombstone_fraction
+            fn = (
+                _ih.bm25_index_health
+                if args.kind == "bm25"
+                else _ih.ivf_index_health
+            )
+            for r in fn(spark, args.index, **kwargs).collect():
+                print(
+                    json.dumps(
+                        {
+                            "metric": r.metric,
+                            "value": r.value,
+                            "threshold": r.threshold,
+                            "ok": r.ok,
+                        }
+                    )
+                )
         elif args.cmd == "compact":
             import json
 

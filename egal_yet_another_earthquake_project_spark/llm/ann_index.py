@@ -526,43 +526,129 @@ def staged_append_ivf_index(
     landed. The in-place :func:`append_ivf_index` stays the single-shot
     batch path; this is its ``foreachBatch``-safe twin
     (``streaming.scoring.ivf_update_sink``)."""
+    import json as _json
+
     root = resolve_index_dir(index_dir)
     stage = f"{root}/appends/{batch_name}"
-    if (
-        fsutil.exists(spark, f"{stage}/_COMPLETE")
-        or batch_name in _applied_appends(spark, root)
-    ):
+    marker = fsutil.read_text(spark, f"{stage}/_COMPLETE")
+    if marker is not None:
+        # replayed commit — but guard against a NAME COLLISION that is
+        # not a replay (ADVICE r12: micro-batch ids restart at 0 for a
+        # new query or a reset checkpoint, so a second stream pointed at
+        # the same index would silently lose its early batches): the
+        # marker records the applied batch's row count; a different
+        # count means a different batch wearing the same name.
+        try:
+            recorded = _json.loads(marker).get("rows")
+        except ValueError:  # legacy "complete" marker — no guard info
+            recorded = None
+        if recorded is not None and int(recorded) != new_vectors.count():
+            raise ValueError(
+                f"staged_append_ivf_index: batch {batch_name!r} already "
+                f"applied with {recorded} rows but the incoming batch "
+                "differs — two writers (or a reset checkpoint) are "
+                "sharing batch names; pass a distinct app_id per "
+                "streaming query (ivf_update_sink(app_id=...))"
+            )
+        # a crash BETWEEN the marker and the _SEQ bump leaves cached
+        # listings unable to see this batch; the streaming contract
+        # guarantees the uncommitted batch replays, so bump here
+        prev_seq = fsutil.read_text(spark, f"{root}/appends/_SEQ")
+        try:
+            nxt = int(prev_seq) + 1 if prev_seq else 1
+        except ValueError:
+            nxt = 1
+        fsutil.write_text_overwrite(
+            spark, f"{root}/appends/_SEQ", f"{nxt}\n"
+        )
         return False
+    applied = _applied_appends(spark, root)
+    if batch_name in applied:
+        # folded by a rebuild — compare against the memo's recorded row
+        # count when the pre-fold marker carried one (legacy memos map
+        # to None: app_id namespacing is the defense there)
+        recorded = applied[batch_name]
+        if recorded is not None and int(recorded) != new_vectors.count():
+            raise ValueError(
+                f"staged_append_ivf_index: batch {batch_name!r} was "
+                f"folded with {recorded} rows but the incoming batch "
+                "differs — two writers (or a reset checkpoint) are "
+                "sharing batch names; pass a distinct app_id per "
+                "streaming query (ivf_update_sink(app_id=...))"
+            )
+        return False
+    n_rows = new_vectors.count()
     (
         _assign_for_append(spark, root, new_vectors, id_col, vec_col)
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(f"{stage}/cells")
     )
-    fsutil.write_text_overwrite(spark, f"{stage}/_COMPLETE", "complete\n")
+    fsutil.write_text_overwrite(
+        spark, f"{stage}/_COMPLETE", _json.dumps({"rows": n_rows}) + "\n"
+    )
+    # bump the listing-cache validator AFTER the marker: readers either
+    # see the old seq (and re-list at worst one call late — the marker
+    # is already visible to a direct listing) or the new seq and re-list
+    prev_seq = fsutil.read_text(spark, f"{root}/appends/_SEQ")
+    try:
+        nxt = int(prev_seq) + 1 if prev_seq else 1
+    except ValueError:
+        nxt = 1
+    fsutil.write_text_overwrite(spark, f"{root}/appends/_SEQ", f"{nxt}\n")
     return True
+
+
+#: per-process cache of a version's complete-append listing keyed by
+#: the version root; validated against the writer-bumped ``_SEQ`` file,
+#: so one tiny read replaces O(n_appends) existence round trips per
+#: search/gate/stats call (ADVICE r12 low — costly on object stores).
+#: Maintenance is single-writer per index (documented contract), and a
+#: rebuild cuts over to a NEW version root, so the key never aliases.
+_APPEND_LISTING_CACHE: dict[str, tuple[str, list[str]]] = {}
 
 
 def _complete_appends(spark: SparkSession, root: str) -> list[str]:
     """Names of the version's staged append batches whose ``_COMPLETE``
     marker exists — the visibility gate that makes streaming appends
     exactly-once-in-effect (a crash mid-write leaves a marker-less dir
-    no reader ever selects; the replay overwrites it and marks)."""
-    return sorted(
+    no reader ever selects; the replay overwrites it and marks).
+
+    Cached per (root, ``appends/_SEQ``): the writer bumps ``_SEQ``
+    after each marker, so a hit costs one small read. Legacy dirs
+    without ``_SEQ`` (or pre-upgrade writers) fall back to the direct
+    listing every call — never stale, just unamortized."""
+    seq = fsutil.read_text(spark, f"{root}/appends/_SEQ")
+    if seq is not None:
+        cached = _APPEND_LISTING_CACHE.get(root)
+        if cached is not None and cached[0] == seq:
+            return list(cached[1])
+    names = sorted(
         n
         for n in fsutil.list_names(spark, f"{root}/appends")
-        if fsutil.exists(spark, f"{root}/appends/{n}/_COMPLETE")
+        if n != "_SEQ"
+        and fsutil.exists(spark, f"{root}/appends/{n}/_COMPLETE")
     )
+    if seq is not None:
+        _APPEND_LISTING_CACHE[root] = (seq, names)
+    return names
 
 
-def _applied_appends(spark: SparkSession, root: str) -> set[str]:
+def _applied_appends(spark: SparkSession, root: str) -> dict[str, int | None]:
     """Append-batch names a rebuild already FOLDED into this version's
-    cells (recorded at cutover) — the replay memo that survives the
-    fold, exactly like the BM25 manifest's ``last_applied``."""
+    cells (recorded at cutover), mapped to their recorded row counts —
+    the replay memo that survives the fold, exactly like the BM25
+    manifest's ``last_applied``(+rows). Legacy memos were a bare name
+    list; those names map to None (no content guard available)."""
     import json as _json
 
     text = fsutil.read_text(spark, f"{root}/applied.json")
-    return set(_json.loads(text)) if text else set()
+    if not text:
+        return {}
+    loaded = _json.loads(text)
+    if isinstance(loaded, list):
+        return {n: None for n in loaded}
+    return {n: (None if v is None else int(v)) for n, v in loaded.items()}
 
 
 def _read_cells(spark: SparkSession, root: str) -> DataFrame:
@@ -677,10 +763,19 @@ def maybe_rebuild_ivf_index(
     # the rebuild folds EVERYTHING the readers see: base cells, staged
     # streaming appends, minus tombstones (the physical purge) — the new
     # version starts with clean cells, no appends, no tombstones
+    import json as _mjson
+
     corpus = _read_cells(spark, root)
-    folded_appends = _complete_appends(spark, root) + sorted(
-        _applied_appends(spark, root)
-    )
+    folded_rows: dict[str, int | None] = dict(_applied_appends(spark, root))
+    for _name in _complete_appends(spark, root):
+        _marker = fsutil.read_text(spark, f"{root}/appends/{_name}/_COMPLETE")
+        try:
+            folded_rows[_name] = (
+                _mjson.loads(_marker).get("rows") if _marker else None
+            )
+        except ValueError:
+            folded_rows[_name] = None
+    folded_appends = sorted(folded_rows)
     tombs = _tombstones(spark, root)
     if tombs is not None:
         corpus = corpus.join(tombs, "neighbor_id", "anti")
@@ -713,7 +808,7 @@ def maybe_rebuild_ivf_index(
         fsutil.write_text_overwrite(
             spark,
             f"{index_dir}/v={next_v}/applied.json",
-            _json.dumps(sorted(set(folded_appends))) + "\n",
+            _json.dumps(folded_rows, sort_keys=True) + "\n",
         )
     if _before_cutover is not None:
         _before_cutover()

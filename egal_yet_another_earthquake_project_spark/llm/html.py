@@ -38,24 +38,47 @@ import html as _htmllib
 from html.parser import HTMLParser
 from typing import Iterator
 
+import re as _re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: subtrees whose text is never content
 _SKIP_TAGS = {"script", "style", "noscript", "template"}
-#: elements that terminate a paragraph run
-_BLOCK_TAGS = {
-    "p", "div", "br", "li", "ul", "ol", "table", "tr", "section",
-    "article", "header", "footer", "nav", "blockquote", "pre",
-    "h1", "h2", "h3", "h4", "h5", "h6",
-}
-
 #: output columns appended after the caller's id column
 _EXTRACT_FIELDS = (
     "text string, title string, n_links int, "
     "n_paragraphs int, n_words int, html_chars int, text_chars int, "
-    "text_density double, link_density double, ok boolean"
+    "text_density double, link_density double, ok boolean, reason string"
 )
+
+#: <meta charset="..."> / <meta http-equiv=Content-Type content="...;
+#: charset=..."> in the first KiB, matched on the ascii-safe prefix —
+#: the WHATWG prescan, minus the byte-level tokenizer
+_META_CHARSET_RE = _re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?\s*([a-zA-Z0-9_.:-]+)""",
+    _re.IGNORECASE,
+)
+
+
+def sniff_charset(raw: bytes, content_type: str | None = None) -> tuple[str | None, str]:
+    """(codec, source) for an HTML byte payload, WHATWG precedence:
+    BOM > HTTP Content-Type charset > ``<meta charset>`` prescan of the
+    first 1024 bytes > none. The codec is returned as declared (not
+    validated) — the caller attempts the decode and accounts for
+    failures (VERDICT r12 #5: strict fallback accounting)."""
+    if raw[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig", "bom"
+    if raw[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return "utf-16", "bom"
+    if content_type:
+        m = _re.search(r"charset\s*=\s*[\"']?\s*([a-zA-Z0-9_.:-]+)", content_type, _re.IGNORECASE)
+        if m:
+            return m.group(1).lower(), "http"
+    m = _META_CHARSET_RE.search(raw[:1024])
+    if m:
+        return m.group(1).decode("ascii", "replace").lower(), "meta"
+    return None, "none"
 
 
 class _Extractor(HTMLParser):
@@ -103,24 +126,42 @@ class _Extractor(HTMLParser):
             self.link_words += len(ws)
 
 
-def parse_html(markup: str | bytes) -> dict:
+def parse_html(markup: str | bytes, content_type: str | None = None) -> dict:
     """Extract main text + quality signals from one HTML document.
 
-    Never raises on malformed markup (the stdlib parser recovers);
-    ``ok`` is False only when the input is null or the bytes are not
-    decodable UTF-8 (with the usual latin-1 last-resort, so binary
-    garbage still yields a row the quality gates can drop on
-    density) — a crawl frame with a null body must not kill the
-    task."""
-    ok = True
+    Never raises on malformed markup (the stdlib parser recovers).
+    Byte payloads are decoded per the sniffed charset
+    (:func:`sniff_charset`: BOM > HTTP ``content_type`` charset >
+    ``<meta charset>`` prescan > utf-8 default — VERDICT r12 #5), with
+    STRICT fallback accounting: any departure from the declared/default
+    path sets ``ok`` False and names itself in ``reason``
+    (``null-body``, ``unknown-charset:<cs>``,
+    ``charset-decode-failed:<cs>``, ``undeclared-not-utf8``) while
+    still yielding a row — a crawl frame must drop bad pages through
+    the quality gates, never kill the task."""
+    ok, reason = True, ""
     if markup is None:
-        markup, ok = "", False
+        markup, ok, reason = "", False, "null-body"
     if isinstance(markup, (bytes, bytearray)):
-        try:
-            markup = bytes(markup).decode("utf-8")
-        except UnicodeDecodeError:
-            markup = bytes(markup).decode("latin-1")
-            ok = False
+        raw = bytes(markup)
+        codec, source = sniff_charset(raw, content_type)
+        markup = None
+        if codec is not None:
+            try:
+                markup = raw.decode(codec)
+            except LookupError:
+                ok, reason = False, f"unknown-charset:{codec}"
+            except UnicodeDecodeError:
+                ok, reason = False, f"charset-decode-failed:{codec}"
+        if markup is None:
+            try:
+                markup = raw.decode("utf-8")
+                if codec is None:
+                    pass  # undeclared but clean utf-8 — the happy default
+            except UnicodeDecodeError:
+                markup = raw.decode("latin-1")
+                if ok:
+                    ok, reason = False, "undeclared-not-utf8"
     p = _Extractor()
     p.feed(markup)
     p.close()
@@ -138,11 +179,15 @@ def parse_html(markup: str | bytes) -> dict:
         "text_density": (text_chars / html_chars) if html_chars else 0.0,
         "link_density": (p.link_words / len(p.words)) if p.words else 0.0,
         "ok": ok,
+        "reason": reason,
     }
 
 
 def extract_text_from_html(
-    pages: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+    pages: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    content_type_col: str | None = None,
 ) -> DataFrame:
     """(id, text, title, …signals) for a frame of raw HTML pages —
     Arrow-batched ``mapInPandas``, one Python pass per page, no
@@ -159,21 +204,32 @@ def extract_text_from_html(
     out_cols = [id_col] + [
         f.split()[0] for f in _EXTRACT_FIELDS.split(", ")
     ]
-    id_out, html_in = id_col, html_col
+    id_out, html_in, ct_in = id_col, html_col, content_type_col
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             if len(pdf) == 0:
                 yield pd.DataFrame(columns=out_cols)
                 continue
-            rows = [parse_html(m) for m in pdf[html_in]]
+            if ct_in is not None:
+                cts = [
+                    None if c is None or (isinstance(c, float)) else str(c)
+                    for c in pdf[ct_in]
+                ]
+            else:
+                cts = [None] * len(pdf)
+            rows = [
+                parse_html(m, content_type=c)
+                for m, c in zip(pdf[html_in], cts)
+            ]
             out = pd.DataFrame(rows)
             out.insert(0, id_out, pdf[id_out].values)
             yield out
 
-    return pages.select(F.col(id_col), F.col(html_col)).mapInPandas(
-        run, schema
-    )
+    sel = [F.col(id_col), F.col(html_col)]
+    if content_type_col is not None:
+        sel.append(F.col(content_type_col))
+    return pages.select(*sel).mapInPandas(run, schema)
 
 
 def render_test_page(doc_id: int, text: str, words_per_para: int = 10) -> str:

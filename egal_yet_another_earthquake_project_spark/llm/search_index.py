@@ -221,12 +221,36 @@ def build_bm25_index(
     """Tokenize once, persist the inverted index as the next version
     under ``index_dir`` (v=1 for a fresh dir), then flip CURRENT.
     Build cost: one corpus scan + one (doc, term) grouping shuffle +
-    one bucket-partitioned write — entirely linear."""
+    one bucket-partitioned write — entirely linear.
+
+    If a live version carries a streaming replay memo
+    (``last_applied`` — ADVICE r12 low), the rebuild writes a one-entry
+    manifest next to the monolithic segment carrying it forward, so a
+    ``bm25_update_sink`` checkpoint that replays its last batch across
+    the rebuild stays a no-op instead of re-committing its segment and
+    double-counting df (the ``maybe_rebuild_ivf_index`` ``applied.json``
+    discipline, BM25 edition)."""
     version = (_list_versions(index_dir) or [0])[-1] + 1
     spark = docs.sparkSession
+    prev_manifest: dict = {}
+    if _read_current(index_dir) is not None:
+        prev_manifest = _read_manifest(spark, resolve_index_dir(index_dir)) or {}
     _write_segment(
         docs, f"{index_dir}/v={version}", id_col, text_col, n_buckets, k1, b
     )
+    if "last_applied" in prev_manifest:
+        manifest: dict = {
+            "segments": [f"v={version}"],
+            "deletes": [],
+            "last_applied": prev_manifest["last_applied"],
+        }
+        if "last_applied_rows" in prev_manifest:
+            manifest["last_applied_rows"] = prev_manifest["last_applied_rows"]
+        fsutil.write_text_overwrite(
+            spark,
+            f"{index_dir}/v={version}/manifest.json",
+            json.dumps(manifest) + "\n",
+        )
     _set_current(index_dir, version)
     # GC: keep the new version and its immediate predecessor (grace for
     # in-flight readers that resolved before the pointer flip) — the
@@ -292,7 +316,27 @@ def update_bm25_index(
     if segment_name is not None:
         seg_path = f"segments/{segment_name}"
         if seg_path in segs or cur_manifest.get("last_applied") == segment_name:
-            return cur  # replayed commit — already applied (maybe compacted)
+            # replayed commit — already applied (maybe compacted). Guard
+            # against a NAME COLLISION that is not a replay (ADVICE r12:
+            # micro-batch ids restart at 0 for a new query or a reset
+            # checkpoint, so a second stream pointed at this index would
+            # silently lose its early batches): if the manifest recorded
+            # the applied batch's row count and it differs from this
+            # batch, this is a different batch wearing the same name.
+            recorded = cur_manifest.get("segment_rows", {}).get(seg_path)
+            if recorded is None and (
+                cur_manifest.get("last_applied") == segment_name
+            ):
+                recorded = cur_manifest.get("last_applied_rows")
+            if recorded is not None and int(recorded) != new_docs.count():
+                raise ValueError(
+                    f"update_bm25_index: segment {segment_name!r} already "
+                    f"applied with {recorded} rows but the incoming batch "
+                    "differs — two writers (or a reset checkpoint) are "
+                    "sharing batch names; pass a distinct app_id per "
+                    "streaming query (bm25_update_sink(app_id=...))"
+                )
+            return cur
     else:
         seg_ids = [
             int(n.split("=", 1)[1])
@@ -310,10 +354,22 @@ def update_bm25_index(
         float(params["b"]),
     )
     manifest: dict = {"segments": segs + [seg_path], "deletes": dels}
+    seg_rows = {
+        k: v
+        for k, v in cur_manifest.get("segment_rows", {}).items()
+        if k in manifest["segments"]
+    }
     if segment_name is not None:
+        n_new = new_docs.count()
         manifest["last_applied"] = segment_name
+        manifest["last_applied_rows"] = n_new
+        seg_rows[seg_path] = n_new
     elif "last_applied" in cur_manifest:
         manifest["last_applied"] = cur_manifest["last_applied"]
+        if "last_applied_rows" in cur_manifest:
+            manifest["last_applied_rows"] = cur_manifest["last_applied_rows"]
+    if seg_rows:
+        manifest["segment_rows"] = seg_rows
     next_v = (_list_versions(index_dir) or [0])[-1] + 1
     stage = f"{index_dir}/v={next_v}"
     fsutil.mkdirs(spark, stage)
@@ -409,6 +465,12 @@ def delete_from_bm25_index(
     prev = _read_manifest(spark, vroot) or {}
     if "last_applied" in prev:
         manifest["last_applied"] = prev["last_applied"]
+    if "last_applied_rows" in prev:
+        manifest["last_applied_rows"] = prev["last_applied_rows"]
+    if prev.get("segment_rows"):
+        manifest["segment_rows"] = {
+            k: v for k, v in prev["segment_rows"].items() if k in segs
+        }
     next_v = (_list_versions(index_dir) or [0])[-1] + 1
     stage = f"{index_dir}/v={next_v}"
     fsutil.mkdirs(spark, stage)
@@ -517,6 +579,8 @@ def compact_bm25_index(spark: SparkSession, index_dir: str) -> dict:
     prev = _read_manifest(spark, vroot) or {}
     if "last_applied" in prev:
         manifest["last_applied"] = prev["last_applied"]
+    if "last_applied_rows" in prev:
+        manifest["last_applied_rows"] = prev["last_applied_rows"]
     next_v = (_list_versions(index_dir) or [0])[-1] + 1
     stage = f"{index_dir}/v={next_v}"
     fsutil.mkdirs(spark, stage)

@@ -31,6 +31,7 @@ shuffles before the first dedup.
 
 from __future__ import annotations
 
+import zlib
 from typing import Iterator
 
 from pyspark.sql import DataFrame
@@ -90,12 +91,65 @@ def encode_warc(pages: list[tuple[str, bytes]]) -> bytes:
     return b"".join(out)
 
 
+def encode_warc_gz(pages: list[tuple[str, bytes]]) -> bytes:
+    """:func:`encode_warc` in Common Crawl's ACTUAL on-disk framing:
+    each WARC record compressed as its OWN gzip member and the members
+    concatenated (the per-record-gzip layout that makes a .warc.gz
+    range-seekable per record). Deterministic: fixed-dictionary zlib
+    with a zeroed gzip header (no mtime/filename), so the same pages
+    always produce the same bytes — the oracle contract every encoder
+    in this repo keeps."""
+    plain = encode_warc(pages)
+    members = []
+    pos, n = 0, len(plain)
+    while pos < n:
+        # each record = header block + body + CRLF*2; recompute the
+        # exact extent the strict parser would walk
+        head_end = plain.find(_CRLF * 2, pos)
+        lines = plain[pos:head_end].split(_CRLF)
+        clen = next(
+            int(ln.split(b":", 1)[1])
+            for ln in lines[1:]
+            if ln.lower().startswith(b"content-length:")
+        )
+        rec_end = head_end + 4 + clen + 4
+        rec = plain[pos:rec_end]
+        co = zlib.compressobj(9, zlib.DEFLATED, 31)
+        members.append(co.compress(rec) + co.flush())
+        pos = rec_end
+    return b"".join(members)
+
+
+def _gunzip_members(blob: bytes) -> bytes:
+    """Concatenated gzip members → concatenated plain bytes, STRICTLY:
+    every byte must belong to a well-formed member (trailing garbage or
+    a truncated member is a ``ValueError``, the container-tiling rule)."""
+    out = []
+    data = bytes(blob)
+    while data:
+        d = zlib.decompressobj(31)
+        try:
+            out.append(d.decompress(data))
+        except zlib.error as exc:
+            raise ValueError(f"parse_warc: bad gzip member: {exc}") from exc
+        out.append(d.flush())
+        if not d.eof:
+            raise ValueError("parse_warc: truncated gzip member")
+        data = d.unused_data
+    return b"".join(out)
+
+
 def parse_warc(blob: bytes) -> list[dict]:
     """Strict WARC/1.0 record walk → one dict per record:
-    ``{warc_type, target_uri, http_status, body}`` (status/body None
-    for non-HTTP records). Raises ``ValueError`` on any framing
-    violation — version marker, missing Content-Length, body overrun,
-    or separator bytes that do not tile to EOF."""
+    ``{warc_type, target_uri, http_status, content_type, body}``
+    (status/content_type/body None for non-HTTP records). Accepts both
+    plain WARC and Common Crawl's per-record-gzip ``.warc.gz`` framing
+    (multi-member gzip, sniffed by magic — VERDICT r12 #5). Raises
+    ``ValueError`` on any framing violation — version marker, missing
+    Content-Length, body overrun, separator bytes that do not tile to
+    EOF, or a malformed/truncated gzip member."""
+    if blob[:2] == b"\x1f\x8b":
+        blob = _gunzip_members(blob)
     records = []
     pos, n = 0, len(blob)
     while pos < n:
@@ -130,6 +184,7 @@ def parse_warc(blob: bytes) -> list[dict]:
         wtype = headers.get("warc-type", "")
         status = None
         entity = None
+        ctype = None
         if wtype == "response":
             split = body.find(_CRLF * 2)
             if split < 0 or not body.startswith(b"HTTP/1."):
@@ -147,17 +202,23 @@ def parse_warc(blob: bytes) -> list[dict]:
             # two framings lies (the strictness rule of every codec lane)
             for ln in body[:split].split(_CRLF)[1:]:
                 k, sep, v = ln.partition(b":")
-                if sep and k.decode("latin-1").strip().lower() == "content-length":
+                if not sep:
+                    continue
+                hname = k.decode("latin-1").strip().lower()
+                if hname == "content-length":
                     if int(v.strip()) != len(entity):
                         raise ValueError(
                             "parse_warc: HTTP Content-Length "
                             f"{int(v.strip())} != entity length {len(entity)}"
                         )
+                elif hname == "content-type":
+                    ctype = v.decode("latin-1").strip()
         records.append(
             {
                 "warc_type": wtype,
                 "target_uri": headers.get("warc-target-uri"),
                 "http_status": status,
+                "content_type": ctype,
                 "body": entity,
             }
         )
@@ -176,18 +237,26 @@ def extract_warc_pages(
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            uris, statuses, bodies = [], [], []
+            uris, statuses, ctypes, bodies = [], [], [], []
             for blob in pdf[payload_col]:
                 for rec in parse_warc(bytes(blob)):
                     if rec["warc_type"] != "response":
                         continue
                     uris.append(rec["target_uri"])
                     statuses.append(rec["http_status"])
+                    ctypes.append(rec["content_type"])
                     bodies.append(rec["body"])
             yield pd.DataFrame(
-                {"target_uri": uris, "http_status": statuses, "html": bodies}
+                {
+                    "target_uri": uris,
+                    "http_status": statuses,
+                    "content_type": ctypes,
+                    "html": bodies,
+                }
             )
 
     return warcs.select(payload_col).mapInPandas(
-        run, "target_uri string, http_status int, html binary"
+        run,
+        "target_uri string, http_status int, content_type string, "
+        "html binary",
     )

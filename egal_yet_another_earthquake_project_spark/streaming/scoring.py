@@ -397,6 +397,8 @@ def bm25_update_sink(
     id_col: str = "doc_id",
     text_col: str = "text",
     compact_if_segments: int | None = None,
+    app_id: str | None = None,
+    health_dir: str | None = None,
 ) -> DataStreamWriter:
     """``writeStream`` writer that keeps a persisted BM25 inverted
     index CURRENT as documents arrive — streaming index MAINTENANCE
@@ -413,7 +415,22 @@ def bm25_update_sink(
     effect, per ``update_bm25_index``'s ``segment_name`` contract.
     ``compact_if_segments`` folds the accreted segments back to one
     whenever the count exceeds it (the small-files compaction cadence,
-    inline because maintenance is single-writer)."""
+    inline because maintenance is single-writer).
+
+    ``app_id`` namespaces the segment names (``b=<app_id>-<batch_id>``,
+    the Delta ``txnAppId`` pattern) — REQUIRED when more than one
+    streaming query may ever write this index, or a checkpoint may be
+    reset: micro-batch ids restart at 0 per query, and without a
+    namespace a second query's early batches would collide with the
+    first's (the manifest additionally records per-segment row counts
+    and update_bm25_index raises on a same-name different-content
+    collision rather than silently dropping the batch — ADVICE r12).
+
+    ``health_dir`` lands :func:`llm.index_health.bm25_index_health`
+    rows under ``{health_dir}/_batch_id=N/`` AFTER each commit (and
+    after any inline compaction) — the per-commit staleness/segment/
+    tombstone monitor (VERDICT r12 #6), replay-idempotent via dynamic
+    partition overwrite like every monitor sink."""
     from egal_yet_another_earthquake_project_spark.llm.search_index import (
         _segment_paths,
         compact_bm25_index,
@@ -432,7 +449,9 @@ def bm25_update_sink(
             index_dir,
             id_col=id_col,
             text_col=text_col,
-            segment_name=f"b={batch_id}",
+            segment_name=(
+                f"b={app_id}-{batch_id}" if app_id else f"b={batch_id}"
+            ),
         )
         if compact_if_segments is not None:
             n = len(
@@ -440,6 +459,19 @@ def bm25_update_sink(
             )
             if n > int(compact_if_segments):
                 compact_bm25_index(spark, index_dir)
+        if health_dir is not None:
+            from egal_yet_another_earthquake_project_spark.llm.index_health import (
+                bm25_index_health,
+            )
+
+            (
+                bm25_index_health(spark, index_dir)
+                .withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(health_dir)
+            )
 
     return docs_stream.writeStream.foreachBatch(_update)
 
@@ -450,6 +482,8 @@ def ivf_update_sink(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rebuild_if_imbalance: float | None = None,
+    app_id: str | None = None,
+    health_dir: str | None = None,
 ) -> DataStreamWriter:
     """``writeStream`` writer that keeps a persisted IVF index CURRENT
     as vectors arrive — the ANN side of the maintenance matrix
@@ -467,7 +501,16 @@ def ivf_update_sink(
     each commit (single-writer maintenance, like ``bm25_update_sink``'s
     inline compaction): the rebuild folds base + appends − tombstones
     into clean cells for the next version and cuts over atomically
-    between triggers."""
+    between triggers.
+
+    ``app_id`` namespaces the staged batch names
+    (``b=<app_id>-<batch_id>``, the Delta ``txnAppId`` pattern) — see
+    :func:`bm25_update_sink`: batch ids restart per query/checkpoint,
+    and the ``_COMPLETE`` marker's recorded row count makes a same-name
+    different-content collision raise instead of silently dropping.
+
+    ``health_dir`` lands :func:`llm.index_health.ivf_index_health`
+    rows per commit — see :func:`bm25_update_sink`."""
     from egal_yet_another_earthquake_project_spark.llm.ann_index import (
         maybe_rebuild_ivf_index,
         staged_append_ivf_index,
@@ -481,13 +524,28 @@ def ivf_update_sink(
             spark,
             index_dir,
             batch.select(id_col, vec_col),
-            batch_name=f"b={batch_id}",
+            batch_name=(
+                f"b={app_id}-{batch_id}" if app_id else f"b={batch_id}"
+            ),
             id_col=id_col,
             vec_col=vec_col,
         )
         if rebuild_if_imbalance is not None:
             maybe_rebuild_ivf_index(
                 spark, index_dir, threshold=float(rebuild_if_imbalance)
+            )
+        if health_dir is not None:
+            from egal_yet_another_earthquake_project_spark.llm.index_health import (
+                ivf_index_health,
+            )
+
+            (
+                ivf_index_health(spark, index_dir)
+                .withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(health_dir)
             )
 
     return vectors_stream.writeStream.foreachBatch(_update)

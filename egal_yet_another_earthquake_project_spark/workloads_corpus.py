@@ -19,7 +19,11 @@ from egal_yet_another_earthquake_project_spark.llm import pii as lpii
 from egal_yet_another_earthquake_project_spark.llm import search as lsrch
 from egal_yet_another_earthquake_project_spark.llm import text as ltx
 from egal_yet_another_earthquake_project_spark.sources.files import read_table
-from egal_yet_another_earthquake_project_spark.workloads_llm import _NORM, _TOKS
+from egal_yet_another_earthquake_project_spark.workloads_llm import (
+    _NORM,
+    _TOKS,
+    _ngram_rows,
+)
 
 CHUNK_SIZE = 32
 CHUNK_STRIDE = 24
@@ -64,21 +68,16 @@ def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ltx.repetition_profile(_docs(spark, sf_dir))
 
 
-# Bigrams with the same <2-token degenerate case as shingles_of_tokens.
-_BIGRAMS = f"""
-    CASE WHEN len({_TOKS}) < 2 THEN [array_to_string({_TOKS}, ' ')]
-         ELSE list_transform(range(0, len({_TOKS}) - 1),
-                             i -> array_to_string(({_TOKS})[i+1:i+2], ' '))
-    END
-"""
-
+# Tokens and bigrams as prefixed ROWS (no list lambdas — VERDICT r12
+# #4); bigrams keep the same <2-token degenerate case as
+# shingles_of_tokens via _ngram_rows(fallback=True).
 _REPETITION_ORACLE = f"""
 WITH g AS (
-  SELECT doc_id,
-         unnest(list_concat(
-           list_transform({_TOKS}, t -> 't|' || t),
-           list_transform({_BIGRAMS}, b -> 'b|' || b))) AS gram
-  FROM documents
+  SELECT doc_id, 't|' || t AS gram
+  FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+  UNION ALL
+  SELECT doc AS doc_id, 'b|' || sh AS gram
+  FROM {_ngram_rows('documents', 2, fallback=True)}
 ), c AS (
   SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram
 ), f AS (
@@ -461,25 +460,32 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines(docs).orderBy("doc_id")
 
 
-# list_position returns the FIRST 1-based index, so filtering positions
-# to those equal to their own first index reproduces array_distinct's
-# first-occurrence-order semantics.
+# First-occurrence-order dedup in row form (no list lambdas — VERDICT
+# r12 #4): explode units with positions, keep each unit's min position,
+# and reassemble with an ordered string_agg — identical to
+# array_distinct's first-occurrence semantics.
 _LINE_DEDUP_ORACLE = """
 WITH l AS (
   SELECT doc_id, string_split(text, '. ') AS u FROM documents
 ),
+r AS (
+  SELECT doc_id, i, u[i] AS unit
+  FROM l, unnest(range(1, len(u) + 1)) AS t(i)
+),
+firsts AS (
+  SELECT doc_id, unit, min(i) AS fi FROM r GROUP BY doc_id, unit
+),
 k AS (
-  SELECT doc_id, u,
-         list_transform(
-           list_filter(range(1, len(u) + 1), i -> list_position(u, u[i]) = i),
-           i -> u[i]) AS kept
-  FROM l
+  SELECT doc_id,
+         CAST(count(*) AS INTEGER) AS n_kept,
+         string_agg(unit, '. ' ORDER BY fi) AS cleaned_text
+  FROM firsts GROUP BY doc_id
 )
-SELECT doc_id,
+SELECT l.doc_id,
        CAST(len(u) AS INTEGER) AS n_units,
-       CAST(len(kept) AS INTEGER) AS n_kept,
-       array_to_string(kept, '. ') AS cleaned_text
-FROM k
+       n_kept,
+       cleaned_text
+FROM l JOIN k USING (doc_id)
 ORDER BY doc_id
 """
 

@@ -71,22 +71,38 @@ _AUG_SQL = f"""
 # normalization so it stays equivalent to llm.text.normalize on any input.
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _TOKS = f"CASE WHEN length({_NORM}) = 0 THEN [] ELSE string_split({_NORM}, ' ') END"
-def _shingle_rows(src: str, where: str = "") -> str:
-    """Lambda-free (doc, sh) 3-token-shingle rows from ``src`` — a
-    derived table replacing the old ``unnest(list_transform(...))``
-    expression (VERDICT r12 #4: no ``->`` lambdas in oracles). A
-    correlated ``unnest(range(...))`` lateral generates the shingle
-    positions; documents shorter than 3 tokens yield their single
-    full-text shingle, exactly like the list form (equivalence verified
-    cell-for-cell against the lambda expression)."""
+def _ngram_rows(src: str, n: int, where: str = "", fallback: bool = True) -> str:
+    """Lambda-free (doc, sh) n-token-gram rows from ``src`` — a derived
+    table replacing the old ``unnest(list_transform(...))`` expression
+    (VERDICT r12 #4: no ``->`` lambdas in oracles). A correlated
+    ``unnest(range(...))`` lateral generates the gram positions.
+    ``fallback=True``: documents shorter than n tokens yield their
+    single full-text gram (the shingle/bigram list forms' CASE branch);
+    ``fallback=False``: such documents yield no rows (the dsir bigram
+    form's empty-list branch). Equivalence verified cell-for-cell
+    against the lambda expressions."""
     w = f" WHERE {where}" if where else ""
-    return (
-        "(SELECT doc, CASE WHEN nt < 3 THEN array_to_string(toks, ' ') "
-        "ELSE array_to_string(toks[i:i+2], ' ') END AS sh "
-        f"FROM (SELECT doc_id AS doc, {_TOKS} AS toks, "
-        f"len({_TOKS}) AS nt FROM {src}{w}) _t, "
-        "unnest(range(1, greatest(nt - 2, 1) + 1)) AS _r(i))"
+    inner = (
+        f"(SELECT doc_id AS doc, {_TOKS} AS toks, "
+        f"len({_TOKS}) AS nt FROM {src}{w}) _t"
     )
+    if fallback:
+        return (
+            f"(SELECT doc, CASE WHEN nt < {n} THEN array_to_string(toks, ' ') "
+            f"ELSE array_to_string(toks[i:i+{n - 1}], ' ') END AS sh "
+            f"FROM {inner}, "
+            f"unnest(range(1, greatest(nt - {n - 1}, 1) + 1)) AS _r(i))"
+        )
+    return (
+        f"(SELECT doc, array_to_string(toks[i:i+{n - 1}], ' ') AS sh "
+        f"FROM {inner}, "
+        f"unnest(range(1, nt - {n - 1} + 1)) AS _r(i))"
+    )
+
+
+def _shingle_rows(src: str, where: str = "") -> str:
+    """3-token shingles — see :func:`_ngram_rows`."""
+    return _ngram_rows(src, 3, where, fallback=True)
 
 
 # --------------------------------------------------------------------------
@@ -106,6 +122,12 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang_guess",
         "fingerprint",
     )
+
+
+def _htmlesc(text: str) -> str:
+    import html as _h
+
+    return _h.escape(text)
 
 
 def _sql_in(words: tuple[str, ...]) -> str:
@@ -1546,6 +1568,157 @@ ORDER BY doc_id
 """
 
 
+def q_warc_gzip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``warc_extract``'s twin over Common Crawl's ACTUAL on-disk
+    framing (VERDICT r12 #5): the same deterministic pages packed with
+    :func:`llm.warc.encode_warc_gz` — each record its own gzip member,
+    members concatenated — and parsed by the same strict walk (gzip
+    sniffed by magic, members decompressed with the tiling rule). The
+    oracle is warc_extract's verbatim: identical extracted values ARE
+    the proof that the gzip framing layer is lossless."""
+    import hashlib
+
+    import pandas as _pd
+
+    from egal_yet_another_earthquake_project_spark.llm import html as lhtml
+    from egal_yet_another_earthquake_project_spark.llm import warc as lwarc
+
+    def build(pdf: "_pd.DataFrame") -> "_pd.DataFrame":
+        pdf = pdf.sort_values("doc_id")
+        pages = [
+            (
+                f"http://example.com/doc/{int(i)}",
+                lhtml.render_test_page(int(i), t).encode("utf-8"),
+            )
+            for i, t in zip(pdf["doc_id"], pdf["text"])
+        ]
+        return _pd.DataFrame(
+            {
+                "gid": [int(pdf["gid"].iloc[0])],
+                "payload": [lwarc.encode_warc_gz(pages)],
+            }
+        )
+
+    warcs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text", F.floor(F.col("doc_id") / 10).alias("gid"))
+        .groupBy("gid")
+        .applyInPandas(build, "gid long, payload binary")
+    )
+
+    cols = ["doc_id", "http_status", "title", "n_paragraphs", "n_words", "text_md5"]
+
+    def extract(batches):
+        for pdf in batches:
+            rows = []
+            for blob in pdf["payload"]:
+                for rec in lwarc.parse_warc(bytes(blob)):
+                    if rec["warc_type"] != "response":
+                        continue
+                    page = lhtml.parse_html(
+                        rec["body"], content_type=rec["content_type"]
+                    )
+                    rows.append(
+                        {
+                            "doc_id": int(rec["target_uri"].rsplit("/", 1)[1]),
+                            "http_status": rec["http_status"],
+                            "title": page["title"],
+                            "n_paragraphs": page["n_paragraphs"],
+                            "n_words": page["n_words"],
+                            "text_md5": hashlib.md5(
+                                page["text"].encode("utf-8")
+                            ).hexdigest(),
+                        }
+                    )
+            yield _pd.DataFrame(rows, columns=cols)
+
+    return warcs.mapInPandas(
+        extract,
+        "doc_id long, http_status int, title string, n_paragraphs int, "
+        "n_words int, text_md5 string",
+    ).orderBy("doc_id")
+
+
+#: four Turkish words whose bytes DIFFER between iso-8859-9 and latin-1
+#: (ğ/ı — the charset fixture's tripwire) plus ASCII filler
+_CHARSET_SUFFIX = "a\u011fr\u0131 da\u011f\u0131 zelzele deprem"
+#: the SAME bytes mis-decoded as latin-1 (ğ→ð, ı→ý) — what a
+#: charset-ignorant extractor would emit for the lying-meta pages
+_CHARSET_SUFFIX_MOJIBAKE = _CHARSET_SUFFIX.encode("iso-8859-9").decode(
+    "latin-1"
+)
+
+
+def q_html_charset_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset-sniffing extraction (VERDICT r12 #5): pages carry the
+    document text plus a Turkish suffix, ENCODED iso-8859-9. Most pages
+    declare the truth in ``<meta charset>`` — the sniffer must honor it
+    (utf-8 or latin-1 fallbacks would corrupt ğ/ı, failing the text
+    md5). Every 7th page LIES (declares utf-8): the decode fails, the
+    accounted latin-1 fallback produces the exact mojibake the oracle
+    predicts, and the row carries ok=false + the named reason instead
+    of killing the task — the null-body discipline, charset edition."""
+    import hashlib
+
+    import pandas as _pd
+
+    from egal_yet_another_earthquake_project_spark.llm import html as lhtml
+
+    def build(batches):
+        for pdf in batches:
+            htmls = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                body = (str(t).strip() + " " + _CHARSET_SUFFIX).strip()
+                decl = "utf-8" if int(i) % 7 == 0 else "iso-8859-9"
+                page = (
+                    f'<html><head><meta charset="{decl}">'
+                    f"<title>Doc {int(i)}</title></head><body><p>"
+                    + _htmlesc(body)
+                    + "</p></body></html>"
+                )
+                htmls.append(page.encode("iso-8859-9"))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "html": htmls})
+
+    pages = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .mapInPandas(build, "doc_id long, html binary")
+    )
+    ext = lhtml.extract_text_from_html(pages)
+    return ext.select(
+        "doc_id",
+        "ok",
+        "reason",
+        "n_words",
+        F.md5("text").alias("text_md5"),
+    ).orderBy("doc_id")
+
+
+_HTML_CHARSET_ORACLE = f"""
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+  FROM documents
+),
+full_t AS (
+  SELECT doc_id,
+         CASE WHEN t = '' THEN '{_CHARSET_SUFFIX}'
+              ELSE t || ' {_CHARSET_SUFFIX}' END AS good,
+         CASE WHEN t = '' THEN '{_CHARSET_SUFFIX_MOJIBAKE}'
+              ELSE t || ' {_CHARSET_SUFFIX_MOJIBAKE}' END AS bad
+  FROM norm
+)
+SELECT doc_id,
+       doc_id % 7 <> 0 AS ok,
+       CASE WHEN doc_id % 7 = 0 THEN 'charset-decode-failed:utf-8'
+            ELSE '' END AS reason,
+       CAST(len(string_split(good, ' ')) AS INTEGER) AS n_words,
+       md5(CASE WHEN doc_id % 7 = 0 THEN bad ELSE good END) AS text_md5
+FROM full_t
+ORDER BY doc_id
+"""
+
+
 def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (functions.canonical_url, round 12) — the
     prerequisite of crawl-level dedup: fragment stripped, scheme/host
@@ -1631,6 +1804,16 @@ fields AS (
          regexp_extract(pathq, '\\?(.*)$', 1) AS query
   FROM hp
 ),
+qp AS (
+  -- surviving query params as ROWS; reassembled with an ordered
+  -- string_agg (same binary collation as list_sort) — no list_filter
+  -- lambda (VERDICT r12 #4)
+  SELECT doc_id, string_agg(p, '&' ORDER BY p) AS sq
+  FROM (SELECT doc_id, unnest(string_split(query, '&')) AS p FROM fields)
+  WHERE p <> '' AND NOT regexp_matches(p,
+    '^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|ref)=')
+  GROUP BY doc_id
+),
 canon AS (
   SELECT doc_id, url,
          scheme || '://' || host
@@ -1639,14 +1822,8 @@ canon AS (
                  THEN ':' || port ELSE '' END
          || CASE WHEN path0 = '' THEN '/'
                  ELSE regexp_replace(path0, '/{2,}', '/', 'g') END
-         || CASE WHEN sq <> '' THEN '?' || sq ELSE '' END AS canon
-  FROM (
-    SELECT *,
-           array_to_string(list_sort(list_filter(string_split(query, '&'),
-             p -> p <> '' AND NOT regexp_matches(p,
-               '^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|ref)='))), '&') AS sq
-    FROM fields
-  )
+         || CASE WHEN coalesce(sq, '') <> '' THEN '?' || sq ELSE '' END AS canon
+  FROM fields LEFT JOIN qp USING (doc_id)
 )
 SELECT doc_id, url, canon FROM canon ORDER BY doc_id
 """
@@ -1677,6 +1854,32 @@ ORDER BY doc_id
 
 _PQ_M, _PQ_K, _PQ_DSUB = 4, 16, 16
 
+#: integer-grid quantization of a 64-dim DOUBLE list, unrolled (no
+#: list_transform lambda — VERDICT r12 #4); exact integer values, so
+#: the restructure cannot change a result.
+_QINT64_SQL = (
+    "["
+    + ", ".join(
+        f"CAST(floor({{v}}[{i}] * 1000000) AS BIGINT)" for i in range(1, 65)
+    )
+    + "]"
+)
+
+
+def _pq_subdist(a: str, b: str, s: str) -> str:
+    """Unrolled PQ subvector squared distance Σ_{i=1.._PQ_DSUB}
+    (a[s*DSUB+i] - b[s*DSUB+i])² over BIGINT grids — exact integer
+    arithmetic, addition order immaterial."""
+    return (
+        "("
+        + " + ".join(
+            f"({a}[{s} * {_PQ_DSUB} + {i}] - {b}[{s} * {_PQ_DSUB} + {i}])"
+            f" * ({a}[{s} * {_PQ_DSUB} + {i}] - {b}[{s} * {_PQ_DSUB} + {i}])"
+            for i in range(1, _PQ_DSUB + 1)
+        )
+        + ")"
+    )
+
 
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized ADC search (llm/pq.py, Jégou 2011): 64-D
@@ -1697,12 +1900,8 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PQ_TOPK_ORACLE = f"""
-WITH e AS (
-  SELECT vec_id,
-         list_transform(embedding::DOUBLE[],
-                        x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv
-  FROM embeddings
-),
+WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (SELECT vec_id, {_QINT64_SQL.format(v='v')} AS qv FROM e0),
 cent AS (
   SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS code,
          qv
@@ -1712,9 +1911,7 @@ cent AS (
 ),
 enc_d AS (
   SELECT e.vec_id, s.s, cent.code,
-         list_sum(list_transform(range(1, {_PQ_DSUB + 1}), i ->
-            (e.qv[s.s * {_PQ_DSUB} + i] - cent.qv[s.s * {_PQ_DSUB} + i])
-          * (e.qv[s.s * {_PQ_DSUB} + i] - cent.qv[s.s * {_PQ_DSUB} + i]))) AS d
+         {_pq_subdist('e.qv', 'cent.qv', 's.s')} AS d
   FROM e, unnest(range(0, {_PQ_M})) AS s(s), cent
 ),
 enc AS (
@@ -1727,9 +1924,7 @@ enc AS (
 ),
 dist AS (
   SELECT q.vec_id AS query_id, enc.vec_id AS neighbor_id,
-         CAST(sum(list_sum(list_transform(range(1, {_PQ_DSUB + 1}), i ->
-            (q.qv[enc.s * {_PQ_DSUB} + i] - cent.qv[enc.s * {_PQ_DSUB} + i])
-          * (q.qv[enc.s * {_PQ_DSUB} + i] - cent.qv[enc.s * {_PQ_DSUB} + i]))))
+         CAST(sum({_pq_subdist('q.qv', 'cent.qv', 'enc.s')})
           AS BIGINT) AS dist
   FROM (SELECT * FROM e WHERE vec_id < 5) q
   CROSS JOIN enc
@@ -1815,17 +2010,14 @@ def q_pq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Shared oracle CTE: unit vectors + their integer grid, the coarse
 #: quantizer on raw vectors, and the corpus/probe cell assignments —
-#: the SQL replay of build_ivf_index's data plane. The norm is a
-#: list_reduce LEFT FOLD to match Spark's F.aggregate accumulation
-#: order bit-for-bit (list_sum's order is unspecified).
+#: the SQL replay of build_ivf_index's data plane. Norm/unit/dot are
+#: unrolled left-to-right chains (the engine's F.aggregate-from-0.0
+#: order bit-for-bit; list_sum's order is unspecified and lambdas are
+#: dialect-volatile — VERDICT r12 #4).
 _IVFPQ_PREFIX = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-u AS (
-  SELECT vec_id,
-         list_transform(v, x -> x / sqrt(
-           list_reduce(list_transform(v, y -> y * y), (a, b) -> a + b))) AS uv
-  FROM e
-),
+u0 AS (SELECT vec_id, v, sqrt({_NORM2_SQL.format(v='v')}) AS nrm FROM e),
+u AS (SELECT vec_id, {_UNIT_LIST_SQL.format(v='v', nrm='nrm')} AS uv FROM u0),
 cent AS (
   SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell,
          v AS cv
@@ -1833,38 +2025,31 @@ cent AS (
   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
   LIMIT {_IVF_CELLS}
 ),
-uc AS (
-  SELECT cell,
-         list_transform(cv, x -> x / sqrt(
-           list_reduce(list_transform(cv, y -> y * y), (a, b) -> a + b))) AS ucv
-  FROM cent
-),
+uc0 AS (SELECT cell, cv, sqrt({_NORM2_SQL.format(v='cv')}) AS cnrm FROM cent),
+uc AS (SELECT cell, {_UNIT_LIST_SQL.format(v='cv', nrm='cnrm')} AS ucv FROM uc0),
 ca AS (
   SELECT u.vec_id, u.uv, uc.cell,
          row_number() OVER (PARTITION BY u.vec_id
-            ORDER BY round(list_reduce(list_transform(range(1, 65),
-                       i -> u.uv[i] * uc.ucv[i]), (a, b) -> a + b), 4) DESC,
+            ORDER BY round({_DOT_SQL.format(a='u.uv', b='uc.ucv')}, 4) DESC,
                      uc.cell ASC) AS rk
   FROM u CROSS JOIN uc
 ),
 corp AS (
   SELECT vec_id AS neighbor_id, cell,
-         list_transform(uv, x -> CAST(floor(x * 1000000) AS BIGINT)) AS cq
+         {_QINT64_SQL.format(v='uv')} AS cq
   FROM ca WHERE rk = 1
 ),
 books AS (
   SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
            AS code,
-         list_transform(uv, x -> CAST(floor(x * 1000000) AS BIGINT)) AS bq
+         {_QINT64_SQL.format(v='uv')} AS bq
   FROM u
   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
   LIMIT {_PQ_K}
 ),
 enc_d AS (
   SELECT c.neighbor_id, s.s, b.code,
-         list_sum(list_transform(range(1, {_PQ_DSUB + 1}), i ->
-            (c.cq[s.s * {_PQ_DSUB} + i] - b.bq[s.s * {_PQ_DSUB} + i])
-          * (c.cq[s.s * {_PQ_DSUB} + i] - b.bq[s.s * {_PQ_DSUB} + i]))) AS d
+         {_pq_subdist('c.cq', 'b.bq', 's.s')} AS d
   FROM corp c, unnest(range(0, {_PQ_M})) AS s(s), books b
 ),
 enc AS (
@@ -1880,14 +2065,12 @@ enc AS (
 _PQ_INDEX_TOPK_ORACLE = f"""{_IVFPQ_PREFIX},
 qa AS (
   SELECT vec_id AS query_id, cell,
-         list_transform(uv, x -> CAST(floor(x * 1000000) AS BIGINT)) AS qq
+         {_QINT64_SQL.format(v='uv')} AS qq
   FROM ca WHERE rk <= {_IVF_NPROBE} AND vec_id < 5
 ),
 dist AS (
   SELECT qa.query_id, c.neighbor_id,
-         CAST(sum(list_sum(list_transform(range(1, {_PQ_DSUB + 1}), i ->
-            (qa.qq[n.s * {_PQ_DSUB} + i] - b.bq[n.s * {_PQ_DSUB} + i])
-          * (qa.qq[n.s * {_PQ_DSUB} + i] - b.bq[n.s * {_PQ_DSUB} + i]))))
+         CAST(sum({_pq_subdist('qa.qq', 'b.bq', 'n.s')})
           AS BIGINT) AS dist
   FROM qa
   JOIN corp c USING (cell)
@@ -1943,12 +2126,10 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PQ_RECALL_ORACLE = f"""
 WITH ep0 AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v,
-         list_transform(embedding::DOUBLE[],
-                        x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv
-  FROM embeddings
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ),
-ep1 AS (SELECT vec_id, v, qv, sqrt({_NORM2_SQL.format(v='v')}) AS nrm FROM ep0),
+ep1 AS (SELECT vec_id, v, {_QINT64_SQL.format(v='v')} AS qv,
+               sqrt({_NORM2_SQL.format(v='v')}) AS nrm FROM ep0),
 e AS (SELECT vec_id, v, qv, {_UNIT_LIST_SQL.format(v='v', nrm='nrm')} AS u FROM ep1),
 cent AS (
   SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS code,
@@ -1959,9 +2140,7 @@ cent AS (
 ),
 enc_d AS (
   SELECT e.vec_id, s.s, cent.code,
-         list_sum(list_transform(range(1, {_PQ_DSUB + 1}), i ->
-            (e.qv[s.s * {_PQ_DSUB} + i] - cent.qv[s.s * {_PQ_DSUB} + i])
-          * (e.qv[s.s * {_PQ_DSUB} + i] - cent.qv[s.s * {_PQ_DSUB} + i]))) AS d
+         {_pq_subdist('e.qv', 'cent.qv', 's.s')} AS d
   FROM e, unnest(range(0, {_PQ_M})) AS s(s), cent
 ),
 enc AS (
@@ -1974,9 +2153,7 @@ enc AS (
 ),
 adc_dist AS (
   SELECT q.vec_id AS query_id, enc.vec_id AS neighbor_id,
-         CAST(sum(list_sum(list_transform(range(1, {_PQ_DSUB + 1}), i ->
-            (q.qv[enc.s * {_PQ_DSUB} + i] - cent.qv[enc.s * {_PQ_DSUB} + i])
-          * (q.qv[enc.s * {_PQ_DSUB} + i] - cent.qv[enc.s * {_PQ_DSUB} + i]))))
+         CAST(sum({_pq_subdist('q.qv', 'cent.qv', 'enc.s')})
           AS BIGINT) AS dist
   FROM (SELECT * FROM e WHERE vec_id < 5) q
   CROSS JOIN enc
@@ -2888,20 +3065,29 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ltx.winnow_fingerprints(_docs(spark, sf_dir), "doc_id")
 
 
-def _poly_gram_sql(k: int = 8) -> str:
-    """The Spark polynomial k-gram hash, verbatim in DuckDB list syntax:
-    weighted sum of char codes mod 2^31-1 with the same embedded
-    weights (see llm/text._poly_weights)."""
+def _poly_gram_rows_sql(k: int = 8) -> str:
+    """The Spark polynomial k-gram hash in ROW form (no list lambdas —
+    VERDICT r12 #4): the current row carries the gram's first char
+    code, lead() pulls the k-1 following codes, same embedded weights
+    (see llm/text._poly_weights). Integer arithmetic, exact."""
     from egal_yet_another_earthquake_project_spark.llm.text import (
         POLY_M,
         _poly_weights,
     )
 
     w = _poly_weights(k)
-    terms = " + ".join(f"c[i + {t + 1}] * {w[t]}" for t in range(k))
+    terms = " + ".join(
+        ("c" if t == 0 else f"lead(c, {t}) OVER win") + f" * {w[t]}"
+        for t in range(k)
+    )
     return f"({terms}) % {POLY_M}"
 
 
+# Winnowing (k=8 char-grams, window=4) as ROWS: char codes via a
+# correlated range-unnest, gram hashes via lead() windows, window
+# minima via min() OVER a 4-row frame — short documents (≤4 grams)
+# fall back to the single whole-document minimum, exactly like the old
+# list form's CASE branch. Produces (doc, w) rows.
 _WINNOW_CTE = f"""
 base AS (
   SELECT doc,
@@ -2909,29 +3095,34 @@ base AS (
   FROM base0
 ),
 codes AS (
-  SELECT doc,
-         list_transform(string_split(nm, ''), x -> CAST(ascii(x) AS BIGINT)) AS c
-  FROM base
+  SELECT doc, i, CAST(ascii(nm[i]) AS BIGINT) AS c
+  FROM base, unnest(range(1, length(nm) + 1)) AS t(i)
 ),
 grams AS (
-  SELECT doc,
-         list_transform(range(0, len(c) - 8 + 1), i -> {_poly_gram_sql(8)}) AS h
+  SELECT doc, i, {_poly_gram_rows_sql(8)} AS h
   FROM codes
+  WINDOW win AS (PARTITION BY doc ORDER BY i)
+  QUALIFY lead(c, 7) OVER win IS NOT NULL
 ),
+gstat AS (SELECT doc, count(*) AS nh FROM grams GROUP BY doc),
 wins AS (
-  SELECT doc,
-    CASE WHEN len(h) <= 4 THEN [list_min(h)]
-         ELSE list_transform(range(0, len(h) - 4 + 1),
-                             j -> list_min(h[j+1:j+4]))
-    END AS w
-  FROM grams
+  SELECT doc, CASE WHEN nh <= 4 THEN amin ELSE wmin END AS w
+  FROM (
+    SELECT g.doc, s.nh,
+           min(h) OVER (PARTITION BY g.doc ORDER BY g.i
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+           min(h) OVER (PARTITION BY g.doc) AS amin,
+           row_number() OVER (PARTITION BY g.doc ORDER BY g.i) AS rn
+    FROM grams g JOIN gstat s USING (doc)
+  )
+  WHERE (nh <= 4 AND rn = 1) OR (nh > 4 AND rn <= nh - 3)
 )
 """
 
 _WINNOW_ORACLE = f"""
 WITH base0 AS (SELECT doc_id AS doc, {_NORM} AS norm FROM documents),
 {_WINNOW_CTE.strip()}
-SELECT doc, unnest(list_distinct(w)) AS fp FROM wins
+SELECT DISTINCT doc, w AS fp FROM wins
 """
 
 
@@ -3202,14 +3393,21 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Lloyd-iteration SQL templates shared by the kmeans and SemDeDup
 #: oracles — one source of truth for the integer-grid replay.
-_KM_ASSIGN = """
+_KM_DIST64 = (
+    "("
+    + " + ".join(
+        f"(e.qv[{i}] - c.cv[{i}]) * (e.qv[{i}] - c.cv[{i}])"
+        for i in range(1, 65)
+    )
+    + ")"
+)
+_KM_ASSIGN = f"""
   SELECT vid, qv, cid,
          row_number() OVER (PARTITION BY vid ORDER BY dist, cid) AS rn
   FROM (
     SELECT e.vid, e.qv, c.cid,
-           list_sum(list_transform(range(1, 65),
-                    i -> (e.qv[i] - c.cv[i]) * (e.qv[i] - c.cv[i]))) AS dist
-    FROM q e CROSS JOIN {ctab} c
+           {_KM_DIST64} AS dist
+    FROM q e CROSS JOIN {{ctab}} c
   )
 """
 _KM_UPDATE = """
@@ -3220,11 +3418,9 @@ _KM_UPDATE = """
 #: WITH-clause prefix replaying 2 Lloyd iterations to the final
 #: assignment m2 (and c2 centroids) over the embeddings view.
 _KM_PREFIX = f"""
-WITH q AS (
-  SELECT vec_id AS vid,
-         list_transform(embedding::DOUBLE[],
-                        v -> CAST(floor(v * 1000000) AS BIGINT)) AS qv
-  FROM embeddings
+WITH q0 AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS ev FROM embeddings),
+q AS (
+  SELECT vid, {_QINT64_SQL.format(v='ev')} AS qv FROM q0
 ),
 c0 AS (
   SELECT row_number() OVER (ORDER BY vid) - 1 AS cid, qv AS cv
@@ -3246,7 +3442,7 @@ def _kmeans_sql() -> str:
 {_KM_PREFIX}
 SELECT CAST(m.cid AS INTEGER) AS cluster,
        count(*) AS n,
-       round(sqrt(CAST(list_sum(list_transform(c.cv, x -> x * x)) AS DOUBLE))
+       round(sqrt(CAST({_NORM2_SQL.format(v='c.cv')} AS DOUBLE))
              / 1000000.0, 4) AS centroid_norm
 FROM m2 m JOIN c2 c ON m.cid = c.cid
 GROUP BY m.cid, c.cv
@@ -3281,9 +3477,9 @@ p AS (
   SELECT a.cid, a.vid
   FROM m2 a JOIN m2 b ON a.cid = b.cid AND a.vid > b.vid
   WHERE round(
-      CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
-      / (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * a.qv[i])) AS DOUBLE))
-       * sqrt(CAST(list_sum(list_transform(range(1, 65), i -> b.qv[i] * b.qv[i])) AS DOUBLE))),
+      CAST({_DOT_SQL.format(a='a.qv', b='b.qv')} AS DOUBLE)
+      / (sqrt(CAST({_NORM2_SQL.format(v='a.qv')} AS DOUBLE))
+       * sqrt(CAST({_NORM2_SQL.format(v='b.qv')} AS DOUBLE))),
       4) >= {SEMDEDUP_COS_THRESHOLD}
   GROUP BY a.cid, a.vid
 )
@@ -3683,23 +3879,22 @@ def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DSIR_GRAMS = f"""
-    list_concat(
-      {_TOKS},
-      CASE WHEN len({_TOKS}) < 2 THEN []
-           ELSE list_transform(range(0, len({_TOKS}) - 1),
-                               i -> array_to_string(({_TOKS})[i+1:i+2], ' '))
-      END)
-"""
-
+# unigrams ∪ bigrams as ROWS (no list lambdas — VERDICT r12 #4); docs
+# with <2 tokens contribute no bigram rows, like the old empty-list CASE
 _DSIR_W_CTE = f"""
 WITH rg AS (
-  SELECT doc_id AS doc, unnest({_DSIR_GRAMS}) AS gram
+  SELECT doc_id AS doc, unnest({_TOKS}) AS gram
   FROM documents WHERE source <> 'src0'
+  UNION ALL
+  SELECT doc, sh AS gram
+  FROM {_ngram_rows('documents', 2, "source <> 'src0'", fallback=False)}
 ),
 tg AS (
-  SELECT doc_id AS doc, unnest({_DSIR_GRAMS}) AS gram
+  SELECT doc_id AS doc, unnest({_TOKS}) AS gram
   FROM documents WHERE source = 'src0'
+  UNION ALL
+  SELECT doc, sh AS gram
+  FROM {_ngram_rows('documents', 2, "source = 'src0'", fallback=False)}
 ),
 rf AS (
   SELECT doc,
@@ -3864,6 +4059,8 @@ QUERIES = {
     "ivf_delete_topk": q_ivf_delete_topk,
     "html_extract": q_html_extract,
     "warc_extract": q_warc_extract,
+    "warc_gzip_extract": q_warc_gzip_extract,
+    "html_charset_extract": q_html_charset_extract,
     "url_canonical": q_url_canonical,
     "embedding_neardup": q_embedding_neardup,
     "semantic_gate": q_semantic_gate,
@@ -3931,6 +4128,8 @@ ORACLES = {
     "ivf_delete_topk": _IVF_DELETE_ORACLE,
     "html_extract": _HTML_EXTRACT_ORACLE,
     "warc_extract": _WARC_EXTRACT_ORACLE,
+    "warc_gzip_extract": _WARC_EXTRACT_ORACLE,
+    "html_charset_extract": _HTML_CHARSET_ORACLE,
     "url_canonical": _URL_CANONICAL_ORACLE,
     "embedding_neardup": _NEARDUP_ORACLE,
     "semantic_neardup": _SEMANTIC_NEARDUP_ORACLE,

@@ -365,7 +365,7 @@ def _substring_oracle() -> str:
 WITH corpus AS ({_AUG_SQL}),
 base0 AS (SELECT doc_id AS doc, {_NORM} AS norm FROM corpus),
 {_WINNOW_CTE.strip()},
-fps AS (SELECT doc, unnest(list_distinct(w)) AS fp FROM wins),
+fps AS (SELECT DISTINCT doc, w AS fp FROM wins),
 kept AS (
   SELECT doc, fp FROM (
     SELECT doc, fp, count(*) OVER (PARTITION BY fp) AS dfreq FROM fps

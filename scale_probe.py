@@ -477,6 +477,44 @@ def probes():
             id_col="url",
         )
 
+    def warc_gz_extract(spark, docs):
+        import pandas as _pd
+
+        from egal_yet_another_earthquake_project_spark.llm import html as _lh
+        from egal_yet_another_earthquake_project_spark.llm import warc as _lw
+
+        def build(pdf):
+            pdf = pdf.sort_values("doc_id")
+            pages = [
+                (
+                    f"http://example.com/doc/{int(i)}",
+                    _lh.render_test_page(int(i), t).encode("utf-8"),
+                )
+                for i, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            return _pd.DataFrame(
+                {
+                    "gid": [int(pdf["gid"].iloc[0])],
+                    "payload": [_lw.encode_warc_gz(pages)],
+                }
+            )
+
+        warcs = (
+            docs.select(
+                "doc_id", "text", F.floor(F.col("doc_id") / 10).alias("gid")
+            )
+            .groupBy("gid")
+            .applyInPandas(build, "gid long, payload binary")
+        )
+        pages = _lw.extract_warc_pages(warcs)
+        return _lh.extract_text_from_html(
+            pages.select(
+                F.col("target_uri").alias("url"), "content_type", "html"
+            ),
+            id_col="url",
+            content_type_col="content_type",
+        )
+
     def interval_join(spark, ev):
         from egal_yet_another_earthquake_project_spark.operators.joins import (
             interval_overlap_join,
@@ -604,6 +642,10 @@ def probes():
         # the strict container walk per file — both must stay row-linear
         ("HTML text extraction (render+strip)", _documents, html_extract, ROW_RATIO),
         ("WARC->HTML->text front end", _documents, warc_extract, ROW_RATIO),
+        # round-13: per-record-gzip framing + charset-threaded extraction
+        # — the gzip members add CPU per byte but no new shuffle; must
+        # stay row-linear like the plain lane
+        ("WARC.gz (per-record gzip) front end", _documents, warc_gz_extract, ROW_RATIO),
     ]
 
 

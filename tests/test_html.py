@@ -41,9 +41,48 @@ def test_parse_recovers_on_malformed_markup():
 
 
 def test_parse_flags_undecodable_bytes():
-    r = parse_html(b"\xff\xfe<p>x</p>")
-    assert r["ok"] is False
+    # \x80\x81 are bare continuation bytes — invalid UTF-8, no BOM
+    r = parse_html(b"\x80\x81<p>x</p>")
+    assert r["ok"] is False and r["reason"] == "undeclared-not-utf8"
     assert r["n_paragraphs"] == 1  # latin-1 fallback still parses
+
+
+def test_parse_honors_declared_charsets_with_fallback_accounting():
+    """VERDICT r12 #5: <meta charset> and HTTP Content-Type charsets
+    are honored (BOM > HTTP > meta precedence); any departure from the
+    declared/default decode path flags ok=False with a named reason."""
+    turkish = "a\u011fr\u0131 da\u011f\u0131"  # ağrı dağı
+    meta_page = (
+        '<html><head><meta charset="iso-8859-9"></head><body><p>'
+        + turkish
+        + "</p></body></html>"
+    ).encode("iso-8859-9")
+    r = parse_html(meta_page)
+    assert r["ok"] and r["reason"] == "" and r["text"] == turkish
+
+    # HTTP header beats meta (WHATWG precedence below the BOM)
+    lying_meta = (
+        '<html><meta charset="utf-8"><p>' + turkish + "</p></html>"
+    ).encode("iso-8859-9")
+    r = parse_html(lying_meta, content_type="text/html; charset=iso-8859-9")
+    assert r["ok"] and r["text"] == turkish
+
+    # a BOM beats everything (utf-8-sig prepends the BOM itself)
+    bom_page = ("<p>" + turkish + "</p>").encode("utf-8-sig")
+    r = parse_html(bom_page, content_type="text/html; charset=iso-8859-9")
+    assert r["ok"] and r["text"] == turkish
+
+    # lying declaration: meta says utf-8, bytes are not — fallback
+    # accounted, row still produced
+    r = parse_html(lying_meta)
+    assert r["ok"] is False
+    assert r["reason"] == "charset-decode-failed:utf-8"
+
+    # unknown codec name: accounted, utf-8 attempt still lands
+    r = parse_html(b'<meta charset="bogus-enc"><p>hi</p>')
+    assert r["ok"] is False
+    assert r["reason"] == "unknown-charset:bogus-enc"
+    assert "hi" in r["text"]
 
 
 def test_script_cdata_semantics_match_browsers():

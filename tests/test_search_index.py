@@ -334,3 +334,56 @@ def test_segmented_search_prunes_buckets_statically_per_segment(
     )
     filters = re.findall(r"PartitionFilters: \[[^\]]*_tb[^\]]*IN[^\]]*\]", plan)
     assert len(filters) == 2, plan[:2000]  # one per segment, both pruned
+
+
+def test_full_rebuild_carries_streaming_replay_memo(spark, tmp_path):
+    """ADVICE r12 (low): a full build_bm25_index over a live index used
+    to discard the manifest's last_applied memo, so a streaming
+    checkpoint replaying its last batch across the rebuild would
+    re-commit the segment and double-count df. The rebuild now carries
+    the memo in a one-entry manifest: the replay stays a no-op and
+    scores are unchanged."""
+    from egal_yet_another_earthquake_project_spark.llm.ann_index import (
+        resolve_index_dir,
+    )
+    from egal_yet_another_earthquake_project_spark.llm.search import (
+        bm25_scores_per_query,
+    )
+    from egal_yet_another_earthquake_project_spark.llm.search_index import (
+        build_bm25_index,
+        search_bm25_index,
+        update_bm25_index,
+    )
+    from egal_yet_another_earthquake_project_spark.sources.files import (
+        read_table,
+    )
+    from egal_yet_another_earthquake_project_spark.workloads_llm import (
+        HYBRID_QUERY_TEXTS,
+    )
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    base = docs.filter("doc_id % 2 = 0")
+    d1 = docs.filter("doc_id % 2 = 1")
+    idx = str(tmp_path / "bm25")
+    build_bm25_index(base, idx, n_buckets=16)
+    update_bm25_index(d1, idx, segment_name="b=0")
+
+    # full rebuild over the whole corpus while the checkpoint is live
+    build_bm25_index(docs, idx, n_buckets=16)
+    cur = int(resolve_index_dir(idx).rsplit("v=", 1)[1])
+
+    # the replayed last batch must be a no-op, not a double-commit
+    assert update_bm25_index(d1, idx, segment_name="b=0") == cur
+
+    queries = spark.createDataFrame(
+        list(HYBRID_QUERY_TEXTS), "query_id long, qtext string"
+    )
+
+    def key(rows):
+        return {(r.query_id, r.doc_id): (r.score, r.n_terms) for r in rows}
+
+    assert key(search_bm25_index(spark, idx, queries).collect()) == key(
+        bm25_scores_per_query(docs, queries).collect()
+    )

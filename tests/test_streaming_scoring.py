@@ -685,3 +685,163 @@ def test_ivf_update_stream_appends_exactly_once_and_rebuild_folds(
         spark.read.parquet(f"{root2}/cells").count()
     )
     assert n_after == base.count() + d1.count() + d2.count()  # no dup rows
+
+
+def test_index_sink_name_collision_raises_not_drops(spark, tmp_path: Path):
+    """ADVICE r12 (medium): micro-batch ids restart at 0 for a new
+    streaming query or a reset checkpoint, so a SECOND stream pointed at
+    the same index used to silently drop its early batches (same segment
+    name, different content -> treated as a replay no-op). Both
+    maintenance paths now record the applied batch's row count and raise
+    on a same-name different-content collision; a true replay (same
+    content) stays a no-op; app_id namespacing avoids the collision
+    entirely."""
+    import pytest as _pytest
+
+    from egal_yet_another_earthquake_project_spark.llm import ann_index as ai
+    from egal_yet_another_earthquake_project_spark.llm.ann_index import (
+        staged_append_ivf_index,
+    )
+    from egal_yet_another_earthquake_project_spark.llm.search_index import (
+        _segment_paths,
+        build_bm25_index,
+        update_bm25_index,
+    )
+
+    docs = read_table(spark, SF, "documents").select("doc_id", "text")
+    base = docs.filter("doc_id % 3 = 0")
+    d1 = docs.filter("doc_id % 3 = 1")
+    d2 = docs.filter("doc_id % 3 = 2")  # different row count than d1
+
+    # --- BM25 ---
+    idx = str(tmp_path / "bm25")
+    build_bm25_index(base, idx, n_buckets=16)
+    update_bm25_index(d1, idx, segment_name="b=0")
+    # true replay: same batch, same name -> no-op, no raise
+    v = update_bm25_index(d1, idx, segment_name="b=0")
+    assert v == int(ai.resolve_index_dir(idx).rsplit("v=", 1)[1])
+    # collision: different batch, same name -> raise (was: silent drop)
+    with _pytest.raises(ValueError, match="app_id"):
+        update_bm25_index(d2, idx, segment_name="b=0")
+    # the namespaced name commits fine
+    update_bm25_index(d2, idx, segment_name="b=q2-0")
+    segs = _segment_paths(spark, idx, ai.resolve_index_dir(idx))
+    assert "segments/b=q2-0" in segs
+
+    # --- IVF ---
+    emb = read_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    ebase = emb.filter("vec_id % 3 = 0")
+    e1 = emb.filter("vec_id % 3 = 1")
+    e2 = emb.filter("vec_id % 3 = 2")
+    vidx = str(tmp_path / "ivf")
+    ai.build_ivf_index(ebase, vidx, num_cells=8)
+    assert staged_append_ivf_index(spark, vidx, e1, batch_name="b=0") is True
+    # true replay -> no-op
+    assert staged_append_ivf_index(spark, vidx, e1, batch_name="b=0") is False
+    # collision -> raise
+    with _pytest.raises(ValueError, match="app_id"):
+        staged_append_ivf_index(spark, vidx, e2, batch_name="b=0")
+    # namespaced name lands
+    assert staged_append_ivf_index(spark, vidx, e2, batch_name="b=q2-0") is True
+
+    # the guard survives a rebuild folding the appends away: the memo
+    # now records row counts, so a post-fold same-name different-content
+    # replay still raises (round 13 — the folded path was name-only)
+    assert ai.maybe_rebuild_ivf_index(spark, vidx, threshold=0.0)["rebuilt"]
+    assert staged_append_ivf_index(spark, vidx, e1, batch_name="b=0") is False
+    with _pytest.raises(ValueError, match="app_id"):
+        staged_append_ivf_index(spark, vidx, e2, batch_name="b=0")
+
+
+def test_index_health_rows_per_commit_drained_equals_batch(
+    spark, tmp_path: Path
+):
+    """VERDICT r12 #6: the maintenance sinks land index-health rows per
+    commit; the FINAL batch's rows (wall-clock age excluded) must equal
+    a direct batch computation over the drained index, and the
+    documented thresholds trip: segment accretion past max_segments
+    flips n_segments to ok=false; a delete-heavy index flips
+    tombstone_fraction."""
+    from egal_yet_another_earthquake_project_spark.llm.index_health import (
+        bm25_index_health,
+        ivf_index_health,
+    )
+    from egal_yet_another_earthquake_project_spark.llm.search_index import (
+        build_bm25_index,
+        delete_from_bm25_index,
+        update_bm25_index,
+    )
+    from egal_yet_another_earthquake_project_spark.llm import ann_index as ai
+    from egal_yet_another_earthquake_project_spark.streaming.scoring import (
+        bm25_update_sink,
+    )
+
+    docs = read_table(spark, SF, "documents").select("doc_id", "text")
+    base = docs.filter("doc_id % 3 = 0")
+    d1 = docs.filter("doc_id % 3 = 1")
+    d2 = docs.filter("doc_id % 3 = 2")
+    idx = str(tmp_path / "bm25")
+    build_bm25_index(base, idx, n_buckets=16)
+
+    src = tmp_path / "docs_in"
+    d1.coalesce(1).write.parquet(str(src / "b1"))
+    d2.coalesce(1).write.parquet(str(src / "b2"))
+    stream = stream_parquet_dir(
+        spark, str(src) + "/*", docs.schema, max_files_per_trigger=1
+    )
+    health = str(tmp_path / "health")
+    q = (
+        bm25_update_sink(stream, idx, health_dir=health)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def rows(df):
+        return {
+            r.metric: (r.value, r.threshold, r.ok)
+            for r in df.collect()
+            if r.metric != "version_age_sec"
+        }
+
+    landed = spark.read.parquet(health)
+    last = landed.filter(
+        F.col("_batch_id")
+        == landed.agg(F.max("_batch_id")).collect()[0][0]
+    )
+    direct = bm25_index_health(spark, idx)
+    assert rows(last) == rows(direct)
+    got = rows(direct)
+    # base + 2 streamed segments, all healthy at default thresholds
+    assert got["n_segments"] == (3.0, 8.0, True)
+    assert got["tombstone_fraction"][2] is True
+
+    # threshold trips: accrete past max_segments=2 -> ok=false
+    tight = rows(bm25_index_health(spark, idx, max_segments=2))
+    assert tight["n_segments"] == (3.0, 2.0, False)
+
+    # delete a third of the corpus -> tombstone fraction ~0.5 of the
+    # LIVE segment mass trips the 0.2 default
+    delete_from_bm25_index(d1, idx)
+    after = rows(bm25_index_health(spark, idx))
+    assert after["tombstone_fraction"][2] is False
+    assert after["n_delete_sidecars"][0] == 1.0
+
+    # IVF twin: appends count as segments, tombstones as fraction
+    emb = read_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    vidx = str(tmp_path / "ivf")
+    ai.build_ivf_index(emb.filter("vec_id % 2 = 0"), vidx, num_cells=8)
+    ai.staged_append_ivf_index(
+        spark, vidx, emb.filter("vec_id % 2 = 1"), batch_name="b=0"
+    )
+    h = rows(ivf_index_health(spark, vidx))
+    assert h["n_segments"] == (1.0, 8.0, True)
+    assert h["tombstone_fraction"][0] == 0.0
+    ai.delete_from_ivf_index(
+        spark, vidx, emb.filter("vec_id % 2 = 0").select("vec_id")
+    )
+    h2 = rows(ivf_index_health(spark, vidx))
+    assert h2["tombstone_fraction"][2] is False  # half the rows dead
