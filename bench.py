@@ -251,6 +251,9 @@ HEADLINE = [
     # extraction twin
     "warc_gzip_extract",
     "html_charset_extract",
+    # round-13: RFC 9309 robots.txt admission gate (broadcast rule join,
+    # URL side never shuffles)
+    "robots_gate",
     # round-12: URL canonicalization — pure codegen expressions, the
     # crawl-dedup key derivation
     "url_canonical",

@@ -1719,6 +1719,93 @@ ORDER BY doc_id
 """
 
 
+#: robots_gate fixtures: four domains with fixed rule sets exercising
+#: prefix rules, Allow-overrides-Disallow, agent-group shadowing,
+#: wildcard + $ anchor, and the empty file; six path shapes per domain.
+_ROBOTS_FIXTURES = {
+    0: "User-agent: *\nDisallow: /private/\nAllow: /private/ok/\n",
+    1: (
+        "User-agent: egalbot\nDisallow: /*.pdf$\n\n"
+        "User-agent: *\nDisallow: /\n"
+    ),
+    2: "User-agent: *\nDisallow: /a*/b\n",
+    3: "",
+}
+_ROBOTS_PATHS = (
+    "/public/x", "/private/x", "/private/ok/x", "/doc.pdf", "/a1/b", "/a1/c"
+)
+#: hand-derived RFC 9309 decisions for agent "egalbot" — (domain,
+#: path-variant) → allowed. d1's egalbot group SHADOWS its Disallow-/
+#: star group entirely, so only *.pdf$ is denied there.
+_ROBOTS_TRUTH = {
+    (0, 0): True, (0, 1): False, (0, 2): True,
+    (0, 3): True, (0, 4): True, (0, 5): True,
+    (1, 0): True, (1, 1): True, (1, 2): True,
+    (1, 3): False, (1, 4): True, (1, 5): True,
+    (2, 0): True, (2, 1): True, (2, 2): True,
+    (2, 3): True, (2, 4): False, (2, 5): True,
+    (3, 0): True, (3, 1): True, (3, 2): True,
+    (3, 3): True, (3, 4): True, (3, 5): True,
+}
+
+
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt admission gate (llm/robots.py, round 13) — the crawl
+    front end's politeness rule, END TO END: four fixed robots.txt
+    payloads (prefix rules, Allow-overrides-Disallow, agent-specific
+    group shadowing, ``*`` wildcard + ``$`` anchor, empty file) parsed
+    into the agent's selected rule groups, and every document's
+    deterministic URL decided by the RFC 9309 precedence (longest
+    pattern, Allow wins ties, default allow). The oracle NEVER
+    re-implements the parser — it is the hand-derived truth table over
+    the (domain, path-shape) grid, so a hash mismatch means the engine
+    misread the spec. Rule frame is rules-per-domain tiny (broadcast);
+    the URL side never shuffles before the per-row decision."""
+    from egal_yet_another_earthquake_project_spark.llm import robots as lrob
+
+    robots = spark.createDataFrame(
+        [(f"d{k}.example.com", v) for k, v in _ROBOTS_FIXTURES.items()],
+        "domain string, robots_txt string",
+    )
+    rules = lrob.robots_rules(robots, agent="egalbot")
+    d = _docs(spark, sf_dir).select("doc_id")
+    dom = F.concat(
+        F.lit("d"), (F.col("doc_id") % 4).cast("string"),
+        F.lit(".example.com"),
+    )
+    path_arr = F.array(*[F.lit(p) for p in _ROBOTS_PATHS])
+    path = F.element_at(
+        path_arr, ((F.col("doc_id") / 4).cast("long") % 6 + 1).cast("int")
+    )
+    urls = d.select(
+        "doc_id", F.concat(F.lit("https://"), dom, path).alias("url")
+    )
+    return (
+        lrob.robots_allowed(urls, rules)
+        .select("doc_id", "url", "allowed")
+        .orderBy("doc_id")
+    )
+
+
+_ROBOTS_GATE_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(doc_id % 4 AS INTEGER) AS dom,
+         CAST((doc_id // 4) % 6 AS INTEGER) AS pv
+  FROM documents
+),
+paths(pv, p) AS (VALUES {", ".join(f"({i}, '{p}')" for i, p in enumerate(_ROBOTS_PATHS))}),
+truth(dom, pv, allowed) AS (VALUES {", ".join(f"({k[0]}, {k[1]}, {str(v).upper()})" for k, v in sorted(_ROBOTS_TRUTH.items()))})
+SELECT d.doc_id,
+       'https://d' || CAST(d.dom AS VARCHAR) || '.example.com' || paths.p AS url,
+       truth.allowed
+FROM d
+JOIN paths USING (pv)
+JOIN truth ON truth.dom = d.dom AND truth.pv = d.pv
+ORDER BY doc_id
+"""
+
+
 def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (functions.canonical_url, round 12) — the
     prerequisite of crawl-level dedup: fragment stripped, scheme/host
@@ -4061,6 +4148,7 @@ QUERIES = {
     "warc_extract": q_warc_extract,
     "warc_gzip_extract": q_warc_gzip_extract,
     "html_charset_extract": q_html_charset_extract,
+    "robots_gate": q_robots_gate,
     "url_canonical": q_url_canonical,
     "embedding_neardup": q_embedding_neardup,
     "semantic_gate": q_semantic_gate,
@@ -4130,6 +4218,7 @@ ORACLES = {
     "warc_extract": _WARC_EXTRACT_ORACLE,
     "warc_gzip_extract": _WARC_EXTRACT_ORACLE,
     "html_charset_extract": _HTML_CHARSET_ORACLE,
+    "robots_gate": _ROBOTS_GATE_ORACLE,
     "url_canonical": _URL_CANONICAL_ORACLE,
     "embedding_neardup": _NEARDUP_ORACLE,
     "semantic_neardup": _SEMANTIC_NEARDUP_ORACLE,

@@ -596,3 +596,18 @@ def test_bench_materializer_preserves_count_eliminated_subtrees(spark):
     assert counted["window"] < full["window"]
     # the fix: the timed form carries them all
     assert all(forced[k] >= full[k] for k in full), (forced, full)
+
+
+def test_bm25_score_sum_is_partial_aggregated(spark):
+    """Round 13: quantized_score_sum replaced the collect_list +
+    ordered-fold accumulation with an integer-grid long SUM — the plan
+    property that matters at 100 TB is that the per-(query, doc) score
+    aggregation now PARTIALLY aggregates map-side (partial_sum of the
+    floored grid) before its exchange, where collect_list forced every
+    (doc, term) contribution row through the shuffle un-combined. Also
+    assert the buffer-heavy ObjectHashAggregate (the collect_list
+    executor) is gone from the whole query."""
+    plan = inspect.formatted_plan(_q(spark, "bm25_per_query"))
+    assert "partial_sum(FLOOR(" in plan, plan[:2000]
+    assert "collect_list" not in plan
+    assert "ObjectHashAggregate" not in plan
