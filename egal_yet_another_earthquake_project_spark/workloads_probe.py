@@ -10,7 +10,11 @@ These two constant-input queries close that gap:
   dialect construct the registry's oracles historically depended on
   (``->`` lambdas, ``list_reduce``/``list_transform``, ``list_sort``
   over ``ROW(...)`` structs, positional ``s[2]`` indexing, ``range()``,
-  ``round`` on knife-edge doubles, float association), emitting a
+  ``round`` on knife-edge doubles, float association) — plus, since the
+  round-13 de-exoticization, the constructs the ROW-FORM oracles lean
+  on instead: INCLUSIVE list slicing ``l[a:b]``, correlated lateral
+  ``unnest(range(...))``, ``string_agg(... ORDER BY)``, windowed
+  ``min`` frames, variadic ``greatest`` — emitting a
   known-constant value. The Spark side returns the SAME constants as
   plain literals. Every output column is DOUBLE or BIGINT — no
   rendering-volatile type — so the row only flips if a construct's
@@ -51,6 +55,16 @@ def q_oracle_dialect_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1.000001).alias("round_knife_b"),
         F.lit(3.0).alias("round_half_up"),
         F.lit(0.30000000000000004).alias("fp_assoc"),
+        # round-13: the constructs the de-exoticized (row-form) oracles
+        # now lean on — inclusive list slicing, correlated lateral
+        # range-unnest, ordered string_agg, windowed min frames,
+        # variadic greatest
+        F.lit(2).cast("long").alias("slice_incl_len"),
+        F.lit("abc").alias("slice_incl_text"),
+        F.lit(4).cast("long").alias("corr_range_rows"),
+        F.lit("a-b-c").alias("agg_order"),
+        F.lit(10.0).alias("win_min_sum"),
+        F.lit(2.5).alias("greatest_val"),
     )
 
 
@@ -69,7 +83,20 @@ SELECT
   round(-0.5E0, 0) AS round_neg_half,
   round(1.0000005E0, 6) AS round_knife_b,
   round(2.5E0, 0) AS round_half_up,
-  0.1E0 + 0.2E0 AS fp_assoc
+  0.1E0 + 0.2E0 AS fp_assoc,
+  CAST(len((['a','b','c','d'])[2:3]) AS BIGINT) AS slice_incl_len,
+  array_to_string((['a','b','c','d'])[1:3], '') AS slice_incl_text,
+  (SELECT CAST(count(*) AS BIGINT)
+   FROM (VALUES (3), (1)) t(n), unnest(range(1, n + 1)) r(i))
+    AS corr_range_rows,
+  (SELECT string_agg(x, '-' ORDER BY x)
+   FROM (VALUES ('b'), ('c'), ('a')) t(x)) AS agg_order,
+  (SELECT sum(m) FROM (
+     SELECT min(v) OVER (ORDER BY i
+                         ROWS BETWEEN CURRENT ROW AND 1 FOLLOWING) AS m
+     FROM (VALUES (1, 5.0E0), (2, 3.0E0), (3, 4.0E0)) t(i, v)) s)
+    AS win_min_sum,
+  greatest(1.5E0, 2.5E0, 0.5E0) AS greatest_val
 FROM nums
 """
 
