@@ -387,3 +387,81 @@ def test_full_rebuild_carries_streaming_replay_memo(spark, tmp_path):
     assert key(search_bm25_index(spark, idx, queries).collect()) == key(
         bm25_scores_per_query(docs, queries).collect()
     )
+
+
+def test_compaction_crash_before_cutover_loses_nothing(spark, tmp_path):
+    """Crash discipline across the compaction boundary (VERDICT r12
+    #7): a compaction that stages its merged segment + manifest but
+    dies BEFORE the CURRENT flip must leave every reader on the old
+    complete version with identical scores, and a retry must complete
+    normally with no segment loss and no double counting."""
+    from egal_yet_another_earthquake_project_spark.llm import (
+        search_index as si,
+    )
+    from egal_yet_another_earthquake_project_spark.llm.ann_index import (
+        resolve_index_dir,
+    )
+    from egal_yet_another_earthquake_project_spark.llm.search import (
+        bm25_scores_per_query,
+    )
+    from egal_yet_another_earthquake_project_spark.sources.files import (
+        read_table,
+    )
+    from egal_yet_another_earthquake_project_spark.workloads_llm import (
+        HYBRID_QUERY_TEXTS,
+    )
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    base = docs.filter("doc_id % 3 = 0")
+    d1 = docs.filter("doc_id % 3 = 1")
+    d2 = docs.filter("doc_id % 3 = 2")
+    idx = str(tmp_path / "bm25")
+    si.build_bm25_index(base, idx, n_buckets=16)
+    si.update_bm25_index(d1, idx, segment_name="b=0")
+    si.update_bm25_index(d2, idx, segment_name="b=1")
+
+    queries = spark.createDataFrame(
+        list(HYBRID_QUERY_TEXTS), "query_id long, qtext string"
+    )
+
+    def key(rows):
+        return {(r.query_id, r.doc_id): (r.score, r.n_terms) for r in rows}
+
+    want = key(bm25_scores_per_query(docs, queries).collect())
+    assert key(si.search_bm25_index(spark, idx, queries).collect()) == want
+    before_version = resolve_index_dir(idx)
+
+    # crash the pointer flip mid-compaction
+    real_set = si._set_current
+    calls = {"n": 0}
+
+    def crashing_set(index_dir, version):
+        calls["n"] += 1
+        raise RuntimeError("simulated crash before cutover")
+
+    si._set_current = crashing_set
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="simulated crash"):
+            si.compact_bm25_index(spark, idx)
+    finally:
+        si._set_current = real_set
+    assert calls["n"] == 1
+
+    # readers still resolve the OLD complete version, scores unchanged
+    assert resolve_index_dir(idx) == before_version
+    assert key(si.search_bm25_index(spark, idx, queries).collect()) == want
+
+    # retry completes; one merged segment, scores still exact, and the
+    # streaming replay memo survived the crash + retry
+    res = si.compact_bm25_index(spark, idx)
+    assert res["compacted"] is True
+    segs = si._segment_paths(spark, idx, resolve_index_dir(idx))
+    assert len(segs) == 1
+    assert key(si.search_bm25_index(spark, idx, queries).collect()) == want
+    assert si.update_bm25_index(d2, idx, segment_name="b=1") == int(
+        resolve_index_dir(idx).rsplit("v=", 1)[1]
+    )
