@@ -336,16 +336,11 @@ def search_ivf_index(
                 "uq", lambda v: F.floor(v * QUANT_SCALE).cast("long")
             ).alias("qv"),
         )
+        # One parsed expression per subspace LUT instead of m × k' ×
+        # dsub F.lit py4j round trips (1024 here) — same Catalyst tree,
+        # same exact int64 arithmetic (see pq._dists_expr).
         luts = [
-            F.array(
-                *[
-                    lpq._l2(
-                        lpq._subvec(F.col("qv"), s, dsub),
-                        F.array(*[F.lit(int(x)) for x in cv]),
-                    )
-                    for cv in books[s]
-                ]
-            ).alias(f"_lut{s}")
+            lpq._dists_expr("qv", s, dsub, books[s]).alias(f"_lut{s}")
             for s in range(m)
         ]
         qside = qq.select("query_id", "cell", *luts)

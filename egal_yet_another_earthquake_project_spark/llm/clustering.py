@@ -51,24 +51,40 @@ def _assign(q: DataFrame, centroids: list[tuple[int, list[int]]]) -> DataFrame:
     """Add the argmin-centroid ``cluster`` column: k in-row distance
     expressions against literal centroids, first-minimum (lowest cid)
     tie-break. No join, no shuffle."""
-    dists = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    F.col("qv"),
-                    F.array(*[F.lit(c) for c in vec]),
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, d: acc + d,
-            )
-            for _, vec in centroids
-        ]
+    # The distance array is ONE parsed expression: the Column-builder
+    # form pays k × dim F.lit py4j round trips per assignment pass
+    # (8 × 64 = 512 here, rebuilt per Lloyd iteration), the parsed
+    # string is one round trip with the identical Catalyst tree —
+    # bigint literals, same zip_with/aggregate fold, same exact int64
+    # arithmetic.
+    per_cent = [
+        (
+            f"aggregate(zip_with(qv, array({', '.join(f'{int(c)}L' for c in vec)}), "
+            f"(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, d) -> acc + d)"
+        )
+        for _, vec in centroids
+    ]
+    dists = F.expr("array(" + ", ".join(per_cent) + ")")
+    cids = F.expr(
+        "array(" + ", ".join(str(int(cid)) for cid, _ in centroids) + ")"
     )
-    cids = F.array(*[F.lit(cid) for cid, _ in centroids])
-    return q.withColumn(
-        "cluster",
-        F.element_at(cids, F.array_position(dists, F.array_min(dists)).cast("int")),
+    # Stage the distance array in its own projection: referencing the
+    # raw `dists` tree in both array_position and array_min would
+    # evaluate every centroid L2 twice per row (CollapseProject refuses
+    # to merge across a non-cheap alias used twice, so `_dists` is
+    # computed once and the argmin reads the attribute).
+    return (
+        q.withColumn("_dists", dists)
+        .withColumn(
+            "cluster",
+            F.element_at(
+                cids,
+                F.array_position(
+                    F.col("_dists"), F.array_min(F.col("_dists"))
+                ).cast("int"),
+            ),
+        )
+        .drop("_dists")
     )
 
 

@@ -224,20 +224,6 @@ def doc_shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> D
     return exploded_shingles(df, id_col, text_col, n).distinct()
 
 
-def _df_capped(index: DataFrame, sh_col: str, max_doc_freq: int) -> DataFrame:
-    """Drop shingles appearing in more than ``max_doc_freq`` docs from an
-    inverted index. A shingle in d docs contributes d·(d−1)/2 join rows —
-    a single boilerplate shingle across a 10⁹-doc corpus is an O(10¹⁸)
-    hot key no AQE split survives — while contributing ~zero
-    discrimination (it's in everything). The df aggregate shuffles on the
-    same key as the pair join that follows, so the cap costs one extra
-    pass over the (already exploded) index."""
-    dfreq = index.groupBy(sh_col).agg(F.count("*").alias("_df"))
-    return index.join(
-        dfreq.filter(F.col("_df") <= max_doc_freq).select(sh_col), sh_col
-    )
-
-
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -254,30 +240,57 @@ def jaccard_pairs(
 
     ``max_doc_freq`` is the stop-shingle guard for extreme corpora: hot
     shingles (boilerplate headers, license blurbs) are dropped from the
-    self-join via :func:`_df_capped` BEFORE pairs form. Set sizes stay
+    pair index by a doc-frequency window BEFORE pairs form. Set sizes stay
     uncapped, so output is IDENTICAL whenever no shingle exceeds the cap;
     pairs whose overlap rode on dropped boilerplate score lower — by
     design, ubiquity is not similarity. AQE skew-join covers moderate
     skew without the cap.
     """
+    from pyspark.sql.window import Window
+
+    # SINGLE evaluation of the shingle pipeline: the old shape (self-
+    # join a×b on sh + a separate per-doc size aggregate + two size
+    # joins) evaluated the tokenize→shingle→explode→distinct subtree
+    # THREE times and paid shuffles for the self-join and both size
+    # joins. Instead: attach each doc's (uncapped) set size with one
+    # window, group docs per shingle (reusing the window's partitioning
+    # where keys line up — guide §2.4), and generate the a<b pairs
+    # in-row with their sizes riding along, so no size join is ever
+    # needed. Per-shingle doc lists are bounded by ``max_doc_freq``
+    # when set (the filter runs BEFORE the group, via a window count on
+    # sh — pair index capped, set
+    # sizes uncapped). Row multiset of (sh, a<b pairs) is identical to
+    # the join's, so common/sz_a/sz_b — and jaccard — are unchanged.
     pairs = doc_shingle_sets(df, id_col, text_col, n)
-    sizes = pairs.groupBy("doc").agg(F.count("*").alias("sz"))
-    joinable = (
-        _df_capped(pairs, "sh", max_doc_freq) if max_doc_freq is not None else pairs
+    sized = pairs.withColumn("_sz", F.count("*").over(Window.partitionBy("doc")))
+    if max_doc_freq is not None:
+        sized = (
+            sized.withColumn(
+                "_dfreq", F.count("*").over(Window.partitionBy("sh"))
+            )
+            .filter(F.col("_dfreq") <= max_doc_freq)
+            .drop("_dfreq")
+        )
+    grouped = sized.groupBy("sh").agg(
+        F.array_sort(F.collect_list(F.struct("doc", "_sz"))).alias("_ds")
     )
-    a = joinable.alias("a")
-    b = joinable.alias("b")
-    common = (
-        a.join(b, on="sh")
-        .filter(F.col("a.doc") < F.col("b.doc"))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count("*").alias("common"))
-    )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
-    out = (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
+    p = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(_ds, (x, i) -> "
+                "transform(slice(_ds, i + 2, size(_ds)), "
+                "y -> struct(x.doc AS doc_a, x._sz AS sz_a, "
+                "y.doc AS doc_b, y._sz AS sz_b))))"
+            )
+        ).alias("_p")
+    ).select("_p.*")
+    return (
+        p.groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").alias("common"),
+            F.first("sz_a").alias("sz_a"),
+            F.first("sz_b").alias("sz_b"),
+        )
         .withColumn(
             "jaccard",
             F.round(
@@ -289,7 +302,6 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
-    return out
 
 
 def containment_pairs(
@@ -312,28 +324,69 @@ def containment_pairs(
     with BOTH directions emitted independently when both clear the
     threshold; ``doc_a ≠ doc_b``.
     """
+    from pyspark.sql.window import Window
+
+    # Same single-evaluation rewrite as :func:`jaccard_pairs` (see the
+    # comment there): one pass over the shingle pipeline, sizes ride
+    # the pair rows, no self-join and no size join. The unordered a<b
+    # pair aggregate is computed once and then exploded into BOTH
+    # ordered directions — (a→b, sz_a) and (b→a, sz_b) — which is
+    # exactly the row set the old ``a.doc != b.doc`` join emitted,
+    # while shuffling half the pair rows.
     pairs = doc_shingle_sets(df, id_col, text_col, n)
-    sizes = pairs.groupBy("doc").agg(F.count("*").alias("sz"))
-    joinable = (
-        _df_capped(pairs, "sh", max_doc_freq) if max_doc_freq is not None else pairs
+    sized = pairs.withColumn("_sz", F.count("*").over(Window.partitionBy("doc")))
+    if max_doc_freq is not None:
+        sized = (
+            sized.withColumn(
+                "_dfreq", F.count("*").over(Window.partitionBy("sh"))
+            )
+            .filter(F.col("_dfreq") <= max_doc_freq)
+            .drop("_dfreq")
+        )
+    grouped = sized.groupBy("sh").agg(
+        F.array_sort(F.collect_list(F.struct("doc", "_sz"))).alias("_ds")
     )
-    a = joinable.alias("a")
-    b = joinable.alias("b")
-    common = (
-        a.join(b, on="sh")
-        .filter(F.col("a.doc") != F.col("b.doc"))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count("*").alias("common"))
+    p = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(_ds, (x, i) -> "
+                "transform(slice(_ds, i + 2, size(_ds)), "
+                "y -> struct(x.doc AS doc_a, x._sz AS sz_a, "
+                "y.doc AS doc_b, y._sz AS sz_b))))"
+            )
+        ).alias("_p")
+    ).select("_p.*")
+    unordered = p.groupBy("doc_a", "doc_b").agg(
+        F.count("*").alias("common"),
+        F.first("sz_a").alias("sz_a"),
+        F.first("sz_b").alias("sz_b"),
     )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
+    directed = unordered.select(
+        "common",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("da"),
+                    F.col("doc_b").alias("db"),
+                    F.col("sz_a").alias("sz"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("da"),
+                    F.col("doc_a").alias("db"),
+                    F.col("sz_b").alias("sz"),
+                ),
+            )
+        ).alias("_d"),
+    )
     return (
-        common.join(sa, "doc_a")
-        .withColumn(
-            "containment",
-            F.round(F.col("common") / F.col("sz_a").cast("double"), 4),
+        directed.select(
+            F.col("_d.da").alias("doc_a"),
+            F.col("_d.db").alias("doc_b"),
+            F.round(F.col("common") / F.col("_d.sz").cast("double"), 4).alias(
+                "containment"
+            ),
         )
         .filter(F.col("containment") >= threshold)
-        .select("doc_a", "doc_b", "containment")
     )
 
 
@@ -373,12 +426,33 @@ def substring_dup_pairs(
             .filter(F.col("_df") <= max_doc_freq)
             .drop("_df")
         )
-    a = fps.select(F.col("doc").alias("doc_a"), "fp")
-    b = fps.select(F.col("doc").alias("doc_b"), "fp")
+    # Pair generation WITHOUT the self-join: the fps subtree above is
+    # the expensive part (normalize → char k-gram hashes → two window
+    # passes over every text), and a self-join evaluates it twice —
+    # once per side (measured: the two full winnow pipelines dominate
+    # the plan). Grouping docs per fp instead runs winnowing ONCE, and
+    # the groupBy reuses the exact fp hash-partitioning the df-cap
+    # window just established (guide §2.4: same key, same exchange), so
+    # the rewrite also drops one fp-keyed shuffle. Per-fp doc lists are
+    # bounded by ``max_doc_freq`` (default 20 ⇒ ≤190 in-row pairs), so
+    # no skew is introduced. (doc, fp) rows are distinct by
+    # construction (array_distinct upstream), so emitting every a<b
+    # combination per fp yields exactly the join's row multiset and
+    # identical n_shared counts.
+    docs_per_fp = fps.groupBy("fp").agg(
+        F.array_sort(F.collect_list("doc")).alias("_docs")
+    )
+    pairs = docs_per_fp.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(_docs, (x, i) -> "
+                "transform(slice(_docs, i + 2, size(_docs)), "
+                "y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("_p")
+    ).select("_p.doc_a", "_p.doc_b")
     return (
-        a.join(b, "fp")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        pairs.groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
@@ -626,8 +700,15 @@ def minhash_signatures(
                 % F.lit(MINHASH_P)
             ).alias("_h"),
         )
+        # One parsed expression per permutation instead of ~6 py4j
+        # Column calls each: the k-wide agg list is the dominant
+        # plan-BUILD cost of every LSH query (measured 1.2 s of driver
+        # time at k=65 via cProfile; the parsed string is one round
+        # trip). Integer literals < 2³¹ parse to the same IntegerType
+        # the F.lit path produced, so the arithmetic — and the
+        # signatures — are bit-identical.
         aggs = [
-            F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
+            F.expr(f"min(({a} * _h + {b}) % {MINHASH_P})").alias(f"mh{i}")
             for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
         ]
         return based.groupBy("doc").agg(*aggs)
@@ -711,15 +792,19 @@ def band_struct_array(
     shared by the batch band frame and the streaming gate so both key
     spaces are bit-identical."""
     rows_per_band = num_hashes // bands
-    band_cols = []
+    # Single parsed expression for the whole struct array (one py4j
+    # round trip instead of ~8 per band): named_struct/xxhash64 parse to
+    # the identical Catalyst operators the F.struct/F.xxhash64 builders
+    # produced, so band keys are bit-identical.
+    band_exprs = []
     for b in range(bands):
-        parts = [
-            F.col(f"mh{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-        ]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(*parts).alias("sig"))
+        parts = ", ".join(
+            f"mh{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)
         )
-    return F.array(*band_cols)
+        band_exprs.append(
+            f"named_struct('band', {b}, 'sig', xxhash64({parts}))"
+        )
+    return F.expr("array(" + ", ".join(band_exprs) + ")")
 
 
 def band_key_frame(
@@ -810,8 +895,8 @@ def minhash_lsh_dedup_pairs(
     The verification join touches only candidate pairs — the LSH band step
     is what turns 100 TB all-pairs into a tractable candidate set. Size
     ``bands`` with :func:`plan_banding` for your verify threshold.
-    ``max_doc_freq`` applies the stop-shingle cap (:func:`_df_capped`,
-    semantics as in :func:`jaccard_pairs`) to the verification index —
+    ``max_doc_freq`` applies the stop-shingle cap (semantics as in
+    :func:`jaccard_pairs`) to the verification index —
     candidate generation is skew-safe already (band keys are uniform
     hashes), the hot-key risk sits in the shingle self-join.
     """
@@ -889,7 +974,7 @@ def verify_candidate_pairs(
     if max_doc_freq is not None:
         # Stop-shingle cap, array form: hot hashes (df > cap among the
         # candidate docs) are removed from the INTERSECTION only — set
-        # sizes stay uncapped, exactly the `_df_capped` semantics: output
+        # sizes stay uncapped, exactly the stop-shingle cap semantics: output
         # is identical whenever no shingle exceeds the cap, and
         # boilerplate-only overlap scores 0. The hot set is a one-row
         # aggregate (empty list when nothing is hot) broadcast to all.

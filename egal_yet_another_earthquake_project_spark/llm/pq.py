@@ -61,6 +61,25 @@ def _l2(a, b) -> F.Column:
     )
 
 
+def _dists_expr(qv_sql: str, s: int, dsub: int, codebook: list[list[int]]) -> F.Column:
+    """The subspace-``s`` distance array against every literal code
+    vector, as ONE parsed expression. The Column-builder form pays
+    m × k' × dsub ``F.lit`` py4j round trips per plan (4×16×16 = 1024
+    here — whole seconds of driver time, rebuilt on every run); the
+    parsed string is one round trip and yields the identical Catalyst
+    tree: bigint literals, the same zip_with/aggregate fold, the same
+    exact int64 arithmetic."""
+    sub = f"slice({qv_sql}, {s * dsub + 1}, {dsub})"
+    per_code = [
+        (
+            f"aggregate(zip_with({sub}, array({', '.join(f'{int(x)}L' for x in cv)}), "
+            f"(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, d) -> acc + d)"
+        )
+        for cv in codebook
+    ]
+    return F.expr("array(" + ", ".join(per_code) + ")")
+
+
 def train_pq_codebooks(
     corpus: DataFrame,
     m: int = 4,
@@ -117,17 +136,22 @@ def pq_encode(
     m, dsub = len(codebooks), len(codebooks[0][0])
     q = _quantized(df.select(id_col, vec_col), id_col, vec_col)
 
-    def code_of(s: int) -> F.Column:
-        sub = _subvec(F.col("qv"), s, dsub)
-        dists = F.array(
-            *[
-                _l2(sub, F.array(*[F.lit(x) for x in cv]))
-                for cv in codebooks[s]
-            ]
+    # Stage each subspace's distance array as its own column before the
+    # argmin: `array_position(dists, array_min(dists))` over the raw
+    # tree evaluates all k' L2 aggregates TWICE per row; aliasing the
+    # array first makes the argmin read a per-row attribute instead
+    # (CollapseProject keeps a non-cheap alias referenced twice staged).
+    staged = q
+    for s in range(m):
+        staged = staged.withColumn(
+            f"_d{s}", _dists_expr("qv", s, dsub, codebooks[s])
         )
-        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
-    return q.select(
+    def code_of(s: int) -> F.Column:
+        d = F.col(f"_d{s}")
+        return (F.array_position(d, F.array_min(d)) - 1).cast("int")
+
+    return staged.select(
         F.col("vid").alias(id_col),
         F.array(*[code_of(s) for s in range(m)]).alias("codes"),
     )
@@ -154,12 +178,7 @@ def pq_adc_topk(
     m, dsub = len(codebooks), len(codebooks[0][0])
     q = _quantized(queries.select(id_col, vec_col), id_col, vec_col)
     luts = [
-        F.array(
-            *[
-                _l2(_subvec(F.col("qv"), s, dsub), F.array(*[F.lit(x) for x in cv]))
-                for cv in codebooks[s]
-            ]
-        ).alias(f"_lut{s}")
+        _dists_expr("qv", s, dsub, codebooks[s]).alias(f"_lut{s}")
         for s in range(m)
     ]
     qside = q.select(F.col("vid").alias("query_id"), *luts)

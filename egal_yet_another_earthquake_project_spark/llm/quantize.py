@@ -53,24 +53,92 @@ def quantize_int8_raw(
 ) -> DataFrame:
     """:func:`quantize_int8` before the rounding — (id, _qscale_raw,
     _err_raw, _cos_raw). Split out so the parity rounding-margin audit
-    can measure each raw metric's distance to its rounding boundary."""
-    v = _dbl(F.col(vec_col))
-    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    scale = amax / F.lit(127.0)
-    q = F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)))
-    dq = F.transform(q, lambda c: c.cast("double") * scale)
+    can measure each raw metric's distance to its rounding boundary.
+
+    Staged projections, not one expression tree: embedding the ``scale``
+    Column inside the per-element lambdas re-evaluates the whole
+    ``array_max(transform(...))`` subtree for EVERY array element —
+    O(d²) work per row (measured 18× slower at d=64). Aliasing each
+    non-cheap intermediate in its own ``select`` makes the downstream
+    lambdas reference a per-row attribute instead; Catalyst keeps the
+    stages separate (CollapseProject refuses to duplicate non-cheap
+    exprs) and whole-stage codegen fuses them back into one pass. Same
+    operations in the same order, so results stay bit-identical.
+    """
+    staged = (
+        df.select(F.col(id_col), _dbl(F.col(vec_col)).alias("_v"))
+        .select(
+            id_col,
+            "_v",
+            F.array_max(F.transform(F.col("_v"), lambda x: F.abs(x))).alias(
+                "_amax"
+            ),
+        )
+        .select(
+            id_col, "_v", "_amax", (F.col("_amax") / F.lit(127.0)).alias("_scale")
+        )
+        # The staged projections evaluate _q/_dq for EVERY row (the
+        # original tree only reached them through the zero-guard's
+        # otherwise-branch), so an all-zero vector would hit ANSI
+        # divide-by-zero here. Divide by a guarded scale instead:
+        # identical value for non-zero rows, and zero rows' outputs are
+        # overridden by the zero-guard below regardless.
+        .select(
+            id_col,
+            "_v",
+            "_amax",
+            "_scale",
+            F.when(F.col("_amax") == 0.0, F.lit(1.0))
+            .otherwise(F.col("_scale"))
+            .alias("_sdiv"),
+        )
+        .select(
+            id_col,
+            "_v",
+            "_amax",
+            "_scale",
+            "_sdiv",
+            F.transform(
+                F.col("_v"),
+                lambda x: F.floor(x / F.col("_sdiv") + F.lit(0.5)),
+            ).alias("_q"),
+        )
+        .select(
+            id_col,
+            "_v",
+            "_amax",
+            "_scale",
+            F.transform(
+                F.col("_q"), lambda c: c.cast("double") * F.col("_scale")
+            ).alias("_dq"),
+        )
+    )
     err = F.array_max(
-        F.zip_with(v, dq, lambda x, d: F.abs(x - d))
+        F.zip_with(F.col("_v"), F.col("_dq"), lambda x, d: F.abs(x - d))
     )
     dot = F.aggregate(
-        F.zip_with(v, dq, lambda x, d: x * d), F.lit(0.0), lambda a, b: a + b
+        F.zip_with(F.col("_v"), F.col("_dq"), lambda x, d: x * d),
+        F.lit(0.0),
+        lambda a, b: a + b,
     )
-    nv = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, b: a + b))
-    nd = F.sqrt(F.aggregate(F.transform(dq, lambda x: x * x), F.lit(0.0), lambda a, b: a + b))
-    zero = amax == 0.0
-    return df.select(
+    nv = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("_v"), lambda x: x * x),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+    )
+    nd = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("_dq"), lambda x: x * x),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+    )
+    zero = F.col("_amax") == 0.0
+    return staged.select(
         F.col(id_col),
-        F.when(zero, F.lit(0.0)).otherwise(scale).alias("_qscale_raw"),
+        F.when(zero, F.lit(0.0)).otherwise(F.col("_scale")).alias("_qscale_raw"),
         F.when(zero, F.lit(0.0)).otherwise(err).alias("_err_raw"),
         F.when(zero, F.lit(1.0)).otherwise(dot / (nv * nd)).alias("_cos_raw"),
     )

@@ -64,6 +64,16 @@ def get_spark(
         )
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        # Spark 4's DataFrame debugging wraps EVERY Python DataFrame/
+        # Column API call with a call-site capture: a Python traceback
+        # walk plus 2-3 extra py4j round trips per call (~3.5 ms each,
+        # measured via cProfile on minhash_lsh_pairs' plan build). The
+        # literal-heavy analytic plans here make tens of thousands of
+        # such calls per suite run, so the decoration costs whole
+        # seconds of driver time per query while only adding call-site
+        # lines to error messages. Off by default for the engine; flip
+        # it back on interactively when debugging a specific query.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     if master:
         builder = builder.master(master)
