@@ -55,6 +55,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from egal_yet_another_earthquake_project_spark import fsutil
+from egal_yet_another_earthquake_project_spark.sources.files import (
+    read_parquet_memo as _pq,
+)
 from egal_yet_another_earthquake_project_spark.llm.similarity import (
     _dots,
     _topk_from_candidates,
@@ -300,7 +303,7 @@ def search_ivf_index(
     import json as _json
 
     root = resolve_index_dir(index_dir)
-    cent = spark.read.parquet(f"{root}/centroids")
+    cent = _pq(spark, f"{root}/centroids")
     qa = unit(
         assign_cells(queries, cent, nprobe, id_col, vec_col).select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("_q"), "cell"
@@ -403,7 +406,7 @@ def semantic_gate_hits(
     if int(nprobe) < 1:
         raise ValueError("semantic_gate_hits: nprobe must be >= 1")
     root = resolve_index_dir(index_dir)
-    cent = spark.read.parquet(f"{root}/centroids")
+    cent = _pq(spark, f"{root}/centroids")
     qa = unit(
         assign_cells(vectors, cent, nprobe, id_col, vec_col).select(
             F.col(id_col).alias("_gate_id"), F.col(vec_col).alias("_q"), "cell"
@@ -476,7 +479,7 @@ def _assign_for_append(
     """Frozen-quantizer cell assignment (+ PQ codes when the version
     carries codebooks) for an append batch — shared by the in-place
     batch append and the staged streaming append."""
-    cent = spark.read.parquet(f"{root}/centroids")
+    cent = _pq(spark, f"{root}/centroids")
     assigned = unit(
         assign_cells(new_vectors, cent, 1, id_col, vec_col).select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v"), "cell"
@@ -651,10 +654,10 @@ def _read_cells(spark: SparkSession, root: str) -> DataFrame:
     COMPLETE staged append. All read-side consumers (search, the
     semantic gate, cell stats, the rebuild's corpus) go through here so
     streaming appends become visible everywhere at once."""
-    cells = spark.read.parquet(f"{root}/cells")
+    cells = _pq(spark, f"{root}/cells")
     for name in _complete_appends(spark, root):
         cells = cells.unionByName(
-            spark.read.parquet(f"{root}/appends/{name}/cells")
+            _pq(spark, f"{root}/appends/{name}/cells")
         )
     return cells
 
@@ -665,7 +668,7 @@ def _tombstones(spark: SparkSession, root: str) -> DataFrame | None:
     existence check, never a scan)."""
     if not fsutil.exists(spark, f"{root}/tombstones"):
         return None
-    return spark.read.parquet(f"{root}/tombstones").select("neighbor_id")
+    return _pq(spark, f"{root}/tombstones").select("neighbor_id")
 
 
 def delete_from_ivf_index(
@@ -753,7 +756,7 @@ def maybe_rebuild_ivf_index(
     existing = _list_versions(index_dir)
     next_v = max(existing + ([cur] if cur else []), default=0) + 1
 
-    cent = spark.read.parquet(f"{root}/centroids")
+    cent = _pq(spark, f"{root}/centroids")
     k = num_cells or cent.count()
     # the rebuild folds EVERYTHING the readers see: base cells, staged
     # streaming appends, minus tombstones (the physical purge) — the new

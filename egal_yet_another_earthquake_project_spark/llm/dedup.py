@@ -769,14 +769,26 @@ def minhash_signatures(
 
 
 def minhash_signature_columns(
-    hv: Column, num_hashes: int = DEFAULT_NUM_HASHES
+    hv: Column | str, num_hashes: int = DEFAULT_NUM_HASHES
 ) -> list[Column]:
     """Per-ROW signature columns mh0..mh{k-1} from an array of base
     hashes (each already reduced mod P) — the stateless formulation:
     no explode, no groupBy, so it is legal in a streaming projection
     and keeps every other column alive. Values are identical to both
     aggregated engines (min over the array = min over the exploded
-    multiset; same affine arithmetic)."""
+    multiset; same affine arithmetic).
+
+    Parsed-expression form when ``hv`` is a column NAME (one py4j round
+    trip per permutation instead of ~7 — the same plan-build cut as the
+    batch signature aggs; identical Catalyst tree); Column inputs keep
+    the builder path."""
+    if isinstance(hv, str):
+        return [
+            F.expr(
+                f"array_min(transform(`{hv}`, h -> ({a} * h + {b}) % {MINHASH_P}))"
+            ).alias(f"mh{i}")
+            for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+        ]
     return [
         F.array_min(
             F.transform(hv, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P))

@@ -187,21 +187,37 @@ def project_jl(
 
     signs = _jl_signs(in_dim, out_dim)
     scale = math.sqrt(3.0 / out_dim)
+    # One parsed expression for all out_dim coordinates: the Column-
+    # builder form paid ~out_dim × in_dim py4j round trips per plan
+    # (~1.4 s of driver time at 16×64). The SQL string parses to the
+    # identical Catalyst tree — the same left-associated ±term chain
+    # (SQL +/- are left-associative), the same int element_at indexes,
+    # and the same double scale (`{scale!r}D`: repr round-trips the
+    # float exactly and the D suffix parses it as DoubleType, not
+    # DECIMAL) — so values stay bit-identical.
     outs = []
     for j in range(out_dim):
-        dot = None
+        terms = []
         for d in range(in_dim):
             w = signs[j][d]
             if w == 0:
                 continue
-            term = F.element_at(vec_col, d + 1).cast("double")
-            if dot is None:
-                dot = term if w > 0 else -term
+            t = f"CAST(element_at(`{vec_col}`, {d + 1}) AS DOUBLE)"
+            if not terms:
+                terms.append(t if w > 0 else f"- {t}")
             else:
-                dot = dot + term if w > 0 else dot - term
-        if dot is None:
-            dot = F.lit(0.0)
-        outs.append(F.round(dot * F.lit(scale), 6))
-    return df.select(
-        F.col(id_col), F.posexplode(F.array(*outs)).alias("dim", "val")
+                terms.append(f"+ {t}" if w > 0 else f"- {t}")
+        chain = " ".join(terms) if terms else "0.0D"
+        outs.append(f"round(({chain}) * {scale!r}D, 6)")
+    # Stage the coordinates as named columns BEFORE the posexplode:
+    # feeding the Generate one giant array-of-chains expression blows
+    # janino's method-size limit (whole-stage codegen emitted ONE
+    # doConsume for the whole array → "Failed to compile", silent
+    # interpreted fallback — pre-existing with the Column-builder form
+    # too). As separate projection columns each ±chain compiles into
+    # its own split method, so the operator actually runs compiled.
+    staged = df.select(
+        F.col(id_col), *[F.expr(e).alias(f"_jl{j}") for j, e in enumerate(outs)]
     )
+    arr = F.array(*[F.col(f"_jl{j}") for j in range(out_dim)])
+    return staged.select(F.col(id_col), F.posexplode(arr).alias("dim", "val"))

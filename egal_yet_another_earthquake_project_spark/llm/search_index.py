@@ -77,6 +77,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from egal_yet_another_earthquake_project_spark import fsutil
+from egal_yet_another_earthquake_project_spark.sources.files import (
+    read_parquet_memo as _pq,
+)
 from egal_yet_another_earthquake_project_spark.llm import text as ltx
 from egal_yet_another_earthquake_project_spark.llm.ann_index import (
     _list_versions,
@@ -134,7 +137,7 @@ def _write_segment(
     # count per term) — tiny relative to the corpus, its own sidecar so
     # search never aggregates corpus-scale data
     (
-        spark.read.parquet(f"{root}/postings")
+        _pq(spark, f"{root}/postings")
         .groupBy("term")
         .agg(F.count("*").alias("df"))
         .write.mode("overwrite")
@@ -523,9 +526,9 @@ def compact_bm25_index(spark: SparkSession, index_dir: str) -> dict:
     sdl = ndocs = 0
     dfreqs = None
     for s in segs:
-        p = spark.read.parquet(f"{index_dir}/{s}/postings")
+        p = _pq(spark, f"{index_dir}/{s}/postings")
         posts = p if posts is None else posts.unionByName(p)
-        d = spark.read.parquet(f"{index_dir}/{s}/dfreq")
+        d = _pq(spark, f"{index_dir}/{s}/dfreq")
         dfreqs = d if dfreqs is None else dfreqs.unionByName(d)
         st = json.loads(fsutil.read_text(spark, f"{index_dir}/{s}/stats.json"))
         sdl += int(st["sdl"])
@@ -535,9 +538,9 @@ def compact_bm25_index(spark: SparkSession, index_dir: str) -> dict:
     # totals — after this the tombstones are dead weight and GC away
     tombs = None
     for dpath in dels:
-        t = spark.read.parquet(f"{index_dir}/{dpath}/tombstones")
+        t = _pq(spark, f"{index_dir}/{dpath}/tombstones")
         tombs = t if tombs is None else tombs.unionByName(t)
-        nd = spark.read.parquet(f"{index_dir}/{dpath}/dfreq").select(
+        nd = _pq(spark, f"{index_dir}/{dpath}/dfreq").select(
             "term", (-F.col("df")).alias("df")
         )
         dfreqs = dfreqs.unionByName(nd)
@@ -661,14 +664,14 @@ def search_bm25_index(
     postings = dfreq_all = None
     for sroot in seg_roots:
         p = (
-            spark.read.parquet(f"{sroot}/postings")
+            _pq(spark, f"{sroot}/postings")
             .filter(bucket_filter)
             .join(
                 F.broadcast(qterms.select("term").distinct()), "term", "semi"
             )
         )
         postings = p if postings is None else postings.unionByName(p)
-        d = spark.read.parquet(f"{sroot}/dfreq").join(
+        d = _pq(spark, f"{sroot}/dfreq").join(
             F.broadcast(qterms.select("term").distinct()), "term", "semi"
         )
         dfreq_all = d if dfreq_all is None else dfreq_all.unionByName(d)
@@ -678,10 +681,10 @@ def search_bm25_index(
     # build over the remaining corpus
     tombs = None
     for droot in del_roots:
-        t = spark.read.parquet(f"{droot}/tombstones")
+        t = _pq(spark, f"{droot}/tombstones")
         tombs = t if tombs is None else tombs.unionByName(t)
         nd = (
-            spark.read.parquet(f"{droot}/dfreq")
+            _pq(spark, f"{droot}/dfreq")
             .join(
                 F.broadcast(qterms.select("term").distinct()), "term", "semi"
             )

@@ -119,7 +119,7 @@ def stream_neardup_flags(
         "doc_a",
         event_time,
         "_ja",
-        *ldd.minhash_signature_columns(F.col("_hv")),
+        *ldd.minhash_signature_columns("_hv"),
     )
     banded = sigs.select(
         "doc_a",
