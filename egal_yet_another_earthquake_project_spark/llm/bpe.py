@@ -44,24 +44,31 @@ def word_symbols(words: DataFrame, word_col: str = "word") -> DataFrame:
 
 
 def _pair_counts(w: DataFrame, cnt_col: str) -> DataFrame:
-    ss = F.split("sym", "  ")
-    # A fully-merged word (one symbol — common at realistic merge
-    # counts) must contribute an EMPTY pair list: sequence(0, -1) is
-    # DESCENDING in Spark, so the unguarded form would index
-    # element_at(ss, 2) on a 1-element array and kill the stage.
-    idx = F.when(
-        F.size(ss) >= 2, F.sequence(F.lit(0), F.size(ss) - 2)
-    ).otherwise(F.expr("CAST(array() AS array<int>)"))
-    pairs = F.transform(
-        idx,
-        lambda i: F.concat(
-            F.element_at(ss, (i + 1).cast("int")),
-            F.lit(" "),
-            F.element_at(ss, (i + 2).cast("int")),
+    # The symbol array is STAGED as its own projection column: a lambda
+    # body re-evaluates every embedded non-lambda subexpression per
+    # element (no subexpression elimination inside higher-order
+    # functions), so the previous form — element_at(split(sym), i)
+    # inside the transform — re-split the string twice per pair,
+    # O(L²) character work per word. One split per row, then the
+    # adjacent-pair list is a zip of the array with its own tail
+    # (zip_with pads the shorter side with NULL, so the final
+    # (last, NULL) element is sliced off; a 1-symbol word yields
+    # slice(…, 1, 0) = [] with no special case — the old guard against
+    # DESCENDING sequence(0, -1) is structurally unnecessary here).
+    staged = w.select(
+        F.split("sym", "  ").alias("_ss"), F.col(cnt_col).alias("_c")
+    )
+    pairs = F.slice(
+        F.zip_with(
+            F.col("_ss"),
+            F.slice(F.col("_ss"), 2, F.greatest(F.size("_ss") - 1, F.lit(0))),
+            lambda x, y: F.concat(x, F.lit(" "), y),
         ),
+        F.lit(1),
+        F.greatest(F.size("_ss") - 1, F.lit(0)),
     )
     return (
-        w.select(F.explode(pairs).alias("pair"), F.col(cnt_col).alias("_c"))
+        staged.select(F.explode(pairs).alias("pair"), "_c")
         .groupBy("pair")
         .agg(F.sum("_c").alias("cnt"))
     )
@@ -174,9 +181,18 @@ def bpe_apply(
     for pair in merges:
         a, b = pair.split(" ")
         sym = F.replace(sym, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
-    pieces = F.array_join(F.split(F.trim(sym), "  "), " ")
-    return (
-        out.withColumn("pieces", pieces)
-        .withColumn("n_pieces", F.size(F.split(F.col("pieces"), " ")))
-        .drop("sym")
+    # Stage the piece ARRAY once: both outputs read it, and it is the
+    # k-replace chain + a split — CollapseProject inlines a cheap alias
+    # into every consumer, so the previous withColumn chain (n_pieces
+    # re-splitting the pieces STRING) evaluated the whole replace chain
+    # and a second split per row. A non-cheap alias referenced twice
+    # stays staged; codegen still fuses the projections into one pass.
+    keep = [c for c in out.columns if c != "sym"]
+    staged = out.select(
+        *keep, F.split(F.trim(sym), "  ").alias("_pieces_arr")
+    )
+    return staged.select(
+        *keep,
+        F.array_join("_pieces_arr", " ").alias("pieces"),
+        F.size("_pieces_arr").alias("n_pieces"),
     )

@@ -61,73 +61,16 @@ def _token_stream(docs: DataFrame, text_col: str, label_col: str) -> DataFrame:
     )
 
 
-def _doc_token_tf(docs: DataFrame, text_col: str) -> DataFrame:
-    """(doc_id, tok, tf) — per-document term frequencies, the ONE
-    corpus-scale tokenize → explode → shuffle of the whole NB lifecycle.
-
-    Every training aggregate (token weights, class totals, vocabulary)
-    and every scoring frame (per-doc token mass, document lengths)
-    derives from this exact subtree, so within one plan AQE's exchange
-    reuse materializes the expensive regex tokenization once and fans
-    the shuffled output out to all consumers — instead of the five
-    independent tokenize passes the naive formulation paid. Two
-    deliberate choices keep the subtrees canonically identical (reuse
-    is defeated by ANY per-branch difference):
-
-    - the frame is LABEL-FREE (labels re-attach via a doc-dim join in
-      :func:`_token_class_counts`), so the left-join null constraint on
-      the class key lands on the dim side, not in here;
-    - the doc_id/tok null filters are explicit, so the constraint
-      inference that each consumer join would push down (isnotnull on
-      its own key) is already subsumed identically in every branch.
-
-    ``doc_id`` is this engine's non-null primary key everywhere; the
-    explicit filter documents that precondition rather than changing
-    behavior (a null-keyed doc could never join back to the scoring
-    grid anyway)."""
-    return (
-        ltx.tokenized(docs, text_col)
-        .select("doc_id", F.explode("_toks").alias("tok"))
-        .where(F.col("doc_id").isNotNull() & F.col("tok").isNotNull())
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("tf"))
-    )
-
-
-def _token_class_counts(
-    docs: DataFrame, text_col: str, label_col: str
-) -> DataFrame:
-    """(tok, label, ctc) — the nonzero token-class counts: the shared
-    :func:`_doc_token_tf` frame joined to the (doc_id, label) dim, then
-    summed (Σ per-doc tf ≡ the direct occurrence count, exactly, in
-    integers). The join is also what keeps RemoveRedundantAggregates
-    from collapsing the vocabulary branch past the shared tf aggregate
-    (a collapse that would re-tokenize the corpus)."""
-    dim = docs.select("doc_id", F.col(label_col).alias("label"))
-    return (
-        _doc_token_tf(docs, text_col)
-        .join(dim, "doc_id")
-        .groupBy("tok", "label")
-        .agg(F.sum("tf").alias("ctc"))
-    )
-
-
 def nb_class_constants(
     docs: DataFrame, text_col: str = "text", label_col: str = "lang"
 ) -> DataFrame:
     """Per-class constants (cls, ln_prior, ln_denom): the broadcast-able
     side of the scorer. ln_prior = ln(docs_c / docs_total); ln_denom =
     ln(N_c + V) with N_c the class token total and V the global distinct
-    vocabulary. At any corpus size this frame has one row per class.
-
-    Both token-level aggregates fold the (tok, label, ctc) counts frame
-    (N_c = Σ_t c_tc; V = distinct tok of the nonzero counts — identical
-    integers to counting the raw stream), so the corpus is tokenized
-    once here and the subtree is shared with :func:`nb_token_weights`
-    via ReuseExchange when both sit in one plan."""
-    ct = _token_class_counts(docs, text_col, label_col)
-    class_tot = ct.groupBy("label").agg(F.sum("ctc").alias("n_cls"))
-    vocab = ct.select(F.countDistinct("tok").alias("v"))
+    vocabulary. At any corpus size this frame has one row per class."""
+    tok = _token_stream(docs, text_col, label_col)
+    class_tot = tok.groupBy("label").agg(F.count("*").alias("n_cls"))
+    vocab = tok.select(F.countDistinct("tok").alias("v"))
     pri = docs.groupBy(F.col(label_col).alias("label")).agg(
         F.count("*").alias("nd")
     )
@@ -153,13 +96,10 @@ def nb_token_weights(
     NONZERO (token, class) pair. Persistable like any dim table; joined
     on token at inference."""
     return (
-        _token_class_counts(docs, text_col, label_col)
-        .select(
-            "tok",
-            F.col("label").alias("cls"),
-            "ctc",
-            F.log((F.col("ctc") + 1).cast("double")).alias("ln_count1"),
-        )
+        _token_stream(docs, text_col, label_col)
+        .groupBy("tok", F.col("label").alias("cls"))
+        .agg(F.count("*").alias("ctc"))
+        .withColumn("ln_count1", F.log((F.col("ctc") + 1).cast("double")))
     )
 
 
@@ -191,36 +131,19 @@ def nb_scores_with_model(
     :func:`read_nb_model` loads) — the train-once-score-many production
     path. ``label_col`` may be absent from ``docs`` (unlabeled
     firehose): true_label comes back NULL."""
-    true_label = (
-        F.col(label_col)
-        if label_col in docs.columns
-        else F.lit(None).cast("string")
-    )
+    if label_col not in docs.columns:
+        docs = docs.withColumn(label_col, F.lit(None).cast("string"))
 
-    # ONE corpus tokenize: per-doc term frequencies feed both the
-    # token-likelihood join and the document lengths (n_d = Σ tf ≡
-    # size(_toks), exactly); when the model was trained on this same
-    # frame (the self-train path) the subtree also matches the training
-    # aggregates', so exchange reuse collapses every pass into one.
-    # Empty docs vanish from tf and re-attach with n_d = 0 (prior-only
-    # score); NULL-text docs keep their NULL n_d → NULL score, as
-    # before.
-    tf = _doc_token_tf(docs, text_col)
-    nd = tf.groupBy("doc_id").agg(F.sum("tf").alias("_nd"))
-    base = (
-        docs.select(
-            "doc_id",
-            true_label.alias("true_label"),
-            F.col(text_col).isNull().alias("_null_text"),
-        )
-        .join(nd, "doc_id", "left")
-        .select(
-            "doc_id",
-            "true_label",
-            F.when(F.col("_null_text"), F.lit(None))
-            .otherwise(F.coalesce("_nd", F.lit(0)))
-            .alias("n_d"),
-        )
+    base = ltx.tokenized(docs, text_col).select(
+        "doc_id",
+        F.col(label_col).alias("true_label"),
+        F.size("_toks").alias("n_d"),
+        "_toks",
+    )
+    tf = (
+        base.select("doc_id", F.explode("_toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
     )
     # token-likelihood mass per (doc, candidate class): join on token —
     # the model side fans out ≤ #classes rows per token
@@ -230,7 +153,8 @@ def nb_scores_with_model(
         .agg(F.sum(F.col("tf") * F.col("ln_count1")).alias("s"))
     )
     return (
-        base.crossJoin(F.broadcast(consts))
+        base.drop("_toks")
+        .crossJoin(F.broadcast(consts))
         .join(contrib, ["doc_id", "cls"], "left")
         .select(
             "doc_id",

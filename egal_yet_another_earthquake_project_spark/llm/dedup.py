@@ -520,14 +520,22 @@ def contamination_fraction(
     )
     corp = exploded_shingles(corpus, id_col, text_col, n)
     frac = F.col("n_hits").cast("double") / F.col("n_shingles").cast("double")
-    return (
+    # Two-level aggregate instead of two differing count_distincts in
+    # one agg: the multi-distinct plan Expands every post-join row into
+    # 2 (one per distinct group), shuffling twice the raw shingle mass.
+    # Level 1 dedups (doc, sh) WITH map-side partial aggregation before
+    # anything shuffles (the hit marker is constant per shingle, max is
+    # exact); level 2 is a doc-scale count. Identical integers.
+    dedup = (
         corp.join(F.broadcast(ev), "sh", "left")
-        .groupBy("doc")
+        .groupBy("doc", "sh")
+        .agg(F.max("_hit").alias("_hit"))
+    )
+    return (
+        dedup.groupBy("doc")
         .agg(
-            F.count_distinct("sh").alias("n_shingles"),
-            F.count_distinct(
-                F.when(F.col("_hit") == 1, F.col("sh"))
-            ).alias("n_hits"),
+            F.count("*").alias("n_shingles"),
+            F.count(F.when(F.col("_hit") == 1, F.lit(1))).alias("n_hits"),
         )
         .withColumn("contamination", F.round(frac, 4))
         .withColumn("dirty", frac >= F.lit(float(dirty_threshold)))

@@ -104,11 +104,27 @@ def tfidf_keywords(
     pair mass: 1.25× wall, see SCALE.md), and ``max_df_frac`` bounds
     the head fan outright where keyword quality allows it.
     """
-    toks = tokenized(df, text_col).select(
-        F.col(id_col).alias("doc"), F.explode("_toks").alias("term")
+    toks = (
+        tokenized(df, text_col)
+        .select(F.col(id_col).alias("doc"), F.explode("_toks").alias("term"))
+        # canonicalization no-op (split tokens/ids are never NULL): the
+        # scored branch's join infers isnotnull(term) into its copy of
+        # the tf subtree; making the filter explicit keeps every
+        # branch's copy identical so AQE exchange reuse fires.
+        .where(F.col("doc").isNotNull() & F.col("term").isNotNull())
     )
     tf = toks.groupBy("doc", "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    # count(when(tf >= 1, 1)) ≡ count(*): tf is a per-existing-group
+    # count, always ≥ 1. The predicate exists ONLY to keep a real
+    # dependency on the aggregated column — with plain count(*) (or
+    # count(tf), which the optimizer folds to count(1) because counts
+    # are non-nullable) column pruning collapses this branch's copy of
+    # the tf aggregate to a bare distinct, making the two tf subtrees
+    # canonically different and forcing a SECOND corpus tokenize; with
+    # the dependency both branches share one exchange (AQE reuse).
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.when(F.col("tf") >= 1, 1)).alias("df_t")
+    )
     ndocs = df.select(F.count_distinct(F.col(id_col)).alias("ndocs"))
     if max_df_frac is not None:
         dfreq = (

@@ -38,10 +38,19 @@ def term_frequencies(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(id, tok, tf) — per-document term frequencies via the materialized
-    tokens column (empty/blank docs contribute no rows)."""
+    tokens column (empty/blank docs contribute no rows).
+
+    The explicit null filter is subtree canonicalization, not semantics
+    (split tokens are never NULL): every consumer join would push its
+    own constraint-inferred ``isnotnull`` into its copy of this subtree
+    while non-join consumers (the broadcast (N, V) stats aggregate)
+    would not — divergent copies defeat AQE exchange reuse and
+    re-tokenize the corpus once per branch (the NB-classifier fix,
+    wave 4, measured on exactly this pattern)."""
     base = ltx.tokenized(df, text_col)
     return (
         base.select(F.col(id_col), F.explode("_toks").alias("tok"))
+        .where(F.col(id_col).isNotNull() & F.col("tok").isNotNull())
         .groupBy(id_col, "tok")
         .agg(F.count("*").alias("tf"))
     )
@@ -156,10 +165,21 @@ def bigram_frequencies(
             F.element_at(toks, (i + 2).cast("int")).alias("b"),
         ),
     )
+    # Explicit null filter for subtree canonicalization (see
+    # term_frequencies — tokens are never NULL, so a/b never are): keeps
+    # every consumer's copy of this subtree identical whether or not a
+    # downstream join infers isnotnull(a)/isnotnull(b), so AQE exchange
+    # reuse collapses the bigram pipeline to one evaluation per plan.
     return (
         base.filter(F.size(toks) >= 2)
         .select(F.col(id_col), F.explode(pairs).alias("_p"))
-        .groupBy(id_col, "_p.a", "_p.b")
+        .select(id_col, "_p.a", "_p.b")
+        .where(
+            F.col(id_col).isNotNull()
+            & F.col("a").isNotNull()
+            & F.col("b").isNotNull()
+        )
+        .groupBy(id_col, "a", "b")
         .agg(F.count("*").alias("bf"))
     )
 

@@ -114,20 +114,26 @@ def bm25_contribs(
     tokd = ltx.tokenized(df, text_col).select(
         F.col(id_col).alias("doc_id"), F.col("_toks")
     )
-    lens = tokd.select("doc_id", F.size("_toks").alias("dl"))
+    # dl rides the exploded postings (constant within a (doc, term)
+    # group, re-surfaced by max), so no separate per-doc length frame
+    # is ever joined back on doc_id — the old tf×lens join re-ran the
+    # corpus tokenize for its lens side AND shuffled the corpus-scale
+    # (doc_id, dl) frame. Remaining corpus passes: this one and the
+    # global-stats aggregate (which must see every doc, matching or
+    # not, and reduces map-side without shuffling the corpus).
     tf = (
-        tokd.select("doc_id", F.explode("_toks").alias("term"))
+        tokd.select(
+            "doc_id", F.size("_toks").alias("dl"), F.explode("_toks").alias("term")
+        )
         .filter(F.col("term").isin(*terms))
         .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
+        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
     )
-    stats = lens.agg(F.sum("dl").alias("sdl"), F.count("*").alias("ndocs"))
+    stats = tokd.select(F.size("_toks").alias("dl")).agg(
+        F.sum("dl").alias("sdl"), F.count("*").alias("ndocs")
+    )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    scored = (
-        tf.join(lens, "doc_id")
-        .join(F.broadcast(dfreq), "term")
-        .join(F.broadcast(stats))
-    )
+    scored = tf.join(F.broadcast(dfreq), "term").join(F.broadcast(stats))
     idf = F.log(
         (F.col("ndocs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
     )
@@ -196,20 +202,24 @@ def bm25_contribs_per_query(
     tokd = ltx.tokenized(df, text_col).select(
         F.col(id_col).alias("doc_id"), F.col("_toks")
     )
-    lens = tokd.select("doc_id", F.size("_toks").alias("dl"))
+    # Same shape as :func:`bm25_contribs`: dl rides the exploded
+    # postings instead of joining a separate corpus-scale length frame
+    # back on doc_id (which re-tokenized the corpus for the lens side
+    # and shuffled it). Two corpus passes total — this one and the
+    # global-stats aggregate.
     tf = (
-        tokd.select("doc_id", F.explode("_toks").alias("term"))
+        tokd.select(
+            "doc_id", F.size("_toks").alias("dl"), F.explode("_toks").alias("term")
+        )
         .join(F.broadcast(term_set), "term", "semi")
         .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
+        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
     )
-    stats = lens.agg(F.sum("dl").alias("sdl"), F.count("*").alias("ndocs"))
+    stats = tokd.select(F.size("_toks").alias("dl")).agg(
+        F.sum("dl").alias("sdl"), F.count("*").alias("ndocs")
+    )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    scored = (
-        tf.join(lens, "doc_id")
-        .join(F.broadcast(dfreq), "term")
-        .join(F.broadcast(stats))
-    )
+    scored = tf.join(F.broadcast(dfreq), "term").join(F.broadcast(stats))
     idf = F.log(
         (F.col("ndocs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
     )

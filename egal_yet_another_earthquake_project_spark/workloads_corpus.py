@@ -339,11 +339,18 @@ def q_bpe_encoded_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     from egal_yet_another_earthquake_project_spark.llm import bpe as lbpe
 
     docs = read_table(spark, sf_dir, "documents")
+    # ONE corpus tokenize for the train-then-apply round trip: training
+    # drives actions per round and apply re-reads the same word table,
+    # so without materialization the tokenize→explode→count pipeline ran
+    # twice (train's eager checkpoint inside bpe_train, then again for
+    # the encode projection). Vocabulary-scale (Heaps' law), recomputed
+    # from parquet on every invocation.
     words = (
         ltx.tokenized(docs)
         .select(F.explode("_toks").alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
     )
     merges = [
         r.pair
