@@ -481,6 +481,24 @@ def main() -> None:
     timings: dict[str, float] = {}
     runs_detail: dict[str, list[float]] = {}
 
+    # Interleaved A/A contention probe (r14, VERDICT r13 #1): the
+    # suite-bracketing calibration pair cannot see contention windows
+    # that open and close MID-suite (r13: two disjoint blocks of rows
+    # inflated 5-25x with a quiet aa_ratio of 0.977). A fixed CPU-bound
+    # probe (no I/O, no shuffle, same thunk family as the calibration)
+    # now runs immediately before and after EVERY timed row; a row whose
+    # bracketing probes blow out against the suite-median probe is
+    # flagged so cross-round comparisons can discount it. Probes run
+    # OUTSIDE the timed sections and add ~0.05 s per row of untimed
+    # work; the stdout line only grows by the (normally empty) flag
+    # list, the full probe series lives in the local artifact.
+    aa_brackets: dict[str, list[float]] = {}
+
+    def _aa_probe() -> float:
+        t0 = time.perf_counter()
+        spark.range(50_000_000).selectExpr("sum(id)").collect()
+        return round(time.perf_counter() - t0, 4)
+
     def _timed(name: str, thunk) -> None:
         """Median of RUNS timed executions; storage released between
         runs, OUTSIDE the timed section, so one query's leftover pins
@@ -490,6 +508,8 @@ def main() -> None:
         could still let a lucky pair mask — and unlike min, it moves
         when the host window genuinely shifts, which is exactly what
         the A/A pair is there to flag."""
+        bracket = [_aa_probe()]
+        aa_brackets[name] = bracket
         samples: list[float] = []
         for _ in range(RUNS):
             t0 = time.perf_counter()
@@ -502,9 +522,11 @@ def main() -> None:
                 # them re-creates the 1.9s->27.8s drift this release
                 # exists to prevent — for every query after it
                 _release_storage(spark)
+                bracket.append(_aa_probe())
                 return
             samples.append(time.perf_counter() - t0)
             _release_storage(spark)
+        bracket.append(_aa_probe())
         samples.sort()
         timings[name] = round(samples[len(samples) // 2], 3)
         runs_detail[name] = [round(x, 3) for x in samples]
@@ -579,6 +601,22 @@ def main() -> None:
 
     calibration_last = _calibrate()
 
+    # Per-row contention verdicts from the interleaved probes: a row is
+    # flagged when EITHER bracketing probe ran >3x the suite-median
+    # probe (floored at 20 ms so py4j jitter on a sub-ms probe cannot
+    # flag anything). An empty list = every row ran in a quiet window.
+    probe_vals = sorted(v for pair in aa_brackets.values() for v in pair)
+    aa_probe_med = probe_vals[len(probe_vals) // 2] if probe_vals else None
+    if aa_probe_med is not None:
+        aa_threshold = 3.0 * max(aa_probe_med, 0.02)
+        aa_flagged = sorted(
+            name
+            for name, pair in aa_brackets.items()
+            if max(pair) > aa_threshold
+        )
+    else:
+        aa_flagged = []
+
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "headline-suite-runtime",
@@ -608,6 +646,10 @@ def main() -> None:
         "value_ex_audit_rows": round(
             total - sum(timings.get(n, 0.0) for n in AUDIT_ROWS), 3
         ),
+        # r14: interleaved per-row A/A contention flags (probe series in
+        # the local artifact; stdout stays one short line)
+        "aa_probe_med": aa_probe_med,
+        "aa_flagged": aa_flagged,
     }
     print(json.dumps(payload))
 
@@ -616,7 +658,7 @@ def main() -> None:
     # BENCH_r05.json had parsed: null).
     here = os.path.dirname(os.path.abspath(__file__))
     rnd = _round_number(here)
-    local = dict(payload, queries_runs=runs_detail)
+    local = dict(payload, queries_runs=runs_detail, aa_brackets=aa_brackets)
     # sf tag in the filename for non-default SFs, so a fast sf0.001
     # probe can't clobber the round's committed sf0.1 artifact
     tag = "" if abs(float(sf) - 0.1) < 1e-9 else f"_sf{sf}"
