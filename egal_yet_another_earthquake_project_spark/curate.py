@@ -97,7 +97,18 @@ def curate_corpus(
     every dedup decision, the position that keeps the streaming twin
     bit-identical and spares duplicates the inference cost.
     """
-    stats: dict[str, int] = {"input": docs.count()}
+    # The input count rides the first stage materialization as an
+    # observe() metric instead of a separate count() action — the gates
+    # scan every input row anyway, so a dedicated pre-count job (plan
+    # analysis + one more pass over the table's metadata) reports the
+    # same integer for free. Read back after the first stage count,
+    # which always executes the observed node (every branch's first
+    # action materializes the gate pipeline).
+    from pyspark.sql import Observation
+
+    _input_obs = Observation()
+    docs = docs.observe(_input_obs, F.count(F.lit(1)).alias("n_input"))
+    stats: dict[str, int] = {"input": 0}
 
     profiled = ltx.text_profile(docs)
     gated = profiled.filter(F.col("quality") >= min_quality)
@@ -304,6 +315,9 @@ def curate_corpus(
     if mixture is not None:
         out = out.drop("_mix_id")
     stats["packs"] = packed.select(source_col, "pack_id").distinct().count()
+    # Every branch has run at least one materializing action by now, so
+    # the observation is complete (get would block otherwise).
+    stats["input"] = int(_input_obs.get["n_input"])
     return CurationResult(corpus=out, stats=stats)
 
 

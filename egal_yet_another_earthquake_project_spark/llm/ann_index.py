@@ -654,6 +654,10 @@ def _read_cells(spark: SparkSession, root: str) -> DataFrame:
     COMPLETE staged append. All read-side consumers (search, the
     semantic gate, cell stats, the rebuild's corpus) go through here so
     streaming appends become visible everywhere at once."""
+    # NOTE (r14): a single multi-root scan over base + append cells was
+    # tried and REJECTED — the roots sit at different depths (`cells` vs
+    # `appends/<name>/cells`), which Spark's partition discovery rejects
+    # with CONFLICTING_DIRECTORY_STRUCTURES (see search_bm25_index).
     cells = _pq(spark, f"{root}/cells")
     for name in _complete_appends(spark, root):
         cells = cells.unionByName(

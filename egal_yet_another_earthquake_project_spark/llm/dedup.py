@@ -274,16 +274,28 @@ def jaccard_pairs(
     grouped = sized.groupBy("sh").agg(
         F.array_sort(F.collect_list(F.struct("doc", "_sz"))).alias("_ds")
     )
-    p = grouped.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(_ds, (x, i) -> "
-                "transform(slice(_ds, i + 2, size(_ds)), "
-                "y -> struct(x.doc AS doc_a, x._sz AS sz_a, "
-                "y.doc AS doc_b, y._sz AS sz_b))))"
-            )
-        ).alias("_p")
-    ).select("_p.*")
+    # Two-step pair generation (r14 skew-hazard fix): the one-shot
+    # flatten(transform(...)) materialized ALL d·(d−1)/2 pair structs of
+    # a shingle as a single array value before the explode — O(d²)
+    # memory in one task for a hot (boilerplate) shingle, a new OOM
+    # vector the old streaming self-join did not have. Exploding the
+    # anchor doc first and then only its a<b tail slice bounds every
+    # materialized value at O(d) — the same per-key memory the old
+    # sort-merge join buffered for its right side — while the row
+    # multiset (and the join-free plan) is unchanged.
+    p = (
+        grouped.select("_ds", F.posexplode("_ds").alias("_i", "_x"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(_ds, _i + 2, size(_ds)), "
+                    "y -> struct(_x.doc AS doc_a, _x._sz AS sz_a, "
+                    "y.doc AS doc_b, y._sz AS sz_b))"
+                )
+            ).alias("_p")
+        )
+        .select("_p.*")
+    )
     return (
         p.groupBy("doc_a", "doc_b")
         .agg(
@@ -346,16 +358,21 @@ def containment_pairs(
     grouped = sized.groupBy("sh").agg(
         F.array_sort(F.collect_list(F.struct("doc", "_sz"))).alias("_ds")
     )
-    p = grouped.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(_ds, (x, i) -> "
-                "transform(slice(_ds, i + 2, size(_ds)), "
-                "y -> struct(x.doc AS doc_a, x._sz AS sz_a, "
-                "y.doc AS doc_b, y._sz AS sz_b))))"
-            )
-        ).alias("_p")
-    ).select("_p.*")
+    # Two-step pair generation — same O(d²)→O(d) per-row memory bound
+    # as in :func:`jaccard_pairs` (see the comment there).
+    p = (
+        grouped.select("_ds", F.posexplode("_ds").alias("_i", "_x"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(_ds, _i + 2, size(_ds)), "
+                    "y -> struct(_x.doc AS doc_a, _x._sz AS sz_a, "
+                    "y.doc AS doc_b, y._sz AS sz_b))"
+                )
+            ).alias("_p")
+        )
+        .select("_p.*")
+    )
     unordered = p.groupBy("doc_a", "doc_b").agg(
         F.count("*").alias("common"),
         F.first("sz_a").alias("sz_a"),
@@ -442,15 +459,22 @@ def substring_dup_pairs(
     docs_per_fp = fps.groupBy("fp").agg(
         F.array_sort(F.collect_list("doc")).alias("_docs")
     )
-    pairs = docs_per_fp.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(_docs, (x, i) -> "
-                "transform(slice(_docs, i + 2, size(_docs)), "
-                "y -> struct(x AS doc_a, y AS doc_b))))"
-            )
-        ).alias("_p")
-    ).select("_p.doc_a", "_p.doc_b")
+    # Two-step pair generation — bounds the materialized pair array at
+    # O(d) per row instead of O(d²) (see :func:`jaccard_pairs`); with
+    # the default cap both forms are tiny, but the ``None`` path must
+    # not OOM on a hot fingerprint.
+    pairs = (
+        docs_per_fp.select("_docs", F.posexplode("_docs").alias("_i", "_x"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(_docs, _i + 2, size(_docs)), "
+                    "y -> struct(_x AS doc_a, y AS doc_b))"
+                )
+            ).alias("_p")
+        )
+        .select("_p.doc_a", "_p.doc_b")
+    )
     return (
         pairs.groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_shared"))

@@ -661,19 +661,25 @@ def search_bm25_index(
     bucket_filter = (
         F.col("_tb").isin(buckets) if buckets else F.lit(False)
     )
+    # NOTE (r14): batching the per-segment postings scans into one
+    # multi-root spark.read.parquet(*roots) was tried and REJECTED —
+    # Spark's partition discovery requires all roots at one depth below
+    # a common base, and the manifest mixes `v=K/postings` with
+    # `segments/s=K/postings` (the version dirs themselves parse as
+    # partition columns), so the read fails with
+    # CONFLICTING_DIRECTORY_STRUCTURES. The per-segment scans share one
+    # memoized schema and the same static bucket filter; the union is
+    # plan-side only.
+    term_probe = F.broadcast(qterms.select("term").distinct())
     postings = dfreq_all = None
     for sroot in seg_roots:
         p = (
             _pq(spark, f"{sroot}/postings")
             .filter(bucket_filter)
-            .join(
-                F.broadcast(qterms.select("term").distinct()), "term", "semi"
-            )
+            .join(term_probe, "term", "semi")
         )
         postings = p if postings is None else postings.unionByName(p)
-        d = _pq(spark, f"{sroot}/dfreq").join(
-            F.broadcast(qterms.select("term").distinct()), "term", "semi"
-        )
+        d = _pq(spark, f"{sroot}/dfreq").join(term_probe, "term", "semi")
         dfreq_all = d if dfreq_all is None else dfreq_all.unionByName(d)
     # delete segments: tombstoned docs leave the candidate postings
     # (anti-join — AQE broadcasts a small tombstone set), their per-term
@@ -685,9 +691,7 @@ def search_bm25_index(
         tombs = t if tombs is None else tombs.unionByName(t)
         nd = (
             _pq(spark, f"{droot}/dfreq")
-            .join(
-                F.broadcast(qterms.select("term").distinct()), "term", "semi"
-            )
+            .join(term_probe, "term", "semi")
             .select("term", (-F.col("df")).alias("df"))
         )
         dfreq_all = dfreq_all.unionByName(nd)

@@ -103,7 +103,19 @@ def _table_schema(spark: SparkSession, path: str) -> StructType:
     import os
 
     try:
-        key = (path, os.stat(path).st_mtime_ns)
+        # Key on BOTH the directory mtime and the newest direct child:
+        # a part file rewritten in place without adding/removing entries
+        # leaves the directory mtime untouched (Spark's writers always
+        # recreate files, so this is belt-and-braces for non-Spark
+        # writers).
+        mtime = os.stat(path).st_mtime_ns
+        if os.path.isdir(path):
+            children = max(
+                (e.stat().st_mtime_ns for e in os.scandir(path)), default=0
+            )
+        else:
+            children = 0
+        key = (path, max(mtime, children))
     except OSError:
         key = None  # non-local path: fall through to plain inference
     if key is not None and key in _SCHEMA_MEMO:

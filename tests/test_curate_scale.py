@@ -104,6 +104,11 @@ def test_curate_end_to_end_all_stages(spark, docs):
     )
     try:
         s = result.stats
+        # the observe()-collected input count must equal a plain count of
+        # the input frame — i.e. no gate filter was pushed below the
+        # CollectMetrics node (the r14 merge of the input-count job into
+        # the first stage materialization relies on this)
+        assert s["input"] == docs.count()
         assert s["input"] >= s["after_dedup"] >= s["after_resample"]
         # per-source ceil quotas overshoot by at most one doc per source
         n_sources = docs.select("source").distinct().count()

@@ -96,6 +96,37 @@ def test_jaccard_cap_prunes_hot_shingle_pairs(spark):
     assert capped == []  # overlap was pure df-10 boilerplate
 
 
+def test_hot_shingle_pairs_two_step_generation(spark):
+    """The UNCAPPED declared pair path (max_doc_freq=None) must survive a
+    hot shingle: pair generation explodes the anchor doc first and then
+    only its a<b tail slice, so no single materialized value exceeds
+    O(d) — the one-shot flatten(transform(...)) form built the whole
+    O(d²) pair array of a boilerplate shingle inside one task. Checks
+    (a) exact output on a 40-doc hot-shingle corpus against hand-derived
+    jaccard/containment, (b) the plan stays self-join-free and carries
+    no flattened pair transform."""
+    rows = [
+        (i, f"alpha beta gamma delta unique{i} tail{i} x{i}")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    # 7 tokens -> 5 trigram shingles; any two docs share exactly the 2
+    # boilerplate shingles: jaccard = 2/(5+5-2) = 0.25, containment
+    # = 2/5 = 0.4 in both directions.
+    jac = ldd.jaccard_pairs(docs, "doc_id", threshold=0.2)
+    got = jac.collect()
+    assert len(got) == 40 * 39 // 2
+    assert all(abs(r.jaccard - 0.25) < 1e-9 and r.doc_a < r.doc_b for r in got)
+    cont = ldd.containment_pairs(docs, "doc_id", threshold=0.3)
+    got_c = cont.collect()
+    assert len(got_c) == 40 * 39  # both directions
+    assert all(abs(r.containment - 0.4) < 1e-9 for r in got_c)
+    for frame in (jac, cont):
+        plan = frame._jdf.queryExecution().optimizedPlan().toString()
+        assert "flatten(transform" not in plan
+        assert "Join" not in plan  # pair generation stays join-free
+
+
 def test_minhash_cap_prunes_verify_stage(spark):
     corpus = _boilerplate_corpus(spark)
     uncapped = ldd.minhash_lsh_dedup_pairs(
